@@ -1,0 +1,140 @@
+"""Exact MIPS / cosine top-k search — the canonical query path.
+
+Reference semantics: "recompute mode" brute-force exact search
+(/root/reference/src/index/recompute.rs:52-123): score every passage by
+inner product, sort desc, take top-k. The indexed ANN paths
+(src/backend/hnsw.rs:79-93, src/backend/diskann.rs:47-62) are physical
+approximations of this; leann_rs_spark.operators.ann holds ours.
+
+Scale design (100 TB / 1000 executors):
+- Single query: `ORDER BY score DESC, id ASC LIMIT k` — Catalyst plans
+  TakeOrderedAndProject: per-partition heap top-k, then a k-row merge on
+  the driver. No shuffle of the scored table, no full sort. This is the
+  same heap-vs-sort tradeoff the reference benchmarks
+  (/root/reference/benches/benchmarks.rs:222-284) — Catalyst already
+  implements the winning variant.
+- Query batch: broadcast the Q queries (they're small), score Q×N
+  map-side (no shuffle), then prune to k rows per (partition, query)
+  *before* the single shuffle that ranks globally per query. Shuffle
+  volume drops from N×Q rows to P×k×Q (P = #partitions) — at 100 TB the
+  difference between an impossible job and a cheap one.
+- Tie-break `score DESC, id ASC` everywhere: the reference's float sort
+  leaves tie order unspecified (src/index/recompute.rs:106-110); the
+  oracle needs a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from leann_rs_spark.functions.vector import cosine, dot
+
+
+def _score(metric: str, vec_col: Column, query_col: Column) -> Column:
+    if metric == "ip":
+        return dot(vec_col, query_col)
+    if metric == "cosine":
+        return cosine(vec_col, query_col)
+    raise ValueError(f"unknown metric {metric!r} (expected 'ip' or 'cosine')")
+
+
+def exact_search(
+    vectors: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "ip",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Single-query exact top-k.
+
+    Filter is applied *before* scoring — the reference's own pushdown
+    ("Apply filter early to avoid computing unnecessary embeddings",
+    src/index/recompute.rs:66-79); with Catalyst the predicate reaches
+    the Parquet scan.
+    Returns (id_col, score) with score DOUBLE, ordered score DESC, id ASC.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    df = vectors
+    if predicate is not None:
+        df = df.filter(predicate)
+    return (
+        df.select(id_col, _score(metric, F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def batch_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    metric: str = "ip",
+    predicate: Column | None = None,
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Top-k per query for a whole table of queries.
+
+    Plan: broadcast-nested-loop join (map-side, no shuffle of `vectors`)
+    → score → optional partition-local prune to k rows per query (a
+    shuffle-volume optimization that cannot change the exact result) →
+    global rank per query.
+    """
+    df = vectors
+    if predicate is not None:
+        df = df.filter(predicate)
+
+    scored = (
+        df.join(F.broadcast(queries.select(query_id_col, query_vec_col)))
+        .select(
+            query_id_col,
+            id_col,
+            _score(metric, F.col(vec_col), F.col(query_vec_col)).alias("score"),
+        )
+    )
+
+    if prune_partitions:
+        # Selection only — no float math happens in Python, so results
+        # stay bit-identical; Arrow round-trips doubles losslessly.
+        import pandas as pd
+
+        schema = scored.schema
+
+        def local_topk(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values(
+                            ["score", id_col], ascending=[False, True]
+                        ).groupby(query_id_col, sort=False).head(k)
+                    )
+
+        scored = scored.mapInPandas(local_topk, schema=schema)
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def assemble_results(
+    hits: DataFrame,
+    passages: DataFrame,
+    id_col: str = "vec_id",
+    passage_id_col: str = "doc_id",
+) -> DataFrame:
+    """Join scored hits back to their text/metadata — the reference's
+    idx→id→JSONL-seek assembly (src/index/searcher.rs:171-207) becomes a
+    broadcast join of the tiny hit set against the passage table."""
+    return F.broadcast(hits).join(
+        passages, hits[id_col] == passages[passage_id_col], "inner"
+    )
