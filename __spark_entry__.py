@@ -17,7 +17,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from leann_rs_spark.functions.vector import duckdb_cosine, duckdb_dot
+from leann_rs_spark.operators.filter_dsl import (
+    compile_duckdb,
+    compile_spark,
+    duckdb_json_resolver,
+    json_field_resolver,
+    parse as parse_filter,
+)
 from leann_rs_spark.operators.search import batch_search, exact_search
+from leann_rs_spark.sources.tables import read_events
 
 SMOKE_SF = "/root/testdata/sf0.001"
 
@@ -69,6 +77,33 @@ def q3_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSL_EVENTS = "k>50,k<=90 OR k in [1,2,3]"
+_DSL_DOCS = "lang in [en,de] AND source^src1"
+
+
+def q5_filter_dsl_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/Q6: filter mini-language parsed → compiled to a Column over a
+    schemaless JSON metadata column (events.props)."""
+    ast = parse_filter(_DSL_EVENTS)
+    return (
+        read_events(spark, sf_dir)
+        .filter(compile_spark(ast, json_field_resolver("props")))
+        .select("event_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    )
+
+
+def q5_filter_dsl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/Q6 over typed columns + Q7 result assembly ordering."""
+    ast = parse_filter(_DSL_DOCS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(compile_spark(ast))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -115,6 +150,22 @@ _ORACLES: dict[str, str] = {
 }
 
 
+def _register_dsl_oracles() -> None:
+    ev = compile_duckdb(parse_filter(_DSL_EVENTS), duckdb_json_resolver("props"))
+    _ORACLES["q5_filter_dsl_json"] = f"""
+        SELECT event_id, event_type, value, props
+        FROM events WHERE {ev} ORDER BY event_id
+    """
+    dc = compile_duckdb(parse_filter(_DSL_DOCS))
+    _ORACLES["q5_filter_dsl_columns"] = f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE {dc} ORDER BY doc_id
+    """
+
+
+_register_dsl_oracles()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact top-k search joined back to document text —
     the full `leann search` read path on the sf0.001 tables."""
@@ -135,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
         "q3_filtered_topk": q3_filtered_topk,
         "q3_batch_topk": q3_batch_topk,
+        "q5_filter_dsl_json": q5_filter_dsl_json,
+        "q5_filter_dsl_columns": q5_filter_dsl_columns,
     }
 
 
