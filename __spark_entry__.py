@@ -24,6 +24,12 @@ from leann_rs_spark.operators.filter_dsl import (
     json_field_resolver,
     parse as parse_filter,
 )
+from leann_rs_spark.operators.bm25 import (
+    build_bm25_index,
+    duckdb_bm25_scored,
+    score_query,
+)
+from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
 
@@ -104,6 +110,62 @@ def q5_filter_dsl_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "spark filter join window"
+_HYBRID_QUERY = "merge sort batch"
+_HYBRID_K = 5
+_HYBRID_FETCH_K = _HYBRID_K * 5  # over-fetch, src/index/searcher.rs:129-133
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q8_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8/Q9/Q10: BM25 scores over the documents corpus. Scores rounded
+    to 6dp — term-sum order differs across engines in the last ulp."""
+    p, d, t = build_bm25_index(_docs(spark, sf_dir))
+    scored = score_query(p, d, t, _BM25_QUERY)
+    return scored.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score_r")
+    ).orderBy("doc_id")
+
+
+def q11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: BM25 top-10, ranked on the rounded score for determinism."""
+    p, d, t = build_bm25_index(_docs(spark, sf_dir))
+    scored = score_query(p, d, t, _BM25_QUERY)
+    return (
+        scored.filter(F.col("score") > 0.0)
+        .select("doc_id", F.round(F.col("score"), 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12/Q13: hybrid candidate union + min-max rerank (α=0.7)."""
+    docs = _docs(spark, sf_dir)
+    num_docs = docs.count()
+    qv = _query_vec(spark, sf_dir, 3)
+    vec_hits = exact_search(
+        _emb(spark, sf_dir), qv, k=_HYBRID_FETCH_K, metric="ip"
+    ).withColumnRenamed("vec_id", "doc_id")
+
+    p, d, t = build_bm25_index(docs)
+    bm25_scored = score_query(p, d, t, _HYBRID_QUERY)
+    bm25_top = (
+        bm25_scored.filter(F.col("score") > 0.0)
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_FETCH_K)
+    )
+    out = hybrid_rerank(vec_hits, bm25_scored, bm25_top, num_docs, alpha=0.7)
+    return (
+        out.select("doc_id", F.round(F.col("combined"), 6).alias("combined_r"))
+        .orderBy(F.col("combined_r").desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -150,6 +212,37 @@ _ORACLES: dict[str, str] = {
 }
 
 
+def _register_bm25_oracles() -> None:
+    scored = duckdb_bm25_scored(_BM25_QUERY)
+    _ORACLES["q8_bm25_scored"] = f"""
+        SELECT doc_id, round(score, 6) AS score_r FROM ({scored})
+        ORDER BY doc_id
+    """
+    _ORACLES["q11_bm25_topk"] = f"""
+        SELECT doc_id, round(score, 6) AS score_r FROM ({scored})
+        WHERE score > 0.0
+        ORDER BY score_r DESC, doc_id ASC LIMIT 10
+    """
+    hybrid = duckdb_hybrid_rerank(
+        bm25_scored_cte=duckdb_bm25_scored(_HYBRID_QUERY),
+        vec_hits_sql=f"""
+            SELECT e.vec_id AS doc_id, {duckdb_dot('e.embedding', 'q.embedding')} AS score
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id = 3
+            ORDER BY score DESC, e.vec_id ASC LIMIT {_HYBRID_FETCH_K}
+        """,
+        fetch_k=_HYBRID_FETCH_K,
+        alpha=0.7,
+    )
+    _ORACLES["q13_hybrid_search"] = f"""
+        SELECT doc_id, round(combined, 6) AS combined_r FROM ({hybrid})
+        ORDER BY combined_r DESC, doc_id ASC LIMIT {_HYBRID_K}
+    """
+
+
+_register_bm25_oracles()
+
+
 def _register_dsl_oracles() -> None:
     ev = compile_duckdb(parse_filter(_DSL_EVENTS), duckdb_json_resolver("props"))
     _ORACLES["q5_filter_dsl_json"] = f"""
@@ -188,6 +281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_batch_topk": q3_batch_topk,
         "q5_filter_dsl_json": q5_filter_dsl_json,
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
+        "q8_bm25_scored": q8_bm25_scored,
+        "q11_bm25_topk": q11_bm25_topk,
+        "q13_hybrid_search": q13_hybrid_search,
     }
 
 

@@ -1,0 +1,179 @@
+"""BM25 as relational algebra over persisted postings tables.
+
+Reference: Bm25Scorer (/root/reference/src/index/bm25.rs:31-122) —
+hand-rolled hashmaps rebuilt from a full corpus scan on *every* hybrid
+query (src/index/searcher.rs:149-151, a noted inefficiency). Here the
+build is a one-time aggregation producing three tables that any number
+of queries reuse:
+
+    postings(doc_id, term, tf)   — the inverted index
+    docstats(doc_id, doc_len)
+    termstats(term, df)
+
+Formula parity (k1=1.2, b=0.75, src/index/bm25.rs:9-10):
+    idf  = ln((N - df + 0.5) / (df + 0.5) + 1)           (:88)
+    norm = 1 - b + b * doc_len / avg_doc_len             (:97)
+    s    = idf * tf * (k1+1) / (tf + k1 * norm)          (:100)
+accumulated per duplicated query token (the reference does not dedup
+query tokens, :81 — equivalent to multiplying by the query-term count).
+We accumulate in DOUBLE (reference uses f32).
+
+Scale design: the postings build is the classic inverted-index job —
+one shuffle on (doc_id, term) with map-side combine, then a term-keyed
+aggregation for df. Query-side, the `term IN (...)` predicate prunes
+the postings scan (pushed to Parquet; partition postings by a term hash
+bucket at 100 TB so pruning skips files), and everything after the scan
+touches only rows for the query's terms.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from leann_rs_spark.functions.text import duckdb_tokenize, tokenize
+
+K1 = 1.2
+B = 0.75
+
+_TOKEN_RE = re.compile(r"[a-zA-Z0-9]+")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Driver-side tokenizer for query strings — same semantics as the
+    tokenize() Column (and src/index/bm25.rs:127-132)."""
+    return [t.lower() for t in _TOKEN_RE.findall(text) if len(t) > 1]
+
+
+def build_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (postings, docstats, termstats). Persist these as Parquet for
+    reuse; termstats is small (vocabulary-sized) and broadcastable."""
+    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docstats = docs.select(id_col, F.size(tokenize(text_col)).alias("doc_len"))
+    termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return postings, docstats, termstats
+
+
+def score_query(
+    postings: DataFrame,
+    docstats: DataFrame,
+    termstats: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 scores for every document matching ≥1 query term
+    (docs matching none implicitly score 0, as in score_query's
+    zero-initialized vector, src/index/bm25.rs:77-106).
+
+    Returns (id_col, score DOUBLE).
+    """
+    spark = postings.sparkSession
+    qtokens = tokenize_py(query)
+    if not qtokens:
+        return postings.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+
+    counts: dict[str, int] = {}
+    for t in qtokens:
+        counts[t] = counts.get(t, 0) + 1
+    qterms = spark.createDataFrame(
+        [(t, float(c)) for t, c in sorted(counts.items())], "term string, qtf double"
+    )
+
+    stats = docstats.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("total_len")
+    ).head()
+    num_docs = stats["n"]
+    avg_doc_len = (float(stats["total_len"]) / float(num_docs)) if num_docs else 1.0
+
+    idf = F.log(
+        (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+
+    relevant = postings.filter(
+        F.col("term").isin(list(counts.keys()))
+    )  # pushed to the postings scan
+    norm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("doc_len").cast("double") / F.lit(avg_doc_len)
+    )
+    term_score = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * norm)
+    )
+
+    return (
+        relevant.join(F.broadcast(termstats.withColumn("idf", idf).select("term", "idf")), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(docstats, id_col)
+        .select(id_col, (F.col("qtf") * term_score).alias("term_score"))
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def bm25_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Q11: drop zero scores, top-k desc (src/index/bm25.rs:109-122) with
+    a deterministic id tie-break."""
+    return (
+        scored.filter(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twin — one SQL string computing the same pipeline.
+# ---------------------------------------------------------------------------
+
+def duckdb_bm25_scored(
+    query: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """CTE SQL producing (id_col, score) — the oracle twin of
+    build_bm25_index + score_query."""
+    qtokens = tokenize_py(query)
+    counts: dict[str, int] = {}
+    for t in qtokens:
+        counts[t] = counts.get(t, 0) + 1
+    qvalues = ", ".join(f"('{t}', {float(c)!r})" for t, c in sorted(counts.items()))
+    toks = duckdb_tokenize(text_col)
+    return f"""
+    WITH tokd AS (
+        SELECT {id_col}, {toks} AS toks FROM {table}
+    ),
+    docstats AS (SELECT {id_col}, len(toks) AS doc_len FROM tokd),
+    postings AS (
+        SELECT {id_col}, unnest(toks) AS term FROM tokd
+    ),
+    tf AS (SELECT {id_col}, term, count(*)::bigint AS tf FROM postings GROUP BY 1, 2),
+    termstats AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1),
+    corpus AS (
+        SELECT count(*)::double AS n, (sum(doc_len)::double / count(*)::double) AS avg_len
+        FROM docstats
+    ),
+    qterms(term, qtf) AS (VALUES {qvalues})
+    SELECT tf.{id_col},
+           sum(qterms.qtf
+               * ln((corpus.n - termstats.df + 0.5) / (termstats.df + 0.5) + 1.0)
+               * (tf.tf::double * {k1 + 1.0!r})
+               / (tf.tf::double + {k1!r} * (1.0 - {b!r} + {b!r} * (docstats.doc_len::double / corpus.avg_len)))
+           ) AS score
+    FROM tf
+    JOIN termstats USING (term)
+    JOIN qterms USING (term)
+    JOIN docstats USING ({id_col})
+    CROSS JOIN corpus
+    GROUP BY tf.{id_col}
+    """
