@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark harness: times every engine query at the bench scale factor.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python3 bench.py [query ...]
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is executed with a full materializing action (count of the
+result after the plan's own LIMIT/ordering), so the measured time covers
+scan + shuffle + top-k, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = set(sys.argv[1:])
+
+    import __spark_entry__ as entry_mod
+    from leann_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="leann-rs-spark-bench")
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # keep benching the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+
+    out = {
+        "metric": "sum of per-query wall-clock over the engine query suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
