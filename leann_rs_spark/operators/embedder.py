@@ -1,0 +1,194 @@
+"""Embedding providers (T5-T8): deterministic hash embedder + provider shape.
+
+The reference embeds through pluggable network providers
+(/root/reference/src/embedding/mod.rs:112-120; OpenAI/Ollama/Gemini/
+local Candle) in batches of 100/32, prefixed with per-model prompt
+templates (mod.rs:126-143), mean-pooled and L2-normalized for the local
+path (candle.rs:191-225). Its LLM layer keeps a `simulated` provider as
+the no-network test strategy (src/llm/simulated.rs) — this module's
+`hash_embedding` plays that role for embeddings: a deterministic,
+cross-engine-reproducible embedding so every downstream operator
+(search, dedup, ANN) is oracle-checkable without a model server.
+
+Design:
+- `hash_embedding(text, dims)` is a NATIVE Catalyst expression —
+  tokenize → per-(token, dim) md5-derived weight in [-1, 1] summed with
+  a sequential DOUBLE fold → L2 normalize with the reference's 1e-12
+  clamp. No Python in the hot path; whole-stage codegen applies; the
+  DuckDB twin (`duckdb_hash_embedding`) reproduces it bit-exactly.
+- `embed_pandas` is the batched-provider physical shape: a mapInPandas
+  that processes Arrow batches, the slot where a real HTTP provider
+  (OpenAI batch 100 / Ollama batch 32) would plug in at scale. The
+  deterministic provider implements the same math in numpy and is
+  tested equal (to fp tolerance) against the native expression.
+- `with_prompt_template` is T6 (asymmetric query/document prefixes).
+
+At 100 TB: embedding is embarrassingly parallel per row — no shuffle.
+The native-expression path scales with executors; a real provider runs
+inside mapInPandas with per-partition batching and bounded concurrency,
+exactly where the reference has its process/network boundary
+(SURVEY.md §3.1 step 6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from leann_rs_spark.functions.text import (
+    duckdb_tokenize,
+    tokenize,
+)
+
+DEFAULT_DIMS = 64  # matches the driver's embeddings.parquet
+_MOD = 2001  # weight = ((h % 2001) - 1000) / 1000  ∈ [-1, 1]
+
+
+def _weight_expr(token: Column, j: Column) -> Column:
+    """md5-derived weight for (token, dim) — 60-bit non-negative hash,
+    so `%` is safe and identical in Spark and DuckDB."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(token, F.lit(":"), j.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    return ((h % _MOD) - F.lit(1000)).cast("double") / F.lit(1000.0)
+
+
+def hash_embedding(text: Column | str, dims: int = DEFAULT_DIMS) -> Column:
+    """Deterministic embedding: for each dim j, a sequential fold over the
+    token array of md5 weights; then L2-normalize (clamp 1e-12,
+    candle.rs:218-225 analog). Empty/short texts yield the zero vector."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda j: F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + _weight_expr(t, j)
+        ),
+    )
+    norm = F.greatest(
+        F.sqrt(F.aggregate(
+            F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )),
+        F.lit(1e-12),
+    )
+    return F.transform(raw, lambda x: x / norm)
+
+
+def duckdb_hash_embedding(text: str, dims: int = DEFAULT_DIMS) -> str:
+    """DuckDB twin of `hash_embedding` — same tokenize, same md5 weights,
+    same sequential fold order, same clamp."""
+    toks = duckdb_tokenize(text)
+    weight = (
+        f"((('0x' || substr(md5(t || ':' || j::varchar), 1, 15))::bigint"
+        f" % {_MOD}) - 1000)::double / 1000.0"
+    )
+    raw = (
+        f"list_transform(generate_series(0, {dims - 1}),"
+        f" j -> list_reduce(list_prepend(0.0::double,"
+        f" list_transform({toks}, t -> {weight})), (acc, x) -> acc + x))"
+    )
+    # norm over the raw list; greatest(..., 1e-12) clamp as in Spark
+    return (
+        f"(select list_transform(raw, x -> x / n) from ("
+        f"select raw, greatest(sqrt(list_reduce(list_prepend(0.0::double,"
+        f" list_transform(raw, x -> x * x)), (a, x) -> a + x)), 1e-12) n"
+        f" from (select {raw} raw) _r0) _r1)"
+    )
+
+
+def with_prompt_template(text: Column | str, template: str | None) -> Column:
+    """T6: prepend the model's document/query prefix
+    (/root/reference/src/embedding/mod.rs:126-143). `template` is the
+    prefix string (e.g. 'passage: ' for E5); None = identity."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.concat(F.lit(template), text) if template else text
+
+
+# ---------------------------------------------------------------------------
+# Python-side reference implementation (drives the pandas provider and
+# local unit tests; must stay in lockstep with the expression above)
+# ---------------------------------------------------------------------------
+
+def _py_tokenize(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split("[^a-zA-Z0-9]+", text.lower()) if len(t) > 1]
+
+
+def py_hash_embedding(text: str, dims: int = DEFAULT_DIMS) -> list[float]:
+    toks = _py_tokenize(text)
+    raw = []
+    for j in range(dims):
+        acc = 0.0
+        for t in toks:
+            h = int(hashlib.md5(f"{t}:{j}".encode()).hexdigest()[:15], 16)
+            acc += ((h % _MOD) - 1000) / 1000.0
+        raw.append(acc)
+    norm = max(math.sqrt(sum(x * x for x in raw)), 1e-12)
+    return [x / norm for x in raw]
+
+
+class HashEmbedder:
+    """Deterministic batch provider — the `simulated`-LLM counterpart for
+    embeddings (/root/reference/src/llm/simulated.rs analog)."""
+
+    def __init__(self, dims: int = DEFAULT_DIMS):
+        self.dims = dims
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        return [py_hash_embedding(t, self.dims) for t in texts]
+
+
+def embed_pandas(
+    df: DataFrame,
+    provider: HashEmbedder | None = None,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    batch_size: int = 100,
+    prompt_template: str | None = None,
+) -> DataFrame:
+    """T5 physical shape: provider-batched embedding inside mapInPandas.
+
+    Batches of `batch_size` mirror the reference's provider batch sizes
+    (OpenAI/Gemini 100, Ollama/local 32 — src/cli/build.rs:268-273); a
+    real HTTP provider slots into `provider.embed` unchanged.
+    """
+    provider = provider or HashEmbedder()
+    fields = list(df.schema.fields)
+    out_schema = T.StructType(
+        fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs: list[list[float]] = []
+            texts = [
+                (prompt_template or "") + (t if isinstance(t, str) else "")
+                for t in pdf[text_col]
+            ]
+            for i in range(0, len(texts), batch_size):
+                vecs.extend(provider.embed(texts[i : i + batch_size]))
+            out = pdf.copy()
+            out[out_col] = vecs
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def embed_documents(
+    df: DataFrame,
+    dims: int = DEFAULT_DIMS,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    prompt_template: str | None = None,
+) -> DataFrame:
+    """The default (native-expression) embedding operator."""
+    return df.withColumn(
+        out_col,
+        hash_embedding(with_prompt_template(text_col, prompt_template), dims),
+    )

@@ -1,0 +1,101 @@
+"""Embedder tests: native expression ⟷ python ⟷ pandas provider ⟷ DuckDB
+oracle parity, plus normalization/edge-case behavior."""
+
+import duckdb
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.embedder import (
+    DEFAULT_DIMS,
+    HashEmbedder,
+    duckdb_hash_embedding,
+    embed_documents,
+    embed_pandas,
+    hash_embedding,
+    py_hash_embedding,
+    with_prompt_template,
+)
+
+TEXTS = [
+    "spark filter join window merge",
+    "the quick brown fox",
+    "",  # no tokens -> zero vector
+    "a b c",  # all tokens len<=1 -> zero vector
+    "héllo wörld unicode ÜBER",
+]
+
+
+def test_py_embedding_normalized():
+    v = py_hash_embedding(TEXTS[0], 32)
+    assert len(v) == 32
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+
+
+def test_py_embedding_empty_is_zero():
+    assert py_hash_embedding("", 8) == [0.0] * 8
+    assert py_hash_embedding("a b c", 8) == [0.0] * 8
+
+
+def test_spark_matches_python(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], ["id", "text"])
+    rows = df.select("id", hash_embedding("text", 16).alias("e")).collect()
+    got = {r["id"]: list(r["e"]) for r in rows}
+    for i, t in enumerate(TEXTS):
+        expect = py_hash_embedding(t, 16)
+        assert got[i] == pytest.approx(expect, abs=1e-12), f"text {i}"
+
+
+def test_spark_matches_duckdb_exactly(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["id", "text"]
+    )
+    sp = {
+        r["id"]: list(r["e"])
+        for r in df.select("id", hash_embedding("text", 8).alias("e")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(TEXTS):
+        esc = t.replace("'", "''")
+        dk = con.sql(
+            f"select {duckdb_hash_embedding(f'''cast('{esc}' as varchar)''', 8)} e"
+        ).fetchall()[0][0]
+        assert sp[i] == list(dk), f"text {i}: {sp[i]} != {dk}"
+
+
+def test_pandas_provider_matches_expression(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    native = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_documents(docs, dims=16).select("doc_id", "embedding").collect()
+    }
+    pand = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_pandas(docs, HashEmbedder(16)).select("doc_id", "embedding").collect()
+    }
+    assert native.keys() == pand.keys()
+    for k in native:
+        assert native[k] == pytest.approx(pand[k], abs=1e-12)
+
+
+def test_prompt_template_changes_embedding(spark):
+    df = spark.createDataFrame([("query text",)], ["text"])
+    plain = df.select(hash_embedding("text", 8).alias("e")).collect()[0]["e"]
+    pref = df.select(
+        hash_embedding(with_prompt_template("text", "query: "), 8).alias("e")
+    ).collect()[0]["e"]
+    assert list(plain) != list(pref)
+    # the prefix itself must tokenize in (it does: 'query')
+    assert list(pref) == pytest.approx(
+        py_hash_embedding("query: query text", 8), abs=1e-12
+    )
+
+
+def test_embedding_deterministic_across_calls(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    a = embed_documents(docs, dims=DEFAULT_DIMS).select("doc_id", "embedding").collect()
+    b = embed_documents(docs, dims=DEFAULT_DIMS).select("doc_id", "embedding").collect()
+    assert sorted((r["doc_id"], tuple(r["embedding"])) for r in a) == sorted(
+        (r["doc_id"], tuple(r["embedding"])) for r in b
+    )
