@@ -29,9 +29,26 @@ from leann_rs_spark.operators.bm25 import (
     duckdb_bm25_scored,
     score_query,
 )
+from leann_rs_spark.operators.dedup import (
+    duckdb_exact_dedup,
+    duckdb_minhash_near_dups,
+    duckdb_ngram_jaccard_pairs,
+    duckdb_simhash_near_dups,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from leann_rs_spark.operators.embedder import (
+    duckdb_embed_table,
+    embed_documents,
+)
+from leann_rs_spark.operators.chunker import chunk_documents
 from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
+from leann_rs_spark.utils import with_dense_index
 
 SMOKE_SF = "/root/testdata/sf0.001"
 
@@ -166,6 +183,71 @@ def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_DIMS = 32
+_EMBCOS_TAU = 0.97
+
+
+def t5_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T7: deterministic hash embedding (native Catalyst expression),
+    exploded to (doc_id, dim, val) scalars for the value-hash compare."""
+    emb = embed_documents(_docs(spark, sf_dir), dims=_EMBED_DIMS)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "doc_id", "dim",
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 for the value-hash
+        (F.round(F.col("v"), 6) + F.lit(0.0)).alias("val"),
+    )
+
+
+def t1_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4: sliding-window chunking + scalable dense passage ids.
+    No SQL oracle (procedural chunk-boundary loop) → driver records the
+    weaker rows-only check; semantics are pinned by tests/test_chunker.py
+    parity against the local port."""
+    chunks = chunk_documents(
+        _docs(spark, sf_dir), strategy="simple", chunk_size=16, chunk_overlap=4
+    )
+    passages = with_dense_index(chunks, ["doc_id", "chunk_index"], "idx")
+    return passages.select("idx", "doc_id", "chunk_index", "text").orderBy("idx")
+
+
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+
+
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+
+
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embed → exact cosine near-dup pairs: the planted text near-dups
+    re-surface as cos ≥ 0.97 embedding pairs."""
+    emb = embed_documents(_docs(spark, sf_dir), dims=_EMBED_DIMS)
+    out = embedding_near_dups(
+        emb, id_col="doc_id", vec_col="embedding", threshold=_EMBCOS_TAU
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -259,6 +341,43 @@ def _register_dsl_oracles() -> None:
 _register_dsl_oracles()
 
 
+def _register_dedup_oracles() -> None:
+    emb_tbl = duckdb_embed_table("documents", dims=_EMBED_DIMS)
+    _ORACLES["t5_hash_embed"] = f"""
+        SELECT doc_id, i - 1 AS dim, round(embedding[i], 6) + 0.0 AS val
+        FROM ({emb_tbl}) e, unnest(generate_series(1, {_EMBED_DIMS})) t(i)
+    """
+    _ORACLES["x_dedup_exact"] = duckdb_exact_dedup()
+    _ORACLES["x_dedup_minhash"] = f"""
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+        FROM ({duckdb_minhash_near_dups(threshold=0.5)})
+        ORDER BY id_a, id_b
+    """
+    _ORACLES["x_dedup_ngram_jaccard"] = f"""
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+        FROM ({duckdb_ngram_jaccard_pairs(n=3, threshold=0.3)})
+        ORDER BY id_a, id_b
+    """
+    _ORACLES["x_dedup_simhash"] = f"""
+        SELECT id_a, id_b, hamming
+        FROM ({duckdb_simhash_near_dups(max_hamming=3)})
+        ORDER BY id_a, id_b
+    """
+    from leann_rs_spark.functions.vector import duckdb_cosine as _dc
+
+    cos = _dc("a.embedding", "b.embedding")
+    _ORACLES["x_dedup_embedding_cosine"] = f"""
+        WITH de AS ({emb_tbl})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({cos}, 6) AS cos_r
+        FROM de a, de b
+        WHERE a.doc_id < b.doc_id AND {cos} >= {_EMBCOS_TAU}
+        ORDER BY id_a, id_b
+    """
+
+
+_register_dedup_oracles()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact top-k search joined back to document text —
     the full `leann search` read path on the sf0.001 tables."""
@@ -284,6 +403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_scored": q8_bm25_scored,
         "q11_bm25_topk": q11_bm25_topk,
         "q13_hybrid_search": q13_hybrid_search,
+        "t1_chunk_passages": t1_chunk_passages,
+        "t5_hash_embed": t5_hash_embed,
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+        "x_dedup_simhash": x_dedup_simhash,
+        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
     }
 
 

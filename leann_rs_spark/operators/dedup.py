@@ -1,0 +1,505 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Not present in the reference (SURVEY.md §2.5 — no joins/dedup surface);
+these are the BASELINE.json "beyond the reference" operators, designed
+Spark-first for 100 TB:
+
+- exact_dedup        — md5 text hash → hash-partitioned groupBy. One
+                       shuffle on the hash; AQE skew-join handles a
+                       pathologically repeated document.
+- minhash_*          — char-shingle MinHash signatures (native exprs,
+                       per-(seed, shingle) md5), banded LSH: candidate
+                       pairs come from an equi-join on (band, bucket) —
+                       shuffle is proportional to candidates, never the
+                       O(n²) pair space. Candidates are then verified
+                       with exact Jaccard on the shingle sets.
+- ngram_jaccard_*    — exact all-pairs Jaccard via shared-ngram
+                       inverted-index join (pairs only materialize for
+                       docs sharing ≥1 ngram; a max-doc-frequency cut
+                       drops stop-ngrams that would quadratically blow
+                       up the join, mirroring suffix-array dedup
+                       practice).
+- simhash_*          — per-token ±1 votes per bit (md5 parity), banded
+                       by pigeonhole (hamming ≤ d ⇒ some band of
+                       (d+1) equal) for candidate generation, exact
+                       hamming verify.
+- embedding_near_dups — exact cosine pair join (the oracle-checkable
+                       canonical semantics); the ANN-bucketed scale
+                       path lives in operators/ann.py.
+
+Every operator is a pure Catalyst expression pipeline (no Python UDFs)
+and has a DuckDB twin for the oracle gate. Hashing is md5-based
+(cross-engine stable, tools/parity_exp.py).
+
+All pair outputs use (id_a < id_b) canonical ordering and are exact
+(post-verification), so LSH parameter choices affect COST, not results,
+as long as band×row = num_hashes pigeonholes the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from leann_rs_spark.functions.text import (
+    char_shingles,
+    duckdb_char_shingles,
+    duckdb_hash64,
+    duckdb_tokenize,
+    duckdb_word_ngrams,
+    hash64,
+    tokenize,
+    word_ngrams,
+)
+from leann_rs_spark.functions.vector import cosine, duckdb_cosine
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, text_md5, group_size, is_canonical). Canonical = min id
+    per identical-text group. One shuffle, hash-partitioned."""
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    )
+    groups = hashed.groupBy("text_md5").agg(
+        F.count("*").alias("group_size"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return (
+        hashed.join(groups, "text_md5")
+        .select(
+            id_col,
+            "text_md5",
+            "group_size",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def duckdb_exact_dedup(id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents") -> str:
+    return f"""
+        SELECT {id_col}, text_md5, group_size,
+               ({id_col} = canonical_id) AS is_canonical
+        FROM (
+          SELECT {id_col}, md5({text_col}) AS text_md5,
+                 count(*) OVER (PARTITION BY md5({text_col})) AS group_size,
+                 min({id_col}) OVER (PARTITION BY md5({text_col})) AS canonical_id
+          FROM {table})
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_sig(shingles: Column, num_hashes: int) -> Column:
+    """Signature i = min over distinct shingles of md5-hash(i:shingle)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: hash64(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """→ (doc_id, shingles, sig). Docs too short to shingle are dropped
+    (they cannot be near-duplicates; exact_dedup still covers them)."""
+    sh = F.array_distinct(char_shingles(F.col(text_col), shingle_k))
+    return (
+        docs.select(F.col(id_col), sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", _minhash_sig(F.col("shingles"), num_hashes))
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays (DOUBLE)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard) for candidate pairs sharing an LSH band
+    bucket AND exact shingle-Jaccard ≥ threshold.
+
+    Scale shape: explode to (band, bucket, doc) — shuffle keyed on the
+    band bucket co-locates only colliding docs; the verify join carries
+    shingle arrays for candidates only. No O(n²) stage exists.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "shingles", F.col("bb.band"), F.col("bb.bucket"))
+
+    a = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duckdb_minhash_near_dups(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    rows = num_hashes // bands
+    sh = f"list_distinct({duckdb_char_shingles(text_col, shingle_k)})"
+    seed_shingle = duckdb_hash64("i::varchar || ':' || s")
+    sig = (
+        f"list_transform(generate_series(0, {num_hashes - 1}),"
+        f" i -> list_min(list_transform(shingles,"
+        f" s -> {seed_shingle})))"
+    )
+    bucket = duckdb_hash64(
+        f"array_to_string(list_transform("
+        f"list_slice(sig, b * {rows} + 1, (b + 1) * {rows}), x -> x::varchar), ',')"
+    )
+    return f"""
+        WITH sigs AS (
+          SELECT {id_col} AS id, shingles, {sig} AS sig
+          FROM (SELECT {id_col}, {sh} AS shingles FROM {table})
+          WHERE len(shingles) > 0
+        ),
+        banded AS (
+          SELECT id, shingles, b, {bucket} AS bucket
+          FROM sigs, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                 a.shingles AS sh_a, b2.shingles AS sh_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id
+        )
+        SELECT id_a, id_b,
+               len(list_filter(sh_a, x -> list_contains(sh_b, x)))::double /
+               (len(sh_a) + len(sh_b)
+                - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) AS jaccard
+        FROM cand
+        WHERE len(list_filter(sh_a, x -> list_contains(sh_b, x)))::double /
+              (len(sh_a) + len(sh_b)
+               - len(list_filter(sh_a, x -> list_contains(sh_b, x)))) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_ngram_df: int | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard) exact, over distinct word n-grams.
+
+    Inverted-index join: pairs exist only for docs sharing an n-gram.
+    `max_ngram_df` drops n-grams appearing in more than that many docs
+    before the pair join (stop-ngram cut) — at 100 TB this bounds the
+    worst-case join fan-out; it changes results only for pairs whose
+    ONLY shared n-grams are stop-ngrams (below any useful threshold).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n)).alias("gs"),
+    ).filter(F.size("gs") > 0)
+    sizes = grams.select("id", F.size("gs").alias("n_grams"))
+    inv = grams.select("id", F.explode("gs").alias("g"))
+    if max_ngram_df is not None:
+        keep = inv.groupBy("g").count().filter(F.col("count") <= max_ngram_df)
+        inv = inv.join(keep.select("g"), "g")
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_grams", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duckdb_ngram_jaccard_pairs(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> str:
+    toks = duckdb_tokenize(text_col)
+    grams = f"list_distinct({duckdb_word_ngrams(toks, n)})"
+    return f"""
+        WITH g AS (
+          SELECT {id_col} AS id, gs FROM
+            (SELECT {id_col}, {grams} AS gs FROM {table})
+          WHERE len(gs) > 0
+        ),
+        inv AS (SELECT id, unnest(gs) AS gram FROM g),
+        pairs AS (
+          SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+          FROM inv x JOIN inv y ON x.gram = y.gram AND x.id < y.id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               inter::double / (len(ga.gs) + len(gb.gs) - inter) AS jaccard
+        FROM pairs
+        JOIN g ga ON ga.id = id_a
+        JOIN g gb ON gb.id = id_b
+        WHERE inter::double / (len(ga.gs) + len(gb.gs) - inter) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_bits(text: Column | str, bits: int = 32) -> Column:
+    """SimHash as an array<int> of `bits` 0/1 values. Bit k is the sign
+    of the sum over all token occurrences of ±1 votes, where the vote is
+    the parity of md5(token:k) — cross-engine stable, no shift ops.
+    Ties (sum == 0, incl. empty docs) resolve to 0."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda k: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + (hash64(F.concat(t, F.lit(":"), k.cast("string"))) % 2) * 2
+                - 1,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def duckdb_simhash_bits(text: str, bits: int = 32) -> str:
+    toks = duckdb_tokenize(text)
+    token_bit = duckdb_hash64("t || ':' || k::varchar")
+    vote = f"({token_bit} % 2) * 2 - 1"
+    return (
+        f"list_transform(generate_series(0, {bits - 1}),"
+        f" k -> case when list_reduce(list_prepend(0::bigint,"
+        f" list_transform({toks}, t -> ({vote})::bigint)),"
+        f" (acc, x) -> acc + x) > 0 then 1 else 0 end)"
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming) with hamming ≤ max_hamming.
+
+    Pigeonhole candidate generation: with `bands` ≥ max_hamming + 1,
+    any pair within the hamming budget agrees on at least one whole
+    band → equi-join on (band, band_bits) finds all of them; exact
+    hamming verifies. Same no-O(n²) shape as MinHash-LSH.
+    """
+    assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    width = bits // bands
+    sh = docs.select(
+        F.col(id_col), simhash_bits(F.col(text_col), bits).alias("sh")
+    )
+    banded = sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice(F.col("sh"), b * width + 1, width),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bb"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, "sh", F.col("e.band"), F.col("e.bb"))
+
+    a = banded.select("band", "bb", F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    b = banded.select("band", "bb", F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    return (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with("sha", "shb", lambda x, y: F.abs(x - y)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def duckdb_simhash_near_dups(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    width = bits // bands
+    return f"""
+        WITH sh AS (
+          SELECT {id_col} AS id, {duckdb_simhash_bits(text_col, bits)} AS sh
+          FROM {table}
+        ),
+        banded AS (
+          SELECT id, sh, b,
+                 array_to_string(list_transform(
+                   list_slice(sh, b * {width} + 1, (b + 1) * {width}),
+                   x -> x::varchar), '') AS bb
+          FROM sh, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                 a.sh AS sha, b2.sh AS shb
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bb = b2.bb AND a.id < b2.id
+        )
+        SELECT id_a, id_b,
+               list_reduce(list_prepend(0,
+                 list_transform(generate_series(1, {bits}),
+                   i -> abs(sha[i] - shb[i]))), (acc, x) -> acc + x) AS hamming
+        FROM cand
+        WHERE list_reduce(list_prepend(0,
+                list_transform(generate_series(1, {bits}),
+                  i -> abs(sha[i] - shb[i]))), (acc, x) -> acc + x)
+              <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact canonical semantics)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """→ (id_a, id_b, cos) for all pairs with cosine ≥ threshold.
+
+    Exact all-pairs is the canonical (oracle) semantics. This is the
+    one dedup operator whose exact form IS quadratic; the scale path is
+    the hyperplane-LSH bucketed variant in operators/ann.py, which
+    reuses this as its per-bucket verifier. At 100 TB you run ann.py's
+    `lsh_near_dups`; at oracle scale both produce identical pairs when
+    the bucketer's recall is 1.0 for the threshold (verified in tests).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def duckdb_embedding_near_dups(
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    threshold: float = 0.95,
+) -> str:
+    cos = duckdb_cosine("a.va", "b.vb")
+    return f"""
+        WITH a AS (SELECT {id_col} AS id_a, {vec_col} AS va FROM {table}),
+             b AS (SELECT {id_col} AS id_b, {vec_col} AS vb FROM {table})
+        SELECT id_a, id_b, {cos} AS cos
+        FROM a, b
+        WHERE id_a < id_b AND {cos} >= {threshold}
+    """

@@ -79,25 +79,50 @@ def hash_embedding(text: Column | str, dims: int = DEFAULT_DIMS) -> Column:
     return F.transform(raw, lambda x: x / norm)
 
 
-def duckdb_hash_embedding(text: str, dims: int = DEFAULT_DIMS) -> str:
-    """DuckDB twin of `hash_embedding` — same tokenize, same md5 weights,
-    same sequential fold order, same clamp."""
+def duckdb_raw_embedding(text: str, dims: int = DEFAULT_DIMS) -> str:
+    """Pre-normalization embedding (the per-dim md5-weight fold)."""
     toks = duckdb_tokenize(text)
     weight = (
         f"((('0x' || substr(md5(t || ':' || j::varchar), 1, 15))::bigint"
         f" % {_MOD}) - 1000)::double / 1000.0"
     )
-    raw = (
+    return (
         f"list_transform(generate_series(0, {dims - 1}),"
         f" j -> list_reduce(list_prepend(0.0::double,"
         f" list_transform({toks}, t -> {weight})), (acc, x) -> acc + x))"
     )
-    # norm over the raw list; greatest(..., 1e-12) clamp as in Spark
+
+
+DUCKDB_NORMALIZE = (
+    "list_transform(raw, x -> x / greatest(sqrt(list_reduce("
+    "list_prepend(0.0::double, list_transform(raw, y -> y * y)),"
+    " (a, y) -> a + y)), 1e-12))"
+)
+
+
+def duckdb_hash_embedding(text: str, dims: int = DEFAULT_DIMS) -> str:
+    """DuckDB twin of `hash_embedding` — same tokenize, same md5 weights,
+    same sequential fold order, same clamp. Standalone scalar form; for
+    embedding a whole table prefer `duckdb_embed_table` (stages the raw
+    fold once instead of relying on CSE)."""
+    raw = duckdb_raw_embedding(text, dims)
+    return f"(SELECT {DUCKDB_NORMALIZE} FROM (SELECT {raw} AS raw) _e)"
+
+
+def duckdb_embed_table(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = DEFAULT_DIMS,
+    prompt_template: str | None = None,
+) -> str:
+    """Complete SELECT producing (id_col, embedding) for every row of
+    `table` — the oracle twin of `embed_documents`."""
+    src = f"'{prompt_template}' || {text_col}" if prompt_template else text_col
+    raw = duckdb_raw_embedding(src, dims)
     return (
-        f"(select list_transform(raw, x -> x / n) from ("
-        f"select raw, greatest(sqrt(list_reduce(list_prepend(0.0::double,"
-        f" list_transform(raw, x -> x * x)), (a, x) -> a + x)), 1e-12) n"
-        f" from (select {raw} raw) _r0) _r1)"
+        f"SELECT {id_col}, {DUCKDB_NORMALIZE} AS embedding "
+        f"FROM (SELECT {id_col}, {raw} AS raw FROM {table}) _raw"
     )
 
 

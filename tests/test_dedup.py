@@ -1,0 +1,163 @@
+"""Dedup operator tests: semantics on constructed cases + full
+Spark ⟷ DuckDB parity on the sf0.001 documents table."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.dedup import (
+    duckdb_minhash_near_dups,
+    duckdb_ngram_jaccard_pairs,
+    duckdb_simhash_near_dups,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_near_dups,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert rows[1]["group_size"] == 3 and rows[1]["is_canonical"]
+    assert rows[2]["group_size"] == 3 and not rows[2]["is_canonical"]
+    assert rows[4]["group_size"] == 3 and not rows[4]["is_canonical"]
+    assert rows[3]["group_size"] == 1 and rows[3]["is_canonical"]
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    text = "the quick brown fox jumps over the lazy dog repeatedly today"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely unrelated words entirely xyz")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_near_dups(df, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_signature_shape(spark):
+    df = _docs(spark).limit(10)
+    sigs = minhash_signatures(df, num_hashes=8).collect()
+    assert len(sigs) == 10
+    for r in sigs:
+        assert len(r["sig"]) == 8
+        assert all(s >= 0 for s in r["sig"])
+
+
+def test_ngram_jaccard_exact_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),  # 5-of-6 tokens shared
+            (3, "nothing in common here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    # 3-grams doc1: 4 grams, doc2: 4 grams, shared: 3 -> j = 3/5
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_simhash_identical_hamming_zero(spark):
+    text = "spark catalyst tungsten optimizer whole stage codegen"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    pairs = simhash_near_dups(df, max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+    bits = df.select(simhash_bits("text", 32).alias("b")).head()["b"]
+    assert len(bits) == 32 and set(bits) <= {0, 1}
+
+
+def test_embedding_near_dups_constructed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # ~parallel to 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = embedding_near_dups(df, threshold=0.95).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["cos"] > 0.99
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{SF}/documents.parquet'")
+    return con.sql(sql).fetchall()
+
+
+def test_minhash_parity_with_duckdb(spark):
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_near_dups(_docs(spark), threshold=0.3).collect()
+    }
+    want = {
+        (a, b, round(j, 9))
+        for a, b, j in _duck(duckdb_minhash_near_dups(threshold=0.3))
+    }
+    assert got == want and len(got) > 0
+
+
+def test_ngram_parity_with_duckdb(spark):
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    want = {
+        (a, b, round(j, 9))
+        for a, b, j in _duck(duckdb_ngram_jaccard_pairs(threshold=0.3))
+    }
+    assert got == want and len(got) > 0
+
+
+def test_simhash_parity_with_duckdb(spark):
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(_docs(spark), max_hamming=2).collect()
+    }
+    want = {(a, b, h) for a, b, h in _duck(duckdb_simhash_near_dups(max_hamming=2))}
+    assert got == want
+
+
+def test_minhash_catches_all_planted_near_dups(spark):
+    """Recall check on real data: brute-force char-5-shingle Jaccard
+    ≥ 0.5 pairs (planted near-dups sit at j 0.92-1.0 in sf0.001) are
+    all caught by LSH(16 hashes, 4 bands). Deterministic — fixed data,
+    fixed hash."""
+    exact = {
+        (ia, ib)
+        for ia, ib, j in _duck("""
+            WITH s AS (
+              SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, length(text) - 4),
+                i -> substr(text, i, 5))) AS sh
+              FROM documents WHERE length(text) >= 5)
+            SELECT a.doc_id, b.doc_id,
+              len(list_filter(a.sh, x -> list_contains(b.sh, x)))::double /
+              (len(a.sh) + len(b.sh)
+               - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS j
+            FROM s a, s b WHERE a.doc_id < b.doc_id
+        """)
+        if j >= 0.5
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(_docs(spark), threshold=0.0).collect()
+    }
+    assert len(exact) > 0 and exact <= mh
