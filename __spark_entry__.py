@@ -44,6 +44,22 @@ from leann_rs_spark.operators.embedder import (
     duckdb_embed_table,
     embed_documents,
 )
+from leann_rs_spark.functions.textstats import (
+    alpha_ratio,
+    bpe_ish_token_count,
+    duckdb_alpha_ratio,
+    duckdb_bpe_ish_token_count,
+    duckdb_fingerprint,
+    duckdb_lang_id,
+    duckdb_quality_score,
+    duckdb_token_count,
+    duckdb_type_token_ratio,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    type_token_ratio,
+)
 from leann_rs_spark.operators.chunker import chunk_documents
 from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
 from leann_rs_spark.operators.search import batch_search, exact_search
@@ -248,6 +264,36 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and lexical ratios."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        (F.round(alpha_ratio("text"), 6) + F.lit(0.0)).alias("alpha_r"),
+        (F.round(type_token_ratio("text"), 6) + F.lit(0.0)).alias("ttr_r"),
+    ).orderBy("doc_id")
+
+
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.round(quality_score("text"), 6) + F.lit(0.0)).alias("quality_r"),
+    ).orderBy("doc_id")
+
+
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -378,6 +424,32 @@ def _register_dedup_oracles() -> None:
 _register_dedup_oracles()
 
 
+def _register_text_oracles() -> None:
+    _ORACLES["x_text_stats"] = f"""
+        SELECT doc_id,
+               {duckdb_token_count('text')} AS n_tokens,
+               {duckdb_bpe_ish_token_count('text')} AS n_bpe_ish,
+               round({duckdb_alpha_ratio('text')}, 6) + 0.0 AS alpha_r,
+               round({duckdb_type_token_ratio('text')}, 6) + 0.0 AS ttr_r
+        FROM documents ORDER BY doc_id
+    """
+    _ORACLES["x_text_quality"] = f"""
+        SELECT doc_id, round({duckdb_quality_score('text')}, 6) + 0.0 AS quality_r
+        FROM documents ORDER BY doc_id
+    """
+    _ORACLES["x_text_langid"] = f"""
+        SELECT doc_id, {duckdb_lang_id('text')} AS pred_lang
+        FROM documents ORDER BY doc_id
+    """
+    _ORACLES["x_text_fingerprint"] = f"""
+        SELECT doc_id, {duckdb_fingerprint('text')} AS fp
+        FROM documents ORDER BY doc_id
+    """
+
+
+_register_text_oracles()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact top-k search joined back to document text —
     the full `leann search` read path on the sf0.001 tables."""
@@ -410,6 +482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_text_stats": x_text_stats,
+        "x_text_quality": x_text_quality,
+        "x_text_langid": x_text_langid,
+        "x_text_fingerprint": x_text_fingerprint,
     }
 
 

@@ -1,0 +1,269 @@
+"""Text-analysis primitives: stats, quality, language-ID, fingerprint.
+
+LLM-training-pipeline operators beyond the reference surface
+(BASELINE.json "beyond the reference"; the reference's only text
+analytics are the BM25 tokenizer and the query-expansion stopword list,
+/root/reference/src/index/bm25.rs:13-15, src/index/query.rs:86-102).
+
+Everything is a native Catalyst expression with a DuckDB twin — no
+Python in the hot path, embarrassingly parallel per row (zero shuffle
+at any scale), whole-stage codegen applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from leann_rs_spark.functions.text import hash64, tokenize
+
+# GPT/BPE-style pre-tokenization approximation: letter runs, single
+# digits, or single non-alphanumeric-non-space marks.
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+# Per-language profiles: high-frequency function words. Small on
+# purpose — broadcast as literals into the expression (no join).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "von", "auf", "sich", "dem", "den", "des", "im", "zu", "für",
+           "wir", "sie", "aber", "auch", "sind", "wird", "bei"],
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+           "on", "are", "with", "as", "his", "they", "at", "be", "this",
+           "have", "from", "or", "had", "by", "not"],
+    "es": ["el", "la", "de", "que", "los", "se", "del", "las", "por", "un",
+           "para", "con", "una", "su", "es", "al", "lo", "como", "más",
+           "pero", "sus", "le", "ya", "este", "sí"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "que", "qui", "dans", "pour", "ce", "pas", "sur", "ne", "se",
+           "plus", "par", "avec", "son", "au", "nous"],
+}
+CJK_RE = r"[一-鿿]"
+LANGS = ["de", "en", "es", "fr", "zh"]  # alphabetical = tie-break order
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of BPE-pre-tokenization-style pieces."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+def duckdb_token_count(text: str) -> str:
+    return (
+        f"len(list_filter(regexp_split_to_array({text}, '\\s+'),"
+        f" t -> length(t) > 0))"
+    )
+
+
+def duckdb_bpe_ish_token_count(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_ISH_RE}'))"
+
+
+def _ratio(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    return _ratio(alpha, F.length(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return _ratio(punct, F.length(text))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    sw = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return _ratio(hits, F.size(toks))
+
+
+def type_token_ratio(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    return _ratio(F.size(F.array_distinct(toks)), F.size(toks))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(text)
+    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return _ratio(total, F.size(toks))
+
+
+def duckdb_alpha_ratio(text: str) -> str:
+    return (
+        f"(case when length({text}) > 0 then "
+        f"length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))::double"
+        f" / length({text}) else 0.0 end)"
+    )
+
+
+def duckdb_punct_ratio(text: str) -> str:
+    pat = r"[^.,;:!?''\"()\[\]{}-]"  # '' = escaped quote inside SQL literal
+    return (
+        f"(case when length({text}) > 0 then "
+        f"length(regexp_replace({text}, '{pat}', '', 'g'))::double"
+        f" / length({text}) else 0.0 end)"
+    )
+
+
+def duckdb_stopword_ratio(text: str, lang: str = "en") -> str:
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    toks = duckdb_tokenize(text)
+    return (
+        f"(case when len({toks}) > 0 then "
+        f"len(list_filter({toks}, t -> list_contains([{words}], t)))::double"
+        f" / len({toks}) else 0.0 end)"
+    )
+
+
+def duckdb_type_token_ratio(text: str) -> str:
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    toks = duckdb_tokenize(text)
+    return (
+        f"(case when len({toks}) > 0 then "
+        f"len(list_distinct({toks}))::double / len({toks}) else 0.0 end)"
+    )
+
+
+def duckdb_mean_word_len(text: str) -> str:
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    toks = duckdb_tokenize(text)
+    return (
+        f"(case when len({toks}) > 0 then "
+        f"list_reduce(list_prepend(0, list_transform({toks},"
+        f" t -> length(t))), (a, x) -> a + x)::double / len({toks})"
+        f" else 0.0 end)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality score: C4/Gopher-style heuristic composite
+# ---------------------------------------------------------------------------
+
+def quality_score(text: Column | str) -> Column:
+    """Composite ∈ [0, 1]: rewards alphabetic text with sane word
+    lengths and lexical diversity, penalizes punctuation soup. Weighted
+    sum — weights are heuristic (C4/Gopher-style), value is its
+    determinism and cheapness at 100 TB, not linguistic perfection."""
+    text = F.col(text) if isinstance(text, str) else text
+    mwl = mean_word_len(text)
+    len_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = (
+        alpha_ratio(text) * 0.4
+        + (1.0 - punct_ratio(text)) * 0.2
+        + type_token_ratio(text) * 0.2
+        + len_ok * 0.2
+    )
+    return F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+
+
+def duckdb_quality_score(text: str) -> str:
+    mwl = duckdb_mean_word_len(text)
+    return (
+        f"least(greatest("
+        f"{duckdb_alpha_ratio(text)} * 0.4"
+        f" + (1.0 - {duckdb_punct_ratio(text)}) * 0.2"
+        f" + {duckdb_type_token_ratio(text)} * 0.2"
+        f" + (case when {mwl} >= 3.0 and {mwl} <= 10.0 then 1.0 else 0.0 end)"
+        f" * 0.2, 0.0), 1.0)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language evidence: stopword hit-ratio for de/en/es/fr, CJK
+    character fraction for zh."""
+    text = F.col(text) if isinstance(text, str) else text
+    scores = {l: stopword_ratio(text, l) for l in LANG_PROFILES}
+    cjk = F.length(text) - F.length(F.regexp_replace(text, CJK_RE, ""))
+    scores["zh"] = _ratio(cjk, F.length(text))
+    return scores
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over lang_scores; ties break to the alphabetically first
+    language (deterministic CASE chain, identical in the oracle)."""
+    s = lang_scores(text)
+    pred = None
+    for lang in LANGS:
+        cond = None
+        for other in LANGS:
+            if other == lang:
+                continue
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return pred.otherwise(F.lit("und"))
+
+
+def duckdb_lang_scores(text: str) -> dict[str, str]:
+    scores = {l: duckdb_stopword_ratio(text, l) for l in LANG_PROFILES}
+    cjk_pat = CJK_RE  # literal char range — RE2 lacks \uXXXX escapes
+    scores["zh"] = (
+        f"(case when length({text}) > 0 then "
+        f"(length({text}) - length(regexp_replace({text}, '{cjk_pat}', '', 'g')))::double"
+        f" / length({text}) else 0.0 end)"
+    )
+    return scores
+
+
+def duckdb_lang_id(text: str) -> str:
+    s = duckdb_lang_scores(text)
+    whens = []
+    for lang in LANGS:
+        conds = " and ".join(
+            f"{s[lang]} >= {s[other]}" for other in LANGS if other != lang
+        )
+        whens.append(f"when {conds} then '{lang}'")
+    return f"(case {' '.join(whens)} else 'und' end)"
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint
+# ---------------------------------------------------------------------------
+
+_FP_MOD = (1 << 31) - 1  # Mersenne prime; keeps the fold within 2^38 < 2^63
+_FP_BASE = 131
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over the token sequence:
+    acc = (acc * 131 + md5_60(token) % M) % M, M = 2^31 - 1. Products
+    stay < 2^39, so BIGINT arithmetic is overflow-free and identical in
+    Spark and DuckDB. Same token sequence ⇒ same fingerprint; any
+    reorder/edit ⇒ different (w.h.p.)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        tokenize(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * _FP_BASE + hash64(t) % _FP_MOD) % _FP_MOD,
+    )
+
+
+def duckdb_fingerprint(text: str) -> str:
+    from leann_rs_spark.functions.text import duckdb_hash64, duckdb_tokenize
+
+    h = duckdb_hash64("t")
+    return (
+        f"list_reduce(list_prepend(0::bigint,"
+        f" list_transform({duckdb_tokenize(text)}, t -> ({h} % {_FP_MOD}))),"
+        f" (acc, x) -> (acc * {_FP_BASE} + x) % {_FP_MOD})"
+    )
