@@ -60,7 +60,17 @@ from leann_rs_spark.functions.textstats import (
     token_count,
     type_token_ratio,
 )
+from leann_rs_spark.operators.ann import (
+    duckdb_ivf_search,
+    ivf_assign,
+    ivf_search,
+    take_centroids,
+)
 from leann_rs_spark.operators.chunker import chunk_documents
+from leann_rs_spark.operators.query_expansion import (
+    duckdb_expansion_terms,
+    expansion_terms,
+)
 from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
@@ -114,6 +124,21 @@ def q3_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_search(emb, queries, k=5, metric="ip").select(
         "query_id", "vec_id", "score", "rank"
     )
+
+
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+def q1_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2 physical approximation: IVF-partitioned ANN search. The
+    centroid assignment + probe-pruned exact scan replaces the graph
+    index; nprobe plays the reference's `complexity` role."""
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    assigned = ivf_assign(emb, cents)
+    qv = _query_vec(spark, sf_dir, 4)
+    return ivf_search(assigned, cents, qv, k=10, nprobe=_IVF_NPROBE)
 
 
 _DSL_EVENTS = "k>50,k<=90 OR k in [1,2,3]"
@@ -197,6 +222,24 @@ def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("combined_r").desc(), F.col("doc_id").asc())
         .limit(_HYBRID_K)
     )
+
+
+_EXPAND_QUERY = "spark filter"  # 2 words → should_expand (query.rs:168-171)
+
+
+def q14_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: BM25 top-5 passages → distributed key-term mining."""
+    docs = _docs(spark, sf_dir)
+    p, d, t = build_bm25_index(docs)
+    scored = score_query(p, d, t, _EXPAND_QUERY)
+    top5 = (
+        scored.filter(F.col("score") > 0.0)
+        .select("doc_id", F.round(F.col("score"), 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+    passages = F.broadcast(top5).join(docs, "doc_id").select("text")
+    return expansion_terms(passages, _EXPAND_QUERY, max_terms=5)
 
 
 _EMBED_DIMS = 32
@@ -366,6 +409,20 @@ def _register_bm25_oracles() -> None:
         SELECT doc_id, round(combined, 6) AS combined_r FROM ({hybrid})
         ORDER BY combined_r DESC, doc_id ASC LIMIT {_HYBRID_K}
     """
+    exp_passages = f"""
+        SELECT d.text FROM (
+            SELECT doc_id, round(score, 6) AS score_r
+            FROM ({duckdb_bm25_scored(_EXPAND_QUERY)})
+            WHERE score > 0.0
+            ORDER BY score_r DESC, doc_id ASC LIMIT 5
+        ) t JOIN documents d USING (doc_id)
+    """
+    _ORACLES["q14_expansion_terms"] = duckdb_expansion_terms(
+        exp_passages, _EXPAND_QUERY, max_terms=5
+    )
+    _ORACLES["q1_ivf_topk"] = duckdb_ivf_search(
+        query_vec_id=4, k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_CENTROIDS
+    )
 
 
 _register_bm25_oracles()
@@ -466,6 +523,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
         "q3_filtered_topk": q3_filtered_topk,
@@ -475,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_bm25_scored": q8_bm25_scored,
         "q11_bm25_topk": q11_bm25_topk,
         "q13_hybrid_search": q13_hybrid_search,
+        "q14_expansion_terms": q14_expansion_terms,
         "t1_chunk_passages": t1_chunk_passages,
         "t5_hash_embed": t5_hash_embed,
         "x_dedup_exact": x_dedup_exact,

@@ -118,3 +118,75 @@ def should_expand(query: str) -> bool:
     """≤3 words (query.rs:168-171); also gates auto-hybrid
     (src/cli/search.rs:147-148)."""
     return len(query.split()) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Distributed term mining — the corpus-scale half of Q14.
+#
+# extract_key_terms splits on [^0-9A-Za-z], so a surviving term contains
+# only [0-9A-Za-z]; it is then dropped if all-digit (isdigit) or
+# code-like (digit+letter mix — '_' can't survive the split). The
+# remaining predicate is exactly: term ~ ^[a-z]+$, len ≥ 4, not in
+# stopwords ∪ code keywords. That form runs as native columns in both
+# engines. At scale this mines over any number of passages (the
+# reference caps at 5 driver-side strings); the aggregation is one
+# map-side-combined shuffle on term.
+# ---------------------------------------------------------------------------
+
+def expansion_terms(
+    passages,  # DataFrame(text_col, ...) — e.g. the BM25 top-k join
+    query: str,
+    max_terms: int = 5,
+    text_col: str = "text",
+):
+    """(term, cnt) — the reference's key-term mining (query.rs:85-122)
+    as DataFrame ops, with terms already in the query excluded
+    (query.rs:151-153). Tie-break (cnt DESC, term ASC) per module note.
+
+    Deviation (documented): the reference truncates to max_terms BEFORE
+    dropping query words, so it can return fewer than max_terms; here
+    query words are excluded before the limit, always yielding the top
+    max_terms *new* terms — strictly more useful, same ranking."""
+    from pyspark.sql import functions as F
+
+    blocked = sorted(_STOPWORDS | _CODE_KEYWORDS | set(query.lower().split()))
+    return (
+        passages.select(
+            F.explode(F.split(F.col(text_col), "[^0-9A-Za-z]")).alias("w")
+        )
+        .select(F.lower(F.col("w")).alias("term"))
+        .filter(
+            (F.length("term") >= 4)
+            & F.col("term").rlike("^[a-z]+$")
+            & ~F.col("term").isin(blocked)
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(max_terms)
+    )
+
+
+def duckdb_expansion_terms(
+    passages_sql: str,
+    query: str,
+    max_terms: int = 5,
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of expansion_terms; `passages_sql` yields the passage
+    rows (must expose `text_col`)."""
+    blocked = ", ".join(
+        f"'{t}'" for t in sorted(_STOPWORDS | _CODE_KEYWORDS | set(query.lower().split()))
+    )
+    return f"""
+        SELECT term, count(*)::bigint AS cnt FROM (
+            SELECT lower(unnest(str_split_regex({text_col}, '[^0-9A-Za-z]'))) AS term
+            FROM ({passages_sql})
+        )
+        WHERE length(term) >= 4
+          AND regexp_full_match(term, '[a-z]+')
+          AND term NOT IN ({blocked})
+        GROUP BY term
+        ORDER BY cnt DESC, term ASC
+        LIMIT {max_terms}
+    """

@@ -1,0 +1,87 @@
+"""IVF approximate search: exactness degradation invariant + oracle parity.
+
+The key invariant: probing ALL clusters must reproduce exact search
+bit-for-bit (IVF only prunes candidates, never rescores). Partial probes
+are pinned against the DuckDB oracle running the same assign/probe math.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.ann import (
+    duckdb_ivf_search,
+    ivf_assign,
+    ivf_search,
+    take_centroids,
+)
+from leann_rs_spark.operators.search import exact_search
+
+from conftest import SF_SMOKE
+
+N_CENT = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def assigned(emb):
+    cents = take_centroids(emb, N_CENT)
+    return ivf_assign(emb, cents).cache()
+
+
+def _qv(emb, vec_id):
+    return list(emb.filter(F.col("vec_id") == vec_id).head()["embedding"])
+
+
+def test_assignment_total(emb, assigned):
+    assert assigned.count() == emb.count()
+    clusters = {r["cluster_id"] for r in assigned.select("cluster_id").distinct().collect()}
+    assert clusters <= set(range(N_CENT))
+
+
+def test_full_probe_equals_exact(emb, assigned):
+    qv = _qv(emb, 7)
+    cents = take_centroids(emb, N_CENT)
+    approx = ivf_search(assigned, cents, qv, k=10, nprobe=N_CENT).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in approx] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_partial_probe_matches_oracle(emb, assigned, duck):
+    qv = _qv(emb, 3)
+    cents = take_centroids(emb, N_CENT)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivf_search(assigned, cents, qv, k=10, nprobe=3).collect()
+    ]
+    want = [
+        (int(r[0]), round(r[1], 9))
+        for r in duck.sql(
+            duckdb_ivf_search(query_vec_id=3, k=10, nprobe=3, n_centroids=N_CENT)
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_partial_probe_recall_reasonable(emb, assigned):
+    """Probing half the clusters should still recover a decent share of
+    the true top-10 (sanity, not a strict recall guarantee)."""
+    qv = _qv(emb, 11)
+    cents = take_centroids(emb, N_CENT)
+    approx = {r["vec_id"] for r in ivf_search(assigned, cents, qv, k=10, nprobe=4).collect()}
+    exact = {r["vec_id"] for r in exact_search(emb, qv, k=10, metric="ip").collect()}
+    assert len(approx & exact) >= 3
+
+
+def test_predicate_pushdown_into_probe(emb, assigned):
+    qv = _qv(emb, 5)
+    cents = take_centroids(emb, N_CENT)
+    out = ivf_search(
+        assigned, cents, qv, k=10, nprobe=N_CENT, predicate=F.col("vec_id") % 2 == 0
+    ).collect()
+    assert out and all(r["vec_id"] % 2 == 0 for r in out)

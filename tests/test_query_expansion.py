@@ -79,3 +79,21 @@ def test_deterministic_tie_break():
     # equal counts → alphabetical (our documented determinism deviation)
     terms = extract_key_terms("zebra apple zebra apple", 2)
     assert terms == ["apple", "zebra"]
+
+
+def test_distributed_mining_matches_local_port(spark):
+    """expansion_terms (DataFrame) ≡ extract_key_terms (driver port) when
+    no query-word exclusion interferes."""
+    from leann_rs_spark.operators.query_expansion import expansion_terms
+
+    texts = [
+        "distributed systems require careful partition design",
+        "partition skew breaks distributed aggregation design design",
+        "let impl fn123 the a is",  # keywords/codelike/stopwords drop out
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [(r["term"], r["cnt"]) for r in expansion_terms(df, "zzz", 5).collect()]
+    combined = " ".join(texts)
+    want_terms = extract_key_terms(combined, 5)
+    assert [t for t, _ in got] == want_terms
+    assert got[0] == ("design", 3)
