@@ -1,0 +1,326 @@
+"""Index lifecycle: build / list / remove / prune / append / search.
+
+The reference's "index" is a directory of five sidecar files — JSONL
+passages + offset map, flat-f32 embeddings, ids.txt, ANN graph, JSON
+meta (/root/reference/src/index/builder.rs:100-114, locate.rs:11-36,
+meta.rs:8-43). Here an index is a warehouse prefix of Parquet tables
+plus the same JSON meta:
+
+    <warehouse>/<name>/passages/        (idx, doc_id, source, chunk_*, text)
+    <warehouse>/<name>/embeddings/      (idx, embedding ARRAY<DOUBLE>)
+    <warehouse>/<name>/bm25_{postings,docstats,termstats}/   (optional)
+    <warehouse>/<name>/meta.json
+
+The offset map, ids.txt, and graph artifact all disappear: Parquet
+predicate pushdown replaces the point-seek, the dense `idx` column
+replaces ids.txt, and exact top-k (operators/search.py) or IVF
+(operators/ann.py) replaces the graph. BM25 postings are persisted at
+build time — fixing the reference's rebuild-per-query inefficiency
+(src/index/searcher.rs:149-151).
+
+Scale notes: every write is a plain partitioned Parquet write (no
+driver-side state); append (src/cli/update.rs:58-242 analog) offsets new
+ids from meta.passage_count exactly like update.rs:174-181 but with a
+distributed dense-id assignment; prune (src/cli/prune.rs:17-79) drops
+the embeddings table and search transparently falls back to recompute
+(re-embedding passages at query time, src/index/recompute.rs:52-123) —
+cheap here because the deterministic hash embedder is a native column
+expression.
+
+meta.json I/O uses local file APIs — swap for the object-store client
+of your deployment; it's a few hundred bytes per index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from leann_rs_spark.operators.bm25 import bm25_topk, build_bm25_index, score_query
+from leann_rs_spark.operators.chunker import chunk_documents
+from leann_rs_spark.operators.embedder import embed_documents
+from leann_rs_spark.operators.filter_dsl import compile_spark, parse as parse_filter
+from leann_rs_spark.operators.hybrid import hybrid_rerank
+from leann_rs_spark.operators.query_expansion import should_expand
+from leann_rs_spark.operators.search import exact_search
+from leann_rs_spark.utils import with_dense_index
+
+META_VERSION = "1.0"  # mirrors IndexMeta.version (meta.rs:10-12)
+
+
+@dataclass
+class IndexMeta:
+    """Catalog entry — field parity with /root/reference/src/index/meta.rs:8-43."""
+
+    version: str = META_VERSION
+    backend: str = "exact"  # reference: hnsw|diskann; ours: exact|ivf
+    embedding_mode: str = "hash"  # reference: openai|ollama|... (meta.rs:17)
+    embedding_model: str = "hash-v1"
+    dimensions: int = 64
+    passage_count: int = 0
+    is_pruned: bool = False
+    chunk_size: int = 256
+    chunk_overlap: int = 128
+    doc_prompt_template: str | None = None
+    query_prompt_template: str | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def _index_dir(warehouse: str, name: str) -> str:
+    return os.path.join(warehouse, name)
+
+
+def _meta_path(warehouse: str, name: str) -> str:
+    return os.path.join(warehouse, name, "meta.json")
+
+
+def load_meta(warehouse: str, name: str) -> IndexMeta:
+    with open(_meta_path(warehouse, name)) as f:
+        return IndexMeta(**json.load(f))
+
+
+def save_meta(warehouse: str, name: str, meta: IndexMeta) -> None:
+    os.makedirs(_index_dir(warehouse, name), exist_ok=True)
+    with open(_meta_path(warehouse, name), "w") as f:
+        json.dump(asdict(meta), f, indent=2)
+
+
+def build_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    docs: DataFrame,
+    *,
+    strategy: str = "auto",
+    chunk_size: int = 256,
+    chunk_overlap: int = 128,
+    dims: int = 64,
+    doc_prompt_template: str | None = None,
+    query_prompt_template: str | None = None,
+    with_bm25: bool = True,
+) -> IndexMeta:
+    """The `leann build` write path (src/cli/build.rs:126-392) as one
+    linear DataFrame job: chunk → dense ids → embed → Parquet tables.
+    The reference's keep-all-vectors-in-driver-RAM ceiling
+    (src/index/builder.rs:230-232) does not exist here."""
+    base = _index_dir(warehouse, name)
+    chunks = chunk_documents(
+        docs, strategy=strategy, chunk_size=chunk_size, chunk_overlap=chunk_overlap
+    )
+    passages = with_dense_index(chunks, ["doc_id", "chunk_index"], "idx")
+    passages.write.mode("overwrite").parquet(f"{base}/passages")
+
+    passages = spark.read.parquet(f"{base}/passages")
+    emb = embed_documents(
+        passages.select("idx", "text"),
+        dims=dims,
+        prompt_template=doc_prompt_template,
+    ).select("idx", "embedding")
+    emb.write.mode("overwrite").parquet(f"{base}/embeddings")
+
+    if with_bm25:
+        _write_bm25(passages, base, mode="overwrite")
+
+    meta = IndexMeta(
+        dimensions=dims,
+        passage_count=passages.count(),
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+        doc_prompt_template=doc_prompt_template,
+        query_prompt_template=query_prompt_template,
+        extra={"bm25": with_bm25},
+    )
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def _write_bm25(passages: DataFrame, base: str, mode: str) -> None:
+    postings, docstats, termstats = build_bm25_index(
+        passages, id_col="idx", text_col="text"
+    )
+    postings.write.mode(mode).parquet(f"{base}/bm25_postings")
+    docstats.write.mode(mode).parquet(f"{base}/bm25_docstats")
+    # termstats (df counts) are NOT incrementally mergeable by append —
+    # always rebuilt from postings on read (vocabulary-sized aggregate).
+
+
+def append_to_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    new_docs: DataFrame,
+) -> IndexMeta:
+    """T10/S12: `leann update` — re-chunk, re-embed, ids offset from
+    meta.passage_count (src/cli/update.rs:174-181). The reference's
+    DiskANN refuses appends (src/backend/mod.rs:81-100); exact search
+    has no index artifact to invalidate, so append is always legal."""
+    meta = load_meta(warehouse, name)
+    base = _index_dir(warehouse, name)
+    chunks = chunk_documents(
+        new_docs,
+        strategy="auto",
+        chunk_size=meta.chunk_size,
+        chunk_overlap=meta.chunk_overlap,
+    )
+    passages = with_dense_index(
+        chunks, ["doc_id", "chunk_index"], "idx", start=meta.passage_count
+    )
+    passages.write.mode("append").parquet(f"{base}/passages")
+    added = passages.count()
+
+    if not meta.is_pruned:
+        emb = embed_documents(
+            passages.select("idx", "text"),
+            dims=meta.dimensions,
+            prompt_template=meta.doc_prompt_template,
+        ).select("idx", "embedding")
+        emb.write.mode("append").parquet(f"{base}/embeddings")
+
+    if meta.extra.get("bm25"):
+        _write_bm25(passages, base, mode="append")
+
+    meta.passage_count += added
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def list_indexes(spark: SparkSession, warehouse: str) -> DataFrame:
+    """S6: catalog scan (src/cli/list.rs:16-111) — one row per index."""
+    rows = []
+    if os.path.isdir(warehouse):
+        for name in sorted(os.listdir(warehouse)):
+            mp = _meta_path(warehouse, name)
+            if os.path.isfile(mp):
+                m = load_meta(warehouse, name)
+                rows.append(
+                    (
+                        name,
+                        m.backend,
+                        m.embedding_mode,
+                        m.dimensions,
+                        m.passage_count,
+                        m.is_pruned,
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "name string, backend string, embedding_mode string, "
+        "dimensions int, passage_count bigint, is_pruned boolean",
+    )
+
+
+def remove_index(warehouse: str, name: str) -> None:
+    """S13: `leann remove` (src/cli/remove.rs:17-108)."""
+    shutil.rmtree(_index_dir(warehouse, name))
+
+
+def prune_index(warehouse: str, name: str) -> IndexMeta:
+    """S14: drop the embeddings table, flag meta (src/cli/prune.rs:17-79,
+    src/index/embeddings.rs:162-168). Search falls back to recompute."""
+    meta = load_meta(warehouse, name)
+    emb_dir = os.path.join(_index_dir(warehouse, name), "embeddings")
+    if os.path.isdir(emb_dir):
+        shutil.rmtree(emb_dir)
+    meta.is_pruned = True
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def _embeddings_for_search(
+    spark: SparkSession, base: str, meta: IndexMeta, passages: DataFrame
+) -> DataFrame:
+    if meta.is_pruned:
+        # Recompute plan (src/index/recompute.rs:52-123): re-embed at
+        # query time. Native-expression embedding keeps this JVM-side.
+        return embed_documents(
+            passages.select("idx", "text"),
+            dims=meta.dimensions,
+            prompt_template=meta.doc_prompt_template,
+        ).select("idx", "embedding")
+    return spark.read.parquet(f"{base}/embeddings")
+
+
+def search_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    query: str,
+    *,
+    k: int = 5,
+    filter_str: str | None = None,
+    hybrid: bool | None = None,
+    hybrid_alpha: float = 0.7,
+) -> DataFrame:
+    """The `leann search` read path (src/cli/search.rs:73-257, SURVEY
+    §3.1) end-to-end: meta → plan heuristics → embed query → (pruned ?
+    recompute : stored-embeddings) exact top-k → optional hybrid union +
+    rerank → assemble text. Returns (idx, score, text, doc_id, source).
+
+    `hybrid=None` applies the auto-hybrid gate: ≤3 words
+    (src/cli/search.rs:147-148).
+    """
+    from leann_rs_spark.operators.embedder import HashEmbedder, py_hash_embedding
+
+    meta = load_meta(warehouse, name)
+    base = _index_dir(warehouse, name)
+    passages = spark.read.parquet(f"{base}/passages")
+
+    if filter_str:
+        pred: Column | None = compile_spark(parse_filter(filter_str))
+        passages = passages.filter(pred)
+
+    if hybrid is None:
+        hybrid = should_expand(query)  # same ≤3-word gate as auto-hybrid
+
+    qtext = (
+        meta.query_prompt_template.replace("{}", query)
+        if meta.query_prompt_template
+        else query
+    )
+    qv = py_hash_embedding(qtext, meta.dimensions)
+
+    emb = _embeddings_for_search(spark, base, meta, passages)
+    if filter_str:
+        # pushdown before scoring (src/index/recompute.rs:66-79): keep
+        # only embeddings whose passage survived the filter
+        emb = emb.join(passages.select("idx"), "idx", "left_semi")
+
+    fetch_k = k * 5 if (hybrid or filter_str) else k  # searcher.rs:129-133
+    vec_hits = exact_search(emb, qv, k=fetch_k, id_col="idx", metric="ip")
+
+    if hybrid:
+        postings = spark.read.parquet(f"{base}/bm25_postings")
+        docstats = spark.read.parquet(f"{base}/bm25_docstats")
+        termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+        if filter_str:
+            keep = passages.select("idx")
+            postings = postings.join(keep, "idx", "left_semi")
+            docstats = docstats.join(keep, "idx", "left_semi")
+        scored = score_query(postings, docstats, termstats, query, id_col="idx")
+        bm25_top = bm25_topk(scored, fetch_k, id_col="idx")
+        num_docs = docstats.count()
+        combined = hybrid_rerank(
+            vec_hits.withColumnRenamed("idx", "doc_id"),
+            scored.withColumnRenamed("idx", "doc_id"),
+            bm25_top.withColumnRenamed("idx", "doc_id"),
+            num_docs,
+            alpha=hybrid_alpha,
+        )
+        hits = (
+            combined.select(F.col("doc_id").alias("idx"), F.col("combined").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("idx").asc())
+            .limit(k)
+        )
+    else:
+        hits = vec_hits.orderBy(F.col("score").desc(), F.col("idx").asc()).limit(k)
+
+    return (
+        F.broadcast(hits)
+        .join(passages, "idx")
+        .select("idx", "score", "doc_id", "source", "text")
+        .orderBy(F.col("score").desc(), F.col("idx").asc())
+    )

@@ -1,0 +1,117 @@
+"""Index lifecycle: build → search → append → prune → list → remove.
+
+Pins the invariants the reference guarantees across its index files
+(builder/update/prune/locate) re-expressed over Parquet tables:
+append offsets ids from passage_count, prune switches search to the
+recompute plan without changing results, remove drops the catalog entry.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark import catalog
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def warehouse(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("warehouse"))
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs, warehouse):
+    meta = catalog.build_index(
+        spark, warehouse, "main", docs, chunk_size=16, chunk_overlap=4, dims=32
+    )
+    return meta
+
+
+def test_build_writes_tables(spark, warehouse, built):
+    passages = spark.read.parquet(f"{warehouse}/main/passages")
+    emb = spark.read.parquet(f"{warehouse}/main/embeddings")
+    assert built.passage_count == passages.count() == emb.count()
+    # ids are dense 0..n-1 (ids.txt parity, builder.rs:100-103)
+    n = built.passage_count
+    assert passages.agg(F.min("idx"), F.max("idx")).head() == (0, n - 1)
+    assert passages.select("idx").distinct().count() == n
+
+
+def test_search_end_to_end(spark, warehouse, built):
+    out = catalog.search_index(
+        spark, warehouse, "main", "alpha beta gamma delta", k=5, hybrid=False
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0]["score"] >= rows[-1]["score"]
+    assert all(r["text"] for r in rows)
+
+
+def test_search_filtered(spark, warehouse, built):
+    out = catalog.search_index(
+        spark, warehouse, "main", "alpha beta gamma delta", k=5,
+        filter_str="doc_id<10", hybrid=False,
+    ).collect()
+    assert out and all(r["doc_id"] < 10 for r in out)
+
+
+def test_search_auto_hybrid_runs(spark, warehouse, built):
+    # ≤3 words triggers the auto-hybrid gate; just pin shape + order
+    out = catalog.search_index(spark, warehouse, "main", "alpha beta", k=3).collect()
+    assert len(out) == 3
+    assert out[0]["score"] >= out[-1]["score"]
+
+
+def test_append_offsets_ids(spark, docs, warehouse, built):
+    before = built.passage_count
+    new_docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    )
+    meta = catalog.append_to_index(spark, warehouse, "main", new_docs)
+    assert meta.passage_count > before
+    passages = spark.read.parquet(f"{warehouse}/main/passages")
+    assert passages.count() == meta.passage_count
+    # appended ids continue densely from the previous count
+    assert passages.agg(F.max("idx")).head()[0] == meta.passage_count - 1
+    assert passages.select("idx").distinct().count() == meta.passage_count
+    emb = spark.read.parquet(f"{warehouse}/main/embeddings")
+    assert emb.count() == meta.passage_count
+
+
+def test_prune_recompute_parity(spark, warehouse):
+    q = "alpha beta gamma delta"
+    before = [
+        (r["idx"], round(r["score"], 9))
+        for r in catalog.search_index(spark, warehouse, "main", q, k=5, hybrid=False).collect()
+    ]
+    meta = catalog.prune_index(str(warehouse), "main")
+    assert meta.is_pruned
+    after = [
+        (r["idx"], round(r["score"], 9))
+        for r in catalog.search_index(spark, warehouse, "main", q, k=5, hybrid=False).collect()
+    ]
+    assert before == after  # recompute plan ≡ stored-embeddings plan
+
+
+def test_list_and_remove(spark, docs, warehouse):
+    catalog.build_index(
+        spark, warehouse, "second", docs.limit(5), chunk_size=16, chunk_overlap=4,
+        dims=16, with_bm25=False,
+    )
+    listed = catalog.list_indexes(spark, warehouse)
+    names = {r["name"] for r in listed.collect()}
+    assert {"main", "second"} <= names
+    pruned = {r["name"]: r["is_pruned"] for r in listed.collect()}
+    assert pruned["main"] is True and pruned["second"] is False
+    catalog.remove_index(warehouse, "second")
+    names2 = {r["name"] for r in catalog.list_indexes(spark, warehouse).collect()}
+    assert "second" not in names2 and "main" in names2
