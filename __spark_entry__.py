@@ -72,6 +72,11 @@ from leann_rs_spark.operators.query_expansion import (
     expansion_terms,
 )
 from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
+from leann_rs_spark.operators.rag import (
+    duckdb_prompt,
+    duckdb_simulated_generate,
+    rag_batch,
+)
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
 from leann_rs_spark.utils import with_dense_index
@@ -269,6 +274,32 @@ def t1_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     passages = with_dense_index(chunks, ["doc_id", "chunk_index"], "idx")
     return passages.select("idx", "doc_id", "chunk_index", "text").orderBy("idx")
+
+
+_RAG_QUESTIONS = [
+    (0, "what happened to the data"),
+    (1, "how are documents stored"),
+    (2, "tell me about processing"),
+]
+_RAG_K = 3
+
+
+def r1_rag_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R4: batch RAG over a table of questions with the simulated LLM
+    (the reference's own no-network provider, src/llm/simulated.rs)."""
+    docs = _docs(spark, sf_dir)
+    questions = spark.createDataFrame(
+        _RAG_QUESTIONS, "question_id long, question string"
+    )
+    emb = embed_documents(docs, dims=_EMBED_DIMS).select("doc_id", "embedding")
+    return rag_batch(
+        questions,
+        docs.select("doc_id", "text"),
+        emb,
+        k=_RAG_K,
+        dims=_EMBED_DIMS,
+        passage_id_col="doc_id",
+    ).orderBy("question_id")
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +512,54 @@ def _register_dedup_oracles() -> None:
 _register_dedup_oracles()
 
 
+def _register_rag_oracle() -> None:
+    from leann_rs_spark.functions.vector import duckdb_dot as _dd
+    from leann_rs_spark.operators.embedder import (
+        DUCKDB_NORMALIZE,
+        duckdb_raw_embedding,
+    )
+
+    qvalues = ", ".join(f"({i}, '{q}')" for i, q in _RAG_QUESTIONS)
+    demb = duckdb_embed_table("documents", dims=_EMBED_DIMS)
+    qraw = duckdb_raw_embedding("question", dims=_EMBED_DIMS)
+    score = _dd("d.embedding", "q.qv")
+    prompt = duckdb_prompt("c.context", "q.question")
+    _ORACLES["r1_rag_batch"] = f"""
+        WITH demb AS ({demb}),
+        questions(question_id, question) AS (VALUES {qvalues}),
+        qemb AS (
+            SELECT question_id, {DUCKDB_NORMALIZE} AS qv
+            FROM (SELECT question_id, {qraw} AS raw FROM questions) _rq
+        ),
+        scored AS (
+            SELECT q.question_id, d.doc_id, {score} AS score,
+                   row_number() OVER (
+                       PARTITION BY q.question_id
+                       ORDER BY {score} DESC, d.doc_id ASC
+                   ) AS rank
+            FROM demb d, qemb q
+        ),
+        hits AS (SELECT * FROM scored WHERE rank <= {_RAG_K}),
+        ctx AS (
+            SELECT question_id,
+                   string_agg('[' || rank::varchar || '] ' || doc.text,
+                              chr(10) || chr(10) ORDER BY rank) AS context
+            FROM hits JOIN documents doc USING (doc_id)
+            GROUP BY question_id
+        ),
+        prompts AS (
+            SELECT q.question_id, q.question, {prompt} AS prompt
+            FROM questions q JOIN ctx c USING (question_id)
+        )
+        SELECT question_id, question,
+               {duckdb_simulated_generate('prompt')} AS answer
+        FROM prompts ORDER BY question_id
+    """
+
+
+_register_rag_oracle()
+
+
 def _register_text_oracles() -> None:
     _ORACLES["x_text_stats"] = f"""
         SELECT doc_id,
@@ -534,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_bm25_topk": q11_bm25_topk,
         "q13_hybrid_search": q13_hybrid_search,
         "q14_expansion_terms": q14_expansion_terms,
+        "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
         "t5_hash_embed": t5_hash_embed,
         "x_dedup_exact": x_dedup_exact,
