@@ -72,6 +72,11 @@ from leann_rs_spark.operators.query_expansion import (
     expansion_terms,
 )
 from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
+from leann_rs_spark.operators.multimodal import (
+    decode_media,
+    duckdb_media_features,
+    media_from_documents,
+)
 from leann_rs_spark.operators.rag import (
     duckdb_prompt,
     duckdb_simulated_generate,
@@ -338,6 +343,13 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column → mapInPandas decode
+    (deterministic-fake engine) → typed feature metadata."""
+    media = media_from_documents(_docs(spark, sf_dir))
+    return decode_media(media).orderBy("media_id")
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and lexical ratios."""
     return _docs(spark, sf_dir).select(
@@ -561,6 +573,9 @@ _register_rag_oracle()
 
 
 def _register_text_oracles() -> None:
+    _ORACLES["x_multimodal_features"] = (
+        duckdb_media_features() + " ORDER BY media_id"
+    )
     _ORACLES["x_text_stats"] = f"""
         SELECT doc_id,
                {duckdb_token_count('text')} AS n_tokens,
@@ -621,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,
         "x_text_quality": x_text_quality,
         "x_text_langid": x_text_langid,

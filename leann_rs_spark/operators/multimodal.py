@@ -1,0 +1,199 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+No reference counterpart (the reference is text-only; SURVEY §2.5) —
+this is part of the LLM-data-pipeline surface designed for 100 TB. The
+pattern: media lives in a `content BINARY` column with a `modality`
+discriminator and a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched `mapInPandas` stages so the
+bytes never leave the executor and flow batch-at-a-time, never
+row-at-a-time.
+
+The actual codec calls (PIL/libav) are STUBBED — the image/audio libs
+are not in this container. Two stub tiers:
+
+- `decode_media(..., engine="real")` raises NotImplementedError at the
+  call site where PIL/av would be invoked (clearly marked below).
+- `decode_media(..., engine="fake")` (default) produces DETERMINISTIC
+  FAKE decode metadata derived from the content bytes (md5-seeded), so
+  the Spark-side plumbing — schema, UDF signature, Arrow batch shape,
+  partition behavior — is real and testable end-to-end, and an oracle
+  can replay it in SQL.
+
+Scale: content bytes dominate row size, so feature extraction selects
+(id, modality, content) only — column pruning keeps the metadata-only
+consumers from ever reading the blob column; store media Parquet with a
+small `spark.sql.files.maxPartitionBytes` (blobs compress poorly) and
+partition by modality so per-modality pipelines prune files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video|text
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("fingerprint", T.StringType(), False),  # md5 hex
+        T.StructField("width", T.IntegerType(), True),  # image/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),  # audio/video
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter for the driver's text-only tables: treat each document's
+    UTF-8 bytes as an opaque blob, round-robin modalities by id. Lets
+    every multimodal stage run against deterministic test bytes."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.col("source"),
+    )
+
+
+def _fake_dims(digest: str) -> tuple[int, int]:
+    # md5-derived, bounded like real frame sizes; globally deterministic
+    w = 16 + int(digest[:8], 16) % 1920
+    h = 16 + int(digest[8:16], 16) % 1080
+    return w, h
+
+
+def _fake_duration(digest: str) -> int:
+    return int(digest[16:24], 16) % 600_000  # < 10 min
+
+
+def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
+    """Decode/feature-extract stage: (media_id, modality, content) →
+    FEATURE_SCHEMA rows via mapInPandas.
+
+    engine="fake": deterministic metadata from md5(content) — a stand-in
+    with the same schema/batch shape as a real decoder.
+    engine="real": the marked stub below is where PIL.Image.open /
+    soundfile / av would run; not available in this container.
+    """
+    if engine not in ("fake", "real"):
+        raise ValueError(f"unknown engine {engine!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                if engine == "real":
+                    # >>> REAL-DECODER STUB — PIL/soundfile/av go here <<<
+                    raise NotImplementedError(
+                        "real media decoding requires PIL/soundfile/av, "
+                        "not present in this environment"
+                    )
+                digest = hashlib.md5(content).hexdigest()
+                w = h = None
+                dur = None
+                if r["modality"] in ("image", "video"):
+                    w, h = _fake_dims(digest)
+                if r["modality"] in ("audio", "video"):
+                    dur = _fake_duration(digest)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "modality": r["modality"],
+                        "n_bytes": len(content),
+                        "fingerprint": digest,
+                        "width": w,
+                        "height": h,
+                        "duration_ms": dur,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(
+    features: DataFrame, every_ms: int = 1000, max_frames: int = 32
+) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame timestamp.
+    The frame *extraction* would join these timestamps back to content
+    in a real-decoder mapInPandas; here the sampling plan itself is the
+    tested (and pure-relational) part."""
+    n = F.least(
+        F.floor(F.col("duration_ms") / F.lit(every_ms)).cast("int") + 1,
+        F.lit(max_frames),
+    )
+    return (
+        features.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_index", "_i"),
+        )
+        .select(
+            "media_id",
+            "frame_index",
+            (F.col("frame_index").cast("long") * every_ms).alias("timestamp_ms"),
+        )
+    )
+
+
+def resize_plan(
+    features: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image resize bookkeeping (aspect-preserving fit): pure column math
+    over decoded dims; the pixel work is the real-decoder stub's job."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+    )
+    return features.filter(F.col("modality") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1)).alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale).cast("int"), F.lit(1)).alias("out_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (fake-decoder math over the same derived bytes)
+# ---------------------------------------------------------------------------
+
+def duckdb_media_features(table: str = "documents") -> str:
+    """Oracle for media_from_documents → decode_media(engine='fake')."""
+    digest = "md5(text)"
+    w = f"(16 + ('0x' || substr({digest}, 1, 8))::bigint % 1920)::int"
+    h = f"(16 + ('0x' || substr({digest}, 9, 8))::bigint % 1080)::int"
+    dur = f"(('0x' || substr({digest}, 17, 8))::bigint % 600000)::bigint"
+    modality = (
+        "(CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END)"
+    )
+    return f"""
+        SELECT doc_id AS media_id,
+               {modality} AS modality,
+               octet_length(encode(text))::bigint AS n_bytes,
+               {digest} AS fingerprint,
+               CASE WHEN {modality} IN ('image','video') THEN {w} END AS width,
+               CASE WHEN {modality} IN ('image','video') THEN {h} END AS height,
+               CASE WHEN {modality} IN ('audio','video') THEN {dur} END AS duration_ms
+        FROM {table}
+    """
