@@ -1,0 +1,162 @@
+"""Structured Streaming: incremental index ingest + event-stream operators.
+
+The reference has NO stream processing (SURVEY §2.5) — its
+`StreamingIndexBuilder` (/root/reference/src/index/builder.rs:132-149)
+only means incremental disk writes to bound build memory. The Spark
+rebuild gets true streaming for free from the same DataFrame code:
+
+- `stream_ingest_documents`: the build pipeline (chunk → embed) bound
+  to a file-source `readStream` with an append parquet sink — the
+  semantic upgrade of StreamingIndexBuilder, plus exactly-once via
+  checkpointing. New parquet drops into the input dir are chunked and
+  embedded incrementally; `Trigger.AvailableNow` drains the backlog and
+  stops (our test mode), a continuous trigger tails it in production.
+  Passage ids: global dense ids need a total order over an unbounded
+  stream, which doesn't exist — streaming rows get a STABLE id
+  xxhash64(doc_id, chunk_index) instead (the batch path keeps dense
+  row_number ids; same dedup key either way).
+- `stream_windowed_event_stats`: watermarked tumbling-window
+  aggregation over the events table — the canonical late-data-safe
+  streaming agg (beyond-reference operator).
+- `stream_dedup_events`: dropDuplicatesWithinWatermark on event_id —
+  streaming exact dedup with bounded state.
+
+Scale: file-source streams list incrementally (maxFilesPerTrigger
+bounds batch size); state stores are keyed by (window) or (event_id)
+and pruned by the watermark, so state is O(keys in watermark horizon),
+not O(stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from leann_rs_spark.operators.chunker import chunk_documents
+from leann_rs_spark.operators.embedder import embed_documents
+
+
+def stream_ingest_documents(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    schema: str = "doc_id bigint, source string, text string",
+    dims: int = 64,
+    chunk_size: int = 256,
+    chunk_overlap: int = 128,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """documents parquet stream → passages+embeddings parquet (append).
+
+    Returns the started StreamingQuery; callers awaitTermination/stop.
+    Output rows: (passage_id, doc_id, chunk_index, source, text,
+    embedding).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_path)
+
+    chunks = chunk_documents(
+        docs, strategy="auto", chunk_size=chunk_size, chunk_overlap=chunk_overlap
+    )
+    passages = chunks.withColumn(
+        "passage_id", F.xxhash64(F.col("doc_id"), F.col("chunk_index"))
+    )
+    out = embed_documents(passages, dims=dims).select(
+        "passage_id", "doc_id", "chunk_index", "source", "text", "embedding"
+    )
+
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window stats per event_type. Works on BOTH a
+    stream and a batch DataFrame (watermark is a no-op in batch — that
+    equivalence is the correctness test)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_windowed_event_stats(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+):
+    """File-source stream → windowed stats → parquet (append on
+    watermark close)."""
+    events = spark.readStream.schema(schema).parquet(input_path)
+    out = windowed_event_stats(events, window_duration, watermark)
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    watermark: str = "30 minutes",
+):
+    """Streaming exact dedup on event_id with watermark-bounded state —
+    the streaming twin of operators/dedup.exact_dedup."""
+    events = spark.readStream.schema(schema).parquet(input_path)
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,110 @@
+"""Streaming: ingest parity with the batch pipeline, windowed aggs,
+watermark-bounded dedup. All with Trigger.AvailableNow on file sources."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.chunker import chunk_documents
+from leann_rs_spark.operators.embedder import embed_documents
+from leann_rs_spark.streaming import (
+    stream_dedup_events,
+    stream_ingest_documents,
+    stream_windowed_event_stats,
+    windowed_event_stats,
+)
+
+from conftest import SF_SMOKE
+
+TIMEOUT_S = 120
+
+
+def _drain(query):
+    assert query.awaitTermination(TIMEOUT_S), "stream did not drain in time"
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "source", "text")
+    )
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs.write.parquet(inp)
+
+    q = stream_ingest_documents(
+        spark, inp, outp, ckpt, dims=16, chunk_size=16, chunk_overlap=4
+    )
+    _drain(q)
+
+    got = spark.read.parquet(outp)
+    batch = chunk_documents(docs, strategy="auto", chunk_size=16, chunk_overlap=4)
+    batch = batch.withColumn(
+        "passage_id", F.xxhash64(F.col("doc_id"), F.col("chunk_index"))
+    )
+    want = embed_documents(batch, dims=16).select(
+        "passage_id", "doc_id", "chunk_index", "source", "text", "embedding"
+    )
+    assert got.count() == want.count() > 0
+    g = {r["passage_id"]: (r["text"], tuple(r["embedding"])) for r in got.collect()}
+    w = {r["passage_id"]: (r["text"], tuple(r["embedding"])) for r in want.collect()}
+    assert g == w
+
+
+def test_stream_ingest_incremental_append(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs.filter(F.col("doc_id") < 5).write.mode("append").parquet(inp)
+    _drain(stream_ingest_documents(spark, inp, outp, ckpt, dims=8, chunk_size=16, chunk_overlap=4))
+    n1 = spark.read.parquet(outp).count()
+
+    docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).write.mode(
+        "append"
+    ).parquet(inp)
+    _drain(stream_ingest_documents(spark, inp, outp, ckpt, dims=8, chunk_size=16, chunk_overlap=4))
+    out = spark.read.parquet(outp)
+    n2 = out.count()
+    # second drain processed ONLY the new files (checkpoint), appending
+    assert n2 > n1
+    assert out.select("passage_id").distinct().count() == n2
+
+
+def test_windowed_stats_stream_prefix_of_batch(spark, tmp_path):
+    from leann_rs_spark.sources.tables import read_events
+
+    events = read_events(spark, SF_SMOKE).drop("ts_ns")
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    events.write.parquet(inp)
+
+    _drain(stream_windowed_event_stats(
+        spark, inp, outp, ckpt, window_duration="10 minutes", watermark="1 minutes"
+    ))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got, "append mode should emit closed windows"
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in windowed_event_stats(events, "10 minutes", "1 minutes").collect()
+    }
+    # stream emits only watermark-closed windows → subset of batch, equal values
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert want[k] == v
+    # ...and it's a large subset (only the trailing window can be held back)
+    assert len(got) >= len(want) - len({r[1] for r in want})
+
+
+def test_stream_dedup(spark, tmp_path):
+    from leann_rs_spark.sources.tables import read_events
+
+    events = read_events(spark, SF_SMOKE).drop("ts_ns").limit(200)
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    events.write.mode("append").parquet(inp)
+    events.write.mode("append").parquet(inp)  # duplicate every event
+
+    _drain(stream_dedup_events(spark, inp, outp, ckpt))
+    out = spark.read.parquet(outp)
+    assert out.count() == out.select("event_id").distinct().count() == 200
