@@ -89,6 +89,18 @@ from leann_rs_spark.utils import with_dense_index
 SMOKE_SF = "/root/testdata/sf0.001"
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Small-input fan-out: the driver's sf tables are single parquet
+    files (one row group → one scan task), which would serialize the
+    expression-heavy operators (hashing, chunking, embedding) onto one
+    core. At production scale the scan itself yields thousands of
+    partitions and this repartition is a no-op decision; here it spreads
+    the CPU-bound work across local[N]. Results are unaffected — every
+    consumer aggregates or sorts."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -191,7 +203,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8/Q9/Q10: BM25 scores over the documents corpus. Scores rounded
     to 6dp — term-sum order differs across engines in the last ulp."""
-    p, d, t = build_bm25_index(_docs(spark, sf_dir))
+    p, d, t = build_bm25_index(_fan(_docs(spark, sf_dir)))
     scored = score_query(p, d, t, _BM25_QUERY)
     return scored.select(
         "doc_id", F.round(F.col("score"), 6).alias("score_r")
@@ -200,7 +212,7 @@ def q8_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11: BM25 top-10, ranked on the rounded score for determinism."""
-    p, d, t = build_bm25_index(_docs(spark, sf_dir))
+    p, d, t = build_bm25_index(_fan(_docs(spark, sf_dir)))
     scored = score_query(p, d, t, _BM25_QUERY)
     return (
         scored.filter(F.col("score") > 0.0)
@@ -219,7 +231,7 @@ def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), qv, k=_HYBRID_FETCH_K, metric="ip"
     ).withColumnRenamed("vec_id", "doc_id")
 
-    p, d, t = build_bm25_index(docs)
+    p, d, t = build_bm25_index(_fan(docs))
     bm25_scored = score_query(p, d, t, _HYBRID_QUERY)
     bm25_top = (
         bm25_scored.filter(F.col("score") > 0.0)
@@ -240,7 +252,7 @@ _EXPAND_QUERY = "spark filter"  # 2 words → should_expand (query.rs:168-171)
 def q14_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: BM25 top-5 passages → distributed key-term mining."""
     docs = _docs(spark, sf_dir)
-    p, d, t = build_bm25_index(docs)
+    p, d, t = build_bm25_index(_fan(docs))
     scored = score_query(p, d, t, _EXPAND_QUERY)
     top5 = (
         scored.filter(F.col("score") > 0.0)
@@ -259,7 +271,7 @@ _EMBCOS_TAU = 0.97
 def t5_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/T7: deterministic hash embedding (native Catalyst expression),
     exploded to (doc_id, dim, val) scalars for the value-hash compare."""
-    emb = embed_documents(_docs(spark, sf_dir), dims=_EMBED_DIMS)
+    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS)
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -275,7 +287,7 @@ def t1_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     weaker rows-only check; semantics are pinned by tests/test_chunker.py
     parity against the local port."""
     chunks = chunk_documents(
-        _docs(spark, sf_dir), strategy="simple", chunk_size=16, chunk_overlap=4
+        _fan(_docs(spark, sf_dir)), strategy="simple", chunk_size=16, chunk_overlap=4
     )
     passages = with_dense_index(chunks, ["doc_id", "chunk_index"], "idx")
     return passages.select("idx", "doc_id", "chunk_index", "text").orderBy("idx")
@@ -296,7 +308,7 @@ def r1_rag_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     questions = spark.createDataFrame(
         _RAG_QUESTIONS, "question_id long, question string"
     )
-    emb = embed_documents(docs, dims=_EMBED_DIMS).select("doc_id", "embedding")
+    emb = embed_documents(_fan(docs), dims=_EMBED_DIMS).select("doc_id", "embedding")
     return rag_batch(
         questions,
         docs.select("doc_id", "text"),
@@ -308,25 +320,25 @@ def r1_rag_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+    return exact_dedup(_fan(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+    out = minhash_near_dups(_fan(_docs(spark, sf_dir)), threshold=0.5)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
     ).orderBy("id_a", "id_b")
 
 
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    out = ngram_jaccard_pairs(_fan(_docs(spark, sf_dir)), n=3, threshold=0.3)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
     ).orderBy("id_a", "id_b")
 
 
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy(
+    return simhash_near_dups(_fan(_docs(spark, sf_dir)), max_hamming=3).orderBy(
         "id_a", "id_b"
     )
 
@@ -334,9 +346,10 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed → exact cosine near-dup pairs: the planted text near-dups
     re-surface as cos ≥ 0.97 embedding pairs."""
-    emb = embed_documents(_docs(spark, sf_dir), dims=_EMBED_DIMS)
+    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS)
     out = embedding_near_dups(
-        emb, id_col="doc_id", vec_col="embedding", threshold=_EMBCOS_TAU
+        emb, id_col="doc_id", vec_col="embedding", threshold=_EMBCOS_TAU,
+        assume_normalized=True,
     )
     return out.select(
         "id_a", "id_b", F.round("cos", 6).alias("cos_r")
@@ -346,13 +359,13 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary content column → mapInPandas decode
     (deterministic-fake engine) → typed feature metadata."""
-    media = media_from_documents(_docs(spark, sf_dir))
+    media = media_from_documents(_fan(_docs(spark, sf_dir)))
     return decode_media(media).orderBy("media_id")
 
 
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and lexical ratios."""
-    return _docs(spark, sf_dir).select(
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_ish"),
@@ -362,20 +375,20 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         (F.round(quality_score("text"), 6) + F.lit(0.0)).alias("quality_r"),
     ).orderBy("doc_id")
 
 
 def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id", lang_id(F.col("text")).alias("pred_lang")
     ).orderBy("doc_id")
 
 
 def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
+    return _fan(_docs(spark, sf_dir)).select(
         "doc_id", fingerprint("text").alias("fp")
     ).orderBy("doc_id")
 
@@ -509,9 +522,10 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_simhash_near_dups(max_hamming=3)})
         ORDER BY id_a, id_b
     """
-    from leann_rs_spark.functions.vector import duckdb_cosine as _dc
-
-    cos = _dc("a.embedding", "b.embedding")
+    # embed_documents output is L2-normalized → cosine == dot; both the
+    # Spark side (assume_normalized=True) and the oracle score with the
+    # plain dot product, so the rounded values agree bit-for-bit.
+    cos = duckdb_dot("a.embedding", "b.embedding")
     _ORACLES["x_dedup_embedding_cosine"] = f"""
         WITH de AS ({emb_tbl})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({cos}, 6) AS cos_r

@@ -40,6 +40,54 @@ def duckdb_hash64(s: str) -> str:
     return f"('0x' || substr(md5({s}), 1, 15))::bigint"
 
 
+# ---------------------------------------------------------------------------
+# Derived hash family: ONE md5 per input, arbitrarily many derived hashes.
+#
+# MinHash needs `num_hashes` hash functions per shingle, SimHash one per
+# (token, bit), the embedder one per (token, dim). Hashing the
+# concatenated "(i, x)" string costs one md5 per DERIVED value — the
+# dominant cost of every sketch at 100 TB. Instead we md5 each input
+# once, split the digest into two 60-bit halves (a, b), and derive
+# hash_i = (a + (i + 1) * b) mod P  — the classic universal-hashing
+# construction (Indyk; also how datasketch seeds MinHash permutations).
+# P = 2^31 - 1 (Mersenne prime): a, b < P and i < 64 keeps every
+# intermediate < 2^38, exactly representable in BIGINT in both engines.
+# ---------------------------------------------------------------------------
+
+HASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def hash_pair(s: Column | str) -> Column:
+    """→ struct(a BIGINT, b BIGINT): the two derived-hash coefficients
+    from one md5. b is forced non-zero so the family never degenerates."""
+    s = F.col(s) if isinstance(s, str) else s
+    d = F.md5(s)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint")
+    return F.struct(
+        (h1 % HASH_P).alias("a"),
+        (h2 % (HASH_P - 1) + 1).alias("b"),
+    )
+
+
+def derived_hash(pair: Column, i: Column) -> Column:
+    """hash_i(x) = (a + (i + 1) * b) mod P, non-negative BIGINT < P."""
+    return (pair["a"] + (i + F.lit(1)) * pair["b"]) % F.lit(HASH_P)
+
+
+def duckdb_hash_pair(s: str) -> str:
+    """DuckDB twin of `hash_pair` → struct_pack(a, b)."""
+    return (
+        f"struct_pack("
+        f"a := ('0x' || substr(md5({s}), 1, 15))::bigint % {HASH_P}, "
+        f"b := ('0x' || substr(md5({s}), 16, 15))::bigint % {HASH_P - 1} + 1)"
+    )
+
+
+def duckdb_derived_hash(pair: str, i: str) -> str:
+    return f"(({pair}).a + ({i} + 1) * ({pair}).b) % {HASH_P}"
+
+
 def char_shingles(text: Column | str, k: int) -> Column:
     """All k-character substrings (shingles) of the text, in order.
     Empty array when the text is shorter than k."""
@@ -63,14 +111,22 @@ def duckdb_char_shingles(text: str, k: int) -> str:
 
 
 def word_ngrams(tokens: Column, n: int) -> Column:
-    """n-grams over a token array, space-joined. Empty when len < n."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """n-grams over a token array, space-joined. Empty when len < n.
+
+    The single-element-array transform is a let-binding: `tokens` is
+    usually a whole tokenize() expression, and referencing it directly
+    inside the per-position lambda would re-run the regex split once per
+    n-gram position (Catalyst does not CSE into HOF lambdas)."""
+    return F.transform(
+        F.array(tokens),
+        lambda ts: F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
 
 
 def duckdb_word_ngrams(tokens: str, n: int) -> str:

@@ -42,15 +42,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from leann_rs_spark.functions.text import (
     char_shingles,
+    derived_hash,
     duckdb_char_shingles,
+    duckdb_derived_hash,
     duckdb_hash64,
+    duckdb_hash_pair,
     duckdb_tokenize,
     duckdb_word_ngrams,
     hash64,
+    hash_pair,
     tokenize,
     word_ngrams,
 )
-from leann_rs_spark.functions.vector import cosine, duckdb_cosine
+from leann_rs_spark.functions.vector import cosine, dot, duckdb_cosine, duckdb_dot
 
 
 # ---------------------------------------------------------------------------
@@ -98,16 +102,23 @@ def duckdb_exact_dedup(id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def _minhash_sig(shingles: Column, num_hashes: int) -> Column:
-    """Signature i = min over distinct shingles of md5-hash(i:shingle)."""
+    """Signature i = min over distinct shingles of derived hash i.
+
+    One md5 per SHINGLE (not per shingle×seed): each shingle is hashed
+    once into (a, b) and the `num_hashes` permutations are derived as
+    (a + (i+1)·b) mod P — the universal-hashing construction. The
+    single-element-array transform is a let-binding so the shingle-hash
+    array is computed once, not once per signature position."""
+    pairs = F.transform(shingles, hash_pair)
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: hash64(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
+        F.array(pairs),
+        lambda ps: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(ps, lambda p: derived_hash(p, i))
+            ),
         ),
-    )
+    )[0]
 
 
 def minhash_signatures(
@@ -205,11 +216,10 @@ def duckdb_minhash_near_dups(
 ) -> str:
     rows = num_hashes // bands
     sh = f"list_distinct({duckdb_char_shingles(text_col, shingle_k)})"
-    seed_shingle = duckdb_hash64("i::varchar || ':' || s")
     sig = (
         f"list_transform(generate_series(0, {num_hashes - 1}),"
-        f" i -> list_min(list_transform(shingles,"
-        f" s -> {seed_shingle})))"
+        f" i -> list_min(list_transform(pairs,"
+        f" p -> {duckdb_derived_hash('p', 'i')})))"
     )
     bucket = duckdb_hash64(
         f"array_to_string(list_transform("
@@ -217,9 +227,13 @@ def duckdb_minhash_near_dups(
     )
     return f"""
         WITH sigs AS (
-          SELECT {id_col} AS id, shingles, {sig} AS sig
-          FROM (SELECT {id_col}, {sh} AS shingles FROM {table})
-          WHERE len(shingles) > 0
+          SELECT id, shingles, {sig} AS sig
+          FROM (
+            SELECT id, shingles,
+                   list_transform(shingles, s -> {duckdb_hash_pair('s')}) AS pairs
+            FROM (SELECT {id_col} AS id, {sh} AS shingles FROM {table})
+            WHERE len(shingles) > 0
+          )
         ),
         banded AS (
           SELECT id, shingles, b, {bucket} AS bucket
@@ -329,34 +343,36 @@ def duckdb_ngram_jaccard_pairs(
 def simhash_bits(text: Column | str, bits: int = 32) -> Column:
     """SimHash as an array<int> of `bits` 0/1 values. Bit k is the sign
     of the sum over all token occurrences of ±1 votes, where the vote is
-    the parity of md5(token:k) — cross-engine stable, no shift ops.
-    Ties (sum == 0, incl. empty docs) resolve to 0."""
+    the parity of derived hash k of the token — ONE md5 per token, all
+    `bits` votes derived via (a + (k+1)·b) mod P (cross-engine stable,
+    no shift ops). Ties (sum == 0, incl. empty docs) resolve to 0."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(text)
+    pairs = F.transform(tokenize(text), hash_pair)
     return F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda k: F.when(
-            F.aggregate(
-                toks,
-                F.lit(0).cast("long"),
-                lambda acc, t: acc
-                + (hash64(F.concat(t, F.lit(":"), k.cast("string"))) % 2) * 2
-                - 1,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+        F.array(pairs),
+        lambda ps: F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda k: F.when(
+                F.aggregate(
+                    ps,
+                    F.lit(0).cast("long"),
+                    lambda acc, p: acc + (derived_hash(p, k) % 2) * 2 - 1,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+    )[0]
 
 
 def duckdb_simhash_bits(text: str, bits: int = 32) -> str:
     toks = duckdb_tokenize(text)
-    token_bit = duckdb_hash64("t || ':' || k::varchar")
-    vote = f"({token_bit} % 2) * 2 - 1"
+    pairs = f"list_transform({toks}, t -> {duckdb_hash_pair('t')})"
+    vote = f"(({duckdb_derived_hash('p', 'k')}) % 2) * 2 - 1"
     return (
         f"list_transform(generate_series(0, {bits - 1}),"
         f" k -> case when list_reduce(list_prepend(0::bigint,"
-        f" list_transform({toks}, t -> ({vote})::bigint)),"
+        f" list_transform({pairs}, p -> ({vote})::bigint)),"
         f" (acc, x) -> acc + x) > 0 then 1 else 0 end)"
     )
 
@@ -468,6 +484,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """→ (id_a, id_b, cos) for all pairs with cosine ≥ threshold.
 
@@ -477,13 +494,22 @@ def embedding_near_dups(
     reuses this as its per-bucket verifier. At 100 TB you run ann.py's
     `lsh_near_dups`; at oracle scale both produce identical pairs when
     the bucketer's recall is 1.0 for the threshold (verified in tests).
-    """
+
+    `assume_normalized=True` (correct for `embed_documents` output,
+    which is L2-normalized) scores with a plain dot product — O(dims)
+    per pair instead of cosine's extra two norm folds. Norms are a
+    per-ROW quantity; never pay them per PAIR."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    score = (
+        dot(F.col("va"), F.col("vb"))
+        if assume_normalized
+        else cosine(F.col("va"), F.col("vb"))
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", score)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -494,8 +520,13 @@ def duckdb_embedding_near_dups(
     vec_col: str = "embedding",
     table: str = "embeddings",
     threshold: float = 0.95,
+    assume_normalized: bool = False,
 ) -> str:
-    cos = duckdb_cosine("a.va", "b.vb")
+    cos = (
+        duckdb_dot("a.va", "b.vb")
+        if assume_normalized
+        else duckdb_cosine("a.va", "b.vb")
+    )
     return f"""
         WITH a AS (SELECT {id_col} AS id_a, {vec_col} AS va FROM {table}),
              b AS (SELECT {id_col} AS id_b, {vec_col} AS vb FROM {table})

@@ -40,7 +40,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from leann_rs_spark.functions.text import (
+    HASH_P,
+    derived_hash,
+    duckdb_derived_hash,
+    duckdb_hash_pair,
     duckdb_tokenize,
+    hash_pair,
     tokenize,
 )
 
@@ -48,48 +53,61 @@ DEFAULT_DIMS = 64  # matches the driver's embeddings.parquet
 _MOD = 2001  # weight = ((h % 2001) - 1000) / 1000  ∈ [-1, 1]
 
 
-def _weight_expr(token: Column, j: Column) -> Column:
-    """md5-derived weight for (token, dim) — 60-bit non-negative hash,
-    so `%` is safe and identical in Spark and DuckDB."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(token, F.lit(":"), j.cast("string"))), 1, 15),
-        16, 10,
-    ).cast("bigint")
-    return ((h % _MOD) - F.lit(1000)).cast("double") / F.lit(1000.0)
-
-
 def hash_embedding(text: Column | str, dims: int = DEFAULT_DIMS) -> Column:
-    """Deterministic embedding: for each dim j, a sequential fold over the
-    token array of md5 weights; then L2-normalize (clamp 1e-12,
-    candle.rs:218-225 analog). Empty/short texts yield the zero vector."""
+    """Deterministic embedding: md5 each token ONCE → (a, b) coefficients;
+    weight for dim j = ((a + (j+1)·b mod P) mod 2001 − 1000)/1000, summed
+    with a sequential DOUBLE fold; then L2-normalize (clamp 1e-12,
+    candle.rs:218-225 analog). Empty/short texts yield the zero vector.
+
+    Cost shape: one md5 per TOKEN (not per token×dim — a dims× saving
+    that dominates at 100 TB). The single-element-array `transform`s are
+    let-bindings: they force the token-hash array and the raw vector to
+    be evaluated once per row instead of once per output element
+    (Catalyst does not CSE across higher-order-function lambdas)."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = tokenize(text)
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda j: F.aggregate(
-            toks, F.lit(0.0), lambda acc, t: acc + _weight_expr(t, j)
-        ),
-    )
-    norm = F.greatest(
-        F.sqrt(F.aggregate(
-            F.transform(raw, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )),
-        F.lit(1e-12),
-    )
-    return F.transform(raw, lambda x: x / norm)
+    pairs = F.transform(tokenize(text), hash_pair)
+
+    def weight(p: Column, j: Column) -> Column:
+        return ((derived_hash(p, j) % _MOD) - F.lit(1000)).cast(
+            "double"
+        ) / F.lit(1000.0)
+
+    def raw_from(ps: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda j: F.aggregate(
+                ps, F.lit(0.0), lambda acc, p: acc + weight(p, j)
+            ),
+        )
+
+    def normalized(r: Column) -> Column:
+        n = F.greatest(
+            F.sqrt(F.aggregate(
+                F.transform(r, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )),
+            F.lit(1e-12),
+        )
+        return F.transform(r, lambda x: x / n)
+
+    return F.transform(
+        F.array(pairs),
+        lambda ps: F.transform(F.array(raw_from(ps)), normalized)[0],
+    )[0]
 
 
 def duckdb_raw_embedding(text: str, dims: int = DEFAULT_DIMS) -> str:
-    """Pre-normalization embedding (the per-dim md5-weight fold)."""
+    """Pre-normalization embedding (the per-dim derived-hash fold) —
+    mirrors `hash_embedding` exactly: one md5 per token, weights derived
+    per dim from the (a, b) pair."""
     toks = duckdb_tokenize(text)
+    pairs = f"list_transform({toks}, t -> {duckdb_hash_pair('t')})"
     weight = (
-        f"((('0x' || substr(md5(t || ':' || j::varchar), 1, 15))::bigint"
-        f" % {_MOD}) - 1000)::double / 1000.0"
+        f"((({duckdb_derived_hash('p', 'j')}) % {_MOD}) - 1000)::double / 1000.0"
     )
     return (
         f"list_transform(generate_series(0, {dims - 1}),"
         f" j -> list_reduce(list_prepend(0.0::double,"
-        f" list_transform({toks}, t -> {weight})), (acc, x) -> acc + x))"
+        f" list_transform({pairs}, p -> {weight})), (acc, x) -> acc + x))"
     )
 
 
@@ -145,13 +163,18 @@ def _py_tokenize(text: str) -> list[str]:
     return [t for t in re.split("[^a-zA-Z0-9]+", text.lower()) if len(t) > 1]
 
 
+def _py_hash_pair(s: str) -> tuple[int, int]:
+    d = hashlib.md5(s.encode()).hexdigest()
+    return int(d[:15], 16) % HASH_P, int(d[15:30], 16) % (HASH_P - 1) + 1
+
+
 def py_hash_embedding(text: str, dims: int = DEFAULT_DIMS) -> list[float]:
-    toks = _py_tokenize(text)
+    pairs = [_py_hash_pair(t) for t in _py_tokenize(text)]
     raw = []
     for j in range(dims):
         acc = 0.0
-        for t in toks:
-            h = int(hashlib.md5(f"{t}:{j}".encode()).hexdigest()[:15], 16)
+        for a, b in pairs:
+            h = (a + (j + 1) * b) % HASH_P
             acc += ((h % _MOD) - 1000) / 1000.0
         raw.append(acc)
     norm = max(math.sqrt(sum(x * x for x in raw)), 1e-12)
