@@ -158,7 +158,7 @@ def q1_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index; nprobe plays the reference's `complexity` role."""
     emb = _emb(spark, sf_dir)
     cents = take_centroids(emb, _IVF_CENTROIDS)
-    assigned = ivf_assign(emb, cents)
+    assigned = ivf_assign(_fan(emb), cents)
     qv = _query_vec(spark, sf_dir, 4)
     return ivf_search(assigned, cents, qv, k=10, nprobe=_IVF_NPROBE)
 

@@ -34,7 +34,7 @@ centroid policy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from leann_rs_spark.functions.vector import duckdb_dot, dot
 
@@ -65,10 +65,11 @@ def ivf_assign(
     """Assign each vector to its best (max inner product) centroid.
 
     Broadcast the C centroids, score C candidates per vector map-side,
-    keep the arg-max. The only shuffle is the row_number window, pruned
-    first to the per-partition winners via the same local-top-k trick as
-    batch_search — shuffle volume is O(N), not O(N·C).
-    Ties break on centroid_id ASC for a total order.
+    keep the arg-max with a hash aggregation: `max(struct(score, -id))`
+    is lexicographic, so partial (map-side-combine) aggregation reduces
+    each vector to one row BEFORE the shuffle — shuffle volume is O(N),
+    not O(N·C), with no window sort. Ties break on centroid_id ASC
+    (larger -id == smaller id) for a total order.
     """
     scored = vectors.join(F.broadcast(centroids)).select(
         id_col,
@@ -76,13 +77,17 @@ def ivf_assign(
         "centroid_id",
         dot(F.col(vec_col), F.col("centroid_vec")).alias("__cscore"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cscore").desc(), F.col("centroid_id").asc()
-    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster_id"))
+        scored.groupBy(id_col, vec_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cscore").alias("s"),
+                    (-F.col("centroid_id")).alias("neg_id"),
+                )
+            ).alias("__best")
+        )
+        .select(id_col, vec_col, (-F.col("__best.neg_id")).alias("cluster_id"))
     )
 
 

@@ -1,0 +1,102 @@
+"""Physical-plan property tests: the plans, not just the answers.
+
+At 100 TB the difference between a correct operator and a usable one is
+the plan Catalyst produces. These tests pin the properties the scale
+design relies on, so a refactor that silently turns a pushed filter
+into a post-scan filter, or a heap top-k into a full sort, fails CI:
+
+- predicate pushdown reaches the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema),
+- single-query top-k plans TakeOrderedAndProject (per-partition heap +
+  k-row merge — /root/reference/benches/benchmarks.rs:222-284's winning
+  variant, which Catalyst implements for ORDER BY ... LIMIT),
+- small sides of joins are broadcast (no shuffle of the big side).
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.filter_dsl import compile_spark, parse
+from leann_rs_spark.operators.search import (
+    assemble_results,
+    batch_search,
+    exact_search,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _qv(spark):
+    return list(
+        _emb(spark).filter(F.col("vec_id") == 0).head()["embedding"]
+    )
+
+
+def test_exact_search_plans_take_ordered(spark):
+    df = exact_search(_emb(spark), _qv(spark), k=10, metric="ip")
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_filtered_search_pushes_predicate_to_scan(spark):
+    df = exact_search(
+        _emb(spark), _qv(spark), k=10, metric="ip",
+        predicate=F.col("label") >= 5,
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(label,5)" in plan
+
+
+def test_filter_dsl_pushes_to_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ast = parse("lang in [en,de] AND source^src1")
+    df = docs.filter(compile_spark(ast)).select("doc_id", "lang", "source")
+    plan = plan_of(df)
+    assert "In(lang, [de,en])" in plan or "In(lang, [en,de])" in plan
+    assert "StringStartsWith(source,src1)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select("doc_id", F.length("text").alias("n"))
+    plan = plan_of(df)
+    # the scan must read only the two referenced columns
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_batch_search_broadcasts_queries(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df = batch_search(emb, queries, k=5, metric="ip")
+    plan = plan_of(df, "simple")
+    assert "Broadcast" in plan  # broadcast join, not a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_assemble_results_broadcasts_hits(spark):
+    emb = _emb(spark)
+    hits = exact_search(emb, _qv(spark), k=5, metric="ip")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = assemble_results(hits, docs, id_col="vec_id", passage_id_col="doc_id")
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
