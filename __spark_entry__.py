@@ -293,6 +293,60 @@ def t1_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages.select("idx", "doc_id", "chunk_index", "text").orderBy("idx")
 
 
+_READ_PATH_DSL = "lang in [en,de,fr]"
+_READ_PATH_K = 5
+
+
+def q7_search_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 + §3.1 end-to-end read path: metadata filter (DSL→Column,
+    pushed below scoring per src/index/recompute.rs:66-79) → exact MIPS
+    top-k → assemble text/metadata via broadcast join
+    (src/index/searcher.rs:171-207). At scale the filter reaches the
+    parquet scan of `documents`; only the k surviving hits are joined
+    back, so the assembly join broadcasts k rows."""
+    qv = _query_vec(spark, sf_dir, 6)
+    docs = _docs(spark, sf_dir)
+    allowed = docs.filter(
+        compile_spark(parse_filter(_READ_PATH_DSL))
+    ).select(F.col("doc_id").alias("vec_id"))
+    candidates = _emb(spark, sf_dir).join(allowed, "vec_id")
+    hits = exact_search(candidates, qv, k=_READ_PATH_K, metric="ip")
+    return (
+        F.broadcast(hits)
+        .join(docs, hits["vec_id"] == docs["doc_id"], "inner")
+        .select("vec_id", "score", "lang", "source", "text")
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    )
+
+
+def t2_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3: AST code chunker over deterministically synthesized python
+    sources (the driver tables hold prose, not code — wrap each doc's
+    text into function/class bodies so block detection, brace/indent
+    scanning, gap-context and oversize-split paths all execute).
+    No SQL oracle (procedural block scanner) → rows-only check; semantics
+    are pinned by tests/test_chunker.py parity vectors."""
+    docs = _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.concat(
+            F.lit("def handler_"), F.col("doc_id"), F.lit("(x):\n"),
+            F.lit("    return process(\n        \""),
+            F.substring("text", 1, 400), F.lit("\"\n    )\n\n"),
+            F.lit("# link section\n\nclass Worker_"), F.col("doc_id"),
+            F.lit(":\n    def run(self):\n        data = \""),
+            F.substring("text", 1, 2000),
+            F.lit("\"\n        return data\n"),
+        ).alias("text"),
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".py")).alias("source"),
+    )
+    chunks = chunk_documents(docs, strategy="auto", chunk_size=64, chunk_overlap=16)
+    passages = with_dense_index(chunks, ["doc_id", "chunk_index"], "idx")
+    return passages.select(
+        "idx", "doc_id", "chunk_index", "chunk_type", "block_type",
+        "name", "language", "start_line", "end_line", "text",
+    ).orderBy("idx")
+
+
 _RAG_QUESTIONS = [
     (0, "what happened to the data"),
     (1, "how are documents stored"),
@@ -495,6 +549,20 @@ def _register_dsl_oracles() -> None:
         SELECT doc_id, lang, source, n_chars
         FROM documents WHERE {dc} ORDER BY doc_id
     """
+    rp = compile_duckdb(parse_filter(_READ_PATH_DSL))
+    _ORACLES["q7_search_read_path"] = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 6),
+        hits AS (
+            SELECT e.vec_id, {duckdb_dot('e.embedding', 'qv')} AS score
+            FROM embeddings e
+            JOIN (SELECT doc_id FROM documents WHERE {rp}) a
+              ON e.vec_id = a.doc_id, q
+            ORDER BY score DESC, e.vec_id ASC LIMIT {_READ_PATH_K}
+        )
+        SELECT h.vec_id, h.score, d.lang, d.source, d.text
+        FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+        ORDER BY h.score DESC, h.vec_id ASC
+    """
 
 
 _register_dsl_oracles()
@@ -637,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_filtered_topk": q3_filtered_topk,
         "q3_batch_topk": q3_batch_topk,
         "q5_filter_dsl_json": q5_filter_dsl_json,
+        "q7_search_read_path": q7_search_read_path,
+        "t2_code_chunks": t2_code_chunks,
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
         "q8_bm25_scored": q8_bm25_scored,
         "q11_bm25_topk": q11_bm25_topk,
