@@ -47,13 +47,29 @@ def tokenize_py(text: str) -> list[str]:
 
 
 def build_bm25_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """→ (postings, docstats, termstats). Persist these as Parquet for
-    reuse; termstats is small (vocabulary-sized) and broadcastable."""
-    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
-    postings = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    docstats = docs.select(id_col, F.size(tokenize(text_col)).alias("doc_len"))
+    reuse; termstats is small (vocabulary-sized) and broadcastable.
+
+    Tokenization runs ONCE: postings and docstats both derive from a
+    shared tokenized projection. With `cache` (default) the fan-in
+    DataFrames are persisted — postings feeds both termstats and every
+    score_query, docstats feeds both the corpus-stats aggregate and the
+    per-doc norm join; without a persist each consumer would re-run the
+    tokenize + shuffle (Catalyst does not CSE across actions). At 100 TB
+    the equivalent is writing the three tables as Parquet once."""
+    tokd = docs.select(id_col, tokenize(text_col).alias("toks"))
+    postings = (
+        tokd.select(id_col, F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docstats = tokd.select(id_col, F.size("toks").alias("doc_len"))
+    if cache:
+        postings = postings.persist()
+        docstats = docstats.persist()
     termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
     return postings, docstats, termstats
 

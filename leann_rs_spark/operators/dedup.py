@@ -152,6 +152,7 @@ def minhash_near_dups(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for candidate pairs sharing an LSH band
     bucket AND exact shingle-Jaccard ≥ threshold.
@@ -159,9 +160,16 @@ def minhash_near_dups(
     Scale shape: explode to (band, bucket, doc) — shuffle keyed on the
     band bucket co-locates only colliding docs; the verify join carries
     shingle arrays for candidates only. No O(n²) stage exists.
+
+    `cache` persists the signature table before the self-join: both join
+    sides read it, and without a persist each side re-shingles and
+    re-hashes the whole corpus (2× the dominant cost). At 100 TB the
+    signature table is written to Parquet once instead.
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
+    if cache:
+        sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         F.col("shingles"),
@@ -267,6 +275,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_ngram_df: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) exact, over distinct word n-grams.
 
@@ -280,11 +289,17 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n)).alias("gs"),
     ).filter(F.size("gs") > 0)
+    if cache:
+        # three consumers: sizes (joined twice) and the inverted index
+        # (self-joined) — persist or the n-gram build runs 4×.
+        grams = grams.persist()
     sizes = grams.select("id", F.size("gs").alias("n_grams"))
     inv = grams.select("id", F.explode("gs").alias("g"))
     if max_ngram_df is not None:
         keep = inv.groupBy("g").count().filter(F.col("count") <= max_ngram_df)
         inv = inv.join(keep.select("g"), "g")
+    if cache:
+        inv = inv.persist()
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), "g")
@@ -384,6 +399,7 @@ def simhash_near_dups(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    cache: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) with hamming ≤ max_hamming.
 
@@ -397,6 +413,10 @@ def simhash_near_dups(
     sh = docs.select(
         F.col(id_col), simhash_bits(F.col(text_col), bits).alias("sh")
     )
+    if cache:
+        # both self-join sides read the sketch table; persist or the
+        # per-token hashing runs twice over the corpus.
+        sh = sh.persist()
     banded = sh.select(
         F.col(id_col),
         F.col("sh"),
@@ -485,6 +505,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     assume_normalized: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, cos) for all pairs with cosine ≥ threshold.
 
@@ -498,7 +519,12 @@ def embedding_near_dups(
     `assume_normalized=True` (correct for `embed_documents` output,
     which is L2-normalized) scores with a plain dot product — O(dims)
     per pair instead of cosine's extra two norm folds. Norms are a
-    per-ROW quantity; never pay them per PAIR."""
+    per-ROW quantity; never pay them per PAIR.
+
+    `cache` persists the input before the self-join — essential when
+    `emb` is itself a computed embedding (it would be computed twice)."""
+    if cache:
+        emb = emb.persist()
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     score = (
