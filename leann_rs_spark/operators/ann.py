@@ -64,30 +64,40 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its best (max inner product) centroid.
 
-    Broadcast the C centroids, score C candidates per vector map-side,
-    keep the arg-max with a hash aggregation: `max(struct(score, -id))`
-    is lexicographic, so partial (map-side-combine) aggregation reduces
-    each vector to one row BEFORE the shuffle — shuffle volume is O(N),
-    not O(N·C), with no window sort. Ties break on centroid_id ASC
-    (larger -id == smaller id) for a total order.
+    The codebook is tiny by definition (C centroids), so it is collected
+    to the driver and inlined as a literal array of structs: assignment
+    becomes a pure PROJECTION — score all C centroids per row and take
+    the lexicographic max of struct(score, -centroid_id) with a single
+    array fold. No join, no shuffle, no aggregation: the narrowest
+    possible plan, and at 100 TB the assignment stage is exactly one
+    map pass over the vectors. Ties break on centroid_id ASC (larger
+    -id == smaller id) for a total order matching the oracle's
+    row_number ordering.
     """
-    scored = vectors.join(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        dot(F.col(vec_col), F.col("centroid_vec")).alias("__cscore"),
+    cents = sorted(
+        centroids.select("centroid_id", "centroid_vec").collect(),
+        key=lambda r: r["centroid_id"],
     )
-    return (
-        scored.groupBy(id_col, vec_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__cscore").alias("s"),
-                    (-F.col("centroid_id")).alias("neg_id"),
-                )
-            ).alias("__best")
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+    vec = F.col(vec_col)
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                dot(vec, c["cv"]).alias("s"), (-c["cid"]).alias("neg_id")
+            ),
         )
-        .select(id_col, vec_col, (-F.col("__best.neg_id")).alias("cluster_id"))
+    )
+    return vectors.select(
+        id_col, vec_col, (-best["neg_id"]).alias("cluster_id")
     )
 
 
@@ -125,6 +135,114 @@ def ivf_search(
         df.select(id_col, dot(F.col(vec_col), q).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH near-duplicate pairs — the scale path for
+# dedup.embedding_near_dups (whose exact all-pairs form is quadratic).
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5-derived weight in [-1, 1] (same universal-hash family as the
+    embedder, functions/text.py) — reproducible across runs and engines
+    with no RNG state."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dims):
+            dig = hashlib.md5(f"hyperplane:{p}:{d}".encode()).hexdigest()
+            h = int(dig[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def lsh_near_dups(
+    emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    assume_normalized: bool = False,
+    cache: bool = True,
+) -> DataFrame:
+    """→ (id_a, id_b, cos): cosine-near-dup pairs via random-hyperplane
+    LSH bucketing + exact verification.
+
+    Sign-bit sketch: bit p = [<v, h_p> > 0] for `planes` fixed
+    hyperplanes — a projection, no shuffle. Banded like MinHash-LSH:
+    candidates must agree on one whole band of sign bits; the equi-join
+    on (band, band_bits) makes shuffle volume proportional to collisions,
+    never O(n²). Every candidate is verified with the exact score, so
+    precision is 1.0; recall is probabilistic (two vectors at angle θ
+    disagree on a bit w.p. θ/π — near-dup pairs at cos ≥ 0.95 keep a
+    whole band with high probability; tests pin the measured recall
+    against the exact operator). Use dedup.embedding_near_dups when the
+    corpus is small enough to cross-join exactly.
+    """
+    from leann_rs_spark.functions.vector import cosine
+
+    hp = _hyperplanes(planes, dims)
+    width = planes // bands
+    hp_lit = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pid"),
+                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
+            )
+            for p in range(planes)
+        ]
+    )
+    vec = F.col(vec_col)
+    bits = F.transform(
+        hp_lit, lambda h: F.when(dot(vec, h["hv"]) > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    sk = emb.select(F.col(id_col), vec.alias("__v"), bits.alias("__bits"))
+    if cache:
+        sk = sk.persist()
+    banded = sk.select(
+        id_col,
+        "__v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice(F.col("__bits"), b * width + 1, width),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bb"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, "__v", F.col("e.band"), F.col("e.bb"))
+    a = banded.select(
+        "band", "bb", F.col(id_col).alias("id_a"), F.col("__v").alias("va")
+    )
+    b = banded.select(
+        "band", "bb", F.col(id_col).alias("id_b"), F.col("__v").alias("vb")
+    )
+    score = (
+        dot(F.col("va"), F.col("vb"))
+        if assume_normalized
+        else cosine(F.col("va"), F.col("vb"))
+    )
+    return (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", score)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -439,10 +439,15 @@ def simhash_near_dups(
 
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     b = banded.select("band", "bb", F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    # Verify hamming BEFORE dropDuplicates: the hamming fold is O(bits)
+    # map-side arithmetic, while dropDuplicates is a shuffle — filtering
+    # first shrinks the shuffle from every band collision (skewed-bucket
+    # blowup: biased sign bits make some bands huge) down to true
+    # near-dup pairs only. hamming is a pure function of the pair, so
+    # dedup placement cannot change results.
     return (
         a.join(b, ["band", "bb"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.aggregate(
@@ -453,6 +458,7 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -511,10 +517,10 @@ def embedding_near_dups(
 
     Exact all-pairs is the canonical (oracle) semantics. This is the
     one dedup operator whose exact form IS quadratic; the scale path is
-    the hyperplane-LSH bucketed variant in operators/ann.py, which
-    reuses this as its per-bucket verifier. At 100 TB you run ann.py's
-    `lsh_near_dups`; at oracle scale both produce identical pairs when
-    the bucketer's recall is 1.0 for the threshold (verified in tests).
+    `operators.ann.lsh_near_dups` (hyperplane-LSH bucketing + the same
+    exact verification) — subset semantics with precision 1.0 and
+    near-1 recall at high thresholds; tests measure its recall against
+    this operator's output.
 
     `assume_normalized=True` (correct for `embed_documents` output,
     which is L2-normalized) scores with a plain dot product — O(dims)

@@ -78,6 +78,38 @@ def test_partial_probe_recall_reasonable(emb, assigned):
     assert len(approx & exact) >= 3
 
 
+def test_lsh_near_dups_subset_and_recall(spark):
+    """lsh_near_dups returns a verified SUBSET of the exact pair set
+    (precision 1.0 by construction); at a high threshold (the dedup
+    regime — planted near-dup documents, cos ≥ 0.97) the banded sketch's
+    recall is pinned high. Runs on hash-embedded documents because the
+    raw synthetic embeddings contain no near pairs (max cos ≈ 0.48)."""
+    from leann_rs_spark.operators.ann import lsh_near_dups
+    from leann_rs_spark.operators.dedup import embedding_near_dups
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    dims, tau = 32, 0.97
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    de = embed_documents(docs, dims=dims).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            de, threshold=tau, assume_normalized=True
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dups(
+            de, dims=dims, threshold=tau, assume_normalized=True
+        ).collect()
+    }
+    assert approx <= exact
+    assert exact  # corpus must actually contain near pairs at tau
+    assert len(approx) / len(exact) >= 0.8
+
+
 def test_predicate_pushdown_into_probe(emb, assigned):
     qv = _qv(emb, 5)
     cents = take_centroids(emb, N_CENT)
