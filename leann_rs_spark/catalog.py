@@ -44,8 +44,7 @@ from leann_rs_spark.operators.bm25 import bm25_topk, build_bm25_index, score_que
 from leann_rs_spark.operators.chunker import chunk_documents
 from leann_rs_spark.operators.embedder import embed_documents
 from leann_rs_spark.operators.filter_dsl import compile_spark, parse as parse_filter
-from leann_rs_spark.operators.hybrid import hybrid_rerank
-from leann_rs_spark.operators.query_expansion import should_expand
+from leann_rs_spark.operators.hybrid import hybrid_rerank, use_hybrid
 from leann_rs_spark.operators.search import exact_search
 from leann_rs_spark.utils import with_dense_index
 
@@ -218,6 +217,27 @@ def remove_index(warehouse: str, name: str) -> None:
     shutil.rmtree(_index_dir(warehouse, name))
 
 
+def is_faiss_index(index_path: str) -> bool:
+    """S15 interop diagnostic (src/backend/compat.rs:15-38): sniff the
+    sibling `.index` file's magic bytes to recognize a Python-LEANN
+    FAISS index ("Ix.." IndexFlat/IndexHNSW, "CSR\\0" compact HNSW,
+    "HNSW") so callers can emit a rebuild hint instead of a parse
+    error. Pure local-file check; no Spark involvement."""
+    index_file = os.path.splitext(index_path)[0] + ".index"
+    if not os.path.isfile(index_file):
+        return False
+    try:
+        with open(index_file, "rb") as f:
+            header = f.read(4)
+    except OSError:
+        return False
+    if len(header) < 4:
+        return False
+    if header[:2] == b"Ix":
+        return True
+    return header in (b"CSR\x00", b"HNSW")
+
+
 def prune_index(warehouse: str, name: str) -> IndexMeta:
     """S14: drop the embeddings table, flag meta (src/cli/prune.rs:17-79,
     src/index/embeddings.rs:162-168). Search falls back to recompute."""
@@ -274,7 +294,7 @@ def search_index(
         passages = passages.filter(pred)
 
     if hybrid is None:
-        hybrid = should_expand(query)  # same ≤3-word gate as auto-hybrid
+        hybrid = use_hybrid(query, auto_hybrid=True)  # Q15 gate
 
     qtext = (
         meta.query_prompt_template.replace("{}", query)

@@ -24,6 +24,15 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_ALPHA = 0.7
 OVERFETCH = 5  # src/index/searcher.rs:129-133
+AUTO_HYBRID_MAX_WORDS = 3  # src/cli/search.rs:147-148
+
+
+def use_hybrid(query: str, hybrid: bool = False, auto_hybrid: bool = False) -> bool:
+    """Q15 plan heuristic (src/cli/search.rs:147-148): hybrid when
+    explicitly requested, or when auto_hybrid is on and the query is
+    short (≤ 3 whitespace-separated words). Driver-side branch — picks
+    the physical plan, never touches data."""
+    return hybrid or (auto_hybrid and len(query.split()) <= AUTO_HYBRID_MAX_WORDS)
 
 
 def hybrid_rerank(

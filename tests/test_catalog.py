@@ -115,3 +115,33 @@ def test_list_and_remove(spark, docs, warehouse):
     catalog.remove_index(warehouse, "second")
     names2 = {r["name"] for r in catalog.list_indexes(spark, warehouse).collect()}
     assert "second" not in names2 and "main" in names2
+
+
+def test_is_faiss_index(tmp_path):
+    """S15 magic-byte sniffing (compat.rs:15-38): Ix*/CSR\\0/HNSW headers
+    are FAISS; anything else (or a missing .index sibling) is not."""
+    from leann_rs_spark.catalog import is_faiss_index
+
+    for magic, want in [
+        (b"IxFl" + b"\x00" * 16, True),
+        (b"IxHN" + b"\x00" * 16, True),
+        (b"CSR\x00rest", True),
+        (b"HNSWrest", True),
+        (b"PAR1col", False),
+        (b"Ix", False),  # short read
+    ]:
+        p = tmp_path / "idx.leann"
+        (tmp_path / "idx.index").write_bytes(magic)
+        assert is_faiss_index(str(p)) is want, magic
+    (tmp_path / "idx.index").unlink()
+    assert is_faiss_index(str(tmp_path / "idx.leann")) is False
+
+
+def test_use_hybrid_gate():
+    """Q15 (search.rs:147-148): explicit flag wins; auto only for ≤3 words."""
+    from leann_rs_spark.operators.hybrid import use_hybrid
+
+    assert use_hybrid("anything at all here now", hybrid=True)
+    assert not use_hybrid("one two three four", auto_hybrid=True)
+    assert use_hybrid("one two three", auto_hybrid=True)
+    assert not use_hybrid("one two three")
