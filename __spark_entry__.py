@@ -84,6 +84,7 @@ from leann_rs_spark.operators.rag import (
 )
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
+from leann_rs_spark.streaming.sessionize import duckdb_sessionize, sessionize_events
 from leann_rs_spark.utils import with_dense_index
 
 SMOKE_SF = "/root/testdata/sf0.001"
@@ -447,6 +448,20 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SESSION_GAP = "30 minutes"
+
+
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator, streaming/sessionize.py). One shuffle on user_id;
+    sum rounded 6dp — double accumulation order differs across engines."""
+    out = sessionize_events(read_events(spark, sf_dir), gap=_SESSION_GAP)
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 6).alias("sum_value_r"),
+    ).orderBy("user_id", "session_start")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -654,6 +669,18 @@ def _register_rag_oracle() -> None:
 _register_rag_oracle()
 
 
+def _register_session_oracle() -> None:
+    _ORACLES["x_sessionize"] = f"""
+        SELECT user_id, session_start, session_end, n_events,
+               round(sum_value, 6) AS sum_value_r
+        FROM ({duckdb_sessionize(_SESSION_GAP)})
+        ORDER BY user_id, session_start
+    """
+
+
+_register_session_oracle()
+
+
 def _register_text_oracles() -> None:
     _ORACLES["x_multimodal_features"] = (
         duckdb_media_features() + " ORDER BY media_id"
@@ -725,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_quality": x_text_quality,
         "x_text_langid": x_text_langid,
         "x_text_fingerprint": x_text_fingerprint,
+        "x_sessionize": x_sessionize,
     }
 
 

@@ -27,7 +27,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
     return raw.select(
         "event_id",
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        # `div` = exact integer division; a double-precision `/ 1000`
+        # loses the low bits of ns-epoch longs (~2^60) → off-by-1µs vs
+        # DuckDB's exact ns→µs truncation of the same parquet column
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
         F.col("ts").alias("ts_ns"),
         "user_id",
         "event_type",

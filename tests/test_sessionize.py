@@ -1,0 +1,71 @@
+"""Sessionization: batch gaps-and-islands vs DuckDB oracle, and the
+applyInPandasWithState streaming twin vs the batch semantics."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from leann_rs_spark.sources.tables import read_events
+from leann_rs_spark.streaming import (
+    duckdb_sessionize,
+    sessionize_events,
+    stream_sessionize_events,
+)
+
+from conftest import SF_SMOKE
+
+GAP = "30 minutes"
+TIMEOUT_S = 120
+
+
+def _norm(df: pd.DataFrame) -> list[tuple]:
+    df = df.copy()
+    df["sum_value"] = df["sum_value"].round(6)
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    return sorted(df[cols].itertuples(index=False, name=None))
+
+
+def test_batch_sessionize_matches_duckdb(spark):
+    got = sessionize_events(read_events(spark, SF_SMOKE), gap=GAP).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    want = con.execute(duckdb_sessionize(GAP)).df()
+    assert _norm(got) == _norm(want)
+    assert len(got) > 0
+
+
+def test_batch_sessionize_gap_boundaries(spark):
+    # events exactly `gap` apart stay in ONE session (strict > gap splits)
+    rows = [
+        (1, "2026-01-01 00:00:00", 7, "a", 1.0, "{}"),
+        (2, "2026-01-01 00:30:00", 7, "a", 2.0, "{}"),  # == gap → same
+        (3, "2026-01-01 01:00:01", 7, "a", 4.0, "{}"),  # > gap → new
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize_events(ev, gap=GAP).orderBy("session_start").collect()
+    assert [(r["n_events"], r["sum_value"]) for r in out] == [(2, 3.0), (1, 4.0)]
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    events = read_events(spark, SF_SMOKE).filter(F.col("user_id") < 20)
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    events.drop("ts_ns").write.parquet(inp) if "ts_ns" in events.columns else events.write.parquet(inp)
+
+    q = stream_sessionize_events(spark, inp, outp, ckpt, gap=GAP, watermark="1 minutes")
+    assert q.awaitTermination(TIMEOUT_S), "stream did not drain"
+
+    got = _norm(spark.read.parquet(outp).toPandas())
+    want = _norm(sessionize_events(events, gap=GAP).toPandas())
+    # stream emits gap-closed + timed-out sessions; each emitted session
+    # must exist identically in the batch result, and most sessions close
+    # (only each user's trailing open session can be withheld)
+    assert set(got) <= set(want)
+    n_users = events.select("user_id").distinct().count()
+    assert len(got) >= len(want) - n_users
+    assert len(got) > 0
