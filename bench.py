@@ -51,6 +51,10 @@ def main() -> None:
         except Exception as exc:  # keep benching the rest
             failures[name] = f"{type(exc).__name__}: {exc}"
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+        # Queries persist their fan-in DataFrames (signatures, postings);
+        # dropping them between queries keeps each measurement isolated —
+        # accumulated cached RDDs slow later queries by ~2× otherwise.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "sum of per-query wall-clock over the engine query suite",

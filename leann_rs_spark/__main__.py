@@ -1,0 +1,3 @@
+from leann_rs_spark.cli import main
+
+raise SystemExit(main())

@@ -1,0 +1,281 @@
+"""CLI: the reference's command surface over the Spark engine.
+
+Reference: /root/reference/src/cli/mod.rs:48-84 — subcommands build,
+update, search, ask, react, serve, list, remove, prune, config, mcp.
+Run as ``python -m leann_rs_spark <command> ...``.
+
+This is a thin veneer (SURVEY §2.4): each handler binds a SparkSession
+and dispatches into catalog / rag / agent / serving. Documents come from
+a parquet path with (doc_id, source, text) columns or from a directory
+scanned with the S1 corpus-scan rules (sources/files.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+DEFAULT_WAREHOUSE = ".leann/indexes"  # locate.rs:11-36 project-local root
+
+
+def _spark(args) -> SparkSession:
+    from leann_rs_spark.session import get_spark
+
+    return get_spark(app_name=f"leann-{args.command}")
+
+
+def _load_docs(spark: SparkSession, docs: str):
+    from leann_rs_spark.sources.files import files_to_documents, scan_files
+
+    if docs.endswith(".parquet") or docs.rstrip("/").endswith("documents"):
+        return spark.read.parquet(docs)
+    return files_to_documents(scan_files(spark, [docs]))
+
+
+def cmd_build(args) -> int:
+    from leann_rs_spark.catalog import build_index
+    from leann_rs_spark.config import Config, resolve_build_settings
+
+    spark = _spark(args)
+    cfg = resolve_build_settings(
+        Config.load(args.config),
+        chunk_size=args.chunk_size,
+        chunk_overlap=args.chunk_overlap,
+    )
+    meta = build_index(
+        spark,
+        args.warehouse,
+        args.name,
+        _load_docs(spark, args.docs),
+        strategy=args.chunking_strategy,
+        chunk_size=cfg["chunk_size"],
+        chunk_overlap=cfg["chunk_overlap"],
+        dims=args.dims,
+    )
+    print(f"Built index '{args.name}': {meta.passage_count} passages")
+    return 0
+
+
+def cmd_update(args) -> int:
+    from leann_rs_spark.catalog import append_to_index
+
+    spark = _spark(args)
+    meta = append_to_index(spark, args.warehouse, args.name, _load_docs(spark, args.docs))
+    print(f"Updated index '{args.name}': {meta.passage_count} passages")
+    return 0
+
+
+def cmd_search(args) -> int:
+    from leann_rs_spark.catalog import search_index
+
+    spark = _spark(args)
+    rows = search_index(
+        spark,
+        args.warehouse,
+        args.name,
+        args.query,
+        k=args.top_k,
+        filter_str=args.filter,
+        hybrid=True if args.hybrid else None,  # None → auto-hybrid gate
+        hybrid_alpha=args.hybrid_alpha,
+    ).collect()
+    if args.json:
+        print(json.dumps([r.asDict() for r in rows], default=str))
+    else:
+        for i, r in enumerate(rows):
+            print(f"[{i + 1}] score={r['score']:.4f} {r['source']}")
+            print(f"    {r['text'][:200]}")
+    return 0
+
+
+def cmd_ask(args) -> int:
+    from leann_rs_spark.operators.rag import rag_batch
+    from leann_rs_spark.catalog import load_meta
+
+    spark = _spark(args)
+    meta = load_meta(args.warehouse, args.name)
+    base = f"{args.warehouse}/{args.name}"
+    passages = spark.read.parquet(f"{base}/passages")
+    emb = spark.read.parquet(f"{base}/embeddings")
+    questions = spark.createDataFrame(
+        [(0, args.question)], "question_id long, question string"
+    )
+    row = rag_batch(
+        questions, passages, emb, k=args.top_k, dims=meta.dimensions
+    ).head()
+    print(row["answer"])
+    return 0
+
+
+def cmd_react(args) -> int:
+    from leann_rs_spark.agent import index_search_tool, react_loop, simulated_llm
+
+    spark = _spark(args)
+    tool = index_search_tool(spark, args.warehouse, args.name, top_k=args.top_k)
+    answer = react_loop(
+        args.question, simulated_llm(), tool, max_steps=args.max_steps
+    )
+    print(answer)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from leann_rs_spark.serving import IndexService, serve_http
+
+    spark = _spark(args)
+    server = serve_http(
+        IndexService(spark, args.warehouse, args.name), args.host, args.port
+    )
+    print(f"LEANN server listening on http://{server.server_address[0]}:"
+          f"{server.server_address[1]}")
+    server.serve_forever()
+    return 0
+
+
+def cmd_mcp(args) -> int:
+    from leann_rs_spark.serving import IndexService, serve_mcp_stdio
+
+    spark = _spark(args)
+    serve_mcp_stdio(IndexService(spark, args.warehouse, args.name))
+    return 0
+
+
+def cmd_list(args) -> int:
+    from leann_rs_spark.catalog import list_indexes
+
+    spark = _spark(args)
+    for r in list_indexes(spark, args.warehouse).collect():
+        print(
+            f"{r['name']}: {r['passage_count']} passages, dims="
+            f"{r['dimensions']}, backend={r['backend']}"
+            + (" (pruned)" if r["is_pruned"] else "")
+        )
+    return 0
+
+
+def cmd_remove(args) -> int:
+    from leann_rs_spark.catalog import remove_index
+
+    if not args.force:
+        resp = input(f"Remove index '{args.name}'? [y/N] ")  # remove.rs confirm
+        if resp.strip().lower() not in ("y", "yes"):
+            print("Aborted.")
+            return 1
+    remove_index(args.warehouse, args.name)
+    print(f"Removed index '{args.name}'")
+    return 0
+
+
+def cmd_prune(args) -> int:
+    from leann_rs_spark.catalog import prune_index
+
+    meta = prune_index(args.warehouse, args.name)
+    print(f"Pruned index '{args.name}' (search now recomputes embeddings); "
+          f"passages kept: {meta.passage_count}")
+    return 0
+
+
+def cmd_config(args) -> int:
+    from leann_rs_spark.config import Config, create_example_if_missing
+
+    if args.action == "path":
+        print(args.config or Config.config_path())
+    elif args.action == "init":
+        created = create_example_if_missing(args.config)
+        print("Created example config." if created else "Config already exists.")
+    else:  # show
+        print(Config.load(args.config).to_toml())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="leann-spark", description="PySpark-native vector engine for RAG"
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, docs=False, query=False):
+        sp.add_argument("name", help="index name")
+        sp.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+        if docs:
+            sp.add_argument("--docs", required=True,
+                            help="documents parquet path or directory to scan")
+        if query:
+            sp.add_argument("--top-k", type=int, default=5, dest="top_k")
+
+    b = sub.add_parser("build", help="Build a document index")
+    common(b, docs=True)
+    b.add_argument("--chunk-size", type=int, default=256, dest="chunk_size")
+    b.add_argument("--chunk-overlap", type=int, default=128, dest="chunk_overlap")
+    b.add_argument("--chunking-strategy", default="auto",
+                   choices=["auto", "simple", "ast"], dest="chunking_strategy")
+    b.add_argument("--dims", type=int, default=64)
+    b.add_argument("--config", default=None)
+    b.set_defaults(fn=cmd_build)
+
+    u = sub.add_parser("update", help="Update an existing index")
+    common(u, docs=True)
+    u.set_defaults(fn=cmd_update)
+
+    s = sub.add_parser("search", help="Search documents in an index")
+    common(s, query=True)
+    s.add_argument("query")
+    s.add_argument("--filter", default=None)
+    s.add_argument("--hybrid", action="store_true")
+    s.add_argument("--hybrid-alpha", type=float, default=0.7, dest="hybrid_alpha")
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    a = sub.add_parser("ask", help="Ask questions using RAG")
+    common(a, query=True)
+    a.add_argument("question")
+    a.set_defaults(fn=cmd_ask)
+
+    r = sub.add_parser("react", help="ReAct agent for multi-turn reasoning")
+    common(r)
+    r.add_argument("question")
+    r.add_argument("--top-k", type=int, default=3, dest="top_k")
+    r.add_argument("--max-steps", type=int, default=5, dest="max_steps")
+    r.set_defaults(fn=cmd_react)
+
+    sv = sub.add_parser("serve", help="Start HTTP API server")
+    common(sv)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=3000)
+    sv.set_defaults(fn=cmd_serve)
+
+    mc = sub.add_parser("mcp", help="Start MCP server (stdio)")
+    common(mc)
+    mc.set_defaults(fn=cmd_mcp)
+
+    ls = sub.add_parser("list", help="List all indexes")
+    ls.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+    ls.set_defaults(fn=cmd_list)
+
+    rm = sub.add_parser("remove", help="Remove an index")
+    common(rm)
+    rm.add_argument("--force", "-f", action="store_true")
+    rm.set_defaults(fn=cmd_remove)
+
+    pr = sub.add_parser("prune", help="Prune embeddings (recompute mode)")
+    common(pr)
+    pr.set_defaults(fn=cmd_prune)
+
+    cf = sub.add_parser("config", help="Manage configuration")
+    cf.add_argument("action", choices=["show", "init", "path"])
+    cf.add_argument("--config", default=None)
+    cf.set_defaults(fn=cmd_config)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
