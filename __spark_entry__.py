@@ -25,9 +25,8 @@ from leann_rs_spark.operators.filter_dsl import (
     parse as parse_filter,
 )
 from leann_rs_spark.operators.bm25 import (
-    build_bm25_index,
     duckdb_bm25_scored,
-    score_query,
+    score_adhoc_query,
 )
 from leann_rs_spark.operators.dedup import (
     duckdb_exact_dedup,
@@ -204,8 +203,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8/Q9/Q10: BM25 scores over the documents corpus. Scores rounded
     to 6dp — term-sum order differs across engines in the last ulp."""
-    p, d, t = build_bm25_index(_fan(_docs(spark, sf_dir)))
-    scored = score_query(p, d, t, _BM25_QUERY)
+    scored = score_adhoc_query(_fan(_docs(spark, sf_dir)), _BM25_QUERY)
     return scored.select(
         "doc_id", F.round(F.col("score"), 6).alias("score_r")
     ).orderBy("doc_id")
@@ -213,8 +211,7 @@ def q8_bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11: BM25 top-10, ranked on the rounded score for determinism."""
-    p, d, t = build_bm25_index(_fan(_docs(spark, sf_dir)))
-    scored = score_query(p, d, t, _BM25_QUERY)
+    scored = score_adhoc_query(_fan(_docs(spark, sf_dir)), _BM25_QUERY)
     return (
         scored.filter(F.col("score") > 0.0)
         .select("doc_id", F.round(F.col("score"), 6).alias("score_r"))
@@ -232,8 +229,7 @@ def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir), qv, k=_HYBRID_FETCH_K, metric="ip"
     ).withColumnRenamed("vec_id", "doc_id")
 
-    p, d, t = build_bm25_index(_fan(docs))
-    bm25_scored = score_query(p, d, t, _HYBRID_QUERY)
+    bm25_scored = score_adhoc_query(_fan(docs), _HYBRID_QUERY)
     bm25_top = (
         bm25_scored.filter(F.col("score") > 0.0)
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
@@ -253,8 +249,7 @@ _EXPAND_QUERY = "spark filter"  # 2 words → should_expand (query.rs:168-171)
 def q14_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: BM25 top-5 passages → distributed key-term mining."""
     docs = _docs(spark, sf_dir)
-    p, d, t = build_bm25_index(_fan(docs))
-    scored = score_query(p, d, t, _EXPAND_QUERY)
+    scored = score_adhoc_query(_fan(docs), _EXPAND_QUERY)
     top5 = (
         scored.filter(F.col("score") > 0.0)
         .select("doc_id", F.round(F.col("score"), 6).alias("score_r"))

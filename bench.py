@@ -37,6 +37,14 @@ def main() -> None:
 
     spark = get_spark(app_name="leann-rs-spark-bench")
 
+    # Warmup outside the timed region: JVM/scheduler/codegen first-use
+    # costs land here instead of on whichever query happens to run first.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).groupBy((F.col("id") % 100).alias("k")).count().count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():

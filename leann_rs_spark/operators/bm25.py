@@ -135,6 +135,84 @@ def score_query(
     )
 
 
+def score_adhoc_query(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    cache: bool = True,
+) -> DataFrame:
+    """BM25 scores for ONE ad-hoc query straight off the corpus — no
+    postings index materialized. Identical scores to
+    build_bm25_index + score_query (same formula, same df counts: the
+    term filter prunes POSTINGS ROWS, and df for a query term counts all
+    docs containing it either way).
+
+    Plan shape: one tokenize pass (persisted — consumed by the corpus
+    stats, the per-doc norms, and the postings explode), then
+    explode → filter(term IN qterms) → groupBy — the filter sits below
+    the aggregation, so the shuffle carries only query-term rows
+    (|docs matching| rows, not |corpus postings| rows). Use this when
+    the query is known before an index exists; use the persisted
+    postings tables (build_bm25_index) for repeated queries.
+    """
+    spark = docs.sparkSession
+    qtokens = tokenize_py(query)
+    if not qtokens:
+        return docs.select(id_col).limit(0).withColumn("score", F.lit(0.0))
+
+    counts: dict[str, int] = {}
+    for t in qtokens:
+        counts[t] = counts.get(t, 0) + 1
+    qterms = spark.createDataFrame(
+        [(t, float(c)) for t, c in sorted(counts.items())], "term string, qtf double"
+    )
+
+    tokd = docs.select(id_col, tokenize(text_col).alias("toks"))
+    if cache:
+        tokd = tokd.persist()
+    stats = tokd.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("total_len")
+    ).head()
+    num_docs = stats["n"]
+    avg_doc_len = (float(stats["total_len"]) / float(num_docs)) if num_docs else 1.0
+
+    tf = (
+        tokd.select(id_col, F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(counts.keys())))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if cache:
+        tf = tf.persist()  # consumed by the df aggregate AND the score join
+    termdf = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * (
+        F.col("doc_len").cast("double") / F.lit(avg_doc_len)
+    )
+    term_score = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (F.col("tf").cast("double") + F.lit(k1) * norm)
+    )
+    docstats = tokd.select(id_col, F.size("toks").alias("doc_len"))
+    return (
+        tf.join(F.broadcast(termdf.withColumn("idf", idf).select("term", "idf")), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(docstats, id_col)
+        .select(id_col, (F.col("qtf") * term_score).alias("term_score"))
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
 def bm25_topk(scored: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
     """Q11: drop zero scores, top-k desc (src/index/bm25.rs:109-122) with
     a deterministic id tie-break."""

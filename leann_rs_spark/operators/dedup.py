@@ -139,9 +139,13 @@ def minhash_signatures(
 
 
 def _jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard of two distinct-element arrays (DOUBLE)."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    """Exact Jaccard of two distinct-element arrays (DOUBLE). The
+    single-element-array transform is a let-binding so the intersection
+    is computed once per pair, not once per use (no CSE in Catalyst)."""
+    return F.transform(
+        F.array(F.size(F.array_intersect(a, b))),
+        lambda i: i.cast("double") / (F.size(a) + F.size(b) - i),
+    )[0]
 
 
 def minhash_near_dups(
@@ -170,9 +174,12 @@ def minhash_near_dups(
     sigs = minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
     if cache:
         sigs = sigs.persist()
+    # banded carries ONLY (id, band, bucket): the band explode duplicates
+    # every row `bands`×, and the (band, bucket) shuffle moves each copy —
+    # keeping the shingle arrays out of it cuts the shuffled bytes to the
+    # id width. Shingles re-attach later, to unique candidate pairs only.
     banded = sigs.select(
         F.col(id_col),
-        F.col("shingles"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -190,24 +197,25 @@ def minhash_near_dups(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "shingles", F.col("bb.band"), F.col("bb.bucket"))
+    ).select(id_col, F.col("bb.band"), F.col("bb.bucket"))
 
-    a = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
-    )
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    with_sh = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+    )
     return (
-        pairs.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
+        with_sh.withColumn("jaccard", _jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

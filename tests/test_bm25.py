@@ -117,3 +117,31 @@ def test_hybrid_union_adds_bm25_only_docs(spark):
     assert 5 in ids
     d5 = next(r for r in rows if r["doc_id"] == 5)
     assert d5["vec_score"] == 0.0 and d5["bm25_score"] == 2.0
+
+
+def test_score_adhoc_matches_indexed(spark):
+    """score_adhoc_query (no postings index; term filter pushed below the
+    aggregation) must produce byte-identical scores to the
+    build_bm25_index + score_query path, including duplicate query
+    tokens and docs matching only some terms."""
+    from leann_rs_spark.operators.bm25 import score_adhoc_query
+
+    texts = [
+        "the quick brown fox jumps",
+        "the lazy dog sleeps all day",
+        "quick quick brown dogs run fast",
+        "unrelated text about spark sql engines",
+        "fox and dog play in the park",
+    ]
+    for query in ["quick fox", "dog dog quick", "spark", "zzz nothing"]:
+        docs = _docs(spark, texts)
+        p, d, t = build_bm25_index(docs)
+        indexed = {
+            r["doc_id"]: round(r["score"], 12)
+            for r in score_query(p, d, t, query).collect()
+        }
+        adhoc = {
+            r["doc_id"]: round(r["score"], 12)
+            for r in score_adhoc_query(docs, query).collect()
+        }
+        assert adhoc == indexed, query
