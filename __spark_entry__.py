@@ -395,7 +395,10 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed → exact cosine near-dup pairs: the planted text near-dups
-    re-surface as cos ≥ 0.97 embedding pairs."""
+    re-surface as cos ≥ 0.97 embedding pairs. Expression variant; the
+    bit-identical block-matmul form (embedding_near_dups_blocked) wins
+    only when N²·dims outgrows the per-pair row overhead — measured
+    crossover is above this sf (tests pin bit-equality of the two)."""
     emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS)
     out = embedding_near_dups(
         emb, id_col="doc_id", vec_col="embedding", threshold=_EMBCOS_TAU,

@@ -555,6 +555,82 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block: int = 1024,
+) -> DataFrame:
+    """Vectorized physical variant of `embedding_near_dups` for
+    L2-normalized vectors — IDENTICAL results (bit-exact, not just
+    approximately equal), different physical plan:
+
+    rows → id-range blocks (collect_list of ≤`block` vectors) →
+    block-pair join (bid_a ≤ bid_b) → mapInPandas numpy kernel scoring
+    each block pair as a matrix product.
+
+    Bit-exactness: the kernel accumulates `acc += A[:,k] * B[:,k]`
+    sequentially over dimensions in float64 — the same left-fold order
+    as the `aggregate(zip_with(...))` expression and the DuckDB oracle's
+    `list_reduce`, so every pair's score is the identical double. (A
+    BLAS matmul would use a different summation order; that is why the
+    kernel folds by hand.)
+
+    Scale: still inherently O(N²/2) pair work (exact semantics), but the
+    constant is a numpy elementwise op instead of an interpreted
+    per-pair expression tree, and shuffle volume is (N/block)² block
+    pairs × 2 block payloads instead of N² pair rows. The LSH-bucketed
+    subset path (operators/ann.lsh_near_dups) remains the way to escape
+    the quadratic term."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    bid = F.floor(F.col(id_col) / F.lit(block)).cast("long")
+    blocks = emb.groupBy(bid.alias("bid")).agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                F.col(vec_col).alias("v"))).alias("rows")
+    )
+    pairs = (
+        blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
+        .join(
+            blocks.select(F.col("bid").alias("bid_b"), F.col("rows").alias("rows_b")),
+            F.col("bid_a") <= F.col("bid_b"),
+        )
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ra, rb = row["rows_a"], row["rows_b"]
+                ids_a = np.array([r["id"] for r in ra], dtype=np.int64)
+                ids_b = np.array([r["id"] for r in rb], dtype=np.int64)
+                A = np.array([r["v"] for r in ra], dtype=np.float64)
+                Bm = np.array([r["v"] for r in rb], dtype=np.float64)
+                # sequential fold over dims == aggregate(zip_with) order
+                acc = np.zeros((len(ids_a), len(ids_b)), dtype=np.float64)
+                for k in range(A.shape[1]):
+                    acc += A[:, k, None] * Bm[None, :, k]
+                mask = (acc >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                ii, jj = np.nonzero(mask)
+                out_a.append(ids_a[ii])
+                out_b.append(ids_b[jj])
+                out_c.append(acc[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    return pairs.mapInPandas(kernel, "id_a long, id_b long, cos double")
+
+
 def duckdb_embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -161,3 +161,31 @@ def test_minhash_catches_all_planted_near_dups(spark):
         for r in minhash_near_dups(_docs(spark), threshold=0.0).collect()
     }
     assert len(exact) > 0 and exact <= mh
+
+
+def test_embedding_near_dups_blocked_bit_exact(spark):
+    """The numpy block-matmul variant must return BIT-IDENTICAL pairs
+    and scores to the aggregate(zip_with) expression variant — same
+    left-fold summation order over dimensions."""
+    from leann_rs_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_blocked,
+    )
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = embed_documents(docs, dims=32).select("doc_id", "embedding")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dups(
+            emb, id_col="doc_id", threshold=0.9, assume_normalized=True
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dups_blocked(
+            emb, id_col="doc_id", threshold=0.9, block=17
+        ).collect()
+    }
+    assert blocked == exact  # exact float equality, no rounding
+    assert len(exact) > 0
