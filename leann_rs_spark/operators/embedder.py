@@ -192,6 +192,14 @@ class HashEmbedder:
         return [py_hash_embedding(t, self.dims) for t in texts]
 
 
+def probe_dimensions(provider) -> int:
+    """T8: dimension auto-detect for unknown models — embed one probe
+    text and read the vector length (the reference probes "test" once
+    before schema finalize, /root/reference/src/embedding/openai.rs:57-74).
+    One driver-side call; the result pins the ArrayType width in meta."""
+    return len(provider.embed(["test"])[0])
+
+
 def embed_pandas(
     df: DataFrame,
     provider: HashEmbedder | None = None,

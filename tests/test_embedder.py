@@ -99,3 +99,11 @@ def test_embedding_deterministic_across_calls(spark):
     assert sorted((r["doc_id"], tuple(r["embedding"])) for r in a) == sorted(
         (r["doc_id"], tuple(r["embedding"])) for r in b
     )
+
+
+def test_probe_dimensions():
+    # T8: openai.rs:57-74 analog — one probe call pins the width
+    from leann_rs_spark.operators.embedder import HashEmbedder, probe_dimensions
+
+    assert probe_dimensions(HashEmbedder(dims=48)) == 48
+    assert probe_dimensions(HashEmbedder()) == probe_dimensions(HashEmbedder())
