@@ -212,7 +212,10 @@ def column_resolver(field: str) -> Column:
 
 
 def _num(c: Column) -> Column:
-    return c.cast("double")
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW
+    # on non-numeric strings; the reference treats unparseable values as
+    # non-numeric and falls through (filter.rs:402-418), never errors
+    return c.try_cast("double")
 
 
 def _eq_cond(v: Column, x: Any) -> Column:
@@ -300,10 +303,19 @@ def compile_spark(
             return F.when(v.isNull(), F.lit(False)).otherwise(
                 F.when(n.isNotNull(), cmp).otherwise(mixed)
             )
+        # string filter value: a NUMERIC metadata value vs a string is
+        # the reference's mixed-type compare → Ordering::Equal
+        # (filter.rs:402-418): gte/lte true, gt/lt false. Only
+        # string-vs-string compares lexically. (Through a JSON-string
+        # resolver a quoted numeric like "0" is indistinguishable from
+        # the number 0 — documented ambiguity; typed columns are exact.)
         s = v.cast("string")
         cmp = {"gt": s > F.lit(x), "gte": s >= F.lit(x),
                "lt": s < F.lit(x), "lte": s <= F.lit(x)}[op]
-        return F.coalesce(cmp, F.lit(False))
+        mixed = F.lit(op in ("gte", "lte"))
+        return F.when(v.isNull(), F.lit(False)).otherwise(
+            F.when(_num(v).isNotNull(), mixed).otherwise(cmp)
+        )
     if op == "in":
         any_eq = _eq_cond(v, x[0])
         for item in x[1:]:
@@ -374,7 +386,11 @@ def compile_duckdb(node: Filter, resolve: Callable[[str], str] = duckdb_column_r
                     f"when try_cast({v} as double) IS NOT NULL "
                     f"then try_cast({v} as double) {sym} {float(x)!r} "
                     f"else {mixed} end)")
-        return f"coalesce({v}::varchar {sym} {_sql_quote(x)}, false)"
+        # mixed-type (numeric v vs string x) → Equal, filter.rs:402-418
+        mixed = "true" if op in ("gte", "lte") else "false"
+        return (f"(case when {v} IS NULL then false "
+                f"when try_cast({v} as double) IS NOT NULL then {mixed} "
+                f"else {v}::varchar {sym} {_sql_quote(x)} end)")
     if op == "in":
         return "(" + " OR ".join(_duck_eq(v, item) for item in x) + ")"
     if op == "not_in":
