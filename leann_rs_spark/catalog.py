@@ -137,11 +137,34 @@ def build_index(
     return meta
 
 
+TERM_BUCKETS = 64
+
+
+def term_bucket(term: Column | str) -> Column:
+    """Stable term → partition bucket (md5-derived, engine-independent).
+    At 100 TB the postings table is partitioned on this: a query's
+    `term_bucket IN (...)` predicate becomes PARTITION pruning — the
+    scan skips whole directories, not just row groups."""
+    from leann_rs_spark.functions.text import hash64
+
+    term = F.col(term) if isinstance(term, str) else term
+    return (hash64(term) % TERM_BUCKETS).cast("int")
+
+
+def py_term_bucket(term: str) -> int:
+    """Driver-side twin of `term_bucket` (same md5-derived hash)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % TERM_BUCKETS
+
+
 def _write_bm25(passages: DataFrame, base: str, mode: str) -> None:
     postings, docstats, termstats = build_bm25_index(
         passages, id_col="idx", text_col="text"
     )
-    postings.write.mode(mode).parquet(f"{base}/bm25_postings")
+    postings.withColumn("term_bucket", term_bucket("term")).write.mode(
+        mode
+    ).partitionBy("term_bucket").parquet(f"{base}/bm25_postings")
     docstats.write.mode(mode).parquet(f"{base}/bm25_docstats")
     # termstats (df counts) are NOT incrementally mergeable by append —
     # always rebuilt from postings on read (vocabulary-sized aggregate).
@@ -313,7 +336,16 @@ def search_index(
     vec_hits = exact_search(emb, qv, k=fetch_k, id_col="idx", metric="ip")
 
     if hybrid:
-        postings = spark.read.parquet(f"{base}/bm25_postings")
+        from leann_rs_spark.operators.bm25 import tokenize_py
+
+        # Partition pruning: all rows of a term share one term_bucket,
+        # so restricting the scan to the query terms' buckets reads
+        # ≤ |query terms| of the table's 64 partitions — and every
+        # pruned-in term's rows are COMPLETE, so df counts stay exact.
+        qbuckets = sorted({py_term_bucket(t) for t in tokenize_py(query)})
+        postings = spark.read.parquet(f"{base}/bm25_postings").filter(
+            F.col("term_bucket").isin(qbuckets)
+        )
         docstats = spark.read.parquet(f"{base}/bm25_docstats")
         termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
         if filter_str:

@@ -145,3 +145,56 @@ def test_use_hybrid_gate():
     assert not use_hybrid("one two three four", auto_hybrid=True)
     assert use_hybrid("one two three", auto_hybrid=True)
     assert not use_hybrid("one two three")
+
+
+def test_term_bucket_py_matches_column(spark):
+    from leann_rs_spark.catalog import py_term_bucket, term_bucket
+
+    terms = ["spark", "filter", "join", "window", "zz9", "a1"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {r["term"]: r["b"] for r in df.select("term", term_bucket("term").alias("b")).collect()}
+    assert got == {t: py_term_bucket(t) for t in terms}
+
+
+def test_hybrid_bucket_pruning_results_and_plan(spark, warehouse, built):
+    """Bucket-pruned hybrid search: identical scores to scoring over the
+    UNPRUNED postings (term rows are complete within their bucket), and
+    the postings scan carries a term_bucket partition filter."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark import catalog
+    from leann_rs_spark.operators.bm25 import score_query, tokenize_py
+
+    q = "alpha beta"
+    out = catalog.search_index(spark, warehouse, "main", q, k=5, hybrid=True)
+    rows = out.collect()
+    assert len(rows) > 0
+
+    # unpruned reference scoring for the same query
+    base = f"{warehouse}/main"
+    postings = spark.read.parquet(f"{base}/bm25_postings")
+    docstats = spark.read.parquet(f"{base}/bm25_docstats")
+    termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    full = {
+        r["idx"]: r["score"]
+        for r in score_query(postings, docstats, termstats, q, id_col="idx").collect()
+    }
+    qbuckets = sorted({catalog.py_term_bucket(t) for t in tokenize_py(q)})
+    pruned_postings = postings.filter(F.col("term_bucket").isin(qbuckets))
+    pruned_termstats = pruned_postings.groupBy("term").agg(F.count("*").alias("df"))
+    pruned = {
+        r["idx"]: r["score"]
+        for r in score_query(
+            pruned_postings, docstats, pruned_termstats, q, id_col="idx"
+        ).collect()
+    }
+    assert pruned == full
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned_postings.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
