@@ -1,10 +1,11 @@
 """Readers for the driver's parquet tables.
 
-`events.parquet` stores TIMESTAMP(NANOS) which Spark's parquet reader
-rejects by default (PARQUET_TYPE_ILLEGAL) and DuckDB truncates to
-micros. Reading with an explicit LongType schema works on any session —
-no config needed — and `ts = timestamp_micros(ts_ns div 1000)` then
-matches DuckDB's value exactly (truncation, verified)."""
+`events.parquet` has shipped `ts` as either TIMESTAMP(MICROS) (current
+testdata) or TIMESTAMP(NANOS) (which Spark's parquet reader rejects by
+default — PARQUET_TYPE_ILLEGAL — and DuckDB truncates to micros).
+`read_events` sniffs the physical unit from the parquet footer and
+normalizes to a proper micros TIMESTAMP either way, so both generations
+of testdata read identically to DuckDB's view of the same file."""
 
 from __future__ import annotations
 
@@ -22,16 +23,39 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _events_ts_unit(sf_dir: str) -> str:
+    """Footer sniff (driver-side, one small metadata read): 'us' or 'ns'."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
+        return schema.field("ts").type.unit
+    except Exception:
+        return "us"
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as a proper TIMESTAMP (micros) + ts_ns raw nanos."""
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return raw.select(
-        "event_id",
+    if _events_ts_unit(sf_dir) == "ns":
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
         # `div` = exact integer division; a double-precision `/ 1000`
         # loses the low bits of ns-epoch longs (~2^60) → off-by-1µs vs
         # DuckDB's exact ns→µs truncation of the same parquet column
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        ts_ns = F.col("ts")
+    else:
+        # ts arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) —
+        # keep it: NTZ collects to the same naive values DuckDB reads,
+        # independent of the session time zone.
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts = F.col("ts")
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    return raw.select(
+        "event_id",
+        ts.alias("ts"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",

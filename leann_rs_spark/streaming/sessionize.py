@@ -53,10 +53,12 @@ def sessionize_events(
     n_events, sum_value), one row per session."""
     gap_s = _gap_seconds(gap)
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    prev = F.lag(F.col(ts_col)).over(w)
+    # NTZ-safe epoch micros (TIMESTAMP_NTZ has no direct double cast);
+    # the NTZ→LTZ cast offset cancels in the delta.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
     new_session = F.when(
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_s),
+        prev_us.isNull() | (ts_us - prev_us > int(gap_s * 1_000_000)),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
