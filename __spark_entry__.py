@@ -223,7 +223,6 @@ def q11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12/Q13: hybrid candidate union + min-max rerank (α=0.7)."""
     docs = _docs(spark, sf_dir)
-    num_docs = docs.count()
     qv = _query_vec(spark, sf_dir, 3)
     vec_hits = exact_search(
         _emb(spark, sf_dir), qv, k=_HYBRID_FETCH_K, metric="ip"
@@ -235,7 +234,7 @@ def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         .limit(_HYBRID_FETCH_K)
     )
-    out = hybrid_rerank(vec_hits, bm25_scored, bm25_top, num_docs, alpha=0.7)
+    out = hybrid_rerank(vec_hits, bm25_scored, bm25_top, docs, alpha=0.7)
     return (
         out.select("doc_id", F.round(F.col("combined"), 6).alias("combined_r"))
         .orderBy(F.col("combined_r").desc(), F.col("doc_id").asc())
@@ -267,7 +266,7 @@ _EMBCOS_TAU = 0.97
 def t5_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/T7: deterministic hash embedding (native Catalyst expression),
     exploded to (doc_id, dim, val) scalars for the value-hash compare."""
-    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS)
+    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id")
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -358,7 +357,7 @@ def r1_rag_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     questions = spark.createDataFrame(
         _RAG_QUESTIONS, "question_id long, question string"
     )
-    emb = embed_documents(_fan(docs), dims=_EMBED_DIMS).select("doc_id", "embedding")
+    emb = embed_documents(_fan(docs), dims=_EMBED_DIMS, id_col="doc_id").select("doc_id", "embedding")
     return rag_batch(
         questions,
         docs.select("doc_id", "text"),
@@ -399,7 +398,7 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical block-matmul form (embedding_near_dups_blocked) wins
     only when N²·dims outgrows the per-pair row overhead — measured
     crossover is above this sf (tests pin bit-equality of the two)."""
-    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS)
+    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id")
     out = embedding_near_dups(
         emb, id_col="doc_id", vec_col="embedding", threshold=_EMBCOS_TAU,
         assume_normalized=True,

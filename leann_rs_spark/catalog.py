@@ -118,6 +118,7 @@ def build_index(
         passages.select("idx", "text"),
         dims=dims,
         prompt_template=doc_prompt_template,
+        id_col="idx",
     ).select("idx", "embedding")
     emb.write.mode("overwrite").parquet(f"{base}/embeddings")
 
@@ -199,6 +200,7 @@ def append_to_index(
             passages.select("idx", "text"),
             dims=meta.dimensions,
             prompt_template=meta.doc_prompt_template,
+            id_col="idx",
         ).select("idx", "embedding")
         emb.write.mode("append").parquet(f"{base}/embeddings")
 
@@ -283,6 +285,7 @@ def _embeddings_for_search(
             passages.select("idx", "text"),
             dims=meta.dimensions,
             prompt_template=meta.doc_prompt_template,
+            id_col="idx",
         ).select("idx", "embedding")
     return spark.read.parquet(f"{base}/embeddings")
 
@@ -354,12 +357,11 @@ def search_index(
             docstats = docstats.join(keep, "idx", "left_semi")
         scored = score_query(postings, docstats, termstats, query, id_col="idx")
         bm25_top = bm25_topk(scored, fetch_k, id_col="idx")
-        num_docs = docstats.count()
         combined = hybrid_rerank(
             vec_hits.withColumnRenamed("idx", "doc_id"),
             scored.withColumnRenamed("idx", "doc_id"),
             bm25_top.withColumnRenamed("idx", "doc_id"),
-            num_docs,
+            docstats,
             alpha=hybrid_alpha,
         )
         hits = (

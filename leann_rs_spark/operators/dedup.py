@@ -138,6 +138,49 @@ def minhash_signatures(
     )
 
 
+def _minhash_signatures_bulk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """→ (id_col, sig) — same values as `minhash_signatures` (min over a
+    multiset equals min over its distinct set, so no dedup pass is
+    needed), computed through exploded shingle ROWS with the
+    `num_hashes` derived hashes unrolled into codegen'd `min`
+    aggregates: whole-stage codegen end to end, one shuffle on `id_col`
+    with map-side partial aggregation, no interpreted HOF lambdas.
+    Docs shorter than `shingle_k` are dropped (cannot be near-dups)."""
+    text = F.col(text_col)
+    sh_rows = (
+        docs.filter(F.length(text) >= shingle_k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length(text) - F.lit(shingle_k - 1))
+            ).alias("_i"),
+            text.alias("_t"),
+        )
+        .select(id_col, F.substring(F.col("_t"), F.col("_i"), F.lit(shingle_k)).alias("_sh"))
+    )
+    pair = hash_pair(F.col("_sh"))
+    sh_rows = sh_rows.withColumn("_a", pair["a"]).withColumn("_b", pair["b"])
+    from leann_rs_spark.functions.text import HASH_P
+
+    hs = [
+        ((F.col("_a") + F.lit(i + 1) * F.col("_b")) % F.lit(HASH_P)).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sh_rows = sh_rows.select(id_col, *hs)
+    agg = sh_rows.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays (DOUBLE). The
     single-element-array transform is a let-binding so the intersection
@@ -171,7 +214,7 @@ def minhash_near_dups(
     signature table is written to Parquet once instead.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
+    sigs = _minhash_signatures_bulk(docs, id_col, text_col, shingle_k, num_hashes)
     if cache:
         sigs = sigs.persist()
     # banded carries ONLY (id, band, bucket): the band explode duplicates
@@ -207,7 +250,15 @@ def minhash_near_dups(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    # Exact-Jaccard verify: shingle SETS are materialized only for docs
+    # that appear in a candidate pair (a handful), so the HOF cost and
+    # the array bytes never touch the corpus-wide shuffle.
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias(
+            "shingles"
+        ),
+    )
     with_sh = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"),
                              F.col("shingles").alias("sh_a")), "id_a")

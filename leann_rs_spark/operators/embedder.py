@@ -53,61 +53,69 @@ DEFAULT_DIMS = 64  # matches the driver's embeddings.parquet
 _MOD = 2001  # weight = ((h % 2001) - 1000) / 1000  ∈ [-1, 1]
 
 
+def _normalized(r: Column) -> Column:
+    """L2-normalize with the reference's 1e-12 clamp
+    (candle.rs:218-225 analog). Sequential fold in dim order — the same
+    order in both engines, so the norm is bit-exact."""
+    n = F.greatest(
+        F.sqrt(F.aggregate(
+            F.transform(r, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )),
+        F.lit(1e-12),
+    )
+    return F.transform(r, lambda x: x / n)
+
+
 def hash_embedding(text: Column | str, dims: int = DEFAULT_DIMS) -> Column:
     """Deterministic embedding: md5 each token ONCE → (a, b) coefficients;
-    weight for dim j = ((a + (j+1)·b mod P) mod 2001 − 1000)/1000, summed
-    with a sequential DOUBLE fold; then L2-normalize (clamp 1e-12,
-    candle.rs:218-225 analog). Empty/short texts yield the zero vector.
+    integer weight for dim j = (a + (j+1)·b mod P) mod 2001 − 1000; the
+    per-dim raw value is sum(weight_int)/1000 ∈ ~[-T, T] — an INTEGER
+    sum, so it is exact and order-independent in every engine — then
+    L2-normalize (clamp 1e-12). Empty/short texts yield the zero vector.
 
     Cost shape: one md5 per TOKEN (not per token×dim — a dims× saving
     that dominates at 100 TB). The single-element-array `transform`s are
     let-bindings: they force the token-hash array and the raw vector to
     be evaluated once per row instead of once per output element
-    (Catalyst does not CSE across higher-order-function lambdas)."""
+    (Catalyst does not CSE across higher-order-function lambdas).
+
+    This scalar form is the right shape for one-off query vectors; for
+    embedding a whole table use `embed_documents`, which computes the
+    identical values through exploded tokens + hash aggregation (whole-
+    stage codegen, one shuffle) instead of interpreted HOF lambdas."""
     text = F.col(text) if isinstance(text, str) else text
     pairs = F.transform(tokenize(text), hash_pair)
 
-    def weight(p: Column, j: Column) -> Column:
-        return ((derived_hash(p, j) % _MOD) - F.lit(1000)).cast(
-            "double"
-        ) / F.lit(1000.0)
+    def weight_int(p: Column, j: Column) -> Column:
+        return (derived_hash(p, j) % _MOD) - F.lit(1000)
 
     def raw_from(ps: Column) -> Column:
         return F.transform(
             F.sequence(F.lit(0), F.lit(dims - 1)),
             lambda j: F.aggregate(
-                ps, F.lit(0.0), lambda acc, p: acc + weight(p, j)
-            ),
+                ps, F.lit(0).cast("bigint"), lambda acc, p: acc + weight_int(p, j)
+            ).cast("double") / F.lit(1000.0),
         )
-
-    def normalized(r: Column) -> Column:
-        n = F.greatest(
-            F.sqrt(F.aggregate(
-                F.transform(r, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-            )),
-            F.lit(1e-12),
-        )
-        return F.transform(r, lambda x: x / n)
 
     return F.transform(
         F.array(pairs),
-        lambda ps: F.transform(F.array(raw_from(ps)), normalized)[0],
+        lambda ps: F.transform(F.array(raw_from(ps)), _normalized)[0],
     )[0]
 
 
 def duckdb_raw_embedding(text: str, dims: int = DEFAULT_DIMS) -> str:
     """Pre-normalization embedding (the per-dim derived-hash fold) —
-    mirrors `hash_embedding` exactly: one md5 per token, weights derived
-    per dim from the (a, b) pair."""
+    mirrors `hash_embedding` exactly: one md5 per token, INTEGER weights
+    derived per dim from the (a, b) pair, integer sum (exact, order-
+    independent), one double division at the end."""
     toks = duckdb_tokenize(text)
     pairs = f"list_transform({toks}, t -> {duckdb_hash_pair('t')})"
-    weight = (
-        f"((({duckdb_derived_hash('p', 'j')}) % {_MOD}) - 1000)::double / 1000.0"
-    )
+    weight = f"(({duckdb_derived_hash('p', 'j')}) % {_MOD}) - 1000"
     return (
         f"list_transform(generate_series(0, {dims - 1}),"
-        f" j -> list_reduce(list_prepend(0.0::double,"
-        f" list_transform({pairs}, p -> {weight})), (acc, x) -> acc + x))"
+        f" j -> list_reduce(list_prepend(0::bigint,"
+        f" list_transform({pairs}, p -> {weight})), (acc, x) -> acc + x)"
+        f"::double / 1000.0)"
     )
 
 
@@ -172,12 +180,15 @@ def py_hash_embedding(text: str, dims: int = DEFAULT_DIMS) -> list[float]:
     pairs = [_py_hash_pair(t) for t in _py_tokenize(text)]
     raw = []
     for j in range(dims):
-        acc = 0.0
+        acc = 0  # integer sum — exact and order-independent
         for a, b in pairs:
             h = (a + (j + 1) * b) % HASH_P
-            acc += ((h % _MOD) - 1000) / 1000.0
-        raw.append(acc)
-    norm = max(math.sqrt(sum(x * x for x in raw)), 1e-12)
+            acc += (h % _MOD) - 1000
+        raw.append(acc / 1000.0)
+    norm = 0.0
+    for x in raw:  # sequential fold in dim order, same as both engines
+        norm += x * x
+    norm = max(math.sqrt(norm), 1e-12)
     return [x / norm for x in raw]
 
 
@@ -242,9 +253,53 @@ def embed_documents(
     text_col: str = "text",
     out_col: str = "embedding",
     prompt_template: str | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
-    """The default (native-expression) embedding operator."""
-    return df.withColumn(
-        out_col,
-        hash_embedding(with_prompt_template(text_col, prompt_template), dims),
+    """The default (native-expression) embedding operator.
+
+    With `id_col` (a UNIQUE row key) the values are computed through
+    exploded token rows with the per-dim integer weights unrolled into
+    `dims` codegen'd sum aggregates — whole-stage codegen end to end,
+    one shuffle on `id_col` with map-side partial aggregation, no
+    interpreted higher-order-function lambdas in the hot path. The
+    integer-sum definition makes this bit-identical to the scalar
+    `hash_embedding` expression regardless of aggregation order.
+    Without `id_col` (or on a streaming DataFrame) the per-row scalar
+    expression is used.
+    """
+    if id_col is None or df.isStreaming:
+        return df.withColumn(
+            out_col,
+            hash_embedding(with_prompt_template(text_col, prompt_template), dims),
+        )
+
+    others = [c for c in df.columns if c != id_col]
+    toks = df.select(
+        id_col,
+        *others,
+        F.explode_outer(
+            tokenize(with_prompt_template(text_col, prompt_template))
+        ).alias("_tok"),
     )
+    pair = hash_pair(F.col("_tok"))
+    toks = toks.withColumn("_a", pair["a"]).withColumn("_b", pair["b"])
+    weights = [
+        (((F.col("_a") + F.lit(j + 1) * F.col("_b")) % F.lit(HASH_P)) % F.lit(_MOD)
+         - F.lit(1000)).alias(f"_w{j}")
+        for j in range(dims)
+    ]
+    toks = toks.select(id_col, *others, *weights)
+    agg = toks.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in others],
+        *[F.sum(f"_w{j}").alias(f"_s{j}") for j in range(dims)],
+    )
+    raw = F.array(
+        *[
+            F.coalesce(F.col(f"_s{j}"), F.lit(0)).cast("double") / F.lit(1000.0)
+            for j in range(dims)
+        ]
+    )
+    # let-binding via single-element array: normalize reads the raw
+    # vector dims+1 times; without it each read re-evaluates the sums
+    emb = F.transform(F.array(raw), _normalized)[0]
+    return agg.withColumn(out_col, emb).select(id_col, *others, out_col)

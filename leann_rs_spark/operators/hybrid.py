@@ -39,7 +39,7 @@ def hybrid_rerank(
     vec_hits: DataFrame,
     bm25_scored: DataFrame,
     bm25_top: DataFrame,
-    num_docs: int,
+    num_docs: int | DataFrame,
     alpha: float = DEFAULT_ALPHA,
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -49,8 +49,17 @@ def hybrid_rerank(
     vec_hits: (id_col, score) — vector top-fetch_k
     bm25_scored: (id_col, score) — BM25 scores for every matching doc
     bm25_top: (id_col,) — BM25 top-fetch_k candidate ids
-    num_docs: corpus size (to account for implicit 0.0 BM25 scores)
+    num_docs: corpus size (to account for implicit 0.0 BM25 scores) —
+        either an int, or the corpus DataFrame itself, in which case
+        its count is folded into the same Spark job as a broadcast
+        1-row aggregate instead of a separate eager .count() action
     """
+    if isinstance(num_docs, DataFrame):
+        ndocs = num_docs.agg(F.count("*").alias("_n_docs"))
+        num_docs_col = F.col("_n_docs")
+    else:
+        ndocs = None
+        num_docs_col = F.lit(num_docs)
     v = vec_hits.select(F.col(id_col), F.col("score").alias("vec_score"))
     bt = bm25_top.select(id_col)
 
@@ -75,8 +84,11 @@ def hybrid_rerank(
         F.min("bm25_score").alias("bmin_m"),
         F.max("bm25_score").alias("bmax_m"),
         F.count("*").alias("matched"),
-    ).select(
-        F.when(F.col("matched") < F.lit(num_docs), F.least(F.col("bmin_m"), F.lit(0.0)))
+    )
+    if ndocs is not None:
+        bstats = bstats.crossJoin(F.broadcast(ndocs))
+    bstats = bstats.select(
+        F.when(F.col("matched") < num_docs_col, F.least(F.col("bmin_m"), F.lit(0.0)))
         .otherwise(F.col("bmin_m"))
         .alias("bmin"),
         F.coalesce(F.greatest(F.col("bmax_m"), F.lit(0.0)), F.lit(0.0)).alias("bmax"),
