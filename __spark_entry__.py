@@ -33,7 +33,7 @@ from leann_rs_spark.operators.dedup import (
     duckdb_minhash_near_dups,
     duckdb_ngram_jaccard_pairs,
     duckdb_simhash_near_dups,
-    embedding_near_dups,
+    embedding_near_dups_blocked,
     exact_dedup,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -394,14 +394,16 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed → exact cosine near-dup pairs: the planted text near-dups
-    re-surface as cos ≥ 0.97 embedding pairs. Expression variant; the
-    bit-identical block-matmul form (embedding_near_dups_blocked) wins
-    only when N²·dims outgrows the per-pair row overhead — measured
-    crossover is above this sf (tests pin bit-equality of the two)."""
+    re-surface as cos ≥ 0.97 embedding pairs. Block-matmul physical
+    variant: bit-identical to the expression form (tests pin equality —
+    the numpy kernel folds dims sequentially in float64, the same order
+    as aggregate(zip_with) and the DuckDB oracle) but the O(N²) pair
+    scoring runs as a vectorized matrix product per block pair instead
+    of an interpreted per-pair expression tree."""
     emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id")
-    out = embedding_near_dups(
+    out = embedding_near_dups_blocked(
         emb, id_col="doc_id", vec_col="embedding", threshold=_EMBCOS_TAU,
-        assume_normalized=True,
+        block=512,
     )
     return out.select(
         "id_a", "id_b", F.round("cos", 6).alias("cos_r")
