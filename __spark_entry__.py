@@ -61,8 +61,10 @@ from leann_rs_spark.functions.textstats import (
 )
 from leann_rs_spark.operators.ann import (
     duckdb_ivf_search,
+    duckdb_lsh_near_dups,
     ivf_assign,
     ivf_search,
+    lsh_near_dups,
     take_centroids,
 )
 from leann_rs_spark.operators.chunker import chunk_documents
@@ -461,6 +463,49 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+_LSH_PLANES = 16
+_LSH_BANDS = 4
+
+
+def x_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs — the sub-quadratic scale path for
+    embedding cosine dedup (candidates from a (band, sign-bits)
+    equi-join, exact verify). Deterministic hyperplanes → the oracle
+    reproduces the exact candidate set and scores."""
+    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id")
+    out = lsh_near_dups(
+        emb.select("doc_id", "embedding"),
+        dims=_EMBED_DIMS,
+        id_col="doc_id",
+        threshold=_EMBCOS_TAU,
+        planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        assume_normalized=True,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
+def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics for pipeline monitoring: per-language doc
+    counts, distinct sources, token totals, length moments — the
+    one-shuffle groupBy every 100 TB ingest job runs first."""
+    docs = _fan(_docs(spark, sf_dir))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars_r"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -680,6 +725,36 @@ def _register_session_oracle() -> None:
 _register_session_oracle()
 
 
+def _register_lsh_corpus_oracles() -> None:
+    emb_tbl = duckdb_embed_table("documents", dims=_EMBED_DIMS)
+    lsh = duckdb_lsh_near_dups(
+        emb_tbl,
+        dims=_EMBED_DIMS,
+        id_col="doc_id",
+        threshold=_EMBCOS_TAU,
+        planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        assume_normalized=True,
+    )
+    _ORACLES["x_ann_lsh_near_dups"] = f"""
+        SELECT id_a, id_b, round(cos, 6) AS cos_r FROM ({lsh})
+        ORDER BY id_a, id_b
+    """
+    _ORACLES["x_corpus_stats"] = f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               sum({duckdb_token_count('text')})::bigint AS total_tokens,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               round(avg(n_chars::double), 6) AS avg_chars_r
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+_register_lsh_corpus_oracles()
+
+
 def _register_text_oracles() -> None:
     _ORACLES["x_multimodal_features"] = (
         duckdb_media_features() + " ORDER BY media_id"
@@ -752,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_langid": x_text_langid,
         "x_text_fingerprint": x_text_fingerprint,
         "x_sessionize": x_sessionize,
+        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
+        "x_corpus_stats": x_corpus_stats,
     }
 
 

@@ -290,3 +290,55 @@ def duckdb_ivf_search(
         ORDER BY score DESC, a.{id_col} ASC
         LIMIT {k}
     """
+
+
+def duckdb_lsh_near_dups(
+    emb_sql: str,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    assume_normalized: bool = False,
+) -> str:
+    """Oracle twin of `lsh_near_dups` — identical hyperplanes (the md5
+    family is engine-independent), identical sign bits, identical
+    banding and exact verification, so the candidate SET and the scores
+    match bit-for-bit. `emb_sql` is a complete SELECT producing
+    (id_col, vec_col)."""
+    hp = _hyperplanes(planes, dims)
+    width = planes // bands
+
+    def bit(p: int) -> str:
+        lit = "[" + ", ".join(f"{x!r}::double" for x in hp[p]) + "]"
+        return f"(case when {duckdb_dot(vec_col, lit)} > 0 then '1' else '0' end)"
+
+    band_cols = ", ".join(
+        "(" + " || ".join(bit(b * width + w) for w in range(width)) + f") AS bb{b}"
+        for b in range(bands)
+    )
+    band_case = (
+        "case t.band "
+        + " ".join(f"when {b} then bb{b}" for b in range(bands))
+        + " end"
+    )
+    from leann_rs_spark.functions.vector import duckdb_cosine
+
+    cos = (
+        duckdb_dot("a.v", "b.v")
+        if assume_normalized
+        else duckdb_cosine("a.v", "b.v")
+    )
+    return f"""
+        WITH emb AS ({emb_sql}),
+        sk AS (SELECT {id_col} AS id, {vec_col} AS v, {band_cols} FROM emb),
+        banded AS (
+            SELECT id, v, t.band, {band_case} AS bb
+            FROM sk, unnest(generate_series(0, {bands - 1})) t(band)
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, {cos} AS cos
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bb = b.bb
+        WHERE a.id < b.id AND {cos} >= {threshold}
+    """
+
