@@ -463,7 +463,7 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
-_LSH_PLANES = 16
+_LSH_PLANES = 32
 _LSH_BANDS = 4
 
 

@@ -206,9 +206,12 @@ def lsh_near_dups(
     sk = emb.select(F.col(id_col), vec.alias("__v"), bits.alias("__bits"))
     if cache:
         sk = sk.persist()
+    # banded carries ONLY (id, band, bucket-bits): vectors re-attach to
+    # the DEDUPED candidate pairs, so the (band, bb) shuffle moves id
+    # width — not `bands` copies of every vector — and each surviving
+    # pair is scored exactly once.
     banded = sk.select(
         id_col,
-        "__v",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -224,25 +227,28 @@ def lsh_near_dups(
                 ),
             )
         ).alias("e"),
-    ).select(id_col, "__v", F.col("e.band"), F.col("e.bb"))
-    a = banded.select(
-        "band", "bb", F.col(id_col).alias("id_a"), F.col("__v").alias("va")
+    ).select(id_col, F.col("e.band"), F.col("e.bb"))
+    a = banded.select("band", "bb", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bb", F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    b = banded.select(
-        "band", "bb", F.col(id_col).alias("id_b"), F.col("__v").alias("vb")
-    )
+    va = sk.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    vb = sk.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
     score = (
         dot(F.col("va"), F.col("vb"))
         if assume_normalized
         else cosine(F.col("va"), F.col("vb"))
     )
     return (
-        a.join(b, ["band", "bb"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", score)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
