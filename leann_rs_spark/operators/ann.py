@@ -185,6 +185,17 @@ def lsh_near_dups(
     whole band with high probability; tests pin the measured recall
     against the exact operator). Use dedup.embedding_near_dups when the
     corpus is small enough to cross-join exactly.
+
+    Verification (`assume_normalized=True`): per-BUCKET numpy kernel —
+    each (band, bits) bucket's vectors are gathered once (shuffle =
+    `bands` copies of the vector table, NOT per-pair rows) and every
+    in-bucket pair is scored by a float64 matrix product folded
+    sequentially over dims, the same left-fold order as
+    aggregate(zip_with) and the DuckDB oracle, so scores are
+    bit-identical to the expression form. Clustered corpora make bucket
+    collisions quadratic-in-the-bucket; the kernel makes that constant
+    tiny (vectorized), and a mega-bucket is bounded by the band width —
+    add planes when real data clusters harder.
     """
     from leann_rs_spark.functions.vector import cosine
 
@@ -206,6 +217,7 @@ def lsh_near_dups(
     sk = emb.select(F.col(id_col), vec.alias("__v"), bits.alias("__bits"))
     if cache:
         sk = sk.persist()
+        sk.count()  # materialize before the banded self-join races
     # banded carries ONLY (id, band, bucket-bits): vectors re-attach to
     # the DEDUPED candidate pairs, so the (band, bb) shuffle moves id
     # width — not `bands` copies of every vector — and each surviving
@@ -228,6 +240,52 @@ def lsh_near_dups(
             )
         ).alias("e"),
     ).select(id_col, F.col("e.band"), F.col("e.bb"))
+    if assume_normalized:
+        # bucket-kernel verify: gather each bucket's (id, vector) rows,
+        # score all in-bucket pairs with the sequential-fold numpy
+        # kernel, dedup surviving pairs across bands.
+        import numpy as np
+        import pandas as pd
+
+        rows = banded.join(sk.select(F.col(id_col), F.col("__v")), id_col)
+        buckets = (
+            rows.groupBy("band", "bb")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("__v").alias("v"))
+                ).alias("rows")
+            )
+            .filter(F.size("rows") >= 2)
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                out_a, out_b, out_c = [], [], []
+                for _, r in pdf.iterrows():
+                    rs = r["rows"]
+                    ids = np.array([x["id"] for x in rs], dtype=np.int64)
+                    A = np.array([x["v"] for x in rs], dtype=np.float64)
+                    acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+                    for d in range(A.shape[1]):  # sequential fold over dims
+                        acc += A[:, d, None] * A[None, :, d]
+                    mask = (acc >= threshold) & (ids[:, None] < ids[None, :])
+                    ii, jj = np.nonzero(mask)
+                    out_a.append(ids[ii])
+                    out_b.append(ids[jj])
+                    out_c.append(acc[ii, jj])
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "cos": np.concatenate(out_c),
+                        }
+                    )
+
+        return buckets.mapInPandas(
+            kernel, "id_a long, id_b long, cos double"
+        ).dropDuplicates(["id_a", "id_b"])
+
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"))
     b = banded.select("band", "bb", F.col(id_col).alias("id_b"))
     pairs = (
@@ -238,11 +296,7 @@ def lsh_near_dups(
     )
     va = sk.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
     vb = sk.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
-    score = (
-        dot(F.col("va"), F.col("vb"))
-        if assume_normalized
-        else cosine(F.col("va"), F.col("vb"))
-    )
+    score = cosine(F.col("va"), F.col("vb"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")

@@ -216,7 +216,11 @@ def minhash_near_dups(
     rows = num_hashes // bands
     sigs = _minhash_signatures_bulk(docs, id_col, text_col, shingle_k, num_hashes)
     if cache:
+        # persist AND materialize: the banded self-join launches both
+        # map stages concurrently, and an unmaterialized cache would be
+        # computed twice (the stages race before blocks exist).
         sigs = sigs.persist()
+        sigs.count()
     # banded carries ONLY (id, band, bucket): the band explode duplicates
     # every row `bands`×, and the (band, bucket) shuffle moves each copy —
     # keeping the shingle arrays out of it cuts the shuffled bytes to the
@@ -473,9 +477,10 @@ def simhash_near_dups(
         F.col(id_col), simhash_bits(F.col(text_col), bits).alias("sh")
     )
     if cache:
-        # both self-join sides read the sketch table; persist or the
-        # per-token hashing runs twice over the corpus.
+        # both self-join sides read the sketch table; persist AND
+        # materialize, or the racing join map stages hash twice.
         sh = sh.persist()
+        sh.count()
     banded = sh.select(
         F.col(id_col),
         F.col("sh"),
@@ -590,6 +595,7 @@ def embedding_near_dups(
     `emb` is itself a computed embedding (it would be computed twice)."""
     if cache:
         emb = emb.persist()
+        emb.count()  # materialize before the self-join races (see above)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     score = (
@@ -643,7 +649,8 @@ def embedding_near_dups_blocked(
     blocks = emb.groupBy(bid.alias("bid")).agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("rows")
-    )
+    ).persist()
+    blocks.count()  # materialize before the self-join races
     pairs = (
         blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
         .join(

@@ -36,7 +36,14 @@ def get_spark(
         # recompiles of warm plans. Static conf — set before start.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs all N task threads in the driver JVM: size the
+        # heap for that (the box has 128 GiB) or full-GC pauses show up
+        # as multi-second per-query spikes.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseG1GC -XX:MaxGCPauseMillis=100",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
