@@ -76,7 +76,9 @@ from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
 from leann_rs_spark.operators.multimodal import (
     decode_media,
     duckdb_media_features,
+    frame_sample,
     media_from_documents,
+    resize_plan,
 )
 from leann_rs_spark.operators.rag import (
     duckdb_prompt,
@@ -419,6 +421,23 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).orderBy("media_id")
 
 
+def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over decoded (fake-engine) metadata —
+    one row per sampled frame timestamp, every 1000 ms, capped at 32."""
+    media = media_from_documents(_fan(_docs(spark, sf_dir)))
+    return frame_sample(decode_media(media), every_ms=1000, max_frames=32).orderBy(
+        "media_id", "frame_index"
+    )
+
+
+def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize bookkeeping over decoded image dims."""
+    media = media_from_documents(_fan(_docs(spark, sf_dir)))
+    return resize_plan(decode_media(media), target_w=224, target_h=224).orderBy(
+        "media_id"
+    )
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and lexical ratios."""
     return _fan(_docs(spark, sf_dir)).select(
@@ -759,6 +778,28 @@ def _register_text_oracles() -> None:
     _ORACLES["x_multimodal_features"] = (
         duckdb_media_features() + " ORDER BY media_id"
     )
+    feats = duckdb_media_features()
+    _ORACLES["x_media_frame_sample"] = f"""
+        WITH f AS ({feats})
+        SELECT media_id, t.i::int AS frame_index,
+               (t.i * 1000)::bigint AS timestamp_ms
+        FROM f, unnest(generate_series(
+                 0, least((duration_ms // 1000)::int + 1, 32) - 1)) t(i)
+        WHERE modality = 'video'
+        ORDER BY media_id, frame_index
+    """
+    _ORACLES["x_media_resize"] = f"""
+        WITH f AS ({feats}),
+        s AS (
+            SELECT media_id, width, height,
+                   least(224.0 / width, 224.0 / height) AS scale
+            FROM f WHERE modality = 'image'
+        )
+        SELECT media_id, width, height,
+               greatest(floor(width * scale)::int, 1) AS out_w,
+               greatest(floor(height * scale)::int, 1) AS out_h
+        FROM s ORDER BY media_id
+    """
     _ORACLES["x_text_stats"] = f"""
         SELECT doc_id,
                {duckdb_token_count('text')} AS n_tokens,
@@ -829,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sessionize": x_sessionize,
         "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
         "x_corpus_stats": x_corpus_stats,
+        "x_media_frame_sample": x_media_frame_sample,
+        "x_media_resize": x_media_resize,
     }
 
 

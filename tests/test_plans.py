@@ -142,3 +142,36 @@ def test_minhash_band_join_shuffles_ids_only(spark):
     dedup_pos = opt.find("Aggregate")
     assert dedup_pos != -1
     assert "band" in opt
+
+
+def test_bulk_embedding_is_single_shuffle_hash_agg(spark):
+    """embed_documents(id_col=...) must be one Exchange (the groupBy on
+    the id) fed by a codegen'd projection of the unrolled weight sums —
+    no interpreted HOF lambdas (LambdaFunction) anywhere in the plan,
+    except in the final dims-sized normalize step."""
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = embed_documents(
+        docs.select("doc_id", "text"), dims=8, id_col="doc_id"
+    ).select("doc_id", "embedding")  # the hot path prunes to (id, vec)
+    plan = plan_of(out)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert tree.count("HashAggregate") == 2, plan  # partial + final
+    # retaining non-key columns through the aggregation is the slow
+    # path (string-buffered first() falls back to SortAggregate) — the
+    # scalar expression form is the right tool there
+
+
+def test_bulk_minhash_sigs_single_shuffle(spark):
+    """_minhash_signatures_bulk: exploded shingles + unrolled min
+    aggregates → exactly one Exchange, map-side partial agg."""
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = _minhash_signatures_bulk(docs.select("doc_id", "text"))
+    plan = plan_of(out)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert tree.count("HashAggregate") == 2, plan  # partial + final
