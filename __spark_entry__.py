@@ -280,6 +280,24 @@ def t5_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t6_prompt_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: asymmetric prompt-template prefixing (document prefix changes
+    the embedding; src/embedding/mod.rs:126-143 registry analog) through
+    the bulk embedding path."""
+    emb = embed_documents(
+        _fan(_docs(spark, sf_dir)),
+        dims=_EMBED_DIMS,
+        prompt_template="passage: ",
+        id_col="doc_id",
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "doc_id", "dim",
+        (F.round(F.col("v"), 6) + F.lit(0.0)).alias("val"),
+    )
+
+
 def t1_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4: sliding-window chunking + scalable dense passage ids.
     No SQL oracle (procedural chunk-boundary loop) → driver records the
@@ -652,6 +670,13 @@ def _register_dedup_oracles() -> None:
         SELECT doc_id, i - 1 AS dim, round(embedding[i], 6) + 0.0 AS val
         FROM ({emb_tbl}) e, unnest(generate_series(1, {_EMBED_DIMS})) t(i)
     """
+    emb_prompt = duckdb_embed_table(
+        "documents", dims=_EMBED_DIMS, prompt_template="passage: "
+    )
+    _ORACLES["t6_prompt_embed"] = f"""
+        SELECT doc_id, i - 1 AS dim, round(embedding[i], 6) + 0.0 AS val
+        FROM ({emb_prompt}) e, unnest(generate_series(1, {_EMBED_DIMS})) t(i)
+    """
     _ORACLES["x_dedup_exact"] = duckdb_exact_dedup()
     _ORACLES["x_dedup_minhash"] = f"""
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
@@ -857,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
         "t5_hash_embed": t5_hash_embed,
+        "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
