@@ -354,8 +354,10 @@ def ngram_jaccard_pairs(
     ).filter(F.size("gs") > 0)
     if cache:
         # three consumers: sizes (joined twice) and the inverted index
-        # (self-joined) — persist or the n-gram build runs 4×.
+        # (self-joined) — persist AND materialize, or the racing
+        # consumers rebuild the n-gram arrays up to 4×.
         grams = grams.persist()
+        grams.count()
     sizes = grams.select("id", F.size("gs").alias("n_grams"))
     inv = grams.select("id", F.explode("gs").alias("g"))
     if max_ngram_df is not None:
@@ -363,6 +365,7 @@ def ngram_jaccard_pairs(
         inv = inv.join(keep.select("g"), "g")
     if cache:
         inv = inv.persist()
+        inv.count()  # materialize before the inverted-index self-join races
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), "g")
