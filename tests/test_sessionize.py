@@ -69,3 +69,67 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     n_users = events.select("user_id").distinct().count()
     assert len(got) >= len(want) - n_users
     assert len(got) > 0
+
+
+def test_batch_sessionize_property(spark):
+    """Property check vs a pure-Python gaps-and-islands reference over
+    deterministic generated event sets (dense bursts, exact-gap edges,
+    many/few users)."""
+    import datetime as dt
+
+    gap_s = 1800.0
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # deterministic pseudo-random offsets from a simple LCG
+    seed = 12345
+
+    def nxt():
+        nonlocal seed
+        seed = (seed * 1103515245 + 12345) % (2**31)
+        return seed
+
+    for user in range(7):
+        t = 0.0
+        for _ in range(40):
+            step = [1.0, 10.0, 1799.999, 1800.0, 1800.001, 9000.0][nxt() % 6]
+            t += step
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(seconds=t), user, "e",
+                 float(nxt() % 100), "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    got = sessionize_events(ev, gap=GAP).toPandas()
+
+    # python reference: sort per user, strict > gap splits
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r[2]].append(r)
+    want = []
+    for user, evs in by_user.items():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        cur = None
+        for r in evs:
+            if cur is None or (r[1] - cur["end"]).total_seconds() > gap_s:
+                if cur is not None:
+                    want.append(cur)
+                cur = {"user": user, "start": r[1], "end": r[1],
+                       "n": 1, "s": r[4]}
+            else:
+                cur["end"] = r[1]
+                cur["n"] += 1
+                cur["s"] += r[4]
+        if cur is not None:
+            want.append(cur)
+    want_t = sorted(
+        (w["user"], w["start"], w["end"], w["n"], round(w["s"], 6))
+        for w in want
+    )
+    assert _norm(got) == want_t
