@@ -378,3 +378,76 @@ def search_index(
         .select("idx", "score", "doc_id", "source", "text")
         .orderBy(F.col("score").desc(), F.col("idx").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (S10/S11 physical-approximation artifact, made
+# Spark-native): the ANN "graph build" becomes a partitionBy write.
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    n_centroids: int = 16,
+) -> IndexMeta:
+    """Cluster the index's embeddings and persist them PARTITIONED BY
+    cluster_id — the Spark counterpart of the reference's graph-index
+    build (src/backend/hnsw.rs:96-139): instead of a pointer-chasing
+    artifact, the locality structure is file layout. A probe query's
+    `cluster_id IN (...)` predicate becomes static partition pruning,
+    so the scan reads nprobe/n_centroids of the files — at 100 TB the
+    difference between scanning everything and scanning a shard list.
+
+    Layout: <base>/ivf/cluster_id=<c>/*.parquet + <base>/ivf_centroids/.
+    """
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    emb = spark.read.parquet(f"{base}/embeddings")
+    cents = take_centroids(emb, n_centroids, id_col="idx")
+    assigned = ivf_assign(emb, cents, id_col="idx")
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{base}/ivf"
+    )
+    cents.write.mode("overwrite").parquet(f"{base}/ivf_centroids")
+    meta.backend = "ivf"
+    meta.extra["ivf_centroids"] = n_centroids
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    query: str,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe-pruned search over the persisted IVF layout: rank centroids
+    for the query on the driver (n_centroids rows), then exact top-k
+    over only the probed clusters' files (partition pruning does the
+    seek a graph traversal would). Returns (idx, score, doc_id, source,
+    text) like search_index."""
+    from leann_rs_spark.operators.ann import ivf_search
+    from leann_rs_spark.operators.embedder import py_hash_embedding
+
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    if meta.backend != "ivf":
+        raise ValueError(f"index {name!r} has no IVF layout (backend={meta.backend})")
+    qv = py_hash_embedding(
+        (meta.query_prompt_template or "") + query, meta.dimensions
+    )
+    assigned = spark.read.parquet(f"{base}/ivf")
+    cents = spark.read.parquet(f"{base}/ivf_centroids")
+    hits = ivf_search(assigned, cents, qv, k=k, nprobe=nprobe, id_col="idx")
+    passages = spark.read.parquet(f"{base}/passages")
+    return (
+        F.broadcast(hits)
+        .join(passages, "idx")
+        .select("idx", "score", "doc_id", "source", "text")
+        .orderBy(F.col("score").desc(), F.col("idx").asc())
+    )

@@ -198,3 +198,54 @@ def test_hybrid_bucket_pruning_results_and_plan(spark, warehouse, built):
         pruned_postings.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "term_bucket" in plan
+
+
+@pytest.fixture(scope="module")
+def ivf_built(spark, docs, warehouse):
+    catalog.build_index(
+        spark, warehouse, "ivfidx", docs, chunk_size=16, chunk_overlap=4, dims=32
+    )
+    return catalog.build_ivf_index(spark, warehouse, "ivfidx", n_centroids=4)
+
+
+def test_ivf_index_build_and_search(spark, warehouse, ivf_built):
+    meta = ivf_built
+    assert meta.backend == "ivf"
+    import os
+
+    parts = os.listdir(f"{warehouse}/ivfidx/ivf")
+    assert any(p.startswith("cluster_id=") for p in parts)
+
+    # nprobe == n_centroids degrades to exact search → same results as
+    # the exact read path
+    exact = catalog.search_index(
+        spark, warehouse, "ivfidx", "alpha beta gamma", k=5, hybrid=False
+    ).select("idx", "score").collect()
+    ivf = catalog.search_ivf_index(
+        spark, warehouse, "ivfidx", "alpha beta gamma", k=5, nprobe=4
+    ).select("idx", "score").collect()
+    assert [(r["idx"], r["score"]) for r in ivf] == [
+        (r["idx"], r["score"]) for r in exact
+    ]
+
+
+def test_ivf_search_prunes_partitions(spark, warehouse, ivf_built):
+    from leann_rs_spark.operators.ann import ivf_search
+    from leann_rs_spark.operators.embedder import py_hash_embedding
+
+    qv = py_hash_embedding("alpha beta gamma", 32)
+    assigned = spark.read.parquet(f"{warehouse}/ivfidx/ivf")
+    cents = spark.read.parquet(f"{warehouse}/ivfidx/ivf_centroids")
+    hits = ivf_search(assigned, cents, qv, k=5, nprobe=1, id_col="idx")
+    plan = hits._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the cluster_id IN (...) predicate must reach PartitionFilters of
+    # the ivf scan — file-level pruning, the IVF "seek"
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cluster_id[^\]]*\]", plan)
+    assert m, plan
