@@ -55,6 +55,14 @@ def cmd_build(args) -> int:
         chunk_overlap=cfg["chunk_overlap"],
         dims=args.dims,
     )
+    if args.backend == "ivf":
+        # reference `--backend hnsw|diskann` analog (src/cli/build.rs):
+        # the ANN artifact here is the cluster-partitioned parquet layout
+        from leann_rs_spark.catalog import build_ivf_index
+
+        meta = build_ivf_index(
+            spark, args.warehouse, args.name, n_centroids=args.ivf_centroids
+        )
     print(f"Built index '{args.name}': {meta.passage_count} passages")
     return 0
 
@@ -69,9 +77,25 @@ def cmd_update(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from leann_rs_spark.catalog import search_index
+    from leann_rs_spark.catalog import load_meta, search_index, search_ivf_index
 
     spark = _spark(args)
+    from leann_rs_spark.operators.hybrid import use_hybrid
+
+    meta = load_meta(args.warehouse, args.name)
+    wants_hybrid = use_hybrid(args.query, hybrid=args.hybrid, auto_hybrid=True)
+    if meta.backend == "ivf" and not args.exact and not args.filter and not wants_hybrid:
+        rows = search_ivf_index(
+            spark, args.warehouse, args.name, args.query,
+            k=args.top_k, nprobe=args.nprobe,
+        ).collect()
+        if args.json:
+            print(json.dumps([r.asDict() for r in rows], default=str))
+        else:
+            for i, r in enumerate(rows):
+                print(f"[{i + 1}] score={r['score']:.4f} {r['source']}")
+                print(f"    {r['text'][:200]}")
+        return 0
     rows = search_index(
         spark,
         args.warehouse,
@@ -213,6 +237,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--chunking-strategy", default="auto",
                    choices=["auto", "simple", "ast"], dest="chunking_strategy")
     b.add_argument("--dims", type=int, default=64)
+    b.add_argument("--backend", default="exact", choices=["exact", "ivf"])
+    b.add_argument("--ivf-centroids", type=int, default=16, dest="ivf_centroids")
     b.add_argument("--config", default=None)
     b.set_defaults(fn=cmd_build)
 
@@ -227,6 +253,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hybrid", action="store_true")
     s.add_argument("--hybrid-alpha", type=float, default=0.7, dest="hybrid_alpha")
     s.add_argument("--json", action="store_true")
+    s.add_argument("--exact", action="store_true",
+                   help="force the exact path even on an ivf-backed index")
+    s.add_argument("--nprobe", type=int, default=4)
     s.set_defaults(fn=cmd_search)
 
     a = sub.add_parser("ask", help="Ask questions using RAG")

@@ -92,3 +92,31 @@ def test_cli_config(tmp_path, capsys):
     assert 'provider = "ollama"' in capsys.readouterr().out
     assert main(["config", "path", "--config", cfg]) == 0
     assert cfg in capsys.readouterr().out
+
+
+def test_cli_ivf_backend_build_and_search(spark, tmp_path_factory, capsys):
+    wh = str(tmp_path_factory.mktemp("cli_ivf_wh"))
+    rc = main([
+        "build", "ivfx", "--warehouse", wh,
+        "--docs", f"{SF_SMOKE}/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+        "--backend", "ivf", "--ivf-centroids", "4",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    # nprobe=4 == n_centroids → identical to the exact path
+    rc = main([
+        "search", "ivfx", "some document text fragment", "--warehouse", wh,
+        "--top-k", "3", "--json", "--nprobe", "4",
+    ])
+    assert rc == 0
+    ivf_rows = json.loads(capsys.readouterr().out)
+    rc = main([
+        "search", "ivfx", "some document text fragment", "--warehouse", wh,
+        "--top-k", "3", "--json", "--exact",
+    ])
+    assert rc == 0
+    exact_rows = json.loads(capsys.readouterr().out)
+    assert [(r["idx"], r["score"]) for r in ivf_rows] == [
+        (r["idx"], r["score"]) for r in exact_rows
+    ]
