@@ -66,30 +66,32 @@ def main() -> None:
     # reference's own bench methodology): each run is a full cold
     # execution — plan, scan, shuffle, top-k — and the min filters the
     # multi-second noise spikes a shared host injects at random.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
-        best, n = None, None
-        try:
-            for _ in range(reps):
-                t0 = time.perf_counter()
+        best, n, err = None, None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-                # Queries persist their fan-in DataFrames (signatures,
-                # postings); dropping them between runs keeps each
-                # measurement isolated and fully cold.
-                spark.catalog.clearCache()
+            except Exception as exc:  # keep benching the rest
+                err = f"{type(exc).__name__}: {exc}"
+            # Queries persist their fan-in DataFrames (signatures,
+            # postings); dropping them between runs keeps each
+            # measurement isolated and fully cold.
+            spark.catalog.clearCache()
+        if best is not None:  # any successful rep counts
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:  # keep benching the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"
+        else:
+            failures[name] = err or "no successful repetition"
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
-            spark.catalog.clearCache()
 
     out = {
         "metric": "sum of per-query wall-clock over the engine query suite",

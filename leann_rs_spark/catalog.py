@@ -58,7 +58,7 @@ class IndexMeta:
     version: str = META_VERSION
     backend: str = "exact"  # reference: hnsw|diskann; ours: exact|ivf
     embedding_mode: str = "hash"  # reference: openai|ollama|... (meta.rs:17)
-    embedding_model: str = "hash-v1"
+    embedding_model: str = "hash-v2"  # v2 = exact-integer weight sums (embedder.py)
     dimensions: int = 64
     passage_count: int = 0
     is_pruned: bool = False
@@ -209,6 +209,15 @@ def append_to_index(
 
     meta.passage_count += added
     save_meta(warehouse, name, meta)
+    if meta.backend == "ivf" and not meta.is_pruned:
+        # keep the ANN artifact coherent with the appended rows — the
+        # IVF layout is a derived table, so re-derive it (the reference
+        # has the same obligation, src/backend/hnsw.rs:142-191 add path;
+        # DiskANN simply refuses updates, src/backend/mod.rs:81-100)
+        meta = build_ivf_index(
+            spark, warehouse, name,
+            n_centroids=int(meta.extra.get("ivf_centroids", 16)),
+        )
     return meta
 
 
@@ -271,6 +280,16 @@ def prune_index(warehouse: str, name: str) -> IndexMeta:
     if os.path.isdir(emb_dir):
         shutil.rmtree(emb_dir)
     meta.is_pruned = True
+    # the IVF layout embeds its own vector copies; dropping the source
+    # embeddings means it can no longer be rebuilt (or appended to), so
+    # drop it too and fall back to the exact/recompute read path
+    ivf_dir = os.path.join(_index_dir(warehouse, name), "ivf")
+    if os.path.isdir(ivf_dir):
+        shutil.rmtree(ivf_dir)
+        cdir = os.path.join(_index_dir(warehouse, name), "ivf_centroids")
+        if os.path.isdir(cdir):
+            shutil.rmtree(cdir)
+        meta.backend = "exact"
     save_meta(warehouse, name, meta)
     return meta
 
@@ -438,9 +457,13 @@ def search_ivf_index(
     meta = load_meta(warehouse, name)
     if meta.backend != "ivf":
         raise ValueError(f"index {name!r} has no IVF layout (backend={meta.backend})")
-    qv = py_hash_embedding(
-        (meta.query_prompt_template or "") + query, meta.dimensions
-    )
+    qtext = (
+        meta.query_prompt_template.replace("{}", query)
+        if meta.query_prompt_template
+        else query
+    )  # same substitution as search_index — both paths must embed the
+    # identical query vector for a given index
+    qv = py_hash_embedding(qtext, meta.dimensions)
     assigned = spark.read.parquet(f"{base}/ivf")
     cents = spark.read.parquet(f"{base}/ivf_centroids")
     hits = ivf_search(assigned, cents, qv, k=k, nprobe=nprobe, id_col="idx")

@@ -89,23 +89,17 @@ def cmd_search(args) -> int:
             spark, args.warehouse, args.name, args.query,
             k=args.top_k, nprobe=args.nprobe,
         ).collect()
-        if args.json:
-            print(json.dumps([r.asDict() for r in rows], default=str))
-        else:
-            for i, r in enumerate(rows):
-                print(f"[{i + 1}] score={r['score']:.4f} {r['source']}")
-                print(f"    {r['text'][:200]}")
-        return 0
-    rows = search_index(
-        spark,
-        args.warehouse,
-        args.name,
-        args.query,
-        k=args.top_k,
-        filter_str=args.filter,
-        hybrid=True if args.hybrid else None,  # None → auto-hybrid gate
-        hybrid_alpha=args.hybrid_alpha,
-    ).collect()
+    else:
+        rows = search_index(
+            spark,
+            args.warehouse,
+            args.name,
+            args.query,
+            k=args.top_k,
+            filter_str=args.filter,
+            hybrid=True if args.hybrid else None,  # None → auto-hybrid gate
+            hybrid_alpha=args.hybrid_alpha,
+        ).collect()
     if args.json:
         print(json.dumps([r.asDict() for r in rows], default=str))
     else:

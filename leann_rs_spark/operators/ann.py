@@ -243,10 +243,13 @@ def lsh_near_dups(
     if assume_normalized:
         # bucket-kernel verify: gather each bucket's (id, vector) rows,
         # score all in-bucket pairs with the sequential-fold numpy
-        # kernel, dedup surviving pairs across bands.
+        # kernel, dedup surviving pairs across bands. Works for any
+        # orderable id type — ids stay Python values; only scores are
+        # vectorized.
         import numpy as np
         import pandas as pd
 
+        id_dt = dict(emb.dtypes)[id_col]
         rows = banded.join(sk.select(F.col(id_col), F.col("__v")), id_col)
         buckets = (
             rows.groupBy("band", "bb")
@@ -263,27 +266,24 @@ def lsh_near_dups(
                 out_a, out_b, out_c = [], [], []
                 for _, r in pdf.iterrows():
                     rs = r["rows"]
-                    ids = np.array([x["id"] for x in rs], dtype=np.int64)
+                    ids = [x["id"] for x in rs]
                     A = np.array([x["v"] for x in rs], dtype=np.float64)
                     acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
                     for d in range(A.shape[1]):  # sequential fold over dims
                         acc += A[:, d, None] * A[None, :, d]
-                    mask = (acc >= threshold) & (ids[:, None] < ids[None, :])
-                    ii, jj = np.nonzero(mask)
-                    out_a.append(ids[ii])
-                    out_b.append(ids[jj])
-                    out_c.append(acc[ii, jj])
+                    ii, jj = np.nonzero(acc >= threshold)
+                    for i, j in zip(ii, jj):  # few threshold-passing pairs
+                        if ids[i] < ids[j]:
+                            out_a.append(ids[i])
+                            out_b.append(ids[j])
+                            out_c.append(acc[i, j])
                 if out_a:
                     yield pd.DataFrame(
-                        {
-                            "id_a": np.concatenate(out_a),
-                            "id_b": np.concatenate(out_b),
-                            "cos": np.concatenate(out_c),
-                        }
+                        {"id_a": out_a, "id_b": out_b, "cos": out_c}
                     )
 
         return buckets.mapInPandas(
-            kernel, "id_a long, id_b long, cos double"
+            kernel, f"id_a {id_dt}, id_b {id_dt}, cos double"
         ).dropDuplicates(["id_a", "id_b"])
 
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"))

@@ -23,20 +23,29 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def _events_ts_unit(sf_dir: str) -> str:
-    """Footer sniff (driver-side, one small metadata read): 'us' or 'ns'."""
+def _events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
+    """Footer sniff (driver-side, one small metadata read): 'us' or 'ns'.
+    Without pyarrow, fall back to letting Spark infer the schema — a
+    NANOS column shows up as LongType-rejected/absent TimestampType,
+    which the except path maps to 'ns' (the pre-sniff behavior)."""
     try:
         import pyarrow.parquet as pq
 
         schema = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
         return schema.field("ts").type.unit
     except Exception:
-        return "us"
+        try:
+            dt = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)[
+                "ts"
+            ]
+            return "us" if "timestamp" in dt else "ns"
+        except Exception:
+            return "ns"
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as a proper TIMESTAMP (micros) + ts_ns raw nanos."""
-    if _events_ts_unit(sf_dir) == "ns":
+    if _events_ts_unit(spark, sf_dir) == "ns":
         raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
             f"{sf_dir}/events.parquet"
         )

@@ -51,14 +51,15 @@ def sessionize_events(
 ) -> DataFrame:
     """Batch gaps-and-islands: (user_id, session_start, session_end,
     n_events, sum_value), one row per session."""
-    gap_s = _gap_seconds(gap)
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    # NTZ-safe epoch micros (TIMESTAMP_NTZ has no direct double cast);
-    # the NTZ→LTZ cast offset cancels in the delta.
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev_us = F.lag(ts_us).over(w)
+    # Timestamp subtraction yields a DayTimeInterval — exact and
+    # independent of the session time zone for both TIMESTAMP and
+    # TIMESTAMP_NTZ inputs (an epoch-cast would shift across DST
+    # transitions under a non-UTC session).
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_interval = F.expr(f"INTERVAL {gap}")
     new_session = F.when(
-        prev_us.isNull() | (ts_us - prev_us > int(gap_s * 1_000_000)),
+        prev.isNull() | (F.col(ts_col) - prev > gap_interval),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

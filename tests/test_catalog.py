@@ -249,3 +249,15 @@ def test_ivf_search_prunes_partitions(spark, warehouse, ivf_built):
 
     m = re.search(r"PartitionFilters: \[[^\]]*cluster_id[^\]]*\]", plan)
     assert m, plan
+
+
+def test_append_rebuilds_ivf_layout(spark, docs, warehouse, ivf_built):
+    more = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40))
+    )
+    before = spark.read.parquet(f"{warehouse}/ivfidx/ivf").count()
+    meta = catalog.append_to_index(spark, warehouse, "ivfidx", more)
+    assert meta.backend == "ivf"
+    after = spark.read.parquet(f"{warehouse}/ivfidx/ivf").count()
+    assert after == meta.passage_count > before
