@@ -85,6 +85,14 @@ from leann_rs_spark.operators.rag import (
     duckdb_simulated_generate,
     rag_batch,
 )
+from leann_rs_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    duckdb_deterministic_sample,
+    duckdb_shuffle_key,
+    duckdb_split_assign,
+    split_assign,
+)
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
 from leann_rs_spark.streaming.sessionize import duckdb_sessionize, sessionize_events
@@ -437,6 +445,30 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic-fake engine) → typed feature metadata."""
     media = media_from_documents(_fan(_docs(spark, sf_dir)))
     return decode_media(media).orderBy("media_id")
+
+
+def x_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-keyed Bernoulli sample (partitioning- and
+    run-independent, unlike df.sample) — projection+filter, no shuffle."""
+    return deterministic_sample(
+        _fan(_docs(spark, sf_dir)), 0.2, "doc_id"
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment by cumulative hash-slot ranges
+    (membership survives appends/dedup/repartition)."""
+    return split_assign(_fan(_docs(spark, sf_dir)), "doc_id").select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
+def x_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle: ORDER BY an md5-derived key —
+    a range-partitioned sort, the scalable 'shuffle the training data'."""
+    return deterministic_shuffle(_fan(_docs(spark, sf_dir)), "doc_id").select(
+        "doc_id", "shuffle_key"
+    )
 
 
 def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,6 +831,25 @@ def _register_lsh_corpus_oracles() -> None:
 _register_lsh_corpus_oracles()
 
 
+def _register_sampling_oracles() -> None:
+    _ORACLES["x_sample_det"] = f"""
+        SELECT doc_id, lang FROM (
+            {duckdb_deterministic_sample('documents', 'doc_id', 0.2)}
+        ) ORDER BY doc_id
+    """
+    _ORACLES["x_split_assign"] = f"""
+        SELECT doc_id, {duckdb_split_assign('doc_id')} AS split
+        FROM documents ORDER BY doc_id
+    """
+    _ORACLES["x_shuffle_det"] = f"""
+        SELECT doc_id, {duckdb_shuffle_key('doc_id')} AS shuffle_key
+        FROM documents ORDER BY shuffle_key, doc_id::varchar
+    """
+
+
+_register_sampling_oracles()
+
+
 def _register_text_oracles() -> None:
     _ORACLES["x_multimodal_features"] = (
         duckdb_media_features() + " ORDER BY media_id"
@@ -898,6 +949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
+        "x_sample_det": x_sample_det,
+        "x_split_assign": x_split_assign,
+        "x_shuffle_det": x_shuffle_det,
     }
 
 

@@ -1,0 +1,127 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines.
+
+Beyond-reference operators (SURVEY §2.5 — the reference has no sampling
+surface): every large-scale dataset build needs (a) rate-based
+subsampling, (b) stable train/val/test assignment, (c) a global
+reproducible shuffle. All three are expressed as pure column math over
+an md5-derived key, so they are:
+
+- deterministic: same input row → same decision, on any cluster, any
+  partitioning, any run (no RNG state, unlike df.sample's seed which is
+  partitioning-dependent);
+- cheap: a projection + filter — no shuffle for sample/split; the
+  shuffle operator is ONE global sort by the derived key (Spark's
+  range-partitioned sort — the standard shape for training-data
+  ordering at scale);
+- oracle-able: the identical md5 arithmetic runs in DuckDB
+  (functions/text.py hash64 parity, tools/parity_exp.py).
+
+The key construction namespaces with a salt so different pipeline
+stages (sample vs split vs shuffle) decorrelate: h = md5(salt || key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from leann_rs_spark.functions.text import duckdb_hash64, hash64
+
+# hash64 yields a uniform 60-bit value; bucket into 1e6 slots for
+# rate/weight resolution of 1e-6
+_SLOTS = 1_000_000
+
+
+def _slot(key: Column, salt: str) -> Column:
+    return hash64(F.concat(F.lit(salt + ":"), key.cast("string"))) % F.lit(_SLOTS)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key: Column | str, salt: str = "sample"
+) -> DataFrame:
+    """Keep rows whose hash slot falls below `rate` — a stable Bernoulli
+    sample keyed on `key` (same keys always co-selected, so reruns and
+    incremental loads agree)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return df.filter(_slot(key, salt) < F.lit(int(rate * _SLOTS)))
+
+
+def split_assign(
+    df: DataFrame,
+    key: Column | str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative weight ranges over
+    the hash slot — the standard stable train/val/test assignment
+    (membership survives appends, dedup, repartitioning)."""
+    key = F.col(key) if isinstance(key, str) else key
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    slot = _slot(key, salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = slot < F.lit(int(acc * _SLOTS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: Column | str, salt: str = "shuffle",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Attach a reproducible pseudo-random sort key and return the rows
+    globally ordered by it — the scalable form of 'shuffle the corpus':
+    Spark executes ORDER BY with a range-partitioned sort (sampled
+    boundaries, no single-task bottleneck), and downstream writers
+    preserve the order per output file."""
+    key = F.col(key) if isinstance(key, str) else key
+    sk = hash64(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return df.withColumn(out_col, sk).orderBy(out_col, key.cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def duckdb_slot(key_sql: str, salt: str) -> str:
+    salted = "'" + salt + ":' || (" + key_sql + ")::varchar"
+    return f"({duckdb_hash64(salted)} % {_SLOTS})"
+
+
+def duckdb_deterministic_sample(
+    table: str, key_sql: str, rate: float, salt: str = "sample"
+) -> str:
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {duckdb_slot(key_sql, salt)} < {int(rate * _SLOTS)}"
+    )
+
+
+def duckdb_split_assign(
+    key_sql: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> str:
+    """CASE expression mirroring split_assign."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    slot = duckdb_slot(key_sql, salt)
+    parts = []
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        parts.append(f"WHEN {slot} < {int(acc * _SLOTS)} THEN '{name}'")
+    last = items[-1][0]
+    return "CASE " + " ".join(parts) + f" ELSE '{last}' END"
+
+
+def duckdb_shuffle_key(key_sql: str, salt: str = "shuffle") -> str:
+    return duckdb_hash64(f"'{salt}:' || ({key_sql})::varchar")

@@ -1,0 +1,90 @@
+"""Deterministic sampling/split/shuffle: stability, rates, DuckDB parity."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.sampling import (
+    deterministic_sample,
+    deterministic_shuffle,
+    duckdb_deterministic_sample,
+    duckdb_shuffle_key,
+    duckdb_split_assign,
+    split_assign,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    return con
+
+
+def test_sample_rate_and_stability(docs):
+    n = docs.count()
+    s1 = deterministic_sample(docs, 0.2, "doc_id").select("doc_id").collect()
+    s2 = deterministic_sample(docs, 0.2, "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    assert 0.05 * n < len(s1) < 0.4 * n  # uniform-ish at small n
+    # monotone in rate: a bigger sample CONTAINS the smaller one
+    s3 = {r["doc_id"] for r in
+          deterministic_sample(docs, 0.5, "doc_id").select("doc_id").collect()}
+    assert {r["doc_id"] for r in s1} <= s3
+
+
+def test_sample_matches_duckdb(docs, duck):
+    got = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.2, "doc_id").select("doc_id").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            "SELECT doc_id FROM ("
+            + duckdb_deterministic_sample("documents", "doc_id", 0.2)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_split_assign_covers_and_matches_duckdb(docs, duck):
+    out = split_assign(docs, "doc_id").select("doc_id", "split").collect()
+    got = {r["doc_id"]: r["split"] for r in out}
+    case = duckdb_split_assign("doc_id")
+    want = dict(
+        duck.execute(f"SELECT doc_id, {case} FROM documents").fetchall()
+    )
+    assert got == want
+    counts = {}
+    for v in got.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts.get("train", 0) > counts.get("val", 0) >= 0
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_shuffle_order_matches_duckdb(docs, duck):
+    got = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs, "doc_id")
+        .select("doc_id").collect()
+    ]
+    sk = duckdb_shuffle_key("doc_id")
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents ORDER BY {sk}, doc_id::varchar"
+        ).fetchall()
+    ]
+    assert got == want
+    assert got != sorted(got)  # it actually shuffles
