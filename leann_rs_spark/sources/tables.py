@@ -44,7 +44,12 @@ def _events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as a proper TIMESTAMP (micros) + ts_ns raw nanos."""
+    """events with ts as a TIMESTAMP (micros; NTZ when the file stores
+    micros) + ts_ns epoch nanos. On the micros path ts_ns is derived
+    through an NTZ→session-tz cast, so treat it as a convenience column
+    whose absolute value assumes a fixed-offset session; all shipped
+    operators compare timestamps directly (interval math), never
+    ts_ns."""
     if _events_ts_unit(spark, sf_dir) == "ns":
         raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
             f"{sf_dir}/events.parquet"
