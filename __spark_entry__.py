@@ -89,8 +89,10 @@ from leann_rs_spark.operators.sampling import (
     deterministic_sample,
     deterministic_shuffle,
     duckdb_deterministic_sample,
+    duckdb_pack_sequences,
     duckdb_shuffle_key,
     duckdb_split_assign,
+    pack_sequences,
     split_assign,
 )
 from leann_rs_spark.operators.search import batch_search, exact_search
@@ -471,6 +473,16 @@ def x_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-batch assembly): sharded
+    deterministic order + windowed cumulative tokens → pack ids. One
+    shuffle (the shard window); shards bound task size at scale."""
+    docs = _fan(_docs(spark, sf_dir)).withColumn("n_tokens", token_count("text"))
+    return pack_sequences(
+        docs, "n_tokens", 512, "doc_id", n_shards=8, id_cols=["doc_id"]
+    ).orderBy("doc_id")
+
+
 def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan over decoded (fake-engine) metadata —
     one row per sampled frame timestamp, every 1000 ms, capped at 32."""
@@ -845,6 +857,12 @@ def _register_sampling_oracles() -> None:
         SELECT doc_id, {duckdb_shuffle_key('doc_id')} AS shuffle_key
         FROM documents ORDER BY shuffle_key, doc_id::varchar
     """
+    pack = duckdb_pack_sequences(
+        f"(SELECT doc_id, {duckdb_token_count('text')} AS n_tokens "
+        "FROM documents)",
+        "n_tokens", 512, "doc_id", n_shards=8, id_cols="doc_id",
+    )
+    _ORACLES["x_pack_sequences"] = f"SELECT * FROM ({pack}) ORDER BY doc_id"
 
 
 _register_sampling_oracles()
@@ -949,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
+        "x_pack_sequences": x_pack_sequences,
         "x_sample_det": x_sample_det,
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,

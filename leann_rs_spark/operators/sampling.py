@@ -125,3 +125,88 @@ def duckdb_split_assign(
 
 def duckdb_shuffle_key(key_sql: str, salt: str = "shuffle") -> str:
     return duckdb_hash64(f"'{salt}:' || ({key_sql})::varchar")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column | str,
+    budget: int,
+    key: Column | str,
+    n_shards: int = 64,
+    salt: str = "pack",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign rows to fixed-token-budget packs for LLM training-batch
+    assembly: rows are sharded by a hash of `key` (so the window below
+    never concentrates on one task), deterministically ordered inside
+    the shard, and packed by offset — pack boundary = every `budget`
+    cumulative tokens. A pack may overflow by at most one row (the
+    standard next-fit-by-offset approximation; exact first-fit is a
+    sequential process that cannot be expressed as a window).
+
+    → input columns (or `id_cols`) + (shard INT, pack_id BIGINT,
+    pack_offset BIGINT). One shuffle (the shard window); at 100 TB
+    raise `n_shards` so each shard's pack stream fits a task.
+    """
+    from pyspark.sql.window import Window
+
+    token_col = F.col(token_col) if isinstance(token_col, str) else token_col
+    key = F.col(key) if isinstance(key, str) else key
+    shard = (_slot(key, salt) % F.lit(n_shards)).cast("int")
+    out_cols = id_cols or df.columns
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        *out_cols,
+        shard.alias("shard"),
+        hash64(F.concat(F.lit(salt + "#:"), key.cast("string"))).alias("_pk"),
+        token_col.cast("bigint").alias("_nt"),
+    )
+    cum = F.sum("_nt").over(w)
+    return (
+        staged.withColumn("_cum", cum)
+        .select(
+            *out_cols,
+            "shard",
+            F.floor((F.col("_cum") - F.col("_nt")) / F.lit(budget)).alias(
+                "pack_id"
+            ),
+            (F.col("_cum") - F.col("_nt")).alias("pack_offset"),
+        )
+    )
+
+
+def duckdb_pack_sequences(
+    table: str,
+    token_sql: str,
+    budget: int,
+    key_sql: str,
+    n_shards: int = 64,
+    salt: str = "pack",
+    id_cols: str = "*",
+) -> str:
+    """Oracle twin of pack_sequences."""
+    slot = duckdb_slot(key_sql, salt)
+    pk = duckdb_hash64("'" + salt + "#:' || (" + key_sql + ")::varchar")
+    return f"""
+        SELECT {id_cols}, shard,
+               ((cum - nt) // {budget})::bigint AS pack_id,
+               (cum - nt)::bigint AS pack_offset
+        FROM (
+            SELECT *, ({slot} % {n_shards})::int AS shard, {pk} AS _pk,
+                   ({token_sql})::bigint AS nt,
+                   sum(({token_sql})::bigint) OVER (
+                       PARTITION BY ({slot} % {n_shards})
+                       ORDER BY {pk}
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM {table}
+        )
+    """

@@ -88,3 +88,35 @@ def test_shuffle_order_matches_duckdb(docs, duck):
     ]
     assert got == want
     assert got != sorted(got)  # it actually shuffles
+
+
+def test_pack_sequences_budget_and_duckdb_parity(docs, duck):
+    from leann_rs_spark.operators.sampling import (
+        duckdb_pack_sequences,
+        pack_sequences,
+    )
+    from leann_rs_spark.functions.textstats import (
+        duckdb_token_count,
+        token_count,
+    )
+
+    budget = 512
+    out = pack_sequences(
+        docs.withColumn("n_tokens", token_count("text")),
+        "n_tokens", budget, "doc_id", n_shards=8, id_cols=["doc_id"],
+    ).collect()
+    got = sorted((r["doc_id"], r["shard"], r["pack_id"], r["pack_offset"]) for r in out)
+
+    sql = duckdb_pack_sequences(
+        f"(SELECT doc_id, {duckdb_token_count('text')} AS n_tokens FROM documents)",
+        "n_tokens", budget, "doc_id", n_shards=8, id_cols="doc_id",
+    )
+    want = sorted(duck.execute(sql).fetchall())
+    assert got == want
+
+    # every pack starts within budget: offsets inside a pack < budget + max row
+    by_pack = {}
+    for d, sh, p, off in got:
+        by_pack.setdefault((sh, p), []).append(off)
+    for (sh, p), offs in by_pack.items():
+        assert min(offs) - p * budget < budget  # pack begins in its window
