@@ -92,8 +92,10 @@ from leann_rs_spark.operators.sampling import (
     duckdb_pack_sequences,
     duckdb_shuffle_key,
     duckdb_split_assign,
+    duckdb_weighted_mix,
     pack_sequences,
     split_assign,
+    weighted_mix,
 )
 from leann_rs_spark.operators.search import batch_search, exact_search
 from leann_rs_spark.sources.tables import read_events
@@ -483,6 +485,17 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting: keep all English, half German, a quarter of
+    everything else — deterministic per-source subsampling + union."""
+    docs = _docs(spark, sf_dir)
+    en = docs.filter(F.col("lang") == "en")
+    de = docs.filter(F.col("lang") == "de")
+    rest = docs.filter(~F.col("lang").isin("en", "de"))
+    out = weighted_mix([(en, 1.0), (de, 0.5), (rest, 0.25)], "doc_id")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan over decoded (fake-engine) metadata —
     one row per sampled frame timestamp, every 1000 ms, capped at 32."""
@@ -863,6 +876,19 @@ def _register_sampling_oracles() -> None:
         "n_tokens", 512, "doc_id", n_shards=8, id_cols="doc_id",
     )
     _ORACLES["x_pack_sequences"] = f"SELECT * FROM ({pack}) ORDER BY doc_id"
+    mix = duckdb_weighted_mix(
+        [
+            ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
+            ("SELECT doc_id, lang FROM documents WHERE lang = 'de'", 0.5),
+            (
+                "SELECT doc_id, lang FROM documents "
+                "WHERE lang NOT IN ('en','de')",
+                0.25,
+            ),
+        ],
+        "doc_id",
+    )
+    _ORACLES["x_weighted_mix"] = f"SELECT * FROM ({mix}) ORDER BY doc_id"
 
 
 _register_sampling_oracles()
@@ -968,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
         "x_pack_sequences": x_pack_sequences,
+        "x_weighted_mix": x_weighted_mix,
         "x_sample_det": x_sample_det,
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,

@@ -210,3 +210,55 @@ def duckdb_pack_sequences(
             FROM {table}
         )
     """
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus mixing (domain reweighting)
+# ---------------------------------------------------------------------------
+
+def weighted_mix(
+    sources: list[tuple[DataFrame, float]],
+    key: Column | str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Mix corpora with per-source sampling rates — the domain-
+    reweighting step of a training-data pipeline (e.g. upweight code,
+    downsample crawl). Rates ≤ 1 subsample deterministically (stable
+    across runs/appends, like deterministic_sample); the result is the
+    unionByName of the sampled sources. Rates > 1 are rejected —
+    duplication-based upweighting belongs to the consumer (epoch
+    repeats), not the corpus.
+
+    Each source must share the schema. No shuffle: per-source
+    projection+filter, then a union."""
+    key_name = key if isinstance(key, str) else None
+    out = None
+    for i, (df, rate) in enumerate(sources):
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate must be in [0, 1], got {rate!r}")
+        k = F.col(key_name) if key_name else key
+        part = df if rate >= 1.0 else df.filter(
+            _slot(k, f"{salt}:{i}") < F.lit(int(rate * _SLOTS))
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("weighted_mix needs at least one source")
+    return out
+
+
+def duckdb_weighted_mix(
+    source_sqls: list[tuple[str, float]],
+    key_sql: str,
+    salt: str = "mix",
+) -> str:
+    """Oracle twin: UNION ALL of the per-source sampled SELECTs."""
+    parts = []
+    for i, (sql, rate) in enumerate(source_sqls):
+        if rate >= 1.0:
+            parts.append(f"SELECT * FROM ({sql})")
+        else:
+            slot = duckdb_slot(key_sql, f"{salt}:{i}")
+            parts.append(
+                f"SELECT * FROM ({sql}) WHERE {slot} < {int(rate * _SLOTS)}"
+            )
+    return " UNION ALL ".join(parts)

@@ -120,3 +120,21 @@ def test_pack_sequences_budget_and_duckdb_parity(docs, duck):
         by_pack.setdefault((sh, p), []).append(off)
     for (sh, p), offs in by_pack.items():
         assert min(offs) - p * budget < budget  # pack begins in its window
+
+
+def test_weighted_mix_rates_and_determinism(spark, docs):
+    from leann_rs_spark.operators.sampling import weighted_mix
+
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    m1 = weighted_mix([(en, 1.0), (rest, 0.5)], "doc_id").select("doc_id").collect()
+    m2 = weighted_mix([(en, 1.0), (rest, 0.5)], "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in m1) == sorted(r["doc_id"] for r in m2)
+    n_en = en.count()
+    assert len(m1) > n_en  # full en plus some of the rest
+    assert len(m1) < n_en + rest.count()
+
+    with pytest.raises(ValueError):
+        weighted_mix([(en, 1.5)], "doc_id")
+    with pytest.raises(ValueError):
+        weighted_mix([], "doc_id")
