@@ -84,8 +84,12 @@ def main() -> None:
                 err = f"{type(exc).__name__}: {exc}"
             # Queries persist their fan-in DataFrames (signatures,
             # postings); dropping them between runs keeps each
-            # measurement isolated and fully cold.
+            # measurement isolated and fully cold. The explicit GC
+            # releases unreferenced broadcast/shuffle blocks so late
+            # queries don't absorb a mixed-collection pause mid-stage
+            # (driver-side call, outside the timed region).
             spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
         if best is not None:  # any successful rep counts
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
