@@ -341,11 +341,10 @@ def search_index(
     if hybrid is None:
         hybrid = use_hybrid(query, auto_hybrid=True)  # Q15 gate
 
-    qtext = (
-        meta.query_prompt_template.replace("{}", query)
-        if meta.query_prompt_template
-        else query
-    )
+    # prefix concatenation — the reference's embed_with_template is
+    # format!("{}{}", template, text) (src/embedding/mod.rs:126-143),
+    # matching the doc-side with_prompt_template
+    qtext = (meta.query_prompt_template or "") + query
     qv = py_hash_embedding(qtext, meta.dimensions)
 
     emb = _embeddings_for_search(spark, base, meta, passages)
@@ -457,12 +456,10 @@ def search_ivf_index(
     meta = load_meta(warehouse, name)
     if meta.backend != "ivf":
         raise ValueError(f"index {name!r} has no IVF layout (backend={meta.backend})")
-    qtext = (
-        meta.query_prompt_template.replace("{}", query)
-        if meta.query_prompt_template
-        else query
-    )  # same substitution as search_index — both paths must embed the
-    # identical query vector for a given index
+    # prefix concatenation, identical to search_index (and the
+    # reference's embed_with_template, src/embedding/mod.rs:126-143) —
+    # both paths must embed the identical query vector for a given index
+    qtext = (meta.query_prompt_template or "") + query
     qv = py_hash_embedding(qtext, meta.dimensions)
     assigned = spark.read.parquet(f"{base}/ivf")
     cents = spark.read.parquet(f"{base}/ivf_centroids")

@@ -271,12 +271,18 @@ def lsh_near_dups(
                     acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
                     for d in range(A.shape[1]):  # sequential fold over dims
                         acc += A[:, d, None] * A[None, :, d]
-                    ii, jj = np.nonzero(acc >= threshold)
-                    for i, j in zip(ii, jj):  # few threshold-passing pairs
-                        if ids[i] < ids[j]:
-                            out_a.append(ids[i])
-                            out_b.append(ids[j])
-                            out_c.append(acc[i, j])
+                    # positional ranks of the (arbitrary, orderable) ids
+                    # keep the id_a < id_b mask fully vectorized even in
+                    # dense near-dup buckets where acc >= threshold is
+                    # quadratic
+                    order = sorted(range(len(ids)), key=ids.__getitem__)
+                    rank = np.empty(len(ids), dtype=np.int64)
+                    rank[order] = np.arange(len(ids))
+                    mask = (acc >= threshold) & (rank[:, None] < rank[None, :])
+                    ii, jj = np.nonzero(mask)
+                    out_a.extend(ids[i] for i in ii)
+                    out_b.extend(ids[j] for j in jj)
+                    out_c.extend(acc[ii, jj])
                 if out_a:
                     yield pd.DataFrame(
                         {"id_a": out_a, "id_b": out_b, "cos": out_c}

@@ -42,6 +42,8 @@ def deterministic_sample(
     """Keep rows whose hash slot falls below `rate` — a stable Bernoulli
     sample keyed on `key` (same keys always co-selected, so reruns and
     incremental loads agree)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate!r}")
     key = F.col(key) if isinstance(key, str) else key
     return df.filter(_slot(key, salt) < F.lit(int(rate * _SLOTS)))
 
@@ -160,13 +162,14 @@ def pack_sequences(
     out_cols = id_cols or df.columns
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.col("_pk"))
+        .orderBy(F.col("_pk"), F.col("_pkt"))  # total order: hash, raw key
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = df.select(
         *out_cols,
         shard.alias("shard"),
         hash64(F.concat(F.lit(salt + "#:"), key.cast("string"))).alias("_pk"),
+        key.cast("string").alias("_pkt"),
         token_col.cast("bigint").alias("_nt"),
     )
     cum = F.sum("_nt").over(w)
@@ -190,9 +193,11 @@ def duckdb_pack_sequences(
     key_sql: str,
     n_shards: int = 64,
     salt: str = "pack",
-    id_cols: str = "*",
+    id_cols: str = "* EXCLUDE (shard, _pk, nt, cum)",
 ) -> str:
-    """Oracle twin of pack_sequences."""
+    """Oracle twin of pack_sequences. The default `id_cols` keeps every
+    input column and none of the helpers, matching the Spark twin's
+    default output schema."""
     slot = duckdb_slot(key_sql, salt)
     pk = duckdb_hash64("'" + salt + "#:' || (" + key_sql + ")::varchar")
     return f"""
@@ -204,7 +209,7 @@ def duckdb_pack_sequences(
                    ({token_sql})::bigint AS nt,
                    sum(({token_sql})::bigint) OVER (
                        PARTITION BY ({slot} % {n_shards})
-                       ORDER BY {pk}
+                       ORDER BY {pk}, ({key_sql})::varchar
                        ROWS UNBOUNDED PRECEDING
                    ) AS cum
             FROM {table}
@@ -231,14 +236,11 @@ def weighted_mix(
 
     Each source must share the schema. No shuffle: per-source
     projection+filter, then a union."""
-    key_name = key if isinstance(key, str) else None
     out = None
     for i, (df, rate) in enumerate(sources):
-        if not (0.0 <= rate <= 1.0):
-            raise ValueError(f"rate must be in [0, 1], got {rate!r}")
-        k = F.col(key_name) if key_name else key
-        part = df if rate >= 1.0 else df.filter(
-            _slot(k, f"{salt}:{i}") < F.lit(int(rate * _SLOTS))
+        part = (
+            df if rate == 1.0
+            else deterministic_sample(df, rate, key, salt=f"{salt}:{i}")
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
@@ -257,8 +259,11 @@ def duckdb_weighted_mix(
         if rate >= 1.0:
             parts.append(f"SELECT * FROM ({sql})")
         else:
-            slot = duckdb_slot(key_sql, f"{salt}:{i}")
             parts.append(
-                f"SELECT * FROM ({sql}) WHERE {slot} < {int(rate * _SLOTS)}"
+                "SELECT * FROM ("
+                + duckdb_deterministic_sample(
+                    f"({sql})", key_sql, rate, salt=f"{salt}:{i}"
+                )
+                + ")"
             )
     return " UNION ALL ".join(parts)
