@@ -29,6 +29,8 @@ from leann_rs_spark.operators.bm25 import (
     score_adhoc_query,
 )
 from leann_rs_spark.operators.dedup import (
+    contamination_overlap,
+    duckdb_contamination_overlap,
     duckdb_exact_dedup,
     duckdb_minhash_near_dups,
     duckdb_ngram_jaccard_pairs,
@@ -45,6 +47,8 @@ from leann_rs_spark.operators.embedder import (
 )
 from leann_rs_spark.functions.textstats import (
     alpha_ratio,
+    duckdb_redact_pii,
+    redact_pii,
     bpe_ish_token_count,
     duckdb_alpha_ratio,
     duckdb_bpe_ish_token_count,
@@ -449,6 +453,43 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic-fake engine) → typed feature metadata."""
     media = media_from_documents(_fan(_docs(spark, sf_dir)))
     return decode_media(media).orderBy("media_id")
+
+
+def x_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/URLs/phones/long digit runs → typed
+    placeholders; regexp_replace chain, codegen, no shuffle."""
+    return _fan(_docs(spark, sf_dir)).select(
+        "doc_id", redact_pii("text").alias("red_text")
+    ).orderBy("doc_id")
+
+
+_CONTAM_NGRAM = 6
+
+
+def _contam_probes(spark: SparkSession, sf_dir: str):
+    """Probe set: mid-document snippets of three corpus docs (so overlap
+    is guaranteed) — stand-ins for benchmark eval passages."""
+    rows = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id").isin(3, 17, 42))
+        .select("doc_id", F.substring("text", 20, 160).alias("snippet"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [(int(r["doc_id"]), r["snippet"]) for r in rows]
+
+
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination: word-n-gram overlap of the corpus against a
+    broadcast probe set — flags training docs leaking benchmark text."""
+    probes_rows = _contam_probes(spark, sf_dir)
+    probes = spark.createDataFrame(
+        probes_rows, "probe_id long, probe_text string"
+    )
+    out = contamination_overlap(
+        _fan(_docs(spark, sf_dir)), probes, n=_CONTAM_NGRAM
+    )
+    return out.orderBy("doc_id", "probe_id")
 
 
 def x_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,6 +935,26 @@ def _register_sampling_oracles() -> None:
 _register_sampling_oracles()
 
 
+def _register_redact_contam_oracles() -> None:
+    _ORACLES["x_text_redact"] = f"""
+        SELECT doc_id, {duckdb_redact_pii('text')} AS red_text
+        FROM documents ORDER BY doc_id
+    """
+    contam = duckdb_contamination_overlap(
+        n=_CONTAM_NGRAM,
+        probes_sql=(
+            "SELECT doc_id AS probe_id, substr(text, 20, 160) AS probe_text "
+            "FROM documents WHERE doc_id IN (3, 17, 42)"
+        ),
+    )
+    _ORACLES["x_decontaminate"] = (
+        f"SELECT * FROM ({contam}) ORDER BY doc_id, probe_id"
+    )
+
+
+_register_redact_contam_oracles()
+
+
 def _register_text_oracles() -> None:
     _ORACLES["x_multimodal_features"] = (
         duckdb_media_features() + " ORDER BY media_id"
@@ -995,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_resize": x_media_resize,
         "x_pack_sequences": x_pack_sequences,
         "x_weighted_mix": x_weighted_mix,
+        "x_text_redact": x_text_redact,
+        "x_decontaminate": x_decontaminate,
         "x_sample_det": x_sample_det,
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,

@@ -267,3 +267,41 @@ def duckdb_fingerprint(text: str) -> str:
         f" list_transform({duckdb_tokenize(text)}, t -> ({h} % {_FP_MOD}))),"
         f" (acc, x) -> (acc * {_FP_BASE} + x) % {_FP_MOD})"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+# Conservative patterns in the regex subset Java (Spark) and RE2
+# (DuckDB) interpret identically: no backrefs, no lookaround, explicit
+# classes only.
+
+_PII_PATTERNS = [
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # urls
+    (r"https?://[^\s]+", "<URL>"),
+    # US-ish phone numbers
+    (r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    # long digit runs (account/card-ish)
+    (r"[0-9]{12,19}", "<NUM>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / URLs / phone-shaped / long-digit spans with
+    typed placeholders — the scrubbing pass of a training-data pipeline.
+    Pure regexp_replace chain: codegen, no shuffle, trivially parallel."""
+    text = F.col(text) if isinstance(text, str) else text
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def duckdb_redact_pii(text: str) -> str:
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
+    return out

@@ -711,3 +711,78 @@ def duckdb_embedding_near_dups(
         FROM a, b
         WHERE id_a < id_b AND {cos} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap of the corpus against a
+# probe set (eval questions / test-set passages)
+# ---------------------------------------------------------------------------
+
+def contamination_overlap(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "probe_text",
+) -> DataFrame:
+    """→ (doc_id, probe_id, n_shared) — documents sharing ≥1 word
+    n-gram with a probe, with the count of DISTINCT shared n-grams.
+    The standard eval-decontamination check (n=8..13 word n-grams):
+    flag (and drop or audit) training docs that leak benchmark text.
+
+    Shape: inverted-index equi-join on the n-gram — the probe side is
+    tiny (an eval set), so Spark broadcasts it and the corpus side
+    streams map-side; no O(corpus × probes) pair space ever exists."""
+    d = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))
+        ).alias("_g"),
+    )
+    p = probes.select(
+        F.col(probe_id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col(probe_text_col)), n))
+        ).alias("_g"),
+    )
+    return (
+        d.join(F.broadcast(p), "_g")
+        .groupBy(id_col, probe_id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def duckdb_contamination_overlap(
+    probe_values: list[tuple[int, str]] | None = None,
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probes_sql: str | None = None,
+) -> str:
+    """Oracle twin. Probes come either as literal (probe_id, text)
+    values or as a complete SELECT producing (probe_id, probe_text)."""
+    if probes_sql is not None:
+        probes_cte = f"probes AS ({probes_sql})"
+    else:
+        vals = ", ".join(
+            "(" + str(int(i)) + ", '" + t.replace("'", "''") + "')"
+            for i, t in probe_values
+        )
+        probes_cte = f"probes(probe_id, probe_text) AS (VALUES {vals})"
+    dg = duckdb_word_ngrams(duckdb_tokenize(text_col), n)
+    pg = duckdb_word_ngrams(duckdb_tokenize("probe_text"), n)
+    return f"""
+        WITH {probes_cte},
+        d AS (
+            SELECT {id_col}, unnest(list_distinct({dg})) AS g FROM {table}
+        ),
+        p AS (
+            SELECT probe_id, unnest(list_distinct({pg})) AS g FROM probes
+        )
+        SELECT d.{id_col}, p.probe_id, count(*)::bigint AS n_shared
+        FROM d JOIN p USING (g)
+        GROUP BY 1, 2
+    """

@@ -189,3 +189,20 @@ def test_embedding_near_dups_blocked_bit_exact(spark):
     }
     assert blocked == exact  # exact float equality, no rounding
     assert len(exact) > 0
+
+
+def test_contamination_overlap_flags_planted_probe(spark):
+    from leann_rs_spark.operators.dedup import contamination_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    probe_row = docs.filter(F.col("doc_id") == 7).select(
+        F.substring("text", 5, 120).alias("s")
+    ).head()
+    probes = spark.createDataFrame(
+        [(0, probe_row["s"]), (1, "completely unrelated probe text zzz")],
+        "probe_id long, probe_text string",
+    )
+    out = contamination_overlap(docs, probes, n=5).collect()
+    hits = {(r["doc_id"], r["probe_id"]): r["n_shared"] for r in out}
+    assert (7, 0) in hits and hits[(7, 0)] > 0
+    assert all(pid != 1 for (_, pid) in hits)

@@ -108,3 +108,18 @@ def test_duckdb_twins_parity(spark):
             f" {duckdb_fingerprint(f'''cast('{esc}' as varchar)''')}"
         ).fetchall()[0]
         assert got[i] == (tc, round(q, 9), lang, fp), f"text {i}: {t!r}"
+
+
+def test_redact_pii_patterns(spark):
+    from leann_rs_spark.functions.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "bob@x.io sees https://a.b/c, calls +1 (555) 123-4567, "
+             "card 4111111111111111; zip 02139 survives")],
+        "id long, text string",
+    )
+    red = df.select(redact_pii("text").alias("r")).head()["r"]
+    assert "<EMAIL>" in red and "<URL>" in red
+    assert "<PHONE>" in red and "<NUM>" in red
+    assert "02139" in red
+    assert "bob@" not in red and "4111" not in red
