@@ -175,3 +175,38 @@ def test_bulk_minhash_sigs_single_shuffle(spark):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1, plan
     assert tree.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_sampling_ops_are_shuffle_free(spark):
+    """deterministic_sample / split_assign / redact are projections and
+    filters — zero Exchange in the plan (the 100 TB contract)."""
+    from leann_rs_spark.functions.textstats import redact_pii
+    from leann_rs_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for out in (
+        deterministic_sample(docs, 0.5, "doc_id"),
+        split_assign(docs, "doc_id"),
+        docs.select("doc_id", redact_pii("text")),
+    ):
+        plan = plan_of(out)
+        tree = plan.split("(1) Scan")[0]
+        assert "Exchange" not in tree, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """pack_sequences: one Exchange (the shard window)."""
+    from leann_rs_spark.functions.textstats import token_count
+    from leann_rs_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "n_tokens", token_count("text")
+    )
+    out = pack_sequences(docs, "n_tokens", 512, "doc_id", n_shards=8,
+                         id_cols=["doc_id"])
+    plan = plan_of(out)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, plan
