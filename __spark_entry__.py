@@ -63,6 +63,14 @@ from leann_rs_spark.functions.textstats import (
     token_count,
     type_token_ratio,
 )
+from leann_rs_spark.functions.quality_checks import (
+    duckdb_expectation_report,
+    expectation_report,
+    violates_in_range,
+    violates_in_set,
+    violates_matches,
+    violates_non_null,
+)
 from leann_rs_spark.operators.ann import (
     duckdb_ivf_search,
     duckdb_lsh_near_dups,
@@ -453,6 +461,24 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic-fake engine) → typed feature metadata."""
     media = media_from_documents(_fan(_docs(spark, sf_dir)))
     return decode_media(media).orderBy("media_id")
+
+
+def x_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the whole expectation suite is ONE aggregation
+    pass returning per-check violation counts (0 = table passes)."""
+    docs = _fan(_docs(spark, sf_dir))
+    return expectation_report(
+        docs,
+        {
+            "null_text": violates_non_null("text"),
+            "null_doc_id": violates_non_null("doc_id"),
+            "bad_n_chars": violates_in_range("n_chars", 0, 1_000_000),
+            "bad_lang": violates_in_set(
+                "lang", ["en", "de", "fr", "es", "it"]
+            ),
+            "bad_source": violates_matches("source", "^src[0-9]+$"),
+        },
+    )
 
 
 def x_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,6 +962,22 @@ _register_sampling_oracles()
 
 
 def _register_redact_contam_oracles() -> None:
+    _ORACLES["x_quality_expectations"] = duckdb_expectation_report(
+        "documents",
+        {
+            "null_text": "text IS NULL",
+            "null_doc_id": "doc_id IS NULL",
+            "bad_n_chars": (
+                "n_chars IS NULL OR n_chars < 0 OR n_chars > 1000000"
+            ),
+            "bad_lang": (
+                "lang IS NULL OR lang NOT IN ('en','de','fr','es','it')"
+            ),
+            "bad_source": (
+                "source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$')"
+            ),
+        },
+    )
     _ORACLES["x_text_redact"] = f"""
         SELECT doc_id, {duckdb_redact_pii('text')} AS red_text
         FROM documents ORDER BY doc_id
@@ -1056,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_resize": x_media_resize,
         "x_pack_sequences": x_pack_sequences,
         "x_weighted_mix": x_weighted_mix,
+        "x_quality_expectations": x_quality_expectations,
         "x_text_redact": x_text_redact,
         "x_decontaminate": x_decontaminate,
         "x_sample_det": x_sample_det,
