@@ -56,9 +56,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -93,7 +95,7 @@ def main() -> int:
             continue
         print(f"PASS {name} ({len(got)} rows)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    print(f"\n{ran - len(failures)}/{ran} queries pass")
     spark.stop()
     return 1 if failures else 0
 
