@@ -27,12 +27,29 @@ def _spark(args) -> SparkSession:
     return get_spark(app_name=f"leann-{args.command}")
 
 
-def _load_docs(spark: SparkSession, docs: str):
+def _load_docs(spark: SparkSession, docs: str, args=None):
     from leann_rs_spark.sources.files import files_to_documents, scan_files
 
     if docs.endswith(".parquet") or docs.rstrip("/").endswith("documents"):
         return spark.read.parquet(docs)
-    return files_to_documents(scan_files(spark, [docs]))
+    kw = {}
+    if args is not None:
+        # reference build flags (src/cli/build.rs:414-554)
+        if getattr(args, "file_types", None):
+            kw["file_types"] = [
+                t if t.startswith(".") else "." + t
+                for t in args.file_types.split(",")
+            ]
+        if getattr(args, "exclude_types", None):
+            kw["exclude_types"] = [
+                t if t.startswith(".") else "." + t
+                for t in args.exclude_types.split(",")
+            ]
+        if getattr(args, "max_files", None):
+            kw["max_files"] = args.max_files
+        if getattr(args, "max_file_size_kb", None):
+            kw["max_file_size_kb"] = args.max_file_size_kb
+    return files_to_documents(scan_files(spark, docs, **kw))
 
 
 def cmd_build(args) -> int:
@@ -49,7 +66,7 @@ def cmd_build(args) -> int:
         spark,
         args.warehouse,
         args.name,
-        _load_docs(spark, args.docs),
+        _load_docs(spark, args.docs, args),
         strategy=args.chunking_strategy,
         chunk_size=cfg["chunk_size"],
         chunk_overlap=cfg["chunk_overlap"],
@@ -232,6 +249,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "simple", "ast"], dest="chunking_strategy")
     b.add_argument("--dims", type=int, default=64)
     b.add_argument("--backend", default="exact", choices=["exact", "ivf"])
+    b.add_argument("--file-types", default=None, dest="file_types",
+                   help="comma-separated extension allowlist (dir builds)")
+    b.add_argument("--exclude-types", default=None, dest="exclude_types")
+    b.add_argument("--max-files", type=int, default=None, dest="max_files")
+    b.add_argument("--max-file-size-kb", type=int, default=None,
+                   dest="max_file_size_kb")
     b.add_argument("--ivf-centroids", type=int, default=16, dest="ivf_centroids")
     b.add_argument("--config", default=None)
     b.set_defaults(fn=cmd_build)

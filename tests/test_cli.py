@@ -120,3 +120,24 @@ def test_cli_ivf_backend_build_and_search(spark, tmp_path_factory, capsys):
     assert [(r["idx"], r["score"]) for r in ivf_rows] == [
         (r["idx"], r["score"]) for r in exact_rows
     ]
+
+
+def test_cli_build_from_directory_with_filters(spark, tmp_path_factory, capsys):
+    src = tmp_path_factory.mktemp("corpus")
+    (src / "a.txt").write_text("alpha beta gamma delta " * 30)
+    (src / "b.md").write_text("markdown notes here " * 30)
+    (src / "c.bin").write_bytes(b"\x00\x01binary")
+    wh = str(tmp_path_factory.mktemp("cli_dir_wh"))
+    rc = main([
+        "build", "diridx", "--warehouse", wh, "--docs", str(src),
+        "--chunk-size", "16", "--chunk-overlap", "4", "--dims", "16",
+        "--file-types", "txt,md",
+    ])
+    assert rc == 0
+    import pyspark.sql.functions as F
+
+    passages = spark.read.parquet(f"{wh}/diridx/passages")
+    srcs = {r["source"] for r in passages.select("source").distinct().collect()}
+    assert any(s.endswith("a.txt") for s in srcs)
+    assert any(s.endswith("b.md") for s in srcs)
+    assert not any(s.endswith("c.bin") for s in srcs)
