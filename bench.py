@@ -62,7 +62,7 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
 
-    # Best-of-2 per query (criterion-style sampling, matching the
+    # Best-of-N per query (criterion-style sampling, matching the
     # reference's own bench methodology): each run is a full cold
     # execution — plan, scan, shuffle, top-k — and the min filters the
     # multi-second noise spikes a shared host injects at random.
