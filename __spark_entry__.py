@@ -492,25 +492,18 @@ def x_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_NGRAM = 6
 
 
-def _contam_probes(spark: SparkSession, sf_dir: str):
-    """Probe set: mid-document snippets of three corpus docs (so overlap
-    is guaranteed) — stand-ins for benchmark eval passages."""
-    rows = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id").isin(3, 17, 42))
-        .select("doc_id", F.substring("text", 20, 160).alias("snippet"))
-        .orderBy("doc_id")
-        .collect()
-    )
-    return [(int(r["doc_id"]), r["snippet"]) for r in rows]
-
-
 def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval decontamination: word-n-gram overlap of the corpus against a
-    broadcast probe set — flags training docs leaking benchmark text."""
-    probes_rows = _contam_probes(spark, sf_dir)
-    probes = spark.createDataFrame(
-        probes_rows, "probe_id long, probe_text string"
+    broadcast probe set — flags training docs leaking benchmark text.
+    Probes = mid-document snippets of three corpus docs (guaranteed
+    overlap), built as a DataFrame directly: no driver collect job."""
+    probes = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id").isin(3, 17, 42))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring("text", 20, 160).alias("probe_text"),
+        )
     )
     out = contamination_overlap(
         _fan(_docs(spark, sf_dir)), probes, n=_CONTAM_NGRAM

@@ -35,19 +35,21 @@ def _load_docs(spark: SparkSession, docs: str, args=None):
     kw = {}
     if args is not None:
         # reference build flags (src/cli/build.rs:414-554)
+        def _exts(raw: str) -> list[str]:
+            out = []
+            for t in raw.split(","):
+                t = t.strip()
+                if t:
+                    out.append(t if t.startswith(".") else "." + t)
+            return out
+
         if getattr(args, "file_types", None):
-            kw["file_types"] = [
-                t if t.startswith(".") else "." + t
-                for t in args.file_types.split(",")
-            ]
+            kw["file_types"] = _exts(args.file_types)
         if getattr(args, "exclude_types", None):
-            kw["exclude_types"] = [
-                t if t.startswith(".") else "." + t
-                for t in args.exclude_types.split(",")
-            ]
-        if getattr(args, "max_files", None):
+            kw["exclude_types"] = _exts(args.exclude_types)
+        if getattr(args, "max_files", None) is not None:
             kw["max_files"] = args.max_files
-        if getattr(args, "max_file_size_kb", None):
+        if getattr(args, "max_file_size_kb", None) is not None:
             kw["max_file_size_kb"] = args.max_file_size_kb
     return files_to_documents(scan_files(spark, docs, **kw))
 

@@ -279,12 +279,15 @@ def duckdb_fingerprint(text: str) -> str:
 _PII_PATTERNS = [
     # emails
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    # urls
-    (r"https?://[^\s]+", "<URL>"),
-    # US-ish phone numbers
-    (r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
-    # long digit runs (account/card-ish)
+    # urls — the final class keeps sentence punctuation out of the match
+    (r"https?://[^\s]*[^\s.,)\]>]", "<URL>"),
+    # long digit runs (account/card-ish) BEFORE phones, so a 16-digit
+    # card is <NUM> rather than <PHONE> + leftover digits
     (r"[0-9]{12,19}", "<NUM>"),
+    # US-ish phone numbers: optional country code, optional separators —
+    # catches 555-123-4567, (555) 123-4567, 5551234567, +1 (555) 123-4567
+    (r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+     "<PHONE>"),
 ]
 
 

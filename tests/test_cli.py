@@ -127,6 +127,7 @@ def test_cli_build_from_directory_with_filters(spark, tmp_path_factory, capsys):
     (src / "a.txt").write_text("alpha beta gamma delta " * 30)
     (src / "b.md").write_text("markdown notes here " * 30)
     (src / "c.bin").write_bytes(b"\x00\x01binary")
+    (src / "d.py").write_text("def excluded():\n    return 1\n" * 20)
     wh = str(tmp_path_factory.mktemp("cli_dir_wh"))
     rc = main([
         "build", "diridx", "--warehouse", wh, "--docs", str(src),
@@ -141,3 +142,6 @@ def test_cli_build_from_directory_with_filters(spark, tmp_path_factory, capsys):
     assert any(s.endswith("a.txt") for s in srcs)
     assert any(s.endswith("b.md") for s in srcs)
     assert not any(s.endswith("c.bin") for s in srcs)
+    # .py IS in the default allowlist — its absence proves --file-types
+    # actually reached scan_files rather than defaults applying
+    assert not any(s.endswith("d.py") for s in srcs)

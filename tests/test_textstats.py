@@ -115,11 +115,18 @@ def test_redact_pii_patterns(spark):
 
     df = spark.createDataFrame(
         [(0, "bob@x.io sees https://a.b/c, calls +1 (555) 123-4567, "
-             "card 4111111111111111; zip 02139 survives")],
+             "card 4111111111111111; zip 02139 survives"),
+         (1, "phones: 555-123-4567 (555) 987-6543 5550001111 end")],
         "id long, text string",
     )
-    red = df.select(redact_pii("text").alias("r")).head()["r"]
+    rows = {r["id"]: r["r"] for r in
+            df.select("id", redact_pii("text").alias("r")).collect()}
+    red = rows[0]
     assert "<EMAIL>" in red and "<URL>" in red
     assert "<PHONE>" in red and "<NUM>" in red
     assert "02139" in red
     assert "bob@" not in red and "4111" not in red
+    # URL match keeps the sentence comma
+    assert "<URL>," in red
+    # common US formats all redact
+    assert rows[1].count("<PHONE>") == 3
