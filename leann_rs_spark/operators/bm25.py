@@ -101,14 +101,19 @@ def score_query(
         [(t, float(c)) for t, c in sorted(counts.items())], "term string, qtf double"
     )
 
+    # Corpus N / avg_doc_len folded in as a broadcast 1-row aggregate —
+    # no eager driver action; the whole score is ONE Spark job (the same
+    # shape hybrid_rerank uses for its num_docs count).
     stats = docstats.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("total_len")
-    ).head()
-    num_docs = stats["n"]
-    avg_doc_len = (float(stats["total_len"]) / float(num_docs)) if num_docs else 1.0
+        F.count("*").cast("double").alias("n_docs"),
+        F.coalesce(
+            F.sum("doc_len").cast("double") / F.count("*").cast("double"),
+            F.lit(1.0),
+        ).alias("avg_len"),
+    )
 
     idf = F.log(
-        (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
@@ -117,7 +122,7 @@ def score_query(
         F.col("term").isin(list(counts.keys()))
     )  # pushed to the postings scan
     norm = F.lit(1.0 - b) + F.lit(b) * (
-        F.col("doc_len").cast("double") / F.lit(avg_doc_len)
+        F.col("doc_len").cast("double") / F.col("avg_len")
     )
     term_score = (
         F.col("idf")
@@ -125,8 +130,14 @@ def score_query(
         / (F.col("tf").cast("double") + F.lit(k1) * norm)
     )
 
+    # termstats is vocabulary-sized; cross-joining the 1-row stats keeps
+    # it broadcastable and carries avg_len to every scored row for free.
+    terms_b = (
+        termstats.crossJoin(F.broadcast(stats))
+        .select("term", idf.alias("idf"), "avg_len")
+    )
     return (
-        relevant.join(F.broadcast(termstats.withColumn("idf", idf).select("term", "idf")), "term")
+        relevant.join(F.broadcast(terms_b), "term")
         .join(F.broadcast(qterms), "term")
         .join(docstats, id_col)
         .select(id_col, (F.col("qtf") * term_score).alias("term_score"))
@@ -173,11 +184,16 @@ def score_adhoc_query(
     tokd = docs.select(id_col, tokenize(text_col).alias("toks"))
     if cache:
         tokd = tokd.persist()
+    # Corpus stats as a broadcast 1-row aggregate — folded into the one
+    # scoring job (no eager .head() that would pay a full tokenize pass
+    # before the cached tokd is even materialized).
     stats = tokd.agg(
-        F.count("*").alias("n"), F.sum(F.size("toks")).alias("total_len")
-    ).head()
-    num_docs = stats["n"]
-    avg_doc_len = (float(stats["total_len"]) / float(num_docs)) if num_docs else 1.0
+        F.count("*").cast("double").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size("toks")).cast("double") / F.count("*").cast("double"),
+            F.lit(1.0),
+        ).alias("avg_len"),
+    )
 
     tf = (
         tokd.select(id_col, F.explode("toks").alias("term"))
@@ -190,12 +206,12 @@ def score_adhoc_query(
     termdf = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = F.log(
-        (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
     norm = F.lit(1.0 - b) + F.lit(b) * (
-        F.col("doc_len").cast("double") / F.lit(avg_doc_len)
+        F.col("doc_len").cast("double") / F.col("avg_len")
     )
     term_score = (
         F.col("idf")
@@ -203,8 +219,12 @@ def score_adhoc_query(
         / (F.col("tf").cast("double") + F.lit(k1) * norm)
     )
     docstats = tokd.select(id_col, F.size("toks").alias("doc_len"))
+    terms_b = (
+        termdf.crossJoin(F.broadcast(stats))
+        .select("term", idf.alias("idf"), "avg_len")
+    )
     return (
-        tf.join(F.broadcast(termdf.withColumn("idf", idf).select("term", "idf")), "term")
+        tf.join(F.broadcast(terms_b), "term")
         .join(F.broadcast(qterms), "term")
         .join(docstats, id_col)
         .select(id_col, (F.col("qtf") * term_score).alias("term_score"))

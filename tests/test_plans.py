@@ -210,3 +210,28 @@ def test_pack_sequences_single_shuffle(spark):
     plan = plan_of(out)
     tree = plan.split("(1) Scan")[0]
     assert tree.count("Exchange") == 1, plan
+
+
+def test_bm25_scoring_triggers_no_eager_jobs(spark):
+    """Corpus N / avg_doc_len must be folded into the scoring plan as a
+    broadcast 1-row aggregate, NOT computed via an eager .head() at
+    DataFrame-construction time. A regression re-introducing the eager
+    stats job makes q8/q11/q13/q14 each pay an extra full pass."""
+    from leann_rs_spark.operators.bm25 import (
+        build_bm25_index,
+        score_adhoc_query,
+        score_query,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sc = spark.sparkContext
+    group = "bm25-lazy-check"
+    sc.setJobGroup(group, "construction must be lazy")
+    try:
+        score_adhoc_query(docs, "spark filter", cache=False)
+        p, d, t = build_bm25_index(docs, cache=False)
+        score_query(p, d, t, "spark filter")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert list(jobs) == [], f"eager jobs ran during construction: {jobs}"
