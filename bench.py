@@ -103,6 +103,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        # Measurement conditions, so results are comparable across
+        # rounds: each query is min-of-`reps` full cold executions
+        # (cache cleared + explicit GC between reps), after one
+        # untimed steady-state warmup pass of the suite at sf0.001.
+        "reps": reps,
+        "aggregation": "min_of_reps",
+        "warmup": "full suite once at sf0.001 + JVM/scan warmup, untimed",
     }
     if failures:
         out["failures"] = failures

@@ -77,6 +77,32 @@ def _meta_path(warehouse: str, name: str) -> str:
     return os.path.join(warehouse, name, "meta.json")
 
 
+# Embedding model version the running code produces per mode. Stored
+# indexes carry the version they were built with; mixing versions makes
+# stored vectors inconsistent with query/append vectors (hash-v1 summed
+# float weights, hash-v2 sums exact integers — last-ulp differences).
+CURRENT_EMBEDDING_MODELS = {"hash": "hash-v2"}
+
+
+def check_embedding_model(meta: IndexMeta, *, strict: bool) -> None:
+    """Refuse (strict, the append path — appended rows would be
+    permanently inconsistent with stored ones) or warn (search — scores
+    off only in the last ulp) when a loaded index was built by a
+    different embedding-model version than this code produces."""
+    current = CURRENT_EMBEDDING_MODELS.get(meta.embedding_mode)
+    if current is None or meta.embedding_model == current:
+        return
+    msg = (
+        f"index built with embedding_model={meta.embedding_model!r} but "
+        f"this code produces {current!r}; rebuild or recompute the index"
+    )
+    if strict:
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=3)
+
+
 def load_meta(warehouse: str, name: str) -> IndexMeta:
     with open(_meta_path(warehouse, name)) as f:
         return IndexMeta(**json.load(f))
@@ -182,6 +208,7 @@ def append_to_index(
     DiskANN refuses appends (src/backend/mod.rs:81-100); exact search
     has no index artifact to invalidate, so append is always legal."""
     meta = load_meta(warehouse, name)
+    check_embedding_model(meta, strict=True)
     base = _index_dir(warehouse, name)
     chunks = chunk_documents(
         new_docs,
@@ -331,6 +358,7 @@ def search_index(
     from leann_rs_spark.operators.embedder import HashEmbedder, py_hash_embedding
 
     meta = load_meta(warehouse, name)
+    check_embedding_model(meta, strict=False)
     base = _index_dir(warehouse, name)
     passages = spark.read.parquet(f"{base}/passages")
 

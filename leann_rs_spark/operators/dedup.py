@@ -572,6 +572,24 @@ def duckdb_simhash_near_dups(
 # Embedding-cosine near-dup (exact canonical semantics)
 # ---------------------------------------------------------------------------
 
+# Above this many input rows the exact all-pairs operators refuse to
+# run: O(N²/2) pair work that is fine for verification-scale inputs is
+# a cluster-killer at corpus scale (100× the rows = 10,000× the pairs).
+EXACT_NEAR_DUP_MAX_ROWS = 100_000
+
+
+def _guard_quadratic(n: int, max_rows: int | None, fname: str) -> None:
+    if max_rows is None or n <= max_rows:
+        return
+    raise ValueError(
+        f"{fname}: exact all-pairs scoring over {n} rows exceeds "
+        f"max_rows={max_rows} — O(N²) pair work does not survive corpus "
+        f"scale. Use operators.ann.lsh_near_dups (bucketed, the "
+        f"corpus-scale default) and keep this operator for small-N "
+        f"verification; pass max_rows=None to override deliberately."
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -579,15 +597,17 @@ def embedding_near_dups(
     threshold: float = 0.95,
     assume_normalized: bool = False,
     cache: bool = True,
+    max_rows: int | None = EXACT_NEAR_DUP_MAX_ROWS,
 ) -> DataFrame:
     """→ (id_a, id_b, cos) for all pairs with cosine ≥ threshold.
 
-    Exact all-pairs is the canonical (oracle) semantics. This is the
-    one dedup operator whose exact form IS quadratic; the scale path is
-    `operators.ann.lsh_near_dups` (hyperplane-LSH bucketing + the same
-    exact verification) — subset semantics with precision 1.0 and
-    near-1 recall at high thresholds; tests measure its recall against
-    this operator's output.
+    SMALL-N / VERIFICATION TOOL. Exact all-pairs is the canonical
+    (oracle) semantics, and inherently O(N²/2) pair work — at corpus
+    scale the default is `operators.ann.lsh_near_dups` (hyperplane-LSH
+    bucketing + the same exact verification): subset semantics with
+    precision 1.0 and near-1 recall at high thresholds; tests measure
+    its recall against this operator's output. Inputs larger than
+    `max_rows` are refused (pass max_rows=None to override).
 
     `assume_normalized=True` (correct for `embed_documents` output,
     which is L2-normalized) scores with a plain dot product — O(dims)
@@ -598,7 +618,8 @@ def embedding_near_dups(
     `emb` is itself a computed embedding (it would be computed twice)."""
     if cache:
         emb = emb.persist()
-        emb.count()  # materialize before the self-join races (see above)
+    if cache or max_rows is not None:
+        _guard_quadratic(emb.count(), max_rows, "embedding_near_dups")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     score = (
@@ -621,10 +642,15 @@ def embedding_near_dups_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block: int = 1024,
+    cache: bool = True,
+    max_rows: int | None = EXACT_NEAR_DUP_MAX_ROWS,
 ) -> DataFrame:
     """Vectorized physical variant of `embedding_near_dups` for
     L2-normalized vectors — IDENTICAL results (bit-exact, not just
-    approximately equal), different physical plan:
+    approximately equal), different physical plan. Like its expression
+    twin this is a SMALL-N / VERIFICATION TOOL: inputs larger than
+    `max_rows` are refused — the corpus-scale default is
+    `operators.ann.lsh_near_dups`.
 
     rows → id-range blocks (collect_list of ≤`block` vectors) →
     block-pair join (bid_a ≤ bid_b) → mapInPandas numpy kernel scoring
@@ -648,12 +674,20 @@ def embedding_near_dups_blocked(
     import numpy as np
     import pandas as pd
 
+    if max_rows is not None:
+        _guard_quadratic(emb.count(), max_rows, "embedding_near_dups_blocked")
     bid = F.floor(F.col(id_col) / F.lit(block)).cast("long")
     blocks = emb.groupBy(bid.alias("bid")).agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
                                 F.col(vec_col).alias("v"))).alias("rows")
-    ).persist()
-    blocks.count()  # materialize before the self-join races
+    )
+    if cache:
+        # persist gated like the sibling operators — callers in
+        # long-lived sessions pass cache=False (or unpersist via
+        # spark.catalog.clearCache()) to avoid accumulating cached
+        # block partitions across repeated invocations.
+        blocks = blocks.persist()
+        blocks.count()  # materialize before the self-join races
     pairs = (
         blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
         .join(

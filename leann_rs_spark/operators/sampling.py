@@ -253,10 +253,16 @@ def duckdb_weighted_mix(
     key_sql: str,
     salt: str = "mix",
 ) -> str:
-    """Oracle twin: UNION ALL of the per-source sampled SELECTs."""
+    """Oracle twin: UNION ALL of the per-source sampled SELECTs.
+
+    Validates rates exactly like the Spark side (weighted_mix →
+    deterministic_sample raises for rate > 1), so the twin rejects
+    every input the engine rejects."""
     parts = []
     for i, (sql, rate) in enumerate(source_sqls):
-        if rate >= 1.0:
+        if rate > 1.0:
+            raise ValueError(f"rate must be in [0, 1], got {rate!r}")
+        if rate == 1.0:
             parts.append(f"SELECT * FROM ({sql})")
         else:
             parts.append(

@@ -261,3 +261,28 @@ def test_append_rebuilds_ivf_layout(spark, docs, warehouse, ivf_built):
     assert meta.backend == "ivf"
     after = spark.read.parquet(f"{warehouse}/ivfidx/ivf").count()
     assert after == meta.passage_count > before
+
+
+def test_embedding_model_version_mismatch(spark, docs, warehouse):
+    """A pre-existing index built by an older embedding-model version
+    must not be silently mixed with current-code vectors: append
+    refuses (stored rows would become permanently inconsistent),
+    search warns (scores shift only in the last ulp)."""
+    import warnings
+
+    import pytest
+
+    catalog.build_index(
+        spark, warehouse, "oldidx", docs.limit(3), chunk_size=16,
+        chunk_overlap=4, dims=32,
+    )
+    meta = catalog.load_meta(warehouse, "oldidx")
+    meta.embedding_model = "hash-v1"
+    catalog.save_meta(warehouse, "oldidx", meta)
+
+    with pytest.raises(ValueError, match="embedding_model"):
+        catalog.append_to_index(spark, warehouse, "oldidx", docs.limit(1))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        catalog.search_index(spark, warehouse, "oldidx", "alpha", k=2, hybrid=False)
+    assert any("embedding_model" in str(x.message) for x in w)

@@ -206,3 +206,25 @@ def test_contamination_overlap_flags_planted_probe(spark):
     hits = {(r["doc_id"], r["probe_id"]): r["n_shared"] for r in out}
     assert (7, 0) in hits and hits[(7, 0)] > 0
     assert all(pid != 1 for (_, pid) in hits)
+
+
+def test_exact_near_dup_guard_refuses_large_inputs(spark):
+    """The exact all-pairs operators are small-N verification tools:
+    above max_rows they must refuse and point at the LSH path."""
+    import pytest
+
+    from leann_rs_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_blocked,
+    )
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="lsh_near_dups"):
+        embedding_near_dups(emb, max_rows=10, cache=False)
+    with pytest.raises(ValueError, match="lsh_near_dups"):
+        embedding_near_dups_blocked(emb, max_rows=10, cache=False)
+    # override restores the small-N verification path
+    assert embedding_near_dups(emb, max_rows=None, cache=False).count() >= 0
