@@ -171,6 +171,7 @@ def lsh_near_dups(
     bands: int = 4,
     assume_normalized: bool = False,
     cache: bool = True,
+    bucket_block: int = 1024,
 ) -> DataFrame:
     """→ (id_a, id_b, cos): cosine-near-dup pairs via random-hyperplane
     LSH bucketing + exact verification.
@@ -186,16 +187,27 @@ def lsh_near_dups(
     against the exact operator). Use dedup.embedding_near_dups when the
     corpus is small enough to cross-join exactly.
 
-    Verification (`assume_normalized=True`): per-BUCKET numpy kernel —
-    each (band, bits) bucket's vectors are gathered once (shuffle =
+    Verification (`assume_normalized=True`): per-bucket numpy kernel —
+    each (band, bits) bucket's vectors are gathered (shuffle =
     `bands` copies of the vector table, NOT per-pair rows) and every
     in-bucket pair is scored by a float64 matrix product folded
     sequentially over dims, the same left-fold order as
     aggregate(zip_with) and the DuckDB oracle, so scores are
-    bit-identical to the expression form. Clustered corpora make bucket
-    collisions quadratic-in-the-bucket; the kernel makes that constant
-    tiny (vectorized), and a mega-bucket is bounded by the band width —
-    add planes when real data clusters harder.
+    bit-identical to the expression form.
+
+    Mega-bucket bound: the band width bounds the NUMBER of buckets per
+    band, not their SIZE — a duplicate-heavy or tightly clustered corpus
+    can land a large fraction of rows in one bucket (exactly the regime
+    LSH targets). Buckets therefore flow to the kernel as grouped-map
+    GROUPS (streamed Arrow batches of rows — no single Arrow record
+    ever holds a bucket, unlike a collect_list gather), and the kernel
+    scores each bucket in id-sorted sub-block pairs of ≤ `bucket_block`
+    rows, so peak task memory is O(bucket_rows·dims + bucket_block²) —
+    the M×M matrix a mega-bucket would otherwise allocate never exists.
+    The pair WORK within a bucket is the exact-verification cost and
+    remains quadratic in the bucket; if profiles show a single bucket
+    dominating, add planes (narrower buckets) rather than raising
+    bucket_block.
     """
     from leann_rs_spark.functions.vector import cosine
 
@@ -241,9 +253,16 @@ def lsh_near_dups(
         ).alias("e"),
     ).select(id_col, F.col("e.band"), F.col("e.bb"))
     if assume_normalized:
-        # bucket-kernel verify: gather each bucket's (id, vector) rows,
-        # score all in-bucket pairs with the sequential-fold numpy
-        # kernel, dedup surviving pairs across bands. Works for any
+        # bucket-kernel verify: each (band, bits) bucket's rows flow as
+        # a grouped-map (applyInPandas) group — streamed to the worker
+        # as ordinary Arrow BATCHES of (id, vector) rows, so no single
+        # Arrow record ever holds a whole bucket (the collect_list
+        # failure mode). In-kernel the bucket is scored in id-sorted
+        # sub-block pairs of ≤ bucket_block rows: peak numpy memory is
+        # O(bucket_rows·dims + bucket_block²) however large a
+        # duplicate-heavy bucket gets. The fold order per pair is the
+        # sequential dims fold, bit-identical to aggregate(zip_with)
+        # and the oracle. Dedup across bands afterwards. Works for any
         # orderable id type — ids stay Python values; only scores are
         # vectorized.
         import numpy as np
@@ -251,46 +270,44 @@ def lsh_near_dups(
 
         id_dt = dict(emb.dtypes)[id_col]
         rows = banded.join(sk.select(F.col(id_col), F.col("__v")), id_col)
-        buckets = (
-            rows.groupBy("band", "bb")
-            .agg(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("id"), F.col("__v").alias("v"))
-                ).alias("rows")
-            )
-            .filter(F.size("rows") >= 2)
-        )
 
-        def kernel(batches):
-            for pdf in batches:
-                out_a, out_b, out_c = [], [], []
-                for _, r in pdf.iterrows():
-                    rs = r["rows"]
-                    ids = [x["id"] for x in rs]
-                    A = np.array([x["v"] for x in rs], dtype=np.float64)
-                    acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            if n < 2:
+                return empty
+            # id-sorted positions: within a sub-block pair, position
+            # order IS id order, so the upper-triangle mask gives
+            # id_a < id_b with no per-pair comparisons.
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].tolist()
+            A = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+            for i0 in range(0, n, bucket_block):
+                Ai = A[i0 : i0 + bucket_block]
+                for j0 in range(i0, n, bucket_block):
+                    Aj = A[j0 : j0 + bucket_block]
+                    acc = np.zeros((len(Ai), len(Aj)), dtype=np.float64)
                     for d in range(A.shape[1]):  # sequential fold over dims
-                        acc += A[:, d, None] * A[None, :, d]
-                    # positional ranks of the (arbitrary, orderable) ids
-                    # keep the id_a < id_b mask fully vectorized even in
-                    # dense near-dup buckets where acc >= threshold is
-                    # quadratic
-                    order = sorted(range(len(ids)), key=ids.__getitem__)
-                    rank = np.empty(len(ids), dtype=np.int64)
-                    rank[order] = np.arange(len(ids))
-                    mask = (acc >= threshold) & (rank[:, None] < rank[None, :])
+                        acc += Ai[:, d, None] * Aj[None, :, d]
+                    mask = acc >= threshold
+                    if i0 == j0:
+                        mask &= np.triu(np.ones(mask.shape, dtype=bool), 1)
                     ii, jj = np.nonzero(mask)
-                    out_a.extend(ids[i] for i in ii)
-                    out_b.extend(ids[j] for j in jj)
+                    out_a.extend(ids[i0 + i] for i in ii)
+                    out_b.extend(ids[j0 + j] for j in jj)
                     out_c.extend(acc[ii, jj])
-                if out_a:
-                    yield pd.DataFrame(
-                        {"id_a": out_a, "id_b": out_b, "cos": out_c}
-                    )
+            if not out_a:
+                return empty
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
-        return buckets.mapInPandas(
-            kernel, f"id_a {id_dt}, id_b {id_dt}, cos double"
-        ).dropDuplicates(["id_a", "id_b"])
+        return (
+            rows.groupBy("band", "bb")
+            .applyInPandas(kernel, f"id_a {id_dt}, id_b {id_dt}, cos double")
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"))
     b = banded.select("band", "bb", F.col(id_col).alias("id_b"))

@@ -117,3 +117,34 @@ def test_predicate_pushdown_into_probe(emb, assigned):
         assigned, cents, qv, k=10, nprobe=N_CENT, predicate=F.col("vec_id") % 2 == 0
     ).collect()
     assert out and all(r["vec_id"] % 2 == 0 for r in out)
+
+
+def test_lsh_bucket_splitting_is_result_identical(spark):
+    """Oversized (band, bits) buckets are split into ≤bucket_block
+    sub-blocks and scored as sub-block pairs — the pair set and scores
+    must be IDENTICAL to the unsplit kernel, including a duplicate-heavy
+    corpus that lands most rows in one bucket (the regime the split
+    exists for)."""
+    from leann_rs_spark.operators.ann import lsh_near_dups
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    dims = 32
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(200)
+    # duplicate-heavy: every doc appears twice under distinct ids
+    twice = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    de = embed_documents(twice, dims=dims).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    kw = dict(dims=dims, threshold=0.97, assume_normalized=True)
+    base = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_near_dups(de, bucket_block=10**9, **kw).collect()
+    }
+    split = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_near_dups(de, bucket_block=7, **kw).collect()
+    }
+    assert base  # the planted duplicates must collide
+    assert split == base
