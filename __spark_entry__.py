@@ -324,9 +324,10 @@ def t6_prompt_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t1_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4: sliding-window chunking + scalable dense passage ids.
-    No SQL oracle (procedural chunk-boundary loop) → driver records the
-    weaker rows-only check; semantics are pinned by tests/test_chunker.py
-    parity against the local port."""
+    Oracle = committed golden parquet from the Python parity port
+    (tools/make_chunker_golden.py; kernel pinned against reference
+    vectors by tests/test_chunker.py) — exact-match gate over the
+    Spark-side plumbing."""
     chunks = chunk_documents(
         _fan(_docs(spark, sf_dir)), strategy="simple", chunk_size=16, chunk_overlap=4
     )
@@ -365,8 +366,9 @@ def t2_code_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources (the driver tables hold prose, not code — wrap each doc's
     text into function/class bodies so block detection, brace/indent
     scanning, gap-context and oversize-split paths all execute).
-    No SQL oracle (procedural block scanner) → rows-only check; semantics
-    are pinned by tests/test_chunker.py parity vectors."""
+    Oracle = committed golden parquet from the Python parity port
+    (tools/make_chunker_golden.py); block-scanner semantics pinned by
+    tests/test_chunker.py reference vectors."""
     docs = _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         F.concat(
@@ -1098,6 +1100,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,
     }
+
+
+def _register_chunker_golden_oracles() -> None:
+    """t1/t2 oracle = committed golden parquet produced by the local
+    Python chunker parity port (tools/make_chunker_golden.py) — the same
+    kernels tests/test_chunker.py pins against the reference's unit
+    vectors, run driver-side with a plain-sort dense id. The chunk
+    boundary loops resist SQL; the golden table turns the former
+    rows-only check into an exact-match gate over the Spark-side
+    plumbing (mapInPandas batching, dense-id assignment, row loss).
+    Defined at the driver's correctness scale (sf0.01)."""
+    import os
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    t1 = os.path.join(fx, "chunker_golden_t1_sf0.01.parquet")
+    t2 = os.path.join(fx, "chunker_golden_t2_sf0.01.parquet")
+    if os.path.exists(t1):
+        _ORACLES["t1_chunk_passages"] = f"""
+            SELECT idx, doc_id, chunk_index, text
+            FROM read_parquet('{t1}') ORDER BY idx
+        """
+    if os.path.exists(t2):
+        _ORACLES["t2_code_chunks"] = f"""
+            SELECT idx, doc_id, chunk_index, chunk_type, block_type,
+                   name, language, start_line, end_line, text
+            FROM read_parquet('{t2}') ORDER BY idx
+        """
+
+
+_register_chunker_golden_oracles()
 
 
 def oracle_sql() -> dict[str, str]:
