@@ -537,6 +537,40 @@ def x_shuffle_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPEND_QUERY = "data processing stream"
+_APPEND_K = 50
+
+
+def x_append_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/T10 gate: build an index on the even-doc_id half of the
+    corpus, append_to_index the odd half, then search — the results must
+    be indistinguishable from a from-scratch full build. That rebuild is
+    the oracle: golden chunk table (fixtures/) + DuckDB hash-embed +
+    exact top-k. Pins the reference's trickiest write-path invariant —
+    id reassignment on update (src/cli/update.rs:174-181) — end-to-end:
+    dropped rows, overlapping ids, or embedding/passage misalignment all
+    break the exact-match compare. Internal idx numbering (which
+    legitimately differs append vs rebuild) is excluded; k sits at a
+    verified tie-free score boundary so the top-k SET is well-defined."""
+    import tempfile
+
+    from leann_rs_spark.catalog import append_to_index, build_index, search_index
+
+    wh = tempfile.mkdtemp(prefix="leann-append-gate-")
+    docs = _docs(spark, sf_dir)
+    build_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
+        strategy="simple", chunk_size=16, chunk_overlap=4,
+        dims=_EMBED_DIMS, with_bm25=False,
+    )
+    append_to_index(spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 1))
+    out = search_index(spark, wh, "g", _APPEND_QUERY, k=_APPEND_K, hybrid=False)
+    return out.select(
+        "doc_id", "source", "text",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    )
+
+
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (training-batch assembly): sharded
     deterministic order + windowed cumulative tokens → pack ids. One
@@ -1099,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_det": x_sample_det,
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,
+        "x_append_consistency": x_append_consistency,
     }
 
 
@@ -1126,6 +1161,33 @@ def _register_chunker_golden_oracles() -> None:
             SELECT idx, doc_id, chunk_index, chunk_type, block_type,
                    name, language, start_line, end_line, text
             FROM read_parquet('{t2}') ORDER BY idx
+        """
+    if os.path.exists(t1):
+        # x_append_consistency oracle = the FROM-SCRATCH rebuild: golden
+        # chunk table → hash-embed → exact top-k. The Spark side builds
+        # half + appends half; equality proves append ≡ rebuild.
+        from leann_rs_spark.operators.embedder import (
+            DUCKDB_NORMALIZE,
+            duckdb_hash_embedding,
+            duckdb_raw_embedding,
+        )
+
+        raw = duckdb_raw_embedding("text", _EMBED_DIMS)
+        qv = duckdb_hash_embedding(f"'{_APPEND_QUERY}'", _EMBED_DIMS)
+        _ORACLES["x_append_consistency"] = f"""
+            WITH p AS (
+                SELECT doc_id, text, {raw} AS raw FROM read_parquet('{t1}')
+            ),
+            emb AS (SELECT doc_id, text, {DUCKDB_NORMALIZE} AS v FROM p),
+            qq AS (SELECT {qv} AS qv),
+            hits AS (
+                SELECT doc_id, text, {duckdb_dot('v', 'qv')} AS score
+                FROM emb, qq
+                ORDER BY score DESC LIMIT {_APPEND_K}
+            )
+            SELECT h.doc_id, d.source, h.text,
+                   round(h.score, 6) + 0.0 AS score_r
+            FROM hits h JOIN documents d USING (doc_id)
         """
 
 
