@@ -475,40 +475,53 @@ def simhash_near_dups(
     hamming verifies. Same no-O(n²) shape as MinHash-LSH.
     """
     assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    assert bits <= 63, "packed-long carry needs bits <= 63"
     width = bits // bands
+    # Pack the 0/1 bit array into ONE long (array index 0 = MSB of the
+    # packed value): the sketch the self-join shuffles is then 8 bytes
+    # instead of a bits-element int array, band extraction is
+    # shift+mask instead of slice+concat string building, and hamming
+    # is a single codegen'd bit_count(a XOR b) instead of an O(bits)
+    # interpreted HOF fold per band collision.  (This fixed the r1→r2
+    # x_dedup_simhash regression: the fold + wide-array shuffle carry
+    # dominated once verify moved before dropDuplicates.)
     sh = docs.select(
-        F.col(id_col), simhash_bits(F.col(text_col), bits).alias("sh")
+        F.col(id_col),
+        F.aggregate(
+            F.reverse(simhash_bits(F.col(text_col), bits)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        ).alias("sh"),
     )
     if cache:
         # both self-join sides read the sketch table; persist AND
         # materialize, or the racing join map stages hash twice.
         sh = sh.persist()
         sh.count()
+    mask = (1 << width) - 1
     banded = sh.select(
         F.col(id_col),
         F.col("sh"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.slice(F.col("sh"), b * width + 1, width),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("bb"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), bits - (b + 1) * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("e"),
     ).select(id_col, "sh", F.col("e.band"), F.col("e.bb"))
 
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     b = banded.select("band", "bb", F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
-    # Verify hamming BEFORE dropDuplicates: the hamming fold is O(bits)
-    # map-side arithmetic, while dropDuplicates is a shuffle — filtering
-    # first shrinks the shuffle from every band collision (skewed-bucket
+    # Verify hamming BEFORE dropDuplicates: bit_count is map-side
+    # arithmetic, while dropDuplicates is a shuffle — filtering first
+    # shrinks the shuffle from every band collision (skewed-bucket
     # blowup: biased sign bits make some bands huge) down to true
     # near-dup pairs only. hamming is a pure function of the pair, so
     # dedup placement cannot change results.
@@ -516,12 +529,7 @@ def simhash_near_dups(
         a.join(b, ["band", "bb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "hamming",
-            F.aggregate(
-                F.zip_with("sha", "shb", lambda x, y: F.abs(x - y)),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ),
+            "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
