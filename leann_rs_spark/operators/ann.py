@@ -56,48 +56,118 @@ def take_centroids(
     )
 
 
+# Above this codebook size the inline-literal assignment plan is
+# replaced by a broadcast join: C x dims float literals in the
+# expression tree blow up plan serialization and codegen (a C=4096,
+# dims=768 codebook is ~25 MB of literals re-shipped with EVERY task
+# binary), while a broadcast relation is shipped once per executor.
+IVF_INLINE_MAX_CENTROIDS = 128
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    inline_max: int = IVF_INLINE_MAX_CENTROIDS,
 ) -> DataFrame:
     """Assign each vector to its best (max inner product) centroid.
 
-    The codebook is tiny by definition (C centroids), so it is collected
-    to the driver and inlined as a literal array of structs: assignment
-    becomes a pure PROJECTION — score all C centroids per row and take
-    the lexicographic max of struct(score, -centroid_id) with a single
+    Small codebooks (C <= inline_max) are collected to the driver and
+    inlined as a literal array of structs: assignment becomes a pure
+    PROJECTION — score all C centroids per row and take the
+    lexicographic max of struct(score, -centroid_id) with a single
     array fold. No join, no shuffle, no aggregation: the narrowest
     possible plan, and at 100 TB the assignment stage is exactly one
-    map pass over the vectors. Ties break on centroid_id ASC (larger
-    -id == smaller id) for a total order matching the oracle's
-    row_number ordering.
+    map pass over the vectors.
+
+    Large codebooks switch to a broadcast nested-loop join + per-vector
+    top-1: the codebook ships once per executor as a broadcast
+    relation (not as plan literals), each vector scores all C centroids
+    map-side, and the partial MAX(struct(score, -centroid_id))
+    aggregation collapses the C copies back to one row per vector
+    BEFORE the groupBy exchange — the shuffle carries N rows, not N*C.
+    Same dot() fold, same struct ordering, bit-identical assignments.
+
+    Both paths tie-break on centroid_id ASC (larger -id == smaller id)
+    for a total order matching the oracle's row_number ordering.
     """
+    cent_df = centroids.select("centroid_id", "centroid_vec")
     cents = sorted(
-        centroids.select("centroid_id", "centroid_vec").collect(),
+        cent_df.limit(inline_max + 1).collect(),
         key=lambda r: r["centroid_id"],
     )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]).alias("cv"),
-            )
-            for r in cents
-        ]
-    )
     vec = F.col(vec_col)
-    best = F.array_max(
-        F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                dot(vec, c["cv"]).alias("s"), (-c["cid"]).alias("neg_id")
-            ),
+    if len(cents) <= inline_max:
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]).alias("cv"),
+                )
+                for r in cents
+            ]
         )
+        best = F.array_max(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    dot(vec, c["cv"]).alias("s"), (-c["cid"]).alias("neg_id")
+                ),
+            )
+        )
+        return vectors.select(
+            id_col, vec_col, (-best["neg_id"]).alias("cluster_id")
+        )
+    scored = vectors.crossJoin(F.broadcast(cent_df)).select(
+        F.col(id_col),
+        vec,
+        F.struct(
+            dot(vec, F.col("centroid_vec")).alias("s"),
+            (-F.col("centroid_id")).alias("neg_id"),
+        ).alias("__cand"),
     )
-    return vectors.select(
-        id_col, vec_col, (-best["neg_id"]).alias("cluster_id")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.max("__cand").alias("__best"),
+        )
+        .select(id_col, vec_col, (-F.col("__best.neg_id")).alias("cluster_id"))
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Learned codebook: MLlib KMeans with a fixed seed.
+
+    Drop-in replacement for `take_centroids` — returns the same
+    (centroid_id, centroid_vec) shape with centroid_id = cluster index
+    0..C-1, so `ivf_assign`/`ivf_search` and the persisted-index layout
+    are unchanged. A learned codebook balances cluster sizes on real
+    (non-uniform) embedding distributions, which is what makes
+    nprobe/C partition pruning effective at 100 TB; the search
+    semantics (exact top-k inside probed clusters) do not depend on
+    centroid quality, which is why the oracle pins the search math and
+    not the codebook policy.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="centroid_id bigint, centroid_vec array<double>",
     )
 
 

@@ -119,6 +119,65 @@ def test_predicate_pushdown_into_probe(emb, assigned):
     assert out and all(r["vec_id"] % 2 == 0 for r in out)
 
 
+def test_large_codebook_broadcast_no_literal_blowup(emb):
+    """At C=1024 the assignment plan must use a broadcast relation, not
+    C x dims inline float literals: the optimized-plan string stays
+    small and literal-free where the inline path would embed ~tens of
+    thousands of float constants."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    spark = emb.sparkSession
+    dims = len(emb.head()["embedding"])
+    rng = np.random.default_rng(7)
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=i, centroid_vec=[float(x) for x in rng.standard_normal(dims)])
+            for i in range(1024)
+        ]
+    )
+    out = ivf_assign(emb, cents)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    assert len(plan) < 50_000, f"plan string blew up: {len(plan)} chars"
+    # and it still assigns every vector to exactly one cluster
+    assert out.count() == emb.count()
+
+
+def test_inline_and_broadcast_paths_agree(emb):
+    """Forcing the broadcast-join path on a small codebook must produce
+    bit-identical assignments to the inline-literal path (same dot()
+    fold, same struct-max tie-break)."""
+    cents = take_centroids(emb, N_CENT)
+    inline = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents).collect()
+    }
+    bcast = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents, inline_max=0).collect()
+    }
+    assert bcast == inline
+
+
+def test_kmeans_codebook_drop_in(emb):
+    """kmeans_centroids returns the take_centroids shape and slots into
+    the same assign/search pipeline; full probe still degrades to
+    exact search regardless of codebook policy."""
+    from leann_rs_spark.operators.ann import kmeans_centroids
+
+    cents = kmeans_centroids(emb, N_CENT, seed=42).cache()
+    assert cents.count() == N_CENT
+    assert set(cents.columns) == {"centroid_id", "centroid_vec"}
+    assigned = ivf_assign(emb, cents).cache()
+    qv = _qv(emb, 7)
+    approx = ivf_search(assigned, cents, qv, k=10, nprobe=N_CENT).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in approx] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
 def test_lsh_bucket_splitting_is_result_identical(spark):
     """Oversized (band, bits) buckets are split into ≤bucket_block
     sub-blocks and scored as sub-block pairs — the pair set and scores
