@@ -29,11 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# build.rs:428-439 (non-pdf default set; .pdf appended when pdf support is on)
+# build.rs:428-439; .pdf is appended there when pdf support is compiled
+# in — this engine always has the sources/pdf.py extractor, so it's on.
 DEFAULT_FILE_TYPES = [
     ".txt", ".md", ".py", ".js", ".ts", ".tsx", ".jsx", ".rs", ".go", ".java",
     ".c", ".cpp", ".cc", ".h", ".hpp", ".json", ".yaml", ".yml", ".toml",
-    ".rb", ".php", ".swift", ".kt", ".scala", ".cs",
+    ".rb", ".php", ".swift", ".kt", ".scala", ".cs", ".pdf",
 ]
 
 # build.rs:497-506 filter_entry skip list
@@ -112,21 +113,41 @@ def scan_files(
     return df
 
 
+_LOADED_COLS = ["path", "ext", "length", "modification_time", "text"]
+
+
 def load_file_content(files: DataFrame) -> DataFrame:
     """S2: binary → text. UTF-8 with replacement (the reference's
     read_to_string is strict UTF-8; replacement keeps the pipeline total
-    over dirty corpora — documented deviation). `.pdf` rows would route
-    through a pypdf mapInPandas stage; pypdf is absent here, so they
-    raise at evaluation like the reference's disabled `pdf` feature
-    (build.rs:652-657)."""
-    pdf_rows = files.filter(F.col("ext") == ".pdf")
+    over dirty corpora — documented deviation). `.pdf` rows route
+    through an Arrow-batched mapInPandas extraction stage
+    (sources/pdf.py: pypdf when importable, else a minimal pure-Python
+    engine); rows whose extraction yields nothing are dropped — the
+    reference's None-on-failure skip (build.rs:652-657). The branches
+    stay separate so the non-pdf path never pays for extraction."""
     text = files.filter(F.col("ext") != ".pdf").withColumn(
         "text", F.decode(F.col("content"), "UTF-8")
     )
-    # >>> PDF-EXTRACTOR STUB — pypdf mapInPandas would go here <<<
-    # (kept as a separate branch so the non-pdf path never pays for it)
-    _ = pdf_rows
-    return text.select("path", "ext", "length", "modification_time", "text")
+    pdf_rows = files.filter(F.col("ext") == ".pdf")
+
+    def _extract(batches):
+        from leann_rs_spark.sources.pdf import extract_pdf_text
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = pdf["content"].map(
+                lambda b: extract_pdf_text(None if b is None else bytes(b))
+            )
+            yield pdf[_LOADED_COLS]
+
+    pdf_text = pdf_rows.mapInPandas(
+        _extract,
+        schema=(
+            "path string, ext string, length long,"
+            " modification_time timestamp, text string"
+        ),
+    ).filter(F.col("text").isNotNull())
+    return text.select(*_LOADED_COLS).unionByName(pdf_text)
 
 
 def files_to_documents(files: DataFrame) -> DataFrame:
