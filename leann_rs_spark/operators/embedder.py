@@ -211,6 +211,16 @@ def probe_dimensions(provider) -> int:
     return len(provider.embed(["test"])[0])
 
 
+# Reference provider batch sizes (src/cli/build.rs:268-273): network
+# providers take 100 texts per request, local engines 32.
+PROVIDER_BATCH_SIZES = {
+    "openai": 100,
+    "gemini": 100,
+    "ollama": 32,
+    "local": 32,
+}
+
+
 def embed_pandas(
     df: DataFrame,
     provider: HashEmbedder | None = None,
@@ -218,12 +228,29 @@ def embed_pandas(
     out_col: str = "embedding",
     batch_size: int = 100,
     prompt_template: str | None = None,
+    max_retries: int = 3,
+    backoff_s: float = 0.5,
+    max_concurrency: int = 1,
 ) -> DataFrame:
     """T5 physical shape: provider-batched embedding inside mapInPandas.
 
     Batches of `batch_size` mirror the reference's provider batch sizes
-    (OpenAI/Gemini 100, Ollama/local 32 — src/cli/build.rs:268-273); a
-    real HTTP provider slots into `provider.embed` unchanged.
+    (`PROVIDER_BATCH_SIZES`, src/cli/build.rs:268-273); a real HTTP
+    provider slots into `provider.embed` unchanged.
+
+    Hardening for real (network) providers:
+    - each provider call retries up to `max_retries` times with
+      exponential backoff starting at `backoff_s` — transient 429/5xx
+      blips don't fail the Spark task (which would re-embed the whole
+      partition); a call that exhausts retries raises, deferring to
+      Spark's own task-retry ladder.
+    - `max_concurrency` > 1 runs that many provider calls in flight per
+      partition via a thread pool (I/O-bound HTTP overlaps; order is
+      preserved, so results are deterministic). Total in-flight
+      requests across the cluster = executors × cores × max_concurrency
+      — size it against the provider's rate limit, not the cluster.
+    - a provider returning the wrong number of vectors fails fast
+      instead of mis-aligning rows.
     """
     provider = provider or HashEmbedder()
     fields = list(df.schema.fields)
@@ -231,18 +258,55 @@ def embed_pandas(
         fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
     )
 
+    def call(chunk: list[str]) -> list[list[float]]:
+        import time
+
+        delay = backoff_s
+        for attempt in range(max_retries + 1):
+            try:
+                vecs = provider.embed(chunk)
+                if len(vecs) != len(chunk):
+                    raise RuntimeError(
+                        f"provider returned {len(vecs)} vectors for "
+                        f"{len(chunk)} texts"
+                    )
+                return vecs
+            except Exception:
+                if attempt == max_retries:
+                    raise
+                time.sleep(delay)
+                delay *= 2
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vecs: list[list[float]] = []
-            texts = [
-                (prompt_template or "") + (t if isinstance(t, str) else "")
-                for t in pdf[text_col]
-            ]
-            for i in range(0, len(texts), batch_size):
-                vecs.extend(provider.embed(texts[i : i + batch_size]))
-            out = pdf.copy()
-            out[out_col] = vecs
-            yield out
+        pool = None
+        if max_concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=max_concurrency)
+        try:
+            for pdf in batches:
+                texts = [
+                    (prompt_template or "") + (t if isinstance(t, str) else "")
+                    for t in pdf[text_col]
+                ]
+                chunks = [
+                    texts[i : i + batch_size]
+                    for i in range(0, len(texts), batch_size)
+                ]
+                vecs: list[list[float]] = []
+                if pool is not None:
+                    # executor.map preserves submission order
+                    for part in pool.map(call, chunks):
+                        vecs.extend(part)
+                else:
+                    for chunk in chunks:
+                        vecs.extend(call(chunk))
+                out = pdf.copy()
+                out[out_col] = vecs
+                yield out
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     return df.mapInPandas(run, schema=out_schema)
 

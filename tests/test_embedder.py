@@ -107,3 +107,84 @@ def test_probe_dimensions():
 
     assert probe_dimensions(HashEmbedder(dims=48)) == 48
     assert probe_dimensions(HashEmbedder()) == probe_dimensions(HashEmbedder())
+
+
+# ---------------------------------------------------------------------------
+# provider-slot hardening: retry/backoff + bounded concurrency
+# ---------------------------------------------------------------------------
+
+def _flaky_provider(dims=16, fail_n=1):
+    """Fails the first `fail_n` attempts for every chunk (keyed by the
+    chunk's first text), then delegates to the deterministic hash
+    provider. Defined per-call so cloudpickle ships the class by VALUE
+    (a test-module top-level class pickles by reference, which workers
+    cannot import)."""
+
+    class Flaky(HashEmbedder):
+        def __init__(self, dims, fail_n):
+            super().__init__(dims)
+            self.fail_n = fail_n
+            self.attempts = {}
+
+        def embed(self, texts):
+            key = texts[0] if texts else ""
+            n = self.attempts.get(key, 0)
+            self.attempts[key] = n + 1
+            if n < self.fail_n:
+                raise ConnectionError(f"transient blip #{n} for {key[:20]!r}")
+            return super().embed(texts)
+
+    return Flaky(dims, fail_n)
+
+
+def _short_provider(dims=16):
+    class Short(HashEmbedder):
+        def embed(self, texts):
+            return super().embed(texts)[:-1]  # drops one vector
+
+    return Short(dims)
+
+
+def _vecs(df):
+    return {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in df.select("doc_id", "embedding").collect()
+    }
+
+
+def test_embed_pandas_retries_transient_failures(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    want = _vecs(embed_pandas(docs, HashEmbedder(16), batch_size=7))
+    got = _vecs(
+        embed_pandas(
+            docs, _flaky_provider(16, fail_n=2), batch_size=7,
+            max_retries=3, backoff_s=0.001,
+        )
+    )
+    assert got == want
+
+
+def test_embed_pandas_exhausted_retries_raise(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    out = embed_pandas(
+        docs, _flaky_provider(16, fail_n=10), batch_size=100,
+        max_retries=2, backoff_s=0.001,
+    )
+    with pytest.raises(Exception, match="transient blip"):
+        out.collect()
+
+
+def test_embed_pandas_bounded_concurrency_order_preserved(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    want = _vecs(embed_pandas(docs, HashEmbedder(16), batch_size=5))
+    got = _vecs(
+        embed_pandas(docs, HashEmbedder(16), batch_size=5, max_concurrency=4)
+    )
+    assert got == want
+
+
+def test_embed_pandas_misaligned_provider_fails_fast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    out = embed_pandas(docs, _short_provider(16), max_retries=0)
+    with pytest.raises(Exception, match="vectors for"):
+        out.collect()
