@@ -287,6 +287,37 @@ def q14_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expansion_terms(passages, _EXPAND_QUERY, max_terms=5)
 
 
+_Q15_K = 10
+
+
+def q15_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14+Q15 END-TO-END (§3.1 step 5, src/cli/search.rs:147-207):
+    build an index with persisted BM25, then one search_index call does
+    expansion (BM25 top-5 for the ORIGINAL query → term mining →
+    expanded query), the auto-hybrid gate (2-word query → hybrid on),
+    and the hybrid vector⊕BM25 rerank — both sides driven by the
+    EXPANDED query, as in the reference. Oracle = the same pipeline in
+    SQL over the committed golden chunk table: mined terms come from a
+    CTE feeding both the qterms relation and the query-embedding
+    string."""
+    import tempfile
+
+    from leann_rs_spark.catalog import build_index, search_index
+
+    wh = tempfile.mkdtemp(prefix="leann-q15-gate-")
+    build_index(
+        spark, wh, "g", _docs(spark, sf_dir),
+        strategy="simple", chunk_size=16, chunk_overlap=4,
+        dims=_EMBED_DIMS, with_bm25=True,
+    )
+    out = search_index(
+        spark, wh, "g", _EXPAND_QUERY, k=_Q15_K, hybrid=None, expand=True
+    )
+    return out.select(
+        "doc_id", "text", (F.round("score", 6) + F.lit(0.0)).alias("score_r")
+    )
+
+
 _EMBED_DIMS = 32
 _EMBCOS_TAU = 0.97
 
@@ -1106,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_bm25_topk": q11_bm25_topk,
         "q13_hybrid_search": q13_hybrid_search,
         "q14_expansion_terms": q14_expansion_terms,
+        "q15_expanded_search": q15_expanded_search,
         "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
         "t5_hash_embed": t5_hash_embed,
@@ -1188,6 +1220,69 @@ def _register_chunker_golden_oracles() -> None:
             SELECT h.doc_id, d.source, h.text,
                    round(h.score, 6) + 0.0 AS score_r
             FROM hits h JOIN documents d USING (doc_id)
+        """
+
+        # q15 oracle = the whole §3.1 step-5 pipeline in SQL over the
+        # golden chunk table: BM25(original query) top-5 → mined terms
+        # CTE → (a) expanded qterms relation for the BM25 side and
+        # (b) the expanded query STRING (same term order as the engine:
+        # cnt DESC, term ASC) for the embedding side → hybrid rerank.
+        from leann_rs_spark.operators.bm25 import (
+            duckdb_bm25_scored,
+            tokenize_py,
+        )
+
+        golden = f"read_parquet('{t1}')"
+        fetch_k = _Q15_K * 5  # hybrid over-fetch, searcher.rs:129-133
+        orig_scored = duckdb_bm25_scored(_EXPAND_QUERY, table=golden, id_col="idx")
+        top5_texts = f"""
+            SELECT g.text FROM (
+                SELECT idx FROM ({orig_scored}) WHERE score > 0.0
+                ORDER BY round(score, 6) DESC, idx ASC LIMIT 5
+            ) t JOIN {golden} g USING (idx)
+        """
+        mined = duckdb_expansion_terms(top5_texts, _EXPAND_QUERY, max_terms=5)
+        qcounts: dict[str, int] = {}
+        for tkn in tokenize_py(_EXPAND_QUERY):
+            qcounts[tkn] = qcounts.get(tkn, 0) + 1
+        orig_values = ", ".join(
+            f"('{t}', {float(c)!r})" for t, c in sorted(qcounts.items())
+        )
+        qterms_exp = f"""
+            SELECT term, qtf FROM (VALUES {orig_values}) v(term, qtf)
+            UNION ALL
+            SELECT term, 1.0 AS qtf FROM mined
+        """
+        exp_scored = duckdb_bm25_scored(
+            "", table=golden, id_col="idx", qterms_sql=qterms_exp
+        )
+        qraw15 = duckdb_raw_embedding("text", _EMBED_DIMS)
+        hybrid15 = duckdb_hybrid_rerank(
+            bm25_scored_cte=exp_scored,
+            vec_hits_sql=f"""
+                SELECT e.idx, {duckdb_dot('e.v', 'qq15.qv')} AS score
+                FROM emb15 e, qq15
+                ORDER BY score DESC, e.idx ASC LIMIT {fetch_k}
+            """,
+            fetch_k=fetch_k,
+            alpha=0.7,
+            id_col="idx",
+            num_docs_sql=f"(SELECT count(*) FROM {golden})",
+        )
+        _ORACLES["q15_expanded_search"] = f"""
+            WITH mined AS ({mined}),
+            p15 AS (SELECT idx, doc_id, text, {raw} AS raw FROM {golden}),
+            emb15 AS (SELECT idx, doc_id, text, {DUCKDB_NORMALIZE} AS v FROM p15),
+            expq AS (
+                SELECT '{_EXPAND_QUERY}'
+                       || coalesce(' ' || string_agg(term, ' '
+                            ORDER BY cnt DESC, term ASC), '') AS text
+                FROM mined
+            ),
+            qraw AS (SELECT {qraw15} AS raw FROM expq),
+            qq15 AS (SELECT {DUCKDB_NORMALIZE} AS qv FROM qraw)
+            SELECT g.doc_id, g.text, round(h.combined, 6) + 0.0 AS score_r
+            FROM ({hybrid15} LIMIT {_Q15_K}) h JOIN {golden} g USING (idx)
         """
 
 

@@ -40,7 +40,7 @@ from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from leann_rs_spark.operators.bm25 import bm25_topk, build_bm25_index, score_query
+from leann_rs_spark.operators.bm25 import build_bm25_index, score_query
 from leann_rs_spark.operators.chunker import chunk_documents
 from leann_rs_spark.operators.embedder import embed_documents
 from leann_rs_spark.operators.filter_dsl import compile_spark, parse as parse_filter
@@ -346,21 +346,32 @@ def search_index(
     filter_str: str | None = None,
     hybrid: bool | None = None,
     hybrid_alpha: float = 0.7,
+    expand: bool = False,
 ) -> DataFrame:
     """The `leann search` read path (src/cli/search.rs:73-257, SURVEY
-    §3.1) end-to-end: meta → plan heuristics → embed query → (pruned ?
-    recompute : stored-embeddings) exact top-k → optional hybrid union +
-    rerank → assemble text. Returns (idx, score, text, doc_id, source).
+    §3.1) end-to-end: meta → plan heuristics → optional query expansion
+    → embed query → (pruned ? recompute : stored-embeddings) exact
+    top-k → optional hybrid union + rerank → assemble text. Returns
+    (idx, score, text, doc_id, source).
 
-    `hybrid=None` applies the auto-hybrid gate: ≤3 words
-    (src/cli/search.rs:147-148).
+    `hybrid=None` applies the auto-hybrid gate: ≤3 words — decided on
+    the ORIGINAL query (src/cli/search.rs:147-148), before expansion.
+
+    `expand=True` mirrors src/cli/search.rs:173-187: for short queries
+    (should_expand, ≤3 words) on a non-pruned index with persisted
+    BM25, take the BM25 top-5 passages for the original query, mine
+    key terms (the distributed Q14 form, operators/query_expansion.py
+    — same ranking as the reference, deterministic tie-break), and
+    append them; the EXPANDED query then drives both the vector
+    embedding and the hybrid BM25 side, as in the reference.
     """
     from leann_rs_spark.operators.embedder import HashEmbedder, py_hash_embedding
 
     meta = load_meta(warehouse, name)
     check_embedding_model(meta, strict=False)
     base = _index_dir(warehouse, name)
-    passages = spark.read.parquet(f"{base}/passages")
+    passages_all = spark.read.parquet(f"{base}/passages")
+    passages = passages_all
 
     if filter_str:
         pred: Column | None = compile_spark(parse_filter(filter_str))
@@ -369,10 +380,46 @@ def search_index(
     if hybrid is None:
         hybrid = use_hybrid(query, auto_hybrid=True)  # Q15 gate
 
+    search_query = query
+    if expand and not meta.is_pruned and os.path.isdir(f"{base}/bm25_postings"):
+        from leann_rs_spark.operators.bm25 import tokenize_py
+        from leann_rs_spark.operators.query_expansion import (
+            expansion_terms,
+            should_expand,
+        )
+
+        if should_expand(query):
+            # BM25 over the persisted postings with the ORIGINAL query
+            # (no metadata filter — the reference's bm25_search scans
+            # all passages, search.rs:174). Candidate selection on the
+            # 6dp-rounded score: BM25 term sums are order-sensitive in
+            # the last ulp across engines, and the rounded rank keeps
+            # the mined-term set oracle-reproducible.
+            qb = sorted({py_term_bucket(t) for t in tokenize_py(query)})
+            postings0 = spark.read.parquet(f"{base}/bm25_postings").filter(
+                F.col("term_bucket").isin(qb)
+            )
+            docstats0 = spark.read.parquet(f"{base}/bm25_docstats")
+            termstats0 = postings0.groupBy("term").agg(F.count("*").alias("df"))
+            scored0 = score_query(postings0, docstats0, termstats0, query, id_col="idx")
+            top5 = (
+                scored0.filter(F.col("score") > 0.0)
+                .orderBy(F.round(F.col("score"), 6).desc(), F.col("idx").asc())
+                .limit(5)
+            )
+            texts = F.broadcast(top5.select("idx")).join(passages_all, "idx")
+            # ≤5 mined terms collected driver-side — the reference's
+            # expand_from_passages is likewise a driver-side step over
+            # the 5 passage strings (query.rs:128-164)
+            mined = expansion_terms(texts, query, max_terms=5).collect()
+            new_terms = [r["term"] for r in mined]
+            if new_terms:
+                search_query = f"{query} {' '.join(new_terms)}"
+
     # prefix concatenation — the reference's embed_with_template is
     # format!("{}{}", template, text) (src/embedding/mod.rs:126-143),
     # matching the doc-side with_prompt_template
-    qtext = (meta.query_prompt_template or "") + query
+    qtext = (meta.query_prompt_template or "") + search_query
     qv = py_hash_embedding(qtext, meta.dimensions)
 
     emb = _embeddings_for_search(spark, base, meta, passages)
@@ -391,7 +438,7 @@ def search_index(
         # so restricting the scan to the query terms' buckets reads
         # ≤ |query terms| of the table's 64 partitions — and every
         # pruned-in term's rows are COMPLETE, so df counts stay exact.
-        qbuckets = sorted({py_term_bucket(t) for t in tokenize_py(query)})
+        qbuckets = sorted({py_term_bucket(t) for t in tokenize_py(search_query)})
         postings = spark.read.parquet(f"{base}/bm25_postings").filter(
             F.col("term_bucket").isin(qbuckets)
         )
@@ -401,8 +448,17 @@ def search_index(
             keep = passages.select("idx")
             postings = postings.join(keep, "idx", "left_semi")
             docstats = docstats.join(keep, "idx", "left_semi")
-        scored = score_query(postings, docstats, termstats, query, id_col="idx")
-        bm25_top = bm25_topk(scored, fetch_k, id_col="idx")
+        # the EXPANDED query drives the BM25 side (search.rs:204, the
+        # opts.with_hybrid(search_query) call)
+        scored = score_query(postings, docstats, termstats, search_query, id_col="idx")
+        # candidate cut on the 6dp-rounded score (cross-engine
+        # determinism; sub-1e-6 reorderings are fp noise) — the same
+        # rank the duckdb_hybrid_rerank twin uses
+        bm25_top = (
+            scored.filter(F.col("score") > 0.0)
+            .orderBy(F.round(F.col("score"), 6).desc(), F.col("idx").asc())
+            .limit(fetch_k)
+        )
         combined = hybrid_rerank(
             vec_hits.withColumnRenamed("idx", "doc_id"),
             scored.withColumnRenamed("idx", "doc_id"),

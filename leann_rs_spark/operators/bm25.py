@@ -254,14 +254,26 @@ def duckdb_bm25_scored(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    qterms_sql: str | None = None,
 ) -> str:
     """CTE SQL producing (id_col, score) — the oracle twin of
-    build_bm25_index + score_query."""
-    qtokens = tokenize_py(query)
-    counts: dict[str, int] = {}
-    for t in qtokens:
-        counts[t] = counts.get(t, 0) + 1
-    qvalues = ", ".join(f"('{t}', {float(c)!r})" for t, c in sorted(counts.items()))
+    build_bm25_index + score_query.
+
+    `qterms_sql` (a SELECT producing (term, qtf DOUBLE)) replaces the
+    driver-tokenized VALUES list — used when the query terms are
+    themselves computed in SQL (the q15 expanded-search oracle, where
+    mined expansion terms come from a CTE)."""
+    if qterms_sql is None:
+        qtokens = tokenize_py(query)
+        counts: dict[str, int] = {}
+        for t in qtokens:
+            counts[t] = counts.get(t, 0) + 1
+        qvalues = ", ".join(
+            f"('{t}', {float(c)!r})" for t, c in sorted(counts.items())
+        )
+        qterms_cte = f"qterms(term, qtf) AS (VALUES {qvalues})"
+    else:
+        qterms_cte = f"qterms AS ({qterms_sql})"
     toks = duckdb_tokenize(text_col)
     return f"""
     WITH tokd AS (
@@ -277,7 +289,7 @@ def duckdb_bm25_scored(
         SELECT count(*)::double AS n, (sum(doc_len)::double / count(*)::double) AS avg_len
         FROM docstats
     ),
-    qterms(term, qtf) AS (VALUES {qvalues})
+    {qterms_cte}
     SELECT tf.{id_col},
            sum(qterms.qtf
                * ln((corpus.n - termstats.df + 0.5) / (termstats.df + 0.5) + 1.0)

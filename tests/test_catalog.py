@@ -286,3 +286,70 @@ def test_embedding_model_version_mismatch(spark, docs, warehouse):
         warnings.simplefilter("always")
         catalog.search_index(spark, warehouse, "oldidx", "alpha", k=2, hybrid=False)
     assert any("embedding_model" in str(x.message) for x in w)
+
+
+@pytest.fixture(scope="module")
+def exp_built(spark, docs, warehouse):
+    # dedicated index: the shared "main" is appended/pruned by other
+    # tests in this module, which would disable/skew expansion
+    return catalog.build_index(
+        spark, warehouse, "expidx", docs, chunk_size=16, chunk_overlap=4, dims=32
+    )
+
+
+def test_search_expand_appends_mined_terms(spark, docs, warehouse, exp_built):
+    """expand=True on a short query mines terms from the BM25 top-5 and
+    both search sides use the expanded query: results must equal an
+    explicit search for the manually-expanded string, and differ from
+    the unexpanded search (the sf corpus yields nonempty mined terms)."""
+    from leann_rs_spark.operators.bm25 import score_query, tokenize_py
+    from leann_rs_spark.operators.query_expansion import expansion_terms
+
+    q = "spark filter"  # 2 words -> should_expand AND auto-hybrid
+    base = f"{warehouse}/expidx"
+    postings = spark.read.parquet(f"{base}/bm25_postings")
+    docstats = spark.read.parquet(f"{base}/bm25_docstats")
+    termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = score_query(postings, docstats, termstats, q, id_col="idx")
+    top5 = (
+        scored.filter(F.col("score") > 0.0)
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("idx").asc())
+        .limit(5)
+    )
+    texts = F.broadcast(top5.select("idx")).join(
+        spark.read.parquet(f"{base}/passages"), "idx"
+    )
+    mined = [r["term"] for r in expansion_terms(texts, q, max_terms=5).collect()]
+    assert mined  # corpus must actually yield expansion terms
+
+    expanded = f"{q} {' '.join(mined)}"
+    got = catalog.search_index(
+        spark, warehouse, "expidx", q, k=5, hybrid=True, expand=True
+    ).collect()
+    want = catalog.search_index(
+        spark, warehouse, "expidx", expanded, k=5, hybrid=True, expand=False
+    ).collect()
+    assert [(r["idx"], r["score"]) for r in got] == [
+        (r["idx"], r["score"]) for r in want
+    ]
+    plain = catalog.search_index(
+        spark, warehouse, "expidx", q, k=5, hybrid=True, expand=False
+    ).collect()
+    assert [(r["idx"], r["score"]) for r in got] != [
+        (r["idx"], r["score"]) for r in plain
+    ]
+
+
+def test_search_expand_skips_long_queries(spark, docs, warehouse, exp_built):
+    """should_expand gates on <=3 words: a long query is searched as-is
+    even with expand=True."""
+    q = "distributed stream processing engine design"
+    a = catalog.search_index(
+        spark, warehouse, "expidx", q, k=5, hybrid=False, expand=True
+    ).collect()
+    b = catalog.search_index(
+        spark, warehouse, "expidx", q, k=5, hybrid=False, expand=False
+    ).collect()
+    assert [(r["idx"], r["score"]) for r in a] == [
+        (r["idx"], r["score"]) for r in b
+    ]
