@@ -128,22 +128,108 @@ def cmd_search(args) -> int:
     return 0
 
 
-def cmd_ask(args) -> int:
-    from leann_rs_spark.operators.rag import rag_batch
+def _make_answerer(spark, warehouse: str, name: str, top_k: int):
+    """One-question RAG closure over DataFrames loaded ONCE — the REPL
+    reuses the loaded passages/embeddings across turns, like the
+    reference's long-lived IndexSearcher."""
     from leann_rs_spark.catalog import load_meta
+    from leann_rs_spark.operators.rag import rag_batch
 
-    spark = _spark(args)
-    meta = load_meta(args.warehouse, args.name)
-    base = f"{args.warehouse}/{args.name}"
+    meta = load_meta(warehouse, name)
+    base = f"{warehouse}/{name}"
     passages = spark.read.parquet(f"{base}/passages")
     emb = spark.read.parquet(f"{base}/embeddings")
-    questions = spark.createDataFrame(
-        [(0, args.question)], "question_id long, question string"
-    )
-    row = rag_batch(
-        questions, passages, emb, k=args.top_k, dims=meta.dimensions
-    ).head()
-    print(row["answer"])
+
+    def answer(question: str) -> str:
+        questions = spark.createDataFrame(
+            [(0, question)], "question_id long, question string"
+        )
+        row = rag_batch(
+            questions, passages, emb, k=top_k, dims=meta.dimensions
+        ).head()
+        return row["answer"]
+
+    return answer
+
+
+_CHAT_HELP = """
+Commands:
+  /help     - Show this help message
+  /clear    - Clear conversation history
+  /history  - Show command history
+  /quit     - Exit interactive mode
+"""
+
+
+def run_interactive(
+    spark,
+    warehouse: str,
+    name: str,
+    top_k: int = 5,
+    input_fn=input,
+    out=print,
+) -> list[tuple[str, str]]:
+    """R2: the interactive chat REPL (src/cli/ask.rs:200-317).
+
+    Reference parity: /help|/h|/?, /clear|/c, /history|/hist,
+    /quit|/q|/exit, unknown-command message, blank-line skip; the
+    (question, answer) history is kept in memory but — as in the
+    reference (ask.rs:231,290) — NOT fed back into prompts. EOF exits.
+    `input_fn`/`out` are injectable for tests. Returns the final
+    conversation history."""
+    answer = _make_answerer(spark, warehouse, name, top_k)
+    out("\nLEANN Interactive Mode")
+    out(_CHAT_HELP)
+    history: list[tuple[str, str]] = []
+    while True:
+        try:
+            line = input_fn("You: ")
+        except EOFError:
+            out("\nGoodbye!")
+            break
+        q = line.strip()
+        if not q:
+            continue
+        if q.startswith("/"):
+            if q in ("/help", "/h", "/?"):
+                out(_CHAT_HELP)
+            elif q in ("/clear", "/c"):
+                history.clear()
+                out("\nConversation history cleared.\n")
+            elif q in ("/history", "/hist"):
+                out("\nConversation history:")
+                if not history:
+                    out("  (empty)")
+                for i, (hq, _) in enumerate(history):
+                    out(f"  {i + 1}. {hq}")
+                out("")
+            elif q in ("/quit", "/q", "/exit"):
+                out("\nGoodbye!")
+                break
+            else:
+                out(f"\nUnknown command: {q}. Type /help for available commands.\n")
+            continue
+        try:
+            a = answer(q)
+        except Exception as exc:  # ask.rs:292 — report, keep the REPL alive
+            out(f"\nError: {exc}\n")
+            continue
+        out(f"\nLEANN: {a}\n")
+        history.append((q, a))
+    return history
+
+
+def cmd_ask(args) -> int:
+    if getattr(args, "interactive", False):
+        spark = _spark(args)
+        run_interactive(spark, args.warehouse, args.name, top_k=args.top_k)
+        return 0
+    if args.question is None:
+        print("ask: provide a question or use --interactive", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    answer = _make_answerer(spark, args.warehouse, args.name, args.top_k)
+    print(answer(args.question))
     return 0
 
 
@@ -279,7 +365,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     a = sub.add_parser("ask", help="Ask questions using RAG")
     common(a, query=True)
-    a.add_argument("question")
+    a.add_argument("question", nargs="?", default=None)
+    a.add_argument("--interactive", "-i", action="store_true",
+                   help="chat REPL with in-memory history (ask.rs:200-317)")
     a.set_defaults(fn=cmd_ask)
 
     r = sub.add_parser("react", help="ReAct agent for multi-turn reasoning")

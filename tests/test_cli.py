@@ -145,3 +145,73 @@ def test_cli_build_from_directory_with_filters(spark, tmp_path_factory, capsys):
     # .py IS in the default allowlist — its absence proves --file-types
     # actually reached scan_files rather than defaults applying
     assert not any(s.endswith("d.py") for s in srcs)
+
+
+@pytest.fixture(scope="module")
+def chat_wh(spark, tmp_path_factory):
+    # own warehouse: the shared one is torn down by the remove test
+    wh = str(tmp_path_factory.mktemp("chat_wh"))
+    rc = main([
+        "build", "idx", "--warehouse", wh,
+        "--docs", f"{SF_SMOKE}/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+    ])
+    assert rc == 0
+    return wh
+
+
+def test_interactive_chat_repl(spark, chat_wh):
+    """R2 (ask.rs:200-317): scripted REPL session — commands, unknown
+    command, blank lines, Q&A history accumulation, /clear, /quit; the
+    history holds (question, answer) pairs but is never fed back into
+    prompts (each answer equals the single-shot ask answer)."""
+    from leann_rs_spark.cli import _make_answerer, run_interactive
+
+    script = iter([
+        "", "/help", "/history",
+        "what is a document?",
+        "/history",
+        "/bogus",
+        "/clear", "/history",
+        "tell me about events",
+        "/quit",
+        "never reached",
+    ])
+    out_lines = []
+    hist = run_interactive(
+        spark, chat_wh, "idx", top_k=3,
+        input_fn=lambda prompt: next(script), out=out_lines.append,
+    )
+    text = "\n".join(out_lines)
+    assert "Commands:" in text
+    assert "(empty)" in text           # /history before any question
+    assert "1. what is a document?" in text
+    assert "Unknown command: /bogus" in text
+    assert "Conversation history cleared." in text
+    assert "Goodbye!" in text
+    assert "never reached" not in text  # /quit stops reading
+    # post-/clear history holds only the second question
+    assert [q for q, _ in hist] == ["tell me about events"]
+    # history is NOT fed into prompts: answer == stateless single-shot
+    single = _make_answerer(spark, chat_wh, "idx", 3)("tell me about events")
+    assert hist[0][1] == single
+
+
+def test_interactive_chat_eof_exits(spark, chat_wh):
+    from leann_rs_spark.cli import run_interactive
+
+    def eof(prompt):
+        raise EOFError
+
+    out_lines = []
+    hist = run_interactive(
+        spark, chat_wh, "idx", input_fn=eof, out=out_lines.append
+    )
+    assert hist == []
+    assert "Goodbye!" in "\n".join(out_lines)
+
+
+def test_ask_without_question_errors(chat_wh, capsys):
+    rc = main(["ask", "idx", "--warehouse", chat_wh])
+    assert rc == 2
+    assert "provide a question" in capsys.readouterr().err
