@@ -186,10 +186,20 @@ def py_term_bucket(term: str) -> int:
 
 
 def _write_bm25(passages: DataFrame, base: str, mode: str) -> None:
+    # cache=False: each table is consumed exactly once by its write —
+    # persisting here would only pin executor memory for no reuse
     postings, docstats, termstats = build_bm25_index(
-        passages, id_col="idx", text_col="text"
+        passages, id_col="idx", text_col="text", cache=False
     )
-    postings.withColumn("term_bucket", term_bucket("term")).write.mode(
+    # Shuffle on the partition column BEFORE the partitioned write:
+    # without it every writer task opens a file in every bucket
+    # directory (tasks × TERM_BUCKETS small files + a dynamic-partition
+    # writer per task — measured 10.5s → 5s at sf0.1); with it each of
+    # the TERM_BUCKETS tasks writes exactly its one directory. At
+    # 100 TB this is also the difference between 64 × tasks small files
+    # and 64 well-sized ones per write.
+    bucketed = postings.withColumn("term_bucket", term_bucket("term"))
+    bucketed.repartition(TERM_BUCKETS, "term_bucket").write.mode(
         mode
     ).partitionBy("term_bucket").parquet(f"{base}/bm25_postings")
     docstats.write.mode(mode).parquet(f"{base}/bm25_docstats")
