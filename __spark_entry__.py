@@ -685,6 +685,25 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fractions and the
+    char coverage of the most frequent word 2/3-gram — per-row sorted
+    folds, zero shuffle at any scale."""
+    from leann_rs_spark.functions.textstats import (
+        dup_line_char_frac,
+        dup_line_frac,
+        top_ngram_char_frac,
+    )
+
+    return _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        (F.round(dup_line_frac("text"), 6) + F.lit(0.0)).alias("dup_line_r"),
+        (F.round(dup_line_char_frac("text"), 6) + F.lit(0.0)).alias("dup_char_r"),
+        (F.round(top_ngram_char_frac("text", 2), 6) + F.lit(0.0)).alias("top2_r"),
+        (F.round(top_ngram_char_frac("text", 3), 6) + F.lit(0.0)).alias("top3_r"),
+    ).orderBy("doc_id")
+
+
 _SESSION_GAP = "30 minutes"
 
 
@@ -1118,6 +1137,20 @@ def _register_text_oracles() -> None:
         SELECT doc_id, {duckdb_fingerprint('text')} AS fp
         FROM documents ORDER BY doc_id
     """
+    from leann_rs_spark.functions.textstats import (
+        duckdb_dup_line_char_frac,
+        duckdb_dup_line_frac,
+        duckdb_top_ngram_char_frac,
+    )
+
+    _ORACLES["x_text_repetition"] = f"""
+        SELECT doc_id,
+               round({duckdb_dup_line_frac('text')}, 6) + 0.0 AS dup_line_r,
+               round({duckdb_dup_line_char_frac('text')}, 6) + 0.0 AS dup_char_r,
+               round({duckdb_top_ngram_char_frac('text', 2)}, 6) + 0.0 AS top2_r,
+               round({duckdb_top_ngram_char_frac('text', 3)}, 6) + 0.0 AS top3_r
+        FROM documents ORDER BY doc_id
+    """
 
 
 _register_text_oracles()
@@ -1167,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_quality": x_text_quality,
         "x_text_langid": x_text_langid,
         "x_text_fingerprint": x_text_fingerprint,
+        "x_text_repetition": x_text_repetition,
         "x_sessionize": x_sessionize,
         "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
         "x_corpus_stats": x_corpus_stats,

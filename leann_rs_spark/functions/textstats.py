@@ -308,3 +308,145 @@ def duckdb_redact_pii(text: str) -> str:
         escaped = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+# The "Scaling Language Models" (Gopher) repetition filters, standard
+# in pretraining pipelines (also C4/RefinedWeb/Dolma): fraction of
+# duplicate lines, fraction of characters in duplicate lines, and the
+# fraction of characters covered by the single most frequent word
+# n-gram (n = 2, 3, 4; Gopher thresholds 0.20/0.18/0.16). All are
+# per-row expressions built on sorted-array folds — O(L log L) per
+# document, ZERO shuffle at any corpus size. Ties for the top n-gram
+# break on (count, char length, ngram) descending in both engines.
+
+
+def _ws_words(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _doc_lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def dup_line_frac(text: Column | str) -> Column:
+    """Fraction of (trimmed, nonempty) lines that are repeats of an
+    earlier line: 1 - distinct/total. 0.0 for line-less docs."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = _doc_lines(text)
+    return F.when(
+        F.size(lines) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_char_frac(text: Column | str) -> Column:
+    """Fraction of line characters sitting in lines that occur more
+    than once. Sorted-neighbor test: in the sorted line array an
+    element is duplicated iff it equals its predecessor or successor
+    (element_at positions clamped — Spark's boolean operators do not
+    short-circuit, so out-of-range probes must stay in range even when
+    the guard is false)."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = F.array_sort(_doc_lines(text))
+
+    def dup_len(x, i):
+        prev_ok = (i > 0) & (x == F.element_at(lines, F.greatest(i, F.lit(1))))
+        nxt = F.least(i + 2, F.greatest(F.size(lines), F.lit(1)))
+        next_ok = (i + 2 <= F.size(lines)) & (x == F.element_at(lines, nxt))
+        return F.when(prev_ok | next_ok, F.length(x)).otherwise(F.lit(0))
+
+    dup_chars = F.aggregate(
+        F.transform(lines, dup_len), F.lit(0), lambda a, x: a + x
+    )
+    total = F.aggregate(
+        F.transform(lines, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(
+        total > 0, dup_chars.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_frac(text: Column | str, n: int) -> Column:
+    """Characters covered by the most frequent word n-gram (count ×
+    n-gram length incl. internal spaces) over the raw text length.
+    Computed with one sorted fold carrying (prev, run, best) — the max
+    run in a sorted array is the max multiplicity."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = _ws_words(text)
+    ngrams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s = F.array_sort(ngrams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.struct(
+            F.lit(0).alias("cnt"), F.lit(0).alias("len"), F.lit("").alias("ng")
+        ).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        cand = F.struct(run.alias("cnt"), F.length(x).alias("len"), x.alias("ng"))
+        best = F.when(cand > acc["best"], cand).otherwise(acc["best"])
+        return F.struct(x.alias("prev"), run.alias("run"), best.alias("best"))
+
+    best = F.aggregate(s, init, step, lambda acc: acc["best"])
+    return (
+        (best["cnt"] * best["len"]).cast("double")
+        / F.greatest(F.length(text), F.lit(1)).cast("double")
+    )
+
+
+def duckdb_dup_line_frac(text: str) -> str:
+    lines = (
+        f"list_filter(list_transform(str_split({text}, chr(10)),"
+        f" x -> trim(x)), x -> x <> '')"
+    )
+    return (
+        f"CASE WHEN len({lines}) > 0 THEN"
+        f" 1.0 - len(list_distinct({lines}))::double / len({lines})::double"
+        f" ELSE 0.0 END"
+    )
+
+
+def duckdb_dup_line_char_frac(text: str) -> str:
+    lines = (
+        f"list_filter(list_transform(str_split({text}, chr(10)),"
+        f" x -> trim(x)), x -> x <> '')"
+    )
+    return f"""
+        coalesce((SELECT CASE WHEN sum(cnt * len) > 0 THEN
+                    sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)::double
+                    / sum(cnt * len)::double
+                  ELSE 0.0 END
+          FROM (SELECT l, count(*) AS cnt, length(l) AS len
+                FROM unnest({lines}) AS u(l) GROUP BY l)), 0.0)
+    """
+
+
+def duckdb_top_ngram_char_frac(text: str, n: int) -> str:
+    toks = f"list_filter(str_split_regex(trim({text}), '\\s+'), x -> x <> '')"
+    return f"""
+        coalesce((SELECT cnt * length(ng)
+          FROM (SELECT ng, count(*) AS cnt FROM (
+              SELECT list_aggregate(list_slice({toks}, i, i + {n - 1}),
+                                    'string_agg', ' ') AS ng
+              FROM unnest(CASE WHEN len({toks}) >= {n}
+                          THEN generate_series(1, len({toks}) - {n - 1})
+                          ELSE [] END) AS g(i)) GROUP BY ng)
+          ORDER BY cnt DESC, length(ng) DESC, ng DESC LIMIT 1), 0)::double
+        / greatest(length({text}), 1)::double
+    """

@@ -130,3 +130,81 @@ def test_redact_pii_patterns(spark):
     assert "<URL>," in red
     # common US formats all redact
     assert rows[1].count("<PHONE>") == 3
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_hand_vectors(spark):
+    from leann_rs_spark.functions.textstats import (
+        dup_line_char_frac,
+        dup_line_frac,
+        top_ngram_char_frac,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "a b a b a c"),          # top bigram "a b"/"b a" x2, len 3 -> 6/11
+        (1, ""),                      # empty -> all 0
+        (2, "line one\nline two\nline one\n\n  \nline three"),
+        (3, "dup\ndup\ndup"),         # all lines dup
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["dlf"], r["dlcf"], r["t2"])
+        for r in df.select(
+            "id",
+            F.round(dup_line_frac("text"), 9).alias("dlf"),
+            F.round(dup_line_char_frac("text"), 9).alias("dlcf"),
+            F.round(top_ngram_char_frac("text", 2), 9).alias("t2"),
+        ).collect()
+    }
+    assert got[1] == (0.0, 0.0, 0.0)
+    # doc 2: 4 nonempty lines, "line one" twice -> dup frac 1/4;
+    # dup chars 16 of 34 line chars
+    assert got[2][0] == pytest.approx(0.25)
+    assert got[2][1] == pytest.approx(16 / 34, abs=1e-9)
+    # doc 0: tie on count=2 between "a b" and "b a" -> same len, frac 6/11
+    assert got[0][2] == pytest.approx(6 / 11, abs=1e-9)
+    # doc 3: 3 identical lines -> dup_line 2/3, dup chars 1.0
+    assert got[3][0] == pytest.approx(2 / 3, abs=1e-9)
+    assert got[3][1] == pytest.approx(1.0)
+
+
+def test_repetition_signals_match_duckdb(spark, duck):
+    from conftest import SF_SMOKE
+
+    """Cross-engine parity on corpus rows incl. unicode and tabs."""
+    from leann_rs_spark.functions.textstats import (
+        dup_line_char_frac,
+        dup_line_frac,
+        duckdb_dup_line_char_frac,
+        duckdb_dup_line_frac,
+        duckdb_top_ngram_char_frac,
+        top_ngram_char_frac,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(100)
+    got = {
+        r["doc_id"]: (r["a"], r["b"], r["c"])
+        for r in docs.select(
+            "doc_id",
+            F.round(dup_line_frac("text"), 9).alias("a"),
+            F.round(dup_line_char_frac("text"), 9).alias("b"),
+            F.round(top_ngram_char_frac("text", 3), 9).alias("c"),
+        ).collect()
+    }
+    want = {
+        int(r[0]): (r[1], r[2], r[3])
+        for r in duck.sql(f"""
+            SELECT doc_id,
+                   round({duckdb_dup_line_frac('text')}, 9),
+                   round({duckdb_dup_line_char_frac('text')}, 9),
+                   round({duckdb_top_ngram_char_frac('text', 3)}, 9)
+            FROM '{SF_SMOKE}/documents.parquet'
+            ORDER BY doc_id LIMIT 100
+        """).fetchall()
+    }
+    assert got == want
