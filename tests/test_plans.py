@@ -235,3 +235,48 @@ def test_bm25_scoring_triggers_no_eager_jobs(spark):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert list(jobs) == [], f"eager jobs ran during construction: {jobs}"
+
+
+def test_postings_scan_prunes_term_bucket_partitions(spark, tmp_path):
+    """The persisted BM25 postings are partitioned on term_bucket; a
+    query's bucket IN-filter must appear as PartitionFilters on the
+    scan (directory pruning — at 100 TB the scan reads <= |query terms|
+    of the 64 bucket directories, not the whole postings table)."""
+    from leann_rs_spark.catalog import _write_bm25, py_term_bucket
+    from leann_rs_spark.operators.bm25 import tokenize_py
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(50)
+        .selectExpr("doc_id AS idx", "text")
+    )
+    base = str(tmp_path / "bm")
+    _write_bm25(docs, base, mode="overwrite")
+    q = "spark filter"
+    buckets = sorted({py_term_bucket(t) for t in tokenize_py(q)})
+    scan = spark.read.parquet(f"{base}/bm25_postings").filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan
+    # the IN-list lands in PartitionFilters (dir pruning), not PushedFilters
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "term_bucket" in pf, plan
+
+
+def test_bm25_write_shuffles_on_bucket(spark):
+    """The postings write must repartition on term_bucket so each
+    bucket directory is written by one task (single Exchange keyed on
+    the partition column in the pre-write plan)."""
+    from leann_rs_spark.catalog import TERM_BUCKETS, term_bucket
+    from leann_rs_spark.operators.bm25 import build_bm25_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id AS idx", "text"
+    )
+    postings, _, _ = build_bm25_index(docs, id_col="idx", cache=False)
+    pre_write = postings.withColumn("term_bucket", term_bucket("term")).repartition(
+        TERM_BUCKETS, "term_bucket"
+    )
+    plan = plan_of(pre_write)
+    assert "hashpartitioning(term_bucket" in plan, plan
