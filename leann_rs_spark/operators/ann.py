@@ -339,7 +339,23 @@ def lsh_near_dups(
         import pandas as pd
 
         id_dt = dict(emb.dtypes)[id_col]
-        rows = banded.join(sk.select(F.col(id_col), F.col("__v")), id_col)
+        # Prune singleton buckets BEFORE vectors attach: almost every
+        # (band, bits) bucket holds exactly one row and can never emit
+        # a pair. The count+semi-join moves only id-width banded rows;
+        # without it the vector table is shuffled `bands` times and the
+        # WHOLE corpus crosses the Arrow boundary into the Python
+        # kernel. At bench scale (5k docs) the two extra light stages
+        # cost ~0.4s; at corpus scale the avoided cost is bands×N
+        # vector-width shuffle + Arrow rows, which dominates — this is
+        # a scale-shape choice, not a micro-benchmark one.
+        multi = (
+            banded.groupBy("band", "bb")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .drop("__c")
+        )
+        cand = banded.join(multi, ["band", "bb"], "left_semi")
+        rows = cand.join(sk.select(F.col(id_col), F.col("__v")), id_col)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             n = len(pdf)
