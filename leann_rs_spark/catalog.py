@@ -459,8 +459,12 @@ def search_index(
             postings = postings.join(keep, "idx", "left_semi")
             docstats = docstats.join(keep, "idx", "left_semi")
         # the EXPANDED query drives the BM25 side (search.rs:204, the
-        # opts.with_hybrid(search_query) call)
-        scored = score_query(postings, docstats, termstats, search_query, id_col="idx")
+        # opts.with_hybrid(search_query) call). Persisted: the scored
+        # table feeds the candidate join, the min/max stats, and the
+        # top-k cut.
+        scored = score_query(
+            postings, docstats, termstats, search_query, id_col="idx"
+        ).persist()
         # candidate cut on the 6dp-rounded score (cross-engine
         # determinism; sub-1e-6 reorderings are fp noise) — the same
         # rank the duckdb_hybrid_rerank twin uses
