@@ -34,6 +34,11 @@ def with_dense_index(
     """Add a dense 0-based (or `start`-based) BIGINT index following the
     total order of `order_cols`, without a global single-task window."""
     np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange runs a SAMPLING pass over the input to pick
+    # range bounds, then the real pass — an expensive upstream (the
+    # Python chunker in the build path) would run twice. Persist the
+    # input so both passes read the materialized rows.
+    df = df.persist()
     parted = (
         df.repartitionByRange(np_, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*[F.col(c) for c in order_cols])
