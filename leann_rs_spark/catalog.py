@@ -524,9 +524,12 @@ def build_ivf_index(
     emb = spark.read.parquet(f"{base}/embeddings")
     cents = take_centroids(emb, n_centroids, id_col="idx")
     assigned = ivf_assign(emb, cents, id_col="idx")
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-        f"{base}/ivf"
-    )
+    # shuffle on the partition column before the partitioned write
+    # (same shape as the postings write): one task per cluster
+    # directory instead of every task writing a file into every one
+    assigned.repartition(n_centroids, "cluster_id").write.mode(
+        "overwrite"
+    ).partitionBy("cluster_id").parquet(f"{base}/ivf")
     cents.write.mode("overwrite").parquet(f"{base}/ivf_centroids")
     meta.backend = "ivf"
     meta.extra["ivf_centroids"] = n_centroids
