@@ -127,11 +127,21 @@ def build_index(
     doc_prompt_template: str | None = None,
     query_prompt_template: str | None = None,
     with_bm25: bool = True,
+    provider=None,
+    embedding_mode: str = "hash",
+    embedding_model: str | None = None,
 ) -> IndexMeta:
     """The `leann build` write path (src/cli/build.rs:126-392) as one
     linear DataFrame job: chunk → dense ids → embed → Parquet tables.
     The reference's keep-all-vectors-in-driver-RAM ceiling
-    (src/index/builder.rs:230-232) does not exist here."""
+    (src/index/builder.rs:230-232) does not exist here.
+
+    `provider` routes embedding through the hardened `embed_pandas`
+    slot (any `.embed(list[str]) -> list[list[float]]` object —
+    providers.py network clients or a local model); `dims` is then
+    auto-probed from the provider (T8) and meta records the
+    mode/model so search/append refuse mismatched providers. Default
+    is the native hash-expression embedder."""
     base = _index_dir(warehouse, name)
     chunks = chunk_documents(
         docs, strategy=strategy, chunk_size=chunk_size, chunk_overlap=chunk_overlap
@@ -140,12 +150,22 @@ def build_index(
     passages.write.mode("overwrite").parquet(f"{base}/passages")
 
     passages = spark.read.parquet(f"{base}/passages")
-    emb = embed_documents(
-        passages.select("idx", "text"),
-        dims=dims,
-        prompt_template=doc_prompt_template,
-        id_col="idx",
-    ).select("idx", "embedding")
+    if provider is not None:
+        from leann_rs_spark.operators.embedder import embed_pandas, probe_dimensions
+
+        dims = probe_dimensions(provider)
+        emb = embed_pandas(
+            passages.select("idx", "text"),
+            provider,
+            prompt_template=doc_prompt_template,
+        ).select("idx", "embedding")
+    else:
+        emb = embed_documents(
+            passages.select("idx", "text"),
+            dims=dims,
+            prompt_template=doc_prompt_template,
+            id_col="idx",
+        ).select("idx", "embedding")
     emb.write.mode("overwrite").parquet(f"{base}/embeddings")
 
     if with_bm25:
@@ -160,6 +180,9 @@ def build_index(
         query_prompt_template=query_prompt_template,
         extra={"bm25": with_bm25},
     )
+    if provider is not None:
+        meta.embedding_mode = embedding_mode if embedding_mode != "hash" else "custom"
+        meta.embedding_model = embedding_model or type(provider).__name__
     save_meta(warehouse, name, meta)
     return meta
 
@@ -212,12 +235,19 @@ def append_to_index(
     warehouse: str,
     name: str,
     new_docs: DataFrame,
+    provider=None,
 ) -> IndexMeta:
     """T10/S12: `leann update` — re-chunk, re-embed, ids offset from
     meta.passage_count (src/cli/update.rs:174-181). The reference's
     DiskANN refuses appends (src/backend/mod.rs:81-100); exact search
-    has no index artifact to invalidate, so append is always legal."""
+    has no index artifact to invalidate, so append is always legal.
+    Provider-built indexes must append with the same provider."""
     meta = load_meta(warehouse, name)
+    if meta.embedding_mode != "hash" and provider is None and not meta.is_pruned:
+        raise ValueError(
+            f"index built with embedding_mode={meta.embedding_mode!r}; "
+            "pass provider= (the same provider used at build time)"
+        )
     check_embedding_model(meta, strict=True)
     base = _index_dir(warehouse, name)
     chunks = chunk_documents(
@@ -233,12 +263,21 @@ def append_to_index(
     added = passages.count()
 
     if not meta.is_pruned:
-        emb = embed_documents(
-            passages.select("idx", "text"),
-            dims=meta.dimensions,
-            prompt_template=meta.doc_prompt_template,
-            id_col="idx",
-        ).select("idx", "embedding")
+        if provider is not None:
+            from leann_rs_spark.operators.embedder import embed_pandas
+
+            emb = embed_pandas(
+                passages.select("idx", "text"),
+                provider,
+                prompt_template=meta.doc_prompt_template,
+            ).select("idx", "embedding")
+        else:
+            emb = embed_documents(
+                passages.select("idx", "text"),
+                dims=meta.dimensions,
+                prompt_template=meta.doc_prompt_template,
+                id_col="idx",
+            ).select("idx", "embedding")
         emb.write.mode("append").parquet(f"{base}/embeddings")
 
     if meta.extra.get("bm25"):
@@ -332,11 +371,23 @@ def prune_index(warehouse: str, name: str) -> IndexMeta:
 
 
 def _embeddings_for_search(
-    spark: SparkSession, base: str, meta: IndexMeta, passages: DataFrame
+    spark: SparkSession, base: str, meta: IndexMeta, passages: DataFrame,
+    provider=None,
 ) -> DataFrame:
     if meta.is_pruned:
         # Recompute plan (src/index/recompute.rs:52-123): re-embed at
-        # query time. Native-expression embedding keeps this JVM-side.
+        # query time. Native-expression embedding keeps this JVM-side;
+        # provider-built indexes recompute through the embed_pandas
+        # slot with the same provider (recompute.rs:85-93's batched
+        # provider calls).
+        if provider is not None:
+            from leann_rs_spark.operators.embedder import embed_pandas
+
+            return embed_pandas(
+                passages.select("idx", "text"),
+                provider,
+                prompt_template=meta.doc_prompt_template,
+            ).select("idx", "embedding")
         return embed_documents(
             passages.select("idx", "text"),
             dims=meta.dimensions,
@@ -357,6 +408,7 @@ def search_index(
     hybrid: bool | None = None,
     hybrid_alpha: float = 0.7,
     expand: bool = False,
+    query_provider=None,
 ) -> DataFrame:
     """The `leann search` read path (src/cli/search.rs:73-257, SURVEY
     §3.1) end-to-end: meta → plan heuristics → optional query expansion
@@ -430,9 +482,20 @@ def search_index(
     # format!("{}{}", template, text) (src/embedding/mod.rs:126-143),
     # matching the doc-side with_prompt_template
     qtext = (meta.query_prompt_template or "") + search_query
-    qv = py_hash_embedding(qtext, meta.dimensions)
+    if meta.embedding_mode != "hash" and query_provider is None:
+        # the reference reconstructs the provider FROM meta before
+        # searching (search.rs:100-117); a provider-built index
+        # searched with the hash query embedder scores garbage
+        raise ValueError(
+            f"index built with embedding_mode={meta.embedding_mode!r}; "
+            "pass query_provider= (the same provider used at build time)"
+        )
+    if query_provider is not None:
+        qv = [float(x) for x in query_provider.embed([qtext])[0]]
+    else:
+        qv = py_hash_embedding(qtext, meta.dimensions)
 
-    emb = _embeddings_for_search(spark, base, meta, passages)
+    emb = _embeddings_for_search(spark, base, meta, passages, provider=query_provider)
     if filter_str:
         # pushdown before scoring (src/index/recompute.rs:66-79): keep
         # only embeddings whose passage survived the filter

@@ -353,3 +353,59 @@ def test_search_expand_skips_long_queries(spark, docs, warehouse, exp_built):
     assert [(r["idx"], r["score"]) for r in a] == [
         (r["idx"], r["score"]) for r in b
     ]
+
+
+def test_provider_built_index_lifecycle(spark, docs, warehouse):
+    """build(provider=) routes through the hardened embed_pandas slot;
+    the HashEmbedder provider is bit-identical to the native expression
+    embedder, so search results must match the hash-built index
+    exactly. Provider indexes refuse hash-mode search/append (the
+    reference reconstructs the provider FROM meta, search.rs:100-117)
+    and accept the same provider end-to-end incl. append + prune."""
+    from leann_rs_spark.operators.embedder import HashEmbedder
+
+    prov = HashEmbedder(32)
+    catalog.build_index(
+        spark, warehouse, "providx", docs.filter(F.col("doc_id") < 20),
+        chunk_size=16, chunk_overlap=4, provider=prov,
+    )
+    meta = catalog.load_meta(warehouse, "providx")
+    assert meta.embedding_mode == "custom"
+    assert meta.dimensions == 32  # auto-probed (T8)
+
+    with pytest.raises(ValueError, match="query_provider"):
+        catalog.search_index(spark, warehouse, "providx", "data", k=3, hybrid=False)
+    with pytest.raises(ValueError, match="provider"):
+        catalog.append_to_index(
+            spark, warehouse, "providx", docs.filter(F.col("doc_id") >= 20)
+        )
+
+    catalog.append_to_index(
+        spark, warehouse, "providx",
+        docs.filter(F.col("doc_id") >= 20), provider=prov,
+    )
+    got = catalog.search_index(
+        spark, warehouse, "providx", "data processing", k=5,
+        hybrid=False, query_provider=prov,
+    ).collect()
+
+    # reference index: same docs, native hash expression path
+    catalog.build_index(
+        spark, warehouse, "hashidx", docs, chunk_size=16, chunk_overlap=4, dims=32
+    )
+    want = catalog.search_index(
+        spark, warehouse, "hashidx", "data processing", k=5, hybrid=False
+    ).collect()
+    assert [(r["doc_id"], r["text"], r["score"]) for r in got] == [
+        (r["doc_id"], r["text"], r["score"]) for r in want
+    ]
+
+    # pruned provider index recomputes through the provider slot
+    catalog.prune_index(warehouse, "providx")
+    pruned = catalog.search_index(
+        spark, warehouse, "providx", "data processing", k=5,
+        hybrid=False, query_provider=prov,
+    ).collect()
+    assert [(r["doc_id"], r["text"], round(r["score"], 9)) for r in pruned] == [
+        (r["doc_id"], r["text"], round(r["score"], 9)) for r in want
+    ]
