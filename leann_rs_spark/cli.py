@@ -54,6 +54,34 @@ def _load_docs(spark: SparkSession, docs: str, args=None):
     return files_to_documents(scan_files(spark, docs, **kw))
 
 
+def make_provider(mode: str, model: str | None = None, api_key: str | None = None,
+                  base_url: str | None = None):
+    """Embedding provider from CLI/config naming (build.rs:175-190's
+    mode match). hash → None (the native-expression default); api keys
+    fall back to the reference's env vars (OPENAI_API_KEY build.rs:52,
+    GEMINI_API_KEY)."""
+    import os
+
+    if mode in ("hash", "", None):
+        return None
+    from leann_rs_spark import providers as P
+
+    if mode == "openai":
+        kw = {"api_key": api_key or os.environ.get("OPENAI_API_KEY", "")}
+        if base_url:
+            kw["base_url"] = base_url
+        return P.OpenAIEmbeddingProvider(model or "text-embedding-3-small", **kw)
+    if mode == "ollama":
+        kw = {"host": base_url} if base_url else {}
+        return P.OllamaEmbeddingProvider(model or "nomic-embed-text", **kw)
+    if mode == "gemini":
+        kw = {"api_key": api_key or os.environ.get("GEMINI_API_KEY", "")}
+        if base_url:
+            kw["base_url"] = base_url
+        return P.GeminiEmbeddingProvider(model or "text-embedding-004", **kw)
+    raise ValueError(f"Unknown embedding mode: {mode}")  # build.rs:190
+
+
 def cmd_build(args) -> int:
     from leann_rs_spark.catalog import build_index
     from leann_rs_spark.config import Config, resolve_build_settings
@@ -64,6 +92,10 @@ def cmd_build(args) -> int:
         chunk_size=args.chunk_size,
         chunk_overlap=args.chunk_overlap,
     )
+    provider = make_provider(
+        args.embedding_mode, args.embedding_model,
+        getattr(args, "api_key", None), getattr(args, "embedding_base_url", None),
+    )
     meta = build_index(
         spark,
         args.warehouse,
@@ -73,6 +105,9 @@ def cmd_build(args) -> int:
         chunk_size=cfg["chunk_size"],
         chunk_overlap=cfg["chunk_overlap"],
         dims=args.dims,
+        provider=provider,
+        embedding_mode=args.embedding_mode,
+        embedding_model=args.embedding_model,
     )
     if args.backend == "ivf":
         # reference `--backend hnsw|diskann` analog (src/cli/build.rs):
@@ -87,10 +122,20 @@ def cmd_build(args) -> int:
 
 
 def cmd_update(args) -> int:
-    from leann_rs_spark.catalog import append_to_index
+    from leann_rs_spark.catalog import append_to_index, load_meta
 
     spark = _spark(args)
-    meta = append_to_index(spark, args.warehouse, args.name, _load_docs(spark, args.docs))
+    old = load_meta(args.warehouse, args.name)
+    provider = make_provider(
+        old.embedding_mode if old.embedding_mode != "custom" else "hash",
+        old.embedding_model,
+        getattr(args, "api_key", None),
+        getattr(args, "embedding_base_url", None),
+    )
+    meta = append_to_index(
+        spark, args.warehouse, args.name, _load_docs(spark, args.docs),
+        provider=provider,
+    )
     print(f"Updated index '{args.name}': {meta.passage_count} passages")
     return 0
 
@@ -102,8 +147,17 @@ def cmd_search(args) -> int:
     from leann_rs_spark.operators.hybrid import use_hybrid
 
     meta = load_meta(args.warehouse, args.name)
+    # reconstruct the provider FROM meta, as the reference does
+    # (search.rs:100-117); hash-mode indexes get the native embedder
+    query_provider = make_provider(
+        meta.embedding_mode if meta.embedding_mode != "custom" else "hash",
+        meta.embedding_model,
+        getattr(args, "api_key", None),
+        getattr(args, "embedding_base_url", None),
+    )
     wants_hybrid = use_hybrid(args.query, hybrid=args.hybrid, auto_hybrid=True)
-    if meta.backend == "ivf" and not args.exact and not args.filter and not wants_hybrid:
+    if (meta.backend == "ivf" and not args.exact and not args.filter
+            and not wants_hybrid and query_provider is None):
         rows = search_ivf_index(
             spark, args.warehouse, args.name, args.query,
             k=args.top_k, nprobe=args.nprobe,
@@ -118,6 +172,7 @@ def cmd_search(args) -> int:
             filter_str=args.filter,
             hybrid=True if args.hybrid else None,  # None → auto-hybrid gate
             hybrid_alpha=args.hybrid_alpha,
+            query_provider=query_provider,
         ).collect()
     if args.json:
         print(json.dumps([r.asDict() for r in rows], default=str))
@@ -344,11 +399,20 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--max-file-size-kb", type=int, default=None,
                    dest="max_file_size_kb")
     b.add_argument("--ivf-centroids", type=int, default=16, dest="ivf_centroids")
+    b.add_argument("--embedding-mode", default="hash", dest="embedding_mode",
+                   choices=["hash", "openai", "ollama", "gemini"])
+    b.add_argument("--embedding-model", default=None, dest="embedding_model")
+    b.add_argument("--embedding-base-url", default=None, dest="embedding_base_url",
+                   help="override provider endpoint (e.g. a local gateway)")
+    b.add_argument("--api-key", default=None, dest="api_key",
+                   help="falls back to OPENAI_API_KEY / GEMINI_API_KEY")
     b.add_argument("--config", default=None)
     b.set_defaults(fn=cmd_build)
 
     u = sub.add_parser("update", help="Update an existing index")
     common(u, docs=True)
+    u.add_argument("--embedding-base-url", default=None, dest="embedding_base_url")
+    u.add_argument("--api-key", default=None, dest="api_key")
     u.set_defaults(fn=cmd_update)
 
     s = sub.add_parser("search", help="Search documents in an index")
@@ -361,6 +425,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--exact", action="store_true",
                    help="force the exact path even on an ivf-backed index")
     s.add_argument("--nprobe", type=int, default=4)
+    s.add_argument("--embedding-base-url", default=None, dest="embedding_base_url")
+    s.add_argument("--api-key", default=None, dest="api_key")
     s.set_defaults(fn=cmd_search)
 
     a = sub.add_parser("ask", help="Ask questions using RAG")

@@ -142,3 +142,60 @@ def test_embed_pandas_with_http_provider(spark, server):
     assert len(rows) == 25
     for r in rows:
         assert list(r["embedding"]) == fake_vec(r["text"])
+
+
+def test_make_provider_construction():
+    from leann_rs_spark.cli import make_provider
+
+    assert make_provider("hash") is None
+    p = make_provider("openai", "m", api_key="k", base_url="http://x/v1")
+    assert type(p).__name__ == "OpenAIEmbeddingProvider" and p.base_url == "http://x/v1"
+    assert type(make_provider("ollama", "m")).__name__ == "OllamaEmbeddingProvider"
+    assert type(make_provider("gemini", "m", api_key="k")).__name__ == "GeminiEmbeddingProvider"
+    with pytest.raises(ValueError, match="Unknown embedding mode"):
+        make_provider("candle")
+
+
+def test_cli_openai_mode_lifecycle(spark, server, tmp_path):
+    """build --embedding-mode openai against the stub server, then
+    search/update reconstruct the provider FROM meta — the reference's
+    meta-driven provider wiring (search.rs:100-117) end-to-end."""
+    import json
+
+    from leann_rs_spark.cli import main
+
+    wh = str(tmp_path / "wh")
+    rc = main([
+        "build", "net", "--warehouse", wh,
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8",
+        "--embedding-mode", "openai", "--embedding-model", "m",
+        "--embedding-base-url", f"{server}/v1", "--api-key", "k",
+    ])
+    assert rc == 0
+    from leann_rs_spark.catalog import load_meta
+
+    meta = load_meta(wh, "net")
+    assert meta.embedding_mode == "openai" and meta.embedding_model == "m"
+    assert meta.dimensions == 2  # probed from the stub's fake_vec
+
+    rc = main([
+        "update", "net", "--warehouse", wh,
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--embedding-base-url", f"{server}/v1", "--api-key", "k",
+    ])
+    assert rc == 0
+
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "search", "net", "some document text", "--warehouse", wh,
+            "--top-k", "3", "--json",
+            "--embedding-base-url", f"{server}/v1", "--api-key", "k",
+        ])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert len(out) == 3 and {"idx", "score", "text"} <= set(out[0])
