@@ -183,7 +183,33 @@ def cmd_search(args) -> int:
     return 0
 
 
-def _make_answerer(spark, warehouse: str, name: str, top_k: int):
+def make_llm(mode: str, model: str | None = None, api_key: str | None = None,
+             base_url: str | None = None):
+    """LLM provider from CLI naming (src/llm/mod.rs:32-63's LlmType
+    match). simulated → None (the native-expression default)."""
+    import os
+
+    if mode in ("simulated", "", None):
+        return None
+    from leann_rs_spark import providers as P
+
+    if mode == "openai":
+        kw = {"api_key": api_key or os.environ.get("OPENAI_API_KEY", "")}
+        if base_url:
+            kw["base_url"] = base_url
+        return P.OpenAILLM(model or "gpt-4o-mini", **kw)
+    if mode == "ollama":
+        kw = {"host": base_url} if base_url else {}
+        return P.OllamaLLM(model or "llama3.2", **kw)
+    if mode == "anthropic":
+        kw = {"api_key": api_key or os.environ.get("ANTHROPIC_API_KEY", "")}
+        if base_url:
+            kw["base_url"] = base_url
+        return P.AnthropicLLM(model or "claude-3-5-haiku-latest", **kw)
+    raise ValueError(f"Unknown llm mode: {mode}")
+
+
+def _make_answerer(spark, warehouse: str, name: str, top_k: int, llm=None):
     """One-question RAG closure over DataFrames loaded ONCE — the REPL
     reuses the loaded passages/embeddings across turns, like the
     reference's long-lived IndexSearcher."""
@@ -200,7 +226,7 @@ def _make_answerer(spark, warehouse: str, name: str, top_k: int):
             [(0, question)], "question_id long, question string"
         )
         row = rag_batch(
-            questions, passages, emb, k=top_k, dims=meta.dimensions
+            questions, passages, emb, k=top_k, dims=meta.dimensions, llm=llm
         ).head()
         return row["answer"]
 
@@ -223,6 +249,7 @@ def run_interactive(
     top_k: int = 5,
     input_fn=input,
     out=print,
+    llm=None,
 ) -> list[tuple[str, str]]:
     """R2: the interactive chat REPL (src/cli/ask.rs:200-317).
 
@@ -232,7 +259,7 @@ def run_interactive(
     reference (ask.rs:231,290) — NOT fed back into prompts. EOF exits.
     `input_fn`/`out` are injectable for tests. Returns the final
     conversation history."""
-    answer = _make_answerer(spark, warehouse, name, top_k)
+    answer = _make_answerer(spark, warehouse, name, top_k, llm=llm)
     out("\nLEANN Interactive Mode")
     out(_CHAT_HELP)
     history: list[tuple[str, str]] = []
@@ -275,15 +302,19 @@ def run_interactive(
 
 
 def cmd_ask(args) -> int:
+    llm = make_llm(
+        getattr(args, "llm", "simulated"), getattr(args, "llm_model", None),
+        getattr(args, "api_key", None), getattr(args, "llm_base_url", None),
+    )
     if getattr(args, "interactive", False):
         spark = _spark(args)
-        run_interactive(spark, args.warehouse, args.name, top_k=args.top_k)
+        run_interactive(spark, args.warehouse, args.name, top_k=args.top_k, llm=llm)
         return 0
     if args.question is None:
         print("ask: provide a question or use --interactive", file=sys.stderr)
         return 2
     spark = _spark(args)
-    answer = _make_answerer(spark, args.warehouse, args.name, args.top_k)
+    answer = _make_answerer(spark, args.warehouse, args.name, args.top_k, llm=llm)
     print(answer(args.question))
     return 0
 
@@ -434,6 +465,11 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("question", nargs="?", default=None)
     a.add_argument("--interactive", "-i", action="store_true",
                    help="chat REPL with in-memory history (ask.rs:200-317)")
+    a.add_argument("--llm", default="simulated",
+                   choices=["simulated", "openai", "ollama", "anthropic"])
+    a.add_argument("--llm-model", default=None, dest="llm_model")
+    a.add_argument("--llm-base-url", default=None, dest="llm_base_url")
+    a.add_argument("--api-key", default=None, dest="api_key")
     a.set_defaults(fn=cmd_ask)
 
     r = sub.add_parser("react", help="ReAct agent for multi-turn reasoning")

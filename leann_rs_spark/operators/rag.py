@@ -132,11 +132,18 @@ def rag_batch(
     question_col: str = "question",
     passage_id_col: str = "idx",
     passage_text_col: str = "text",
+    llm=None,
 ) -> DataFrame:
     """questions(question_id, question) → (question_id, question, answer).
 
     Questions with no hits answer "No relevant passages found."
     (ask.rs:173-175) via the left join's null context.
+
+    `llm` (a callable prompt → answer, e.g. a providers.py client)
+    replaces the native simulated-LLM expression with an Arrow-batched
+    mapInPandas generation stage — the R4 network slot
+    (src/llm/mod.rs:32-63): each executor talks to the service
+    directly, one call per question row.
     """
     qvecs = questions.select(
         question_id_col,
@@ -158,21 +165,42 @@ def rag_batch(
     contexts = assemble_context(
         with_text, question_id_col, "rank", passage_text_col
     )
-    prompted = (
-        questions.join(contexts, question_id_col, "left")
-        .select(
+    base = questions.join(contexts, question_id_col, "left")
+    if llm is not None:
+        pdf_in = base.select(
             question_id_col,
             question_col,
             F.when(
-                F.col("context").isNull(), F.lit("No relevant passages found.")
-            )
-            .otherwise(
-                simulated_generate(
-                    build_prompt(F.col("context"), F.col(question_col)), model_name
-                )
-            )
-            .alias("answer"),
+                F.col("context").isNotNull(),
+                build_prompt(F.col("context"), F.col(question_col)),
+            ).alias("__prompt"),
         )
+
+        def gen(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["answer"] = [
+                    "No relevant passages found." if p is None else llm(p)
+                    for p in pdf["__prompt"]
+                ]
+                yield pdf[[question_id_col, question_col, "answer"]]
+
+        return pdf_in.mapInPandas(
+            gen,
+            schema=f"{question_id_col} long, {question_col} string, answer string",
+        )
+    prompted = base.select(
+        question_id_col,
+        question_col,
+        F.when(
+            F.col("context").isNull(), F.lit("No relevant passages found.")
+        )
+        .otherwise(
+            simulated_generate(
+                build_prompt(F.col("context"), F.col(question_col)), model_name
+            )
+        )
+        .alias("answer"),
     )
     return prompted
 

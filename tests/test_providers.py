@@ -199,3 +199,30 @@ def test_cli_openai_mode_lifecycle(spark, server, tmp_path):
     assert rc == 0
     out = json.loads(buf.getvalue())
     assert len(out) == 3 and {"idx", "score", "text"} <= set(out[0])
+
+
+def test_ask_with_http_llm(spark, server, tmp_path):
+    """ask --llm openai routes generation through the mapInPandas LLM
+    stage to the stub server; the prompt carries retrieved context."""
+    import contextlib
+    import io
+
+    from leann_rs_spark.cli import main
+
+    wh = str(tmp_path / "wh2")
+    assert main([
+        "build", "ix", "--warehouse", wh,
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+    ]) == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "ask", "ix", "what is this corpus about?", "--warehouse", wh,
+            "--llm", "openai", "--llm-model", "m",
+            "--llm-base-url", f"{server}/v1", "--api-key", "k",
+        ])
+    assert rc == 0
+    out = buf.getvalue()
+    assert out.startswith("echo:")         # generated via the stub LLM
+    assert "retrieved context" in out and "what is this corpus about?" in out
