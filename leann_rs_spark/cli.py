@@ -323,10 +323,12 @@ def cmd_react(args) -> int:
     from leann_rs_spark.agent import index_search_tool, react_loop, simulated_llm
 
     spark = _spark(args)
+    llm = make_llm(
+        getattr(args, "llm", "simulated"), getattr(args, "llm_model", None),
+        getattr(args, "api_key", None), getattr(args, "llm_base_url", None),
+    ) or simulated_llm()
     tool = index_search_tool(spark, args.warehouse, args.name, top_k=args.top_k)
-    answer = react_loop(
-        args.question, simulated_llm(), tool, max_steps=args.max_steps
-    )
+    answer = react_loop(args.question, llm, tool, max_steps=args.max_steps)
     print(answer)
     return 0
 
@@ -477,6 +479,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("question")
     r.add_argument("--top-k", type=int, default=3, dest="top_k")
     r.add_argument("--max-steps", type=int, default=5, dest="max_steps")
+    r.add_argument("--llm", default="simulated",
+                   choices=["simulated", "openai", "ollama", "anthropic"])
+    r.add_argument("--llm-model", default=None, dest="llm_model")
+    r.add_argument("--llm-base-url", default=None, dest="llm_base_url")
+    r.add_argument("--api-key", default=None, dest="api_key")
     r.set_defaults(fn=cmd_react)
 
     sv = sub.add_parser("serve", help="Start HTTP API server")
