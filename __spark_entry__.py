@@ -721,6 +721,23 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+_WINDOW_DUR = "10 minutes"
+
+
+def x_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event stats (batch twin of the watermarked
+    Structured Streaming aggregation, streaming/ingest.py — the SAME
+    function runs on both; watermark is a no-op in batch). One groupBy
+    shuffle; sum rounded 6dp (double accumulation order)."""
+    from leann_rs_spark.streaming.ingest import windowed_event_stats
+
+    out = windowed_event_stats(read_events(spark, sf_dir), _WINDOW_DUR)
+    return out.select(
+        "window_start", "event_type", "n_events",
+        (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value_r"),
+    ).orderBy("window_start", "event_type")
+
+
 _LSH_PLANES = 32
 _LSH_BANDS = 4
 
@@ -985,6 +1002,18 @@ def _register_session_oracle() -> None:
         FROM ({duckdb_sessionize(_SESSION_GAP)})
         ORDER BY user_id, session_start
     """
+    # Spark's window() aligns tumbling windows to the unix epoch;
+    # DuckDB time_bucket's default origin (2000-01-01) lands on the
+    # same boundaries for any duration that divides a day.
+    _ORACLES["x_window_stats"] = f"""
+        SELECT time_bucket(INTERVAL '{_WINDOW_DUR}', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) + 0.0 AS sum_value_r
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
 
 
 _register_session_oracle()
@@ -1205,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_fingerprint": x_text_fingerprint,
         "x_text_repetition": x_text_repetition,
         "x_sessionize": x_sessionize,
+        "x_window_stats": x_window_stats,
         "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
         "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,
