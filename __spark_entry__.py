@@ -342,8 +342,13 @@ _EMBCOS_TAU = 0.97
 
 def t5_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/T7: deterministic hash embedding (native Catalyst expression),
-    exploded to (doc_id, dim, val) scalars for the value-hash compare."""
-    emb = embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id")
+    exploded to (doc_id, dim, val) scalars for the value-hash compare.
+    bulk=True: the posexplode-after-embed shape is the one regime where
+    the aggregated form still beats the scalar expression (the
+    aggregation barrier materializes the array once before Generate)."""
+    emb = embed_documents(
+        _fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id", bulk=True
+    )
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -362,6 +367,7 @@ def t6_prompt_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=_EMBED_DIMS,
         prompt_template="passage: ",
         id_col="doc_id",
+        bulk=True,
     )
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim", "v")

@@ -318,20 +318,26 @@ def embed_documents(
     out_col: str = "embedding",
     prompt_template: str | None = None,
     id_col: str | None = None,
+    bulk: bool = False,
 ) -> DataFrame:
     """The default (native-expression) embedding operator.
 
-    With `id_col` (a UNIQUE row key) the values are computed through
-    exploded token rows with the per-dim integer weights unrolled into
-    `dims` codegen'd sum aggregates — whole-stage codegen end to end,
-    one shuffle on `id_col` with map-side partial aggregation, no
-    interpreted higher-order-function lambdas in the hot path. The
-    integer-sum definition makes this bit-identical to the scalar
-    `hash_embedding` expression regardless of aggregation order.
-    Without `id_col` (or on a streaming DataFrame) the per-row scalar
-    expression is used.
+    Default physical form: the per-row scalar `hash_embedding`
+    expression — a pure projection, NO shuffle, embarrassingly
+    parallel. Round-3 A/B at sf0.1 measured it 2.2-2.4× faster than
+    the exploded path at both 16-token chunks and 54-token documents
+    (0.9 s vs 2.0 s corpus embed), reversing the round-2 result
+    (SURVEY §9) after the hash-v2 integer-exact weight rework.
+
+    `bulk=True` (with `id_col`, a UNIQUE row key) switches to the
+    exploded form: token rows with per-dim integer weights unrolled
+    into `dims` codegen'd SUM aggregates — one shuffle on `id_col`
+    with map-side partial aggregation. The integer-sum definition
+    makes the two forms bit-identical regardless of aggregation order
+    (pinned by test); keep the bulk form for regimes where very long
+    documents make the per-row fold the bottleneck.
     """
-    if id_col is None or df.isStreaming:
+    if id_col is None or df.isStreaming or not bulk:
         return df.withColumn(
             out_col,
             hash_embedding(with_prompt_template(text_col, prompt_template), dims),

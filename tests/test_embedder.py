@@ -188,3 +188,22 @@ def test_embed_pandas_misaligned_provider_fails_fast(spark):
     out = embed_pandas(docs, _short_provider(16), max_retries=0)
     with pytest.raises(Exception, match="vectors for"):
         out.collect()
+
+
+def test_bulk_and_scalar_paths_bit_identical(spark):
+    """The exploded bulk form and the default scalar expression must
+    produce the SAME doubles (integer-exact weight sums make the
+    aggregation order irrelevant) — what lets the default flip between
+    physical forms on measurement without touching any oracle."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    a = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in embed_documents(docs, dims=16, id_col="doc_id", bulk=True)
+        .select("doc_id", "embedding").collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in embed_documents(docs, dims=16)
+        .select("doc_id", "embedding").collect()
+    }
+    assert a == b

@@ -153,7 +153,7 @@ def test_bulk_embedding_is_single_shuffle_hash_agg(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = embed_documents(
-        docs.select("doc_id", "text"), dims=8, id_col="doc_id"
+        docs.select("doc_id", "text"), dims=8, id_col="doc_id", bulk=True
     ).select("doc_id", "embedding")  # the hot path prunes to (id, vec)
     plan = plan_of(out)
     tree = plan.split("(1) Scan")[0]
