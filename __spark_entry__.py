@@ -694,6 +694,22 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 document filter: per-row signals + the composed
+    keep/drop boolean — the whole gate is one projection, no shuffle."""
+    from leann_rs_spark.functions.textstats import gopher_keep, gopher_signals
+
+    s = gopher_signals("text")
+    return _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        s["word_count"].alias("word_count"),
+        (F.round(s["mean_word_len"], 6) + F.lit(0.0)).alias("mwl_r"),
+        (F.round(s["alpha_word_frac"], 6) + F.lit(0.0)).alias("alpha_r"),
+        s["required_stopword_hits"].alias("sw_hits"),
+        gopher_keep("text").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-line fractions and the
     char coverage of the most frequent word 2/3-gram — per-row sorted
@@ -1181,6 +1197,21 @@ def _register_text_oracles() -> None:
         duckdb_top_ngram_char_frac,
     )
 
+    from leann_rs_spark.functions.textstats import (
+        duckdb_gopher_keep,
+        duckdb_gopher_signals,
+    )
+
+    gsig = duckdb_gopher_signals("text")
+    _ORACLES["x_quality_gopher"] = f"""
+        SELECT doc_id,
+               CAST({gsig['word_count']} AS INT) AS word_count,
+               round({gsig['mean_word_len']}, 6) + 0.0 AS mwl_r,
+               round({gsig['alpha_word_frac']}, 6) + 0.0 AS alpha_r,
+               CAST({gsig['required_stopword_hits']} AS INT) AS sw_hits,
+               {duckdb_gopher_keep('text')} AS keep
+        FROM documents ORDER BY doc_id
+    """
     _ORACLES["x_text_repetition"] = f"""
         SELECT doc_id,
                round({duckdb_dup_line_frac('text')}, 6) + 0.0 AS dup_line_r,
@@ -1239,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_langid": x_text_langid,
         "x_text_fingerprint": x_text_fingerprint,
         "x_text_repetition": x_text_repetition,
+        "x_quality_gopher": x_quality_gopher,
         "x_sessionize": x_sessionize,
         "x_window_stats": x_window_stats,
         "x_ann_lsh_near_dups": x_ann_lsh_near_dups,

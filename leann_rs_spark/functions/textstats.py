@@ -450,3 +450,172 @@ def duckdb_top_ngram_char_frac(text: str, n: int) -> str:
           ORDER BY cnt DESC, length(ng) DESC, ng DESC LIMIT 1), 0)::double
         / greatest(length({text}), 1)::double
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality filter (the keep/drop gate)
+# ---------------------------------------------------------------------------
+# The Gopher paper's §A1.1 document filters (public; standard in C4/
+# RefinedWeb/Dolma-style pipelines), composed from per-row expressions.
+# All thresholds are parameters; defaults are the published ones.
+
+_GOPHER_REQUIRED_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+_BULLET_PREFIXES = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_signals(text: Column | str) -> Column:
+    """STRUCT of the Gopher §A1.1 document signals (word counts over
+    whitespace words, line stats over trimmed nonempty lines):
+    word_count, mean_word_len, symbol_word_ratio (# and ellipses per
+    word), bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    required_stopword_hits (distinct members of the 8-word set)."""
+    text = F.col(text) if isinstance(text, str) else text
+    words = _ws_words(text)
+    wc = F.size(words)
+    wlen = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.|…")
+    )
+    lines = _doc_lines(text)
+    nlines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.array_contains(
+                F.array(*[F.lit(b) for b in _BULLET_PREFIXES]), F.substring(l, 1, 1)
+            ),
+        )
+    )
+    ellip = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    low = F.array_distinct(
+        F.transform(words, lambda w: F.lower(F.regexp_replace(w, r"[^A-Za-z]", "")))
+    )
+    sw_hits = F.size(
+        F.filter(
+            low,
+            lambda t: F.array_contains(
+                F.array(*[F.lit(w) for w in _GOPHER_REQUIRED_STOPWORDS]), t
+            ),
+        )
+    )
+    return F.struct(
+        wc.alias("word_count"),
+        _ratio(wlen, wc).alias("mean_word_len"),
+        _ratio(symbols, wc).alias("symbol_word_ratio"),
+        _ratio(bullet, nlines).alias("bullet_line_frac"),
+        _ratio(ellip, nlines).alias("ellipsis_line_frac"),
+        _ratio(alpha_words, wc).alias("alpha_word_frac"),
+        sw_hits.alias("required_stopword_hits"),
+    )
+
+
+def gopher_keep(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+    max_top4_char_frac: float = 0.16,
+) -> Column:
+    """Boolean keep/drop per the Gopher §A1.1 + repetition thresholds —
+    the whole gate is ONE projection, no shuffle at any corpus size."""
+    s = gopher_signals(text)
+    return (
+        s["word_count"].between(min_words, max_words)
+        & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (s["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (s["bullet_line_frac"] <= max_bullet_line_frac)
+        & (s["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (s["alpha_word_frac"] >= min_alpha_word_frac)
+        & (s["required_stopword_hits"] >= min_stopword_hits)
+        & (dup_line_frac(text) <= max_dup_line_frac)
+        & (dup_line_char_frac(text) <= max_dup_line_char_frac)
+        & (top_ngram_char_frac(text, 2) <= max_top2_char_frac)
+        & (top_ngram_char_frac(text, 3) <= max_top3_char_frac)
+        & (top_ngram_char_frac(text, 4) <= max_top4_char_frac)
+    )
+
+
+def _duckdb_ws_words(text: str) -> str:
+    return f"list_filter(str_split_regex(trim({text}), '\\s+'), x -> x <> '')"
+
+
+def _duckdb_lines(text: str) -> str:
+    return (
+        f"list_filter(list_transform(str_split({text}, chr(10)),"
+        f" x -> trim(x)), x -> x <> '')"
+    )
+
+
+def duckdb_gopher_signals(text: str) -> dict[str, str]:
+    words = _duckdb_ws_words(text)
+    lines = _duckdb_lines(text)
+    wc = f"len({words})"
+    wlen = (
+        f"list_reduce(list_prepend(0, list_transform({words},"
+        f" w -> length(w))), (a, x) -> a + x)"
+    )
+    symbols = (
+        f"(len(regexp_extract_all({text}, '#'))"
+        f" + len(regexp_extract_all({text}, '\\.\\.\\.|…')))"
+    )
+    bullets = "', '".join(_BULLET_PREFIXES)
+    bullet = (
+        f"len(list_filter({lines}, l -> list_contains(['{bullets}'],"
+        f" l[1:1])))"
+    )
+    ellip = (
+        f"len(list_filter({lines}, l -> l LIKE '%...' OR l LIKE '%…'))"
+    )
+    alpha = f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    sws = "', '".join(_GOPHER_REQUIRED_STOPWORDS)
+    sw_hits = (
+        f"len(list_filter(list_distinct(list_transform({words},"
+        f" w -> lower(regexp_replace(w, '[^A-Za-z]', '', 'g')))),"
+        f" t -> list_contains(['{sws}'], t)))"
+    )
+
+    def ratio(num: str, den: str) -> str:
+        return f"(case when {den} > 0 then {num}::double / {den} else 0.0 end)"
+
+    return {
+        "word_count": wc,
+        "mean_word_len": ratio(wlen, wc),
+        "symbol_word_ratio": ratio(symbols, wc),
+        "bullet_line_frac": ratio(bullet, f"len({lines})"),
+        "ellipsis_line_frac": ratio(ellip, f"len({lines})"),
+        "alpha_word_frac": ratio(alpha, wc),
+        "required_stopword_hits": sw_hits,
+    }
+
+
+def duckdb_gopher_keep(text: str) -> str:
+    s = duckdb_gopher_signals(text)
+    return (
+        f"({s['word_count']} BETWEEN 50 AND 100000"
+        f" AND {s['mean_word_len']} BETWEEN 3.0 AND 10.0"
+        f" AND {s['symbol_word_ratio']} <= 0.1"
+        f" AND {s['bullet_line_frac']} <= 0.9"
+        f" AND {s['ellipsis_line_frac']} <= 0.3"
+        f" AND {s['alpha_word_frac']} >= 0.8"
+        f" AND {s['required_stopword_hits']} >= 2"
+        f" AND {duckdb_dup_line_frac(text)} <= 0.30"
+        f" AND ({duckdb_dup_line_char_frac(text)}) <= 0.20"
+        f" AND ({duckdb_top_ngram_char_frac(text, 2)}) <= 0.20"
+        f" AND ({duckdb_top_ngram_char_frac(text, 3)}) <= 0.18"
+        f" AND ({duckdb_top_ngram_char_frac(text, 4)}) <= 0.16)"
+    )

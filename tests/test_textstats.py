@@ -208,3 +208,58 @@ def test_repetition_signals_match_duckdb(spark, duck):
         """).fetchall()
     }
     assert got == want
+
+
+def test_gopher_filter_hand_vectors(spark):
+    from leann_rs_spark.functions.textstats import gopher_keep, gopher_signals
+    from pyspark.sql import functions as F
+
+    good = ("the quick brown fox jumps over a lazy dog and all of that "
+            "should be counted together with some more plain prose words "
+            "so the document clears the fifty word minimum that gopher "
+            "requires for a document to have enough signal to judge its "
+            "quality properly in the published filtering rules")
+    rows = [
+        (0, good),                                    # passes everything
+        (1, "too short to keep"),                     # < 50 words
+        (2, good + " ####" * 20),                     # symbol ratio
+        (3, "\n".join(["• bullet line"] * 10) + "\n" + good),  # bullets
+        (4, ("zzz " * 60).strip()),                   # no stopwords + top-ngram
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["keep"] for r in df.select("id", gopher_keep("text").alias("keep")).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: False}
+    s = df.filter(F.col("id") == 0).select(gopher_signals("text").alias("s")).head()["s"]
+    assert s["word_count"] >= 50 and s["required_stopword_hits"] >= 2
+    assert s["alpha_word_frac"] == 1.0
+
+
+def test_gopher_filter_matches_duckdb(spark, duck):
+    from conftest import SF_SMOKE
+    from leann_rs_spark.functions.textstats import (
+        duckdb_gopher_keep,
+        duckdb_gopher_signals,
+        gopher_keep,
+        gopher_signals,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(80)
+    s = gopher_signals("text")
+    got = {
+        r["doc_id"]: (r["wc"], round(r["mwl"], 9), r["keep"])
+        for r in docs.select(
+            "doc_id", s["word_count"].alias("wc"),
+            s["mean_word_len"].alias("mwl"), gopher_keep("text").alias("keep"),
+        ).collect()
+    }
+    gsig = duckdb_gopher_signals("text")
+    want = {
+        int(r[0]): (int(r[1]), round(float(r[2]), 9), bool(r[3]))
+        for r in duck.sql(f"""
+            SELECT doc_id, {gsig['word_count']}, {gsig['mean_word_len']},
+                   {duckdb_gopher_keep('text')}
+            FROM '{SF_SMOKE}/documents.parquet' ORDER BY doc_id LIMIT 80
+        """).fetchall()
+    }
+    assert got == want
