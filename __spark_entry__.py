@@ -489,6 +489,27 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_INCR_SPLIT = 400  # corpus = doc_id < split, new batch = the rest
+
+
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup: the new batch's banded sketch broadcasts
+    against the corpus — the corpus is never shuffled. (At sf0.01 the
+    planted near-dup pairs straddle the id split, so the gate output is
+    nonempty.)"""
+    from leann_rs_spark.operators.dedup import minhash_near_dups_incremental
+
+    docs = _fan(_docs(spark, sf_dir))
+    out = minhash_near_dups_incremental(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT),
+        docs.filter(F.col("doc_id") >= _INCR_SPLIT),
+        threshold=0.5,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("new_id", "corpus_id")
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_fan(_docs(spark, sf_dir)), max_hamming=3).orderBy(
         "id_a", "id_b"
@@ -943,6 +964,17 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_minhash_near_dups(threshold=0.5)})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.dedup import duckdb_minhash_near_dups_incremental
+
+    _ORACLES["x_dedup_incremental"] = f"""
+        SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard_r
+        FROM ({duckdb_minhash_near_dups_incremental(
+            f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}",
+            f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
+            threshold=0.5,
+        )})
+        ORDER BY new_id, corpus_id
+    """
     _ORACLES["x_dedup_ngram_jaccard"] = f"""
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
         FROM ({duckdb_ngram_jaccard_pairs(n=3, threshold=0.3)})
@@ -1263,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_minhash": x_dedup_minhash,
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
+        "x_dedup_incremental": x_dedup_incremental,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,

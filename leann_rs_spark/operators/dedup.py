@@ -181,6 +181,31 @@ def _minhash_signatures_bulk(
     )
 
 
+def _band_sigs(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, sig) → (id, band, bucket): hash each signature band into a
+    64-bit bucket key. The explode duplicates only id-width rows."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band"), F.col("bb.bucket"))
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays (DOUBLE). The
     single-element-array transform is a let-binding so the intersection
@@ -225,26 +250,7 @@ def minhash_near_dups(
     # every row `bands`×, and the (band, bucket) shuffle moves each copy —
     # keeping the shingle arrays out of it cuts the shuffled bytes to the
     # id width. Shingles re-attach later, to unique candidate pairs only.
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    hash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band"), F.col("bb.bucket"))
+    banded = _band_sigs(sigs, id_col, bands, rows)
 
     a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
@@ -274,6 +280,126 @@ def minhash_near_dups(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_near_dups_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time near-dup: each NEW doc vs the EXISTING corpus →
+    (new_id, corpus_id, jaccard). New-vs-new pairs are not reported
+    (run `minhash_near_dups` on the batch for those); ids may overlap
+    across the two inputs — output columns are labeled by side.
+
+    Scale shape: an ingest batch is small relative to the corpus, so
+    the new side's banded sketch is BROADCAST (`broadcast_new`) — the
+    corpus is never shuffled; the plan is corpus-scan → signature
+    aggregate → band project → broadcast-hash-join → verify on
+    candidate pairs only. At 100 TB the corpus signature table is a
+    persisted artifact: pass it as `corpus_sigs` (the
+    `_minhash_signatures_bulk` shape, (id, sig)) and even the
+    signature aggregate disappears from the per-batch cost.
+    """
+    rows = num_hashes // bands
+    sigs_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else _minhash_signatures_bulk(corpus, id_col, text_col, shingle_k, num_hashes)
+    )
+    sigs_n = _minhash_signatures_bulk(
+        new_docs, id_col, text_col, shingle_k, num_hashes
+    )
+    banded_c = _band_sigs(sigs_c, id_col, bands, rows).select(
+        "band", "bucket", F.col(id_col).alias("corpus_id")
+    )
+    banded_n = _band_sigs(sigs_n, id_col, bands, rows).select(
+        "band", "bucket", F.col(id_col).alias("new_id")
+    )
+    if broadcast_new:
+        banded_n = F.broadcast(banded_n)
+    pairs = (
+        banded_c.join(banded_n, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh_c"),
+    )
+    sh_n = new_docs.select(
+        F.col(id_col).alias("new_id"),
+        F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh_n"),
+    )
+    return (
+        pairs.join(sh_n, "new_id")
+        .join(sh_c, "corpus_id")
+        .withColumn("jaccard", _jaccard(F.col("sh_n"), F.col("sh_c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def duckdb_minhash_near_dups_incremental(
+    corpus_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Oracle twin: `corpus_sql` / `new_sql` are SELECTs exposing
+    (id_col, text_col)."""
+    rows = num_hashes // bands
+    sh = f"list_distinct({duckdb_char_shingles(text_col, shingle_k)})"
+    sig = (
+        f"list_transform(generate_series(0, {num_hashes - 1}),"
+        f" i -> list_min(list_transform(pairs,"
+        f" p -> {duckdb_derived_hash('p', 'i')})))"
+    )
+    bucket = duckdb_hash64(
+        f"array_to_string(list_transform("
+        f"list_slice(sig, b * {rows} + 1, (b + 1) * {rows}), x -> x::varchar), ',')"
+    )
+
+    def side(src: str, name: str) -> str:
+        return f"""
+        {name}_sigs AS (
+          SELECT id, shingles, {sig} AS sig
+          FROM (
+            SELECT id, shingles,
+                   list_transform(shingles, s -> {duckdb_hash_pair('s')}) AS pairs
+            FROM (SELECT {id_col} AS id, {sh} AS shingles FROM ({src}))
+            WHERE len(shingles) > 0
+          )
+        ),
+        {name}_banded AS (
+          SELECT id, shingles, b, {bucket} AS bucket
+          FROM {name}_sigs, unnest(generate_series(0, {bands - 1})) t(b)
+        )"""
+
+    inter = "len(list_filter(sh_n, x -> list_contains(sh_c, x)))"
+    jac = f"{inter}::double / (len(sh_n) + len(sh_c) - {inter})"
+    return f"""
+        WITH {side(corpus_sql, 'c')}, {side(new_sql, 'n')},
+        cand AS (
+          SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+                 n.shingles AS sh_n, c.shingles AS sh_c
+          FROM c_banded c JOIN n_banded n
+            ON c.b = n.b AND c.bucket = n.bucket
+        )
+        SELECT new_id, corpus_id, {jac} AS jaccard
+        FROM cand WHERE {jac} >= {threshold}
+    """
 
 
 def duckdb_minhash_near_dups(

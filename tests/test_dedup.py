@@ -228,3 +228,57 @@ def test_exact_near_dup_guard_refuses_large_inputs(spark):
         embedding_near_dups_blocked(emb, max_rows=10, cache=False)
     # override restores the small-N verification path
     assert embedding_near_dups(emb, max_rows=None, cache=False).count() >= 0
+
+
+def test_incremental_minhash_matches_cross_split_pairs(spark):
+    """Incremental (new vs corpus) must return exactly the symmetric
+    operator's pairs that straddle the split — same candidates, same
+    jaccard values — and the precomputed-signature path must agree."""
+    from leann_rs_spark.operators.dedup import (
+        _minhash_signatures_bulk,
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = 400
+    corpus = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    sym = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): round(r["jaccard"], 9)
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+        if (r["id_a"] >= split) != (r["id_b"] >= split)
+    }
+    inc = {
+        (r["new_id"], r["corpus_id"]): round(r["jaccard"], 9)
+        for r in minhash_near_dups_incremental(corpus, new, threshold=0.5).collect()
+    }
+    assert inc == sym and inc  # the planted near-dups straddle the split
+
+    sigs = _minhash_signatures_bulk(corpus).persist()
+    sigs.count()
+    pre = {
+        (r["new_id"], r["corpus_id"]): round(r["jaccard"], 9)
+        for r in minhash_near_dups_incremental(
+            corpus, new, threshold=0.5, corpus_sigs=sigs
+        ).collect()
+    }
+    assert pre == inc
+
+
+def test_incremental_minhash_broadcasts_new_side(spark):
+    from leann_rs_spark.operators.dedup import minhash_near_dups_incremental
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_near_dups_incremental(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
