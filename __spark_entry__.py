@@ -750,6 +750,28 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (point-in-time alignment): every click gets
+    the same user's latest prior-or-equal view. Union-sort physical
+    form — ONE shuffle on the key, a running last(ignorenulls) window,
+    no range cross-product. Oracle = DuckDB's native ASOF JOIN."""
+    from leann_rs_spark.operators.joins import asof_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(clicks, views, on="user_id", right_cols=["view_value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("view_ts"),
+        (F.round("view_value_right", 6) + F.lit(0.0)).alias("view_value_r"),
+    ).orderBy("event_id")
+
+
 _SESSION_GAP = "30 minutes"
 
 
@@ -1056,6 +1078,19 @@ def _register_session_oracle() -> None:
         FROM ({duckdb_sessionize(_SESSION_GAP)})
         ORDER BY user_id, session_start
     """
+    from leann_rs_spark.operators.joins import duckdb_asof_join
+
+    asof = duckdb_asof_join(
+        "SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'",
+        "SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view'",
+        on="user_id",
+        right_cols=["view_value"],
+    )
+    _ORACLES["x_asof_join"] = f"""
+        SELECT event_id, user_id, ts, ts_right AS view_ts,
+               round(view_value_right, 6) + 0.0 AS view_value_r
+        FROM ({asof}) ORDER BY event_id
+    """
     # Spark's window() aligns tumbling windows to the unix epoch;
     # DuckDB time_bucket's default origin (2000-01-01) lands on the
     # same boundaries for any duration that divides a day.
@@ -1306,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality_gopher": x_quality_gopher,
         "x_sessionize": x_sessionize,
         "x_window_stats": x_window_stats,
+        "x_asof_join": x_asof_join,
         "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
         "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,

@@ -1,0 +1,131 @@
+"""Temporal joins: as-of (backward, inclusive, tolerance) and bucketed
+interval containment — hand vectors, brute-force parity, plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.joins import asof_join, interval_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:05"), 100.0),
+            (1, _ts("2024-01-01 10:00:10"), 101.0),
+            (1, _ts("2024-01-01 09:59:00"), 99.0),   # before any quote
+            (2, _ts("2024-01-01 10:00:07"), 200.0),
+        ],
+        "user_id long, ts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1.0),
+            (1, _ts("2024-01-01 10:00:05"), 2.0),   # tie with trade 1
+            (1, _ts("2024-01-01 10:00:09"), 3.0),
+            (2, _ts("2024-01-01 09:00:00"), 9.0),
+            (3, _ts("2024-01-01 10:00:00"), 7.0),   # key with no trades
+        ],
+        "user_id long, ts timestamp, quote double",
+    )
+
+
+def test_asof_backward_inclusive(spark, trades, quotes):
+    out = {
+        (r["user_id"], r["price"]): (r["ts_right"], r["quote_right"])
+        for r in asof_join(trades, quotes, on="user_id").collect()
+    }
+    # equal timestamps match (inclusive)
+    assert out[(1, 100.0)] == (_ts("2024-01-01 10:00:05"), 2.0)
+    assert out[(1, 101.0)] == (_ts("2024-01-01 10:00:09"), 3.0)
+    # no prior quote -> NULLs, left row kept
+    assert out[(1, 99.0)] == (None, None)
+    # match from an hour earlier still counts without tolerance
+    assert out[(2, 200.0)] == (_ts("2024-01-01 09:00:00"), 9.0)
+    assert len(out) == 4
+
+
+def test_asof_tolerance(spark, trades, quotes):
+    out = {
+        (r["user_id"], r["price"]): r["quote_right"]
+        for r in asof_join(
+            trades, quotes, on="user_id", tolerance="10 minutes"
+        ).collect()
+    }
+    assert out[(2, 200.0)] is None  # stale match dropped
+    assert out[(1, 101.0)] == 3.0   # fresh match kept
+    assert len(out) == 4            # left rows always kept
+
+
+def test_asof_single_exchange(trades, quotes):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(trades, quotes, on="user_id").explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("(1) ")[0]  # tree section only (details repeat names)
+    # union-sort method: exactly one exchange (the key window), no
+    # nested-loop range join anywhere
+    assert tree.count("Exchange") == 1, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_asof_matches_brute_force_on_events(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    got = {
+        r["event_id"]: (r["ts_right"], r["v_right"])
+        for r in asof_join(clicks, views, on="user_id", right_cols=["v"]).collect()
+    }
+    vs = [(r["user_id"], r["ts"], r["v"]) for r in views.collect()]
+    for c in clicks.collect():
+        cands = [(t, v) for (u, t, v) in vs if u == c["user_id"] and t <= c["ts"]]
+        want = max(cands, key=lambda x: x[0]) if cands else (None, None)
+        assert got[c["event_id"]] == want, c
+
+
+def test_interval_join_containment(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:30:00"), "a"),
+            (1, _ts("2024-01-01 13:00:00"), "b"),   # in no interval
+            (2, _ts("2024-01-01 10:30:00"), "c"),   # other key
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "s1"),
+            (1, _ts("2024-01-01 10:15:00"), _ts("2024-01-01 10:45:00"), "s2"),
+            (2, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 12:00:00"), "s3"),
+        ],
+        "user_id long, start_ts timestamp, end_ts timestamp, sid string",
+    )
+    got = sorted(
+        (r["tag"], r["sid"])
+        for r in interval_join(points, ivs, on="user_id", bucket_seconds=600).collect()
+    )
+    assert got == [("a", "s1"), ("a", "s2")]
+    # end exclusive
+    edge = spark.createDataFrame(
+        [(1, _ts("2024-01-01 11:00:00"), "e")],
+        "user_id long, ts timestamp, tag string",
+    )
+    assert interval_join(edge, ivs, on="user_id").count() == 0
