@@ -750,6 +750,27 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: stamp every event with its session
+    (from the sessionize operator). Bucketed equi-join — the
+    inequality becomes (key, ts-bucket) hash-join keys; every event
+    lands in exactly one session, so rows == events."""
+    from leann_rs_spark.operators.joins import interval_join
+
+    ev = read_events(spark, sf_dir)
+    sessions = sessionize_events(ev, gap=_SESSION_GAP).select(
+        "user_id",
+        F.col("session_start").alias("start_ts"),
+        # end-exclusive containment: sessions close ON their last
+        # event, so extend by one second to include it
+        (F.col("session_end") + F.expr("INTERVAL 1 SECOND")).alias("end_ts"),
+    )
+    out = interval_join(
+        ev.select("user_id", "event_id", "ts"), sessions, on="user_id"
+    )
+    return out.select("event_id", "user_id", "ts", "start_ts").orderBy("event_id")
+
+
 def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (point-in-time alignment): every click gets
     the same user's latest prior-or-equal view. Union-sort physical
@@ -1078,6 +1099,18 @@ def _register_session_oracle() -> None:
         FROM ({duckdb_sessionize(_SESSION_GAP)})
         ORDER BY user_id, session_start
     """
+    _ORACLES["x_interval_join"] = f"""
+        WITH s AS (
+            SELECT user_id, session_start, session_end
+            FROM ({duckdb_sessionize(_SESSION_GAP)})
+        )
+        SELECT e.event_id, e.user_id, e.ts, s.session_start AS start_ts
+        FROM events e JOIN s
+          ON e.user_id = s.user_id
+         AND e.ts >= s.session_start
+         AND e.ts < s.session_end + INTERVAL 1 SECOND
+        ORDER BY e.event_id
+    """
     from leann_rs_spark.operators.joins import duckdb_asof_join
 
     asof = duckdb_asof_join(
@@ -1342,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sessionize": x_sessionize,
         "x_window_stats": x_window_stats,
         "x_asof_join": x_asof_join,
+        "x_interval_join": x_interval_join,
         "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
         "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,
