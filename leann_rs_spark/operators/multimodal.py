@@ -83,14 +83,86 @@ def _fake_duration(digest: str) -> int:
     return int(digest[16:24], 16) % 600_000  # < 10 min
 
 
+# --- real-engine header parsers (pure Python / stdlib; same spirit as
+# the PDF extractor: PIL when importable, format sniffing otherwise) ---
+
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+def sniff_image_dims(content: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from PNG/GIF/JPEG headers; PIL for anything else
+    when importable; (None, None) on unknown/corrupt bytes."""
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+            return (
+                int.from_bytes(content[16:20], "big"),
+                int.from_bytes(content[20:24], "big"),
+            )
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                int.from_bytes(content[6:8], "little"),
+                int.from_bytes(content[8:10], "little"),
+            )
+        if content[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOFn
+            i, n = 2, len(content)
+            while i + 9 < n and content[i] == 0xFF:
+                marker = content[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        int.from_bytes(content[i + 7 : i + 9], "big"),
+                        int.from_bytes(content[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + seg_len
+        if _HAVE_PIL:
+            import io
+
+            with _PILImage.open(io.BytesIO(content)) as im:
+                return im.width, im.height
+    except Exception:
+        pass
+    return None, None
+
+
+def wav_duration_ms(content: bytes) -> int | None:
+    """Duration of a RIFF/WAVE blob via the stdlib wave reader; None on
+    anything else."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            if rate <= 0:
+                return None
+            return int(w.getnframes() * 1000 / rate)
+    except Exception:
+        return None
+
+
 def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
     """Decode/feature-extract stage: (media_id, modality, content) →
     FEATURE_SCHEMA rows via mapInPandas.
 
     engine="fake": deterministic metadata from md5(content) — a stand-in
     with the same schema/batch shape as a real decoder.
-    engine="real": the marked stub below is where PIL.Image.open /
-    soundfile / av would run; not available in this container.
+    engine="real": header-level decoding that actually works here —
+    PNG/GIF/JPEG dimensions by format sniffing (PIL when importable
+    widens the format set), WAV duration via the stdlib wave reader.
+    Unknown/corrupt bytes yield NULL fields (total over dirty corpora,
+    like the text branch). Full pixel/sample decoding (resizing,
+    frame extraction) still needs PIL/av — that slot remains marked
+    below.
     """
     if engine not in ("fake", "real"):
         raise ValueError(f"unknown engine {engine!r}")
@@ -100,18 +172,20 @@ def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r["content"]) if r["content"] is not None else b""
-                if engine == "real":
-                    # >>> REAL-DECODER STUB — PIL/soundfile/av go here <<<
-                    raise NotImplementedError(
-                        "real media decoding requires PIL/soundfile/av, "
-                        "not present in this environment"
-                    )
                 digest = hashlib.md5(content).hexdigest()
                 w = h = None
                 dur = None
-                if r["modality"] in ("image", "video"):
+                if engine == "real":
+                    # header-level real decode; the PIXEL decode slot
+                    # (PIL.Image / av frame extraction) goes here when
+                    # those libs are present
+                    if r["modality"] in ("image", "video"):
+                        w, h = sniff_image_dims(content)
+                    if r["modality"] in ("audio", "video"):
+                        dur = wav_duration_ms(content)
+                elif r["modality"] in ("image", "video"):
                     w, h = _fake_dims(digest)
-                if r["modality"] in ("audio", "video"):
+                if engine == "fake" and r["modality"] in ("audio", "video"):
                     dur = _fake_duration(digest)
                 rows.append(
                     {
