@@ -489,6 +489,19 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components (min-label propagation) →
+    per-doc cluster id + canonical keep flag: the 'apply the dedup'
+    step. Oracle = recursive-CTE transitive closure over the same
+    MinHash pair set."""
+    from leann_rs_spark.operators.dedup import dedup_keep_canonical
+
+    docs = _fan(_docs(spark, sf_dir))
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    out = dedup_keep_canonical(docs, pairs)
+    return out.select("doc_id", "cluster_id", "keep").orderBy("doc_id")
+
+
 _INCR_SPLIT = 400  # corpus = doc_id < split, new batch = the rest
 
 
@@ -1007,6 +1020,17 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_minhash_near_dups(threshold=0.5)})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.dedup import duckdb_dedup_clusters
+
+    pairs_sql = f"SELECT id_a, id_b FROM ({duckdb_minhash_near_dups(threshold=0.5)})"
+    _ORACLES["x_dedup_clusters"] = f"""
+        WITH clusters AS ({duckdb_dedup_clusters(pairs_sql)})
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+        ORDER BY d.doc_id
+    """
     from leann_rs_spark.operators.dedup import duckdb_minhash_near_dups_incremental
 
     _ORACLES["x_dedup_incremental"] = f"""
@@ -1364,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_incremental": x_dedup_incremental,
+        "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,

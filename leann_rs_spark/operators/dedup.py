@@ -347,6 +347,109 @@ def minhash_near_dups_incremental(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup PAIRS → connected components: (id, cluster_id) where
+    cluster_id is the smallest id in the component — the step that
+    turns pairwise matches into dedup groups ("keep one per cluster").
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round, a node adopts the minimum label among itself
+    and its neighbors (one join + one groupBy per round); converges in
+    O(component diameter) rounds — near-dup components are small and
+    chain-shaped at worst, so a handful of rounds closes them. The
+    driver loop stops at the first round with zero label changes
+    (a 1-row aggregate per round, not a collect of labels), or at
+    `max_iter` as the runaway backstop.
+
+    Only ids that appear in `pairs` are returned — singleton documents
+    are their own cluster by definition and never enter the pair
+    stream.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "lab", F.col("id")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # neighbor minimum: push each node's label to its neighbors,
+        # take the min of (own label, incoming labels)
+        incoming = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
+            .filter(F.col("lab") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("lab").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """docs + near-dup pairs → docs with `cluster_id` and a `keep`
+    flag: the smallest id of each component is kept, every other
+    member dropped; documents in no pair keep themselves. The
+    "apply the dedup" operator a training pipeline actually runs."""
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    joined = docs.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return joined.select(
+        *[F.col(c) for c in docs.columns],
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("keep"),
+    )
+
+
+def duckdb_dedup_clusters(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """Oracle twin: transitive closure by recursive CTE, then the
+    minimum reachable id labels each node."""
+    return f"""
+        WITH RECURSIVE edges AS (
+            SELECT {id_a} AS src, {id_b} AS dst FROM ({pairs_sql})
+            UNION
+            SELECT {id_b} AS src, {id_a} AS dst FROM ({pairs_sql})
+        ),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        )
+        SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """
+
+
 def duckdb_minhash_near_dups_incremental(
     corpus_sql: str,
     new_sql: str,

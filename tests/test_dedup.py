@@ -282,3 +282,53 @@ def test_incremental_minhash_broadcasts_new_side(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_dedup_clusters_hand_graph(spark):
+    """Chain 1-2-3-4 and pair (10,11) must collapse to min-id labels;
+    convergence needs diameter rounds, pinned under max_iter."""
+    from leann_rs_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical(spark):
+    from leann_rs_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_keep_canonical(docs, pairs).collect()
+    }
+    # component {0,3,5} keeps 0; singletons keep themselves
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (0, False), 4: (4, True), 5: (0, False),
+    }
+
+
+def test_dedup_clusters_matches_recursive_cte(spark, duck):
+    """Random-ish sparse graph: Spark label propagation == DuckDB
+    transitive closure."""
+    from leann_rs_spark.operators.dedup import dedup_clusters, duckdb_dedup_clusters
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(0, 40, 2) if i != (i * 7 + 3) % 40]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    want = {
+        int(r[0]): int(r[1])
+        for r in duck.sql(
+            duckdb_dedup_clusters(f"SELECT * FROM (VALUES {vals}) v(id_a, id_b)")
+        ).fetchall()
+    }
+    assert got == want
