@@ -382,27 +382,30 @@ def dedup_clusters(
         "lab", F.col("id")
     ).persist()
     labels.count()
+    cached_prev = labels  # the currently-persisted generation
     for _ in range(max_iter):
         # neighbor minimum: push each node's label to its neighbors,
-        # take the min of (own label, incoming labels)
+        # take the min of (own label, incoming labels). The old label
+        # rides along as a flagged union row (max of the single own
+        # row), so change detection needs no second join.
+        own = labels.withColumn("own", F.col("lab"))
         incoming = (
             sym.join(labels.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "lab")
+            .select(
+                F.col("dst").alias("id"), "lab",
+                F.lit(None).cast("long").alias("own"),
+            )
         )
-        new_labels = (
-            labels.unionByName(incoming)
+        merged = (
+            own.unionByName(incoming)
             .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("lab").alias("lab"), F.max("own").alias("old"))
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
-            .filter(F.col("lab") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.filter(F.col("lab") != F.col("old")).limit(1).count()
+        cached_prev.unpersist()
+        cached_prev = merged
+        labels = merged.select("id", "lab")
         if changed == 0:
             break
     sym.unpersist()
