@@ -795,8 +795,13 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts", "value"
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value")
+    # pre-aggregate the right side to one row per (key, ts): as-of tie
+    # order among identical timestamps is unspecified in BOTH engines,
+    # so the gate pins a deterministic tie policy (max value)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
     )
     out = asof_join(clicks, views, on="user_id", right_cols=["view_value"])
     return out.select(
@@ -1139,7 +1144,8 @@ def _register_session_oracle() -> None:
 
     asof = duckdb_asof_join(
         "SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'",
-        "SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view'",
+        "SELECT user_id, ts, max(value) AS view_value FROM events"
+        " WHERE event_type = 'view' GROUP BY user_id, ts",
         on="user_id",
         right_cols=["view_value"],
     )
