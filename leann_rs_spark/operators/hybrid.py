@@ -53,6 +53,12 @@ def hybrid_rerank(
         either an int, or the corpus DataFrame itself, in which case
         its count is folded into the same Spark job as a broadcast
         1-row aggregate instead of a separate eager .count() action
+
+    The candidate table is consumed twice (its own min/max stats + the
+    rerank projection). It is at most 2×fetch_k rows but its SUBTREE
+    contains the full vector top-k scan — so it is persisted and
+    materialized here; without that, every consumer re-runs the
+    vector search (measured 2× the whole rerank cost at sf0.1).
     """
     if isinstance(num_docs, DataFrame):
         ndocs = num_docs.agg(F.count("*").alias("_n_docs"))
@@ -74,6 +80,10 @@ def hybrid_rerank(
         "vec_score",
         F.coalesce(F.col("bm25_score"), F.lit(0.0)).alias("bm25_score"),
     )
+    # ≤ 2×fetch_k rows, but the subtree holds the vector top-k scan —
+    # persist + materialize so vstats and the rerank don't each re-run it
+    cand = cand.persist()
+    cand.count()
 
     vstats = cand.agg(
         F.min("vec_score").alias("vmin"), F.max("vec_score").alias("vmax")
