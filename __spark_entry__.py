@@ -80,6 +80,12 @@ from leann_rs_spark.operators.ann import (
     take_centroids,
 )
 from leann_rs_spark.operators.chunker import chunk_documents
+from leann_rs_spark.operators.clustering import (
+    cluster_assign,
+    duckdb_cluster_assign,
+    duckdb_semantic_near_dups,
+    semantic_near_dups,
+)
 from leann_rs_spark.operators.query_expansion import (
     duckdb_expansion_terms,
     expansion_terms,
@@ -544,6 +550,42 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "id_a", "id_b", F.round("cos", 6).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
+_SEMDEDUP_C = 16
+
+
+def x_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain clustering: nearest-centroid (cosine)
+    assignment over the embeddings table — the grouping key for
+    domain-weighted mixing and SemDeDup. The C=16 codebook is inlined
+    so assignment is ONE map pass over the vectors: no join, no
+    shuffle (operators/clustering.py)."""
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _SEMDEDUP_C)
+    out = cluster_assign(emb, cents)
+    return out.select(
+        "vec_id", "cluster_id", (F.round("cos", 6) + F.lit(0.0)).alias("cos_r")
+    ).orderBy("vec_id")
+
+
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): embed → cluster → near-dup pairs
+    WITHIN clusters only. The cluster equi-join bounds pair work at
+    Σ|cluster|² ≈ N²/C — the scale-safe default between exact all-pairs
+    (refused above a row cap) and hyperplane LSH. At sf0.01 it finds 24
+    of the exact operator's 25 planted pairs; the 25th straddles a
+    cluster boundary — the documented recall trade."""
+    emb = embed_documents(
+        _fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id"
+    )
+    cents = take_centroids(emb, _SEMDEDUP_C, id_col="doc_id")
+    pairs = semantic_near_dups(
+        emb, cents, id_col="doc_id", threshold=_EMBCOS_TAU
+    )
+    return pairs.select(
+        "id_a", "id_b", (F.round("cos", 6) + F.lit(0.0)).alias("cos_r")
     ).orderBy("id_a", "id_b")
 
 
@@ -1019,6 +1061,19 @@ def _register_dedup_oracles() -> None:
         SELECT doc_id, i - 1 AS dim, round(embedding[i], 6) + 0.0 AS val
         FROM ({emb_prompt}) e, unnest(generate_series(1, {_EMBED_DIMS})) t(i)
     """
+    _ORACLES["x_cluster_assign"] = f"""
+        SELECT vec_id, cluster_id, round(cos, 6) + 0.0 AS cos_r
+        FROM ({duckdb_cluster_assign(_SEMDEDUP_C)})
+        ORDER BY vec_id
+    """
+    _ORACLES["x_semantic_dedup"] = f"""
+        SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos_r
+        FROM ({duckdb_semantic_near_dups(
+            _SEMDEDUP_C, threshold=_EMBCOS_TAU, id_col="doc_id",
+            emb_sql=emb_tbl,
+        )})
+        ORDER BY id_a, id_b
+    """
     _ORACLES["x_dedup_exact"] = duckdb_exact_dedup()
     _ORACLES["x_dedup_minhash"] = f"""
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
@@ -1396,6 +1451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_incremental": x_dedup_incremental,
         "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_cluster_assign": x_cluster_assign,
+        "x_semantic_dedup": x_semantic_dedup,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,
         "x_text_quality": x_text_quality,

@@ -1,0 +1,263 @@
+"""Embedding-space clustering — domain assignment and SemDeDup.
+
+Training-data pipelines cluster corpus embeddings for two jobs the
+reference's single-node ANN backends never face at 100 TB:
+
+  1. **Domain / topic assignment** — label every document with its
+     nearest centroid so downstream mixing (operators/sampling.py,
+     weighted_mix) can rebalance sources by SEMANTIC domain, not just
+     by provenance.
+  2. **Semantic deduplication** (SemDeDup, Abbas et al. 2023,
+     arXiv:2303.09540) — restrict the quadratic near-duplicate pair
+     search to WITHIN each cluster. Exact all-pairs cosine dedup
+     (operators/dedup.py:embedding_near_dups) is O(N²/2) and refused
+     above a row cap; hyperplane LSH (operators/ann.py:lsh_near_dups)
+     bounds pair work by sketch collisions. Cluster-partitioned dedup
+     is the third point in that design space: pair work is
+     Σ_c |cluster_c|² — with a balanced codebook of C clusters that is
+     N²/C, and the pair join is a plain equi-join on cluster_id that
+     Catalyst shuffles ONCE, with AQE handling cluster-size skew.
+
+Centroid policy is pluggable exactly as in operators/ann.py: the
+deterministic `take_centroids` sample keeps the oracle pure-SQL (the
+centroid set is derivable from the table itself), and
+`kmeans_centroids(seed)` is the production drop-in — a learned codebook
+balances cluster sizes, which is what makes the N²/C bound real on
+skewed corpora. The oracle pins THIS module's assignment and pair
+math, not the codebook policy.
+
+Assignment ranks by full cosine (not inner product): SemDeDup is
+defined on angular similarity and corpus embeddings are not guaranteed
+normalized. Both engines compute cosine with the same double-fold
+(functions/vector.py: dot/duckdb_dot, l2_norm/duckdb_l2_norm), so
+assignments and pair scores match bit-for-bit.
+
+Reference parity note: the reference has no clustering surface — this
+module is part of the brief's large-scale-training-pipeline extension
+(SURVEY.md §2.5), alongside dedup.py and sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from leann_rs_spark.functions.vector import (
+    cosine,
+    duckdb_cosine,
+)
+from leann_rs_spark.operators.ann import IVF_INLINE_MAX_CENTROIDS
+
+
+def cluster_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    inline_max: int = IVF_INLINE_MAX_CENTROIDS,
+) -> DataFrame:
+    """→ (id_col, vec_col, cluster_id, cos): nearest centroid by cosine.
+
+    Physical shape mirrors operators/ann.py:ivf_assign (same
+    inline-vs-broadcast switch, same MAX(struct(score, -centroid_id))
+    argmax with centroid_id-ASC tie-break):
+
+      * C ≤ inline_max: centroids become a literal array of structs and
+        assignment is a pure PROJECTION — one map pass over the
+        vectors, no join, no shuffle. The one extra cost vs ivf_assign
+        is cosine's norm folds per centroid; for L2-normalized
+        embeddings use `ivf_assign` (plain dot) instead — same argmax.
+      * C > inline_max: broadcast join + map-side partial MAX — the
+        shuffle carries N rows, not N×C.
+
+    Scores are full cosine so the output doubles are directly
+    comparable to dedup/ANN thresholds and to the DuckDB oracle.
+    """
+    cent_df = centroids.select("centroid_id", "centroid_vec")
+    cents = sorted(
+        cent_df.limit(inline_max + 1).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    vec = F.col(vec_col)
+    if len(cents) <= inline_max:
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]).alias(
+                        "cv"
+                    ),
+                )
+                for r in cents
+            ]
+        )
+        best = F.array_max(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    cosine(vec, c["cv"]).alias("s"), (-c["cid"]).alias("neg_id")
+                ),
+            )
+        )
+        return vectors.withColumn("__b", best).select(
+            id_col,
+            vec_col,
+            (-F.col("__b.neg_id")).alias("cluster_id"),
+            F.col("__b.s").alias("cos"),
+        )
+    scored = vectors.crossJoin(F.broadcast(cent_df)).select(
+        F.col(id_col),
+        vec,
+        F.struct(
+            cosine(vec, F.col("centroid_vec")).alias("s"),
+            (-F.col("centroid_id")).alias("neg_id"),
+        ).alias("__cand"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value(F.col(vec_col)).alias(vec_col),
+            F.max("__cand").alias("__best"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            (-F.col("__best.neg_id")).alias("cluster_id"),
+            F.col("__best.s").alias("cos"),
+        )
+    )
+
+
+def semantic_near_dups(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cache: bool = True,
+) -> DataFrame:
+    """→ (id_a, id_b, cos): near-duplicate pairs that share a cluster.
+
+    The SemDeDup candidate rule: two rows are compared ONLY if they are
+    assigned to the same centroid. Subset semantics vs the exact
+    all-pairs operator (dedup.py:embedding_near_dups) — a cross-cluster
+    near-dup pair is missed by design; precision is 1.0 because every
+    emitted pair is exactly verified with the same cosine fold.
+
+    Plan: assign (projection or broadcast join — never a shuffle of the
+    vectors) → self-equi-join on cluster_id → exact cosine filter. One
+    shuffle total, keyed on cluster_id; pair work is Σ_c |c|² ≈ N²/C
+    for a balanced codebook. Mega-cluster skew is the operator's known
+    failure mode — at production scale feed `kmeans_centroids` with C
+    sized so N/C fits a task (the same bound as lsh_near_dups's
+    `bucket_block` sub-blocking).
+
+    `cache` persists the assigned table: both join sides read it, and
+    without a persist each side would re-run assignment.
+    """
+    assigned = cluster_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster_id")
+    if cache:
+        # persist AND materialize: the self-join launches both sides
+        # concurrently, and an unmaterialized persist races
+        assigned = assigned.persist()
+        assigned.count()
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster_id"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster_id"
+    )
+    return (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_keep(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """→ the rows of `vectors` that SURVIVE semantic dedup.
+
+    Keep policy: drop every row that has a near-duplicate with a
+    smaller id (keep-first, matching dedup.py's exact/minhash keep
+    convention). One left-anti join against the distinct id_b side —
+    no window, no global sort.
+    """
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(drops, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+def _assigned_cte(
+    n_centroids: int, table: str, id_col: str, vec_col: str
+) -> str:
+    """cent + assigned CTEs shared by both oracles — same
+    take_centroids policy (n smallest ids) and the same cosine argmax
+    with centroid_id-ASC tie-break as cluster_assign."""
+    cos_ec = duckdb_cosine(f"e.{vec_col}", "c.centroid_vec")
+    return f"""
+        cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, {vec_col}, centroid_id AS cluster_id, s AS cos
+            FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+                       {cos_ec} AS s,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {cos_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        )"""
+
+
+def _with_src(emb_sql: str | None, table: str) -> tuple[str, str]:
+    """When the embeddings are a computed SELECT (e.g. duckdb_embed_table
+    output) rather than a registered view, prepend a src CTE."""
+    if emb_sql is None:
+        return "", table
+    return f"src AS ({emb_sql}),", "src"
+
+
+def duckdb_cluster_assign(
+    n_centroids: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    emb_sql: str | None = None,
+) -> str:
+    src, table = _with_src(emb_sql, table)
+    return f"""
+        WITH {src}{_assigned_cte(n_centroids, table, id_col, vec_col)}
+        SELECT {id_col}, cluster_id, cos FROM assigned
+    """
+
+
+def duckdb_semantic_near_dups(
+    n_centroids: int,
+    threshold: float = 0.95,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    emb_sql: str | None = None,
+) -> str:
+    cos_ab = duckdb_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    src, table = _with_src(emb_sql, table)
+    return f"""
+        WITH {src}{_assigned_cte(n_centroids, table, id_col, vec_col)}
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos_ab} AS cos
+        FROM assigned a JOIN assigned b ON a.cluster_id = b.cluster_id
+        WHERE a.{id_col} < b.{id_col} AND {cos_ab} >= {threshold}
+    """

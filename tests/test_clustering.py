@@ -1,0 +1,136 @@
+"""Clustering / SemDeDup tests: assignment semantics on constructed
+cases, inline-vs-broadcast path equality, within-cluster pair subset
+property, keep policy, and Spark ⟷ DuckDB parity on sf0.001."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.ann import take_centroids
+from leann_rs_spark.operators.clustering import (
+    cluster_assign,
+    duckdb_cluster_assign,
+    duckdb_semantic_near_dups,
+    semantic_keep,
+    semantic_near_dups,
+)
+from leann_rs_spark.operators.dedup import embedding_near_dups
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _tiny(spark):
+    # two tight groups along axes 0 and 1, plus one outlier between
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.1, 0.99, 0.0]),
+        (4, [0.7, 0.7, 0.2]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_assign_picks_nearest_by_cosine(spark):
+    df = _tiny(spark)
+    cents = take_centroids(df, 2)  # vec_id 0 and 1 -> both near axis 0
+    got = {r["vec_id"]: r["cluster_id"] for r in cluster_assign(df, cents).collect()}
+    # centroid 0 is exactly [1,0,0]; vec 0 must map to itself (cos=1)
+    assert got[0] == 0
+    # every vector gets exactly one cluster
+    assert set(got) == {0, 1, 2, 3, 4}
+
+
+def test_assign_tie_breaks_on_smaller_centroid_id(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = take_centroids(df, 2)  # two IDENTICAL centroids -> tie
+    got = {r["vec_id"]: r["cluster_id"] for r in cluster_assign(df, cents).collect()}
+    assert set(got.values()) == {0}  # smaller centroid_id wins every tie
+
+
+def test_inline_and_broadcast_paths_identical(spark):
+    emb = _emb(spark)
+    cents = take_centroids(emb, 8)
+    a = sorted(
+        (r["vec_id"], r["cluster_id"], r["cos"])
+        for r in cluster_assign(emb, cents).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster_id"], r["cos"])
+        for r in cluster_assign(emb, cents, inline_max=2).collect()
+    )
+    assert a == b  # bit-exact, not approximately equal
+
+
+def test_semantic_pairs_subset_of_exact(spark):
+    emb = _emb(spark)
+    cents = take_centroids(emb, 8)
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_near_dups(emb, cents, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.5).collect()
+    }
+    assert sem <= exact  # precision 1.0: every emitted pair is real
+
+
+def test_semantic_pairs_within_cluster_only(spark):
+    df = _tiny(spark)
+    cents = take_centroids(df, 2)
+    assigned = {
+        r["vec_id"]: r["cluster_id"] for r in cluster_assign(df, cents).collect()
+    }
+    for r in semantic_near_dups(df, cents, threshold=0.8).collect():
+        assert assigned[r["id_a"]] == assigned[r["id_b"]]
+
+
+def test_semantic_keep_drops_higher_id_of_pair(spark):
+    df = _tiny(spark)
+    cents = take_centroids(df, 2)
+    pairs = semantic_near_dups(df, cents, threshold=0.95)
+    kept = {r["vec_id"] for r in semantic_keep(pairs, df).collect()}
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert kept == {0, 1, 2, 3, 4} - dropped
+    assert 0 in kept and 2 in kept  # the group minima always survive
+
+
+def test_duckdb_parity_assign(spark):
+    emb = _emb(spark)
+    cents = take_centroids(emb, 8)
+    got = sorted(
+        (r["vec_id"], r["cluster_id"], r["cos"])
+        for r in cluster_assign(emb, cents).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(tuple(t) for t in con.execute(duckdb_cluster_assign(8)).fetchall())
+    assert got == want
+
+
+def test_duckdb_parity_pairs(spark):
+    emb = _emb(spark)
+    cents = take_centroids(emb, 8)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_near_dups(emb, cents, threshold=0.5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(duckdb_semantic_near_dups(8, threshold=0.5)).fetchall()
+    )
+    assert got == want
