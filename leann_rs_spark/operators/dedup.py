@@ -370,11 +370,23 @@ def dedup_clusters(
     are their own cluster by definition and never enter the pair
     stream.
     """
+    # symmetrize by exploding each pair into both directions — ONE
+    # evaluation of the (possibly expensive) upstream pair pipeline;
+    # a two-branch union would run it twice before the persist lands
     sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
