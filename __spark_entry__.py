@@ -554,6 +554,22 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_C = 16
+_SPAN_N = 8
+
+
+def x_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al., arXiv:2107.06499): every
+    token covered by an 8-token gram occurring ≥2× corpus-wide is cut
+    from the text. Three bounded shuffles (gram count, semi-join back,
+    per-doc coverage) — no suffix array, no driver state."""
+    from leann_rs_spark.operators.dedup import duplicate_spans
+
+    out = duplicate_spans(_fan(_docs(spark, sf_dir)), n=_SPAN_N)
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        (F.round("dup_frac", 6) + F.lit(0.0)).alias("dup_frac_r"),
+        "clean_text",
+    ).orderBy("doc_id")
 
 
 def x_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,6 +1077,14 @@ def _register_dedup_oracles() -> None:
         SELECT doc_id, i - 1 AS dim, round(embedding[i], 6) + 0.0 AS val
         FROM ({emb_prompt}) e, unnest(generate_series(1, {_EMBED_DIMS})) t(i)
     """
+    from leann_rs_spark.operators.dedup import duckdb_duplicate_spans
+
+    _ORACLES["x_exact_substr"] = f"""
+        SELECT doc_id, n_tokens, dup_tokens,
+               round(dup_frac, 6) + 0.0 AS dup_frac_r, clean_text
+        FROM ({duckdb_duplicate_spans(_SPAN_N)})
+        ORDER BY doc_id
+    """
     _ORACLES["x_cluster_assign"] = f"""
         SELECT vec_id, cluster_id, round(cos, 6) + 0.0 AS cos_r
         FROM ({duckdb_cluster_assign(_SEMDEDUP_C)})
@@ -1451,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_incremental": x_dedup_incremental,
         "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_exact_substr": x_exact_substr,
         "x_cluster_assign": x_cluster_assign,
         "x_semantic_dedup": x_semantic_dedup,
         "x_multimodal_features": x_multimodal_features,

@@ -1077,3 +1077,153 @@ def duckdb_contamination_overlap(
         FROM d JOIN p USING (g)
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated k-gram span) dedup — "Deduplicating
+# Training Data Makes Language Models Better" (Lee et al. 2022,
+# arXiv:2107.06499). The reference has no analog; this is the brief's
+# training-pipeline surface. The paper's suffix-array pass is a
+# single-machine algorithm; the Spark-native equivalent marks every
+# token covered by a k-token gram that occurs more than once in the
+# WHOLE corpus (incl. same-document repeats), then cuts those spans
+# out of the text — span-level dedup, not document-level.
+# ---------------------------------------------------------------------------
+
+def _ws_tokens(text: Column) -> Column:
+    """Faithful whitespace tokens — no lowercasing, no short-token
+    drop (unlike functions.text.tokenize): the cleaned text must be
+    reconstructable from exactly these tokens."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (id_col, n_tokens, dup_tokens, dup_frac, clean_text).
+
+    A token position is "duplicated" when any n-token gram covering it
+    occurs ≥2 times corpus-wide; `clean_text` is the document with all
+    duplicated positions removed (the Lee-et-al. cut, applied at token
+    granularity).
+
+    Scale shape — three shuffles, all on bounded keys:
+      1. gram → count: one hash aggregation over ~L grams/doc. The
+         map-side partial collapses each task's repeats first, and the
+         HAVING count>1 cut means only genuinely duplicated grams flow
+         into the join.
+      2. the left-semi join back to gram rows — co-hashed with (1), so
+         AQE reuses the exchange.
+      3. coverage positions → per-doc sorted set: key = id_col, value
+         volume bounded by document length, never corpus size.
+    No driver-side state: unlike the paper's suffix array (RAM ∝
+    corpus), nothing here ever materializes beyond a partition.
+    """
+    toks = docs.select(
+        F.col(id_col), _ws_tokens(F.col(text_col)).alias("__t")
+    )
+    grams = toks.select(
+        id_col,
+        "__t",
+        F.posexplode(
+            F.when(
+                F.size("__t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__p0", "gram"),
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "gram")
+    dup_grams = (
+        grams.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
+    )
+    cov = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("ti"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("ti")).alias("__cov"))
+    )
+    covered = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    keep_tok = lambda x, i: ~F.array_contains(covered, (i + 1).cast("int"))  # noqa: E731
+    return (
+        toks.join(cov, id_col, "left")
+        .select(
+            id_col,
+            F.size("__t").alias("n_tokens"),
+            F.size(covered).alias("dup_tokens"),
+            F.when(
+                F.size("__t") > 0,
+                F.size(covered).cast("double") / F.size("__t").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            F.concat_ws(" ", F.filter(F.col("__t"), keep_tok)).alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
+def duckdb_duplicate_spans(
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin — identical whitespace tokens, identical gram
+    positions, coverage via unnest + anti-join reconstruction (the
+    string_agg ORDER BY rebuilds clean_text in token order)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col},
+                   list_filter(string_split({text_col}, ' '), t -> t <> '') AS t
+            FROM {table}
+        ),
+        grams AS (
+            SELECT {id_col}, i AS pos,
+                   array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS gram
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - {n} + 1, 0))) s(i)
+        ),
+        dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        cov AS (
+            SELECT DISTINCT g.{id_col}, g.pos + o.x - 1 AS ti
+            FROM grams g JOIN dupg USING (gram),
+                 unnest(generate_series(1, {n})) o(x)
+        ),
+        tokrows AS (
+            SELECT {id_col}, list_extract(t, i) AS tok, i AS ti
+            FROM toks, unnest(generate_series(1, len(t))) s(i)
+        ),
+        clean AS (
+            SELECT tr.{id_col},
+                   coalesce(
+                       string_agg(tr.tok, ' ' ORDER BY tr.ti)
+                           FILTER (c.ti IS NULL),
+                       '') AS clean_text
+            FROM tokrows tr
+            LEFT JOIN cov c ON tr.{id_col} = c.{id_col} AND tr.ti = c.ti
+            GROUP BY 1
+        ),
+        st AS (
+            SELECT t.{id_col}, len(t.t)::int AS n_tokens,
+                   count(c.ti)::int AS dup_tokens
+            FROM toks t LEFT JOIN cov c ON t.{id_col} = c.{id_col}
+            GROUP BY 1, 2
+        )
+        SELECT st.{id_col}, st.n_tokens, st.dup_tokens,
+               (CASE WHEN st.n_tokens > 0
+                     THEN st.dup_tokens::double / st.n_tokens
+                     ELSE 0.0 END) AS dup_frac,
+               clean.clean_text
+        FROM st JOIN clean USING ({id_col})
+    """

@@ -332,3 +332,68 @@ def test_dedup_clusters_matches_recursive_cte(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (duplicate_spans)
+# ---------------------------------------------------------------------------
+
+def _span_rows(spark, rows, n):
+    from leann_rs_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in duplicate_spans(df, n=n).collect()}
+
+
+def test_duplicate_spans_marks_shared_gram(spark):
+    # docs 1 and 2 share the 3-gram "a b c"; doc 3 shares nothing
+    got = _span_rows(
+        spark,
+        [(1, "a b c x y"), (2, "z a b c"), (3, "p q r s t")],
+        n=3,
+    )
+    assert got[1]["dup_tokens"] == 3 and got[1]["clean_text"] == "x y"
+    assert got[2]["dup_tokens"] == 3 and got[2]["clean_text"] == "z"
+    assert got[3]["dup_tokens"] == 0 and got[3]["clean_text"] == "p q r s t"
+
+
+def test_duplicate_spans_same_doc_repeat_counts(spark):
+    # the gram repeats WITHIN one document -> both occurrences cut
+    got = _span_rows(spark, [(1, "a b c q a b c")], n=3)
+    assert got[1]["dup_tokens"] == 6
+    assert got[1]["clean_text"] == "q"
+
+
+def test_duplicate_spans_overlapping_grams_merge(spark):
+    # "a b c d" in both docs: with n=3 the two grams overlap; covered
+    # positions union, not double-count
+    got = _span_rows(spark, [(1, "a b c d x"), (2, "a b c d y")], n=3)
+    assert got[1]["dup_tokens"] == 4 and got[1]["clean_text"] == "x"
+
+
+def test_duplicate_spans_short_doc_untouched(spark):
+    got = _span_rows(spark, [(1, "a b"), (2, "a b")], n=3)
+    assert got[1]["dup_tokens"] == 0 and got[1]["clean_text"] == "a b"
+
+
+def test_duplicate_spans_duckdb_parity(spark):
+    from leann_rs_spark.operators.dedup import (
+        duckdb_duplicate_spans,
+        duplicate_spans,
+    )
+
+    out = duplicate_spans(_docs(spark), n=8)
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"],
+         round(r["dup_frac"], 6), r["clean_text"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        (a, b, c, round(d, 6), e)
+        for a, b, c, d, e in con.execute(duckdb_duplicate_spans(8)).fetchall()
+    )
+    assert got == want
