@@ -110,9 +110,13 @@ from leann_rs_spark.operators.sampling import (
     duckdb_pack_sequences,
     duckdb_shuffle_key,
     duckdb_split_assign,
+    duckdb_stratified_sample,
+    duckdb_upsample,
     duckdb_weighted_mix,
     pack_sequences,
     split_assign,
+    stratified_sample,
+    upsample,
     weighted_mix,
 )
 from leann_rs_spark.operators.search import batch_search, exact_search
@@ -666,6 +670,24 @@ def x_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(
         _fan(_docs(spark, sf_dir)), 0.2, "doc_id"
     ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota sample: the 20 smallest hash slots per language —
+    balanced eval-set selection; one window shuffle on the group."""
+    return stratified_sample(
+        _fan(_docs(spark, sf_dir)), "lang", 20, "doc_id"
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def x_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style deterministic upsampling WITH replacement: every 'de'
+    doc 2×, plus a stable half of them a 3rd time (rate 2.5). Pure
+    projection + generator — no shuffle, no join."""
+    de = _fan(_docs(spark, sf_dir)).filter(F.col("lang") == "de")
+    return upsample(de, 2.5, "doc_id").select(
+        "doc_id", "copy"
+    ).orderBy("doc_id", "copy")
 
 
 def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,6 +1308,17 @@ def _register_sampling_oracles() -> None:
             {duckdb_deterministic_sample('documents', 'doc_id', 0.2)}
         ) ORDER BY doc_id
     """
+    _ORACLES["x_stratified_sample"] = f"""
+        SELECT doc_id, lang FROM (
+            {duckdb_stratified_sample('documents', 'lang', 20, 'doc_id')}
+        ) ORDER BY doc_id
+    """
+    _ORACLES["x_upsample"] = f"""
+        SELECT doc_id, copy FROM (
+            {duckdb_upsample("(SELECT * FROM documents WHERE lang = 'de')",
+                             2.5, 'doc_id')}
+        ) ORDER BY doc_id, copy
+    """
     _ORACLES["x_split_assign"] = f"""
         SELECT doc_id, {duckdb_split_assign('doc_id')} AS split
         FROM documents ORDER BY doc_id
@@ -1499,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_redact": x_text_redact,
         "x_decontaminate": x_decontaminate,
         "x_sample_det": x_sample_det,
+        "x_stratified_sample": x_stratified_sample,
+        "x_upsample": x_upsample,
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,
         "x_append_consistency": x_append_consistency,

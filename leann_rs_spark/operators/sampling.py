@@ -218,6 +218,116 @@ def duckdb_pack_sequences(
 
 
 # ---------------------------------------------------------------------------
+# Stratified (per-group quota) sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: Column | str,
+    n_per_group: int,
+    key: Column | str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep the `n_per_group` rows with the smallest hash slots in each
+    group — a deterministic uniform sample of exactly min(n, |group|)
+    rows per group (balanced eval sets, per-domain audits, per-language
+    quotas).
+
+    One shuffle: the window partitions on the group. Slot ties break on
+    the stringified key, so membership is a total order — stable across
+    runs, partitioning, and appends of non-selected rows. At 100 TB the
+    only skew risk is a mega-group; rank-k selection inside a window
+    still streams (no per-group materialization), and AQE handles the
+    reduce-side imbalance."""
+    from pyspark.sql import Window
+
+    group_col = F.col(group_col) if isinstance(group_col, str) else group_col
+    key = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(group_col).orderBy(
+        _slot(key, salt), key.cast("string")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def duckdb_stratified_sample(
+    table: str,
+    group_sql: str,
+    n_per_group: int,
+    key_sql: str,
+    salt: str = "strat",
+) -> str:
+    slot = duckdb_slot(key_sql, salt)
+    return f"""
+        SELECT * EXCLUDE (__rn) FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {group_sql}
+                ORDER BY {slot}, ({key_sql})::varchar
+            ) AS __rn
+            FROM {table}
+        ) WHERE __rn <= {n_per_group}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic upsampling (epoch-style repeats, rate may exceed 1)
+# ---------------------------------------------------------------------------
+
+def upsample(
+    df: DataFrame,
+    rate: float,
+    key: Column | str,
+    salt: str = "upsample",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Each row appears floor(rate) times, plus once more when its hash
+    slot < frac(rate) — deterministic sampling WITH replacement, the
+    "see this domain 2.5 epochs" mixing step (weighted_mix handles
+    rates ≤ 1; this is the documented >1 path). `copy_col` numbers the
+    copies 0..k-1 so a downstream deterministic_shuffle can spread them
+    (key on (id, copy)).
+
+    Pure projection + generator: no shuffle, no join; output size is
+    exactly Σ copies and each task fans out only its own rows."""
+    if rate < 0.0:
+        raise ValueError(f"rate must be >= 0, got {rate!r}")
+    key = F.col(key) if isinstance(key, str) else key
+    whole = int(rate)
+    frac_slots = int((rate - whole) * _SLOTS)
+    copies = F.lit(whole) + (
+        (_slot(key, salt) < F.lit(frac_slots)).cast("int")
+    )
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(1), copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("__c", F.explode(seq)).withColumn(
+        copy_col, (F.col("__c") - 1).cast("int")
+    ).drop("__c")
+
+
+def duckdb_upsample(
+    table: str,
+    rate: float,
+    key_sql: str,
+    salt: str = "upsample",
+    copy_col: str = "copy",
+) -> str:
+    if rate < 0.0:
+        raise ValueError(f"rate must be >= 0, got {rate!r}")
+    whole = int(rate)
+    frac_slots = int((rate - whole) * _SLOTS)
+    slot = duckdb_slot(key_sql, salt)
+    ncop = f"({whole} + (CASE WHEN {slot} < {frac_slots} THEN 1 ELSE 0 END))"
+    return f"""
+        SELECT t.*, (c.i - 1)::int AS "{copy_col}"
+        FROM {table} t, unnest(generate_series(1, {ncop})) c(i)
+    """
+
+
+# ---------------------------------------------------------------------------
 # Weighted corpus mixing (domain reweighting)
 # ---------------------------------------------------------------------------
 
@@ -230,9 +340,10 @@ def weighted_mix(
     reweighting step of a training-data pipeline (e.g. upweight code,
     downsample crawl). Rates ≤ 1 subsample deterministically (stable
     across runs/appends, like deterministic_sample); the result is the
-    unionByName of the sampled sources. Rates > 1 are rejected —
-    duplication-based upweighting belongs to the consumer (epoch
-    repeats), not the corpus.
+    unionByName of the sampled sources. Rates > 1 are rejected here —
+    duplication-based upweighting is the explicit `upsample` operator
+    (epoch repeats, with a copy index); keeping this one a pure filter
+    means its output is always a SUBSET of the inputs.
 
     Each source must share the schema. No shuffle: per-source
     projection+filter, then a union."""

@@ -138,3 +138,86 @@ def test_weighted_mix_rates_and_determinism(spark, docs):
         weighted_mix([(en, 1.5)], "doc_id")
     with pytest.raises(ValueError):
         weighted_mix([], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample / upsample
+# ---------------------------------------------------------------------------
+
+def test_stratified_quota_per_group(spark, docs):
+    from leann_rs_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(docs, "lang", 5, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(5, full[lang])
+
+
+def test_stratified_stable_under_repartition(spark, docs):
+    from leann_rs_spark.operators.sampling import stratified_sample
+
+    a = {r["doc_id"] for r in stratified_sample(docs, "lang", 7, "doc_id").collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(13), "lang", 7, "doc_id").collect()}
+    assert a == b
+
+
+def test_stratified_duckdb_parity(spark, docs, duck):
+    from leann_rs_spark.operators.sampling import (
+        duckdb_stratified_sample,
+        stratified_sample,
+    )
+
+    got = sorted(r["doc_id"] for r in
+                 stratified_sample(docs, "lang", 7, "doc_id").collect())
+    want = sorted(r[0] for r in duck.execute(
+        f"SELECT doc_id FROM ({duckdb_stratified_sample('documents', 'lang', 7, 'doc_id')})"
+    ).fetchall())
+    assert got == want
+
+
+def test_upsample_copy_counts(spark, docs):
+    from leann_rs_spark.operators.sampling import upsample
+
+    n = docs.count()
+    out = upsample(docs, 2.5, "doc_id")
+    total = out.count()
+    # every row at least twice, at most three times; fraction ~0.5
+    assert 2 * n < total < 3 * n
+    per = out.groupBy("doc_id").agg(F.count("*").alias("k"))
+    ks = {r["k"] for r in per.collect()}
+    assert ks == {2, 3}
+    # copy indices are dense 0..k-1
+    mx = out.groupBy("doc_id").agg(F.max("copy").alias("m"), F.count("*").alias("k"))
+    assert mx.filter(F.col("m") != F.col("k") - 1).count() == 0
+
+
+def test_upsample_rate_below_one_is_bernoulli(spark, docs):
+    from leann_rs_spark.operators.sampling import upsample
+
+    out = upsample(docs, 0.4, "doc_id")
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert 0 < out.count() < docs.count()
+
+
+def test_upsample_rejects_negative(spark, docs):
+    from leann_rs_spark.operators.sampling import duckdb_upsample, upsample
+
+    with pytest.raises(ValueError):
+        upsample(docs, -0.1, "doc_id")
+    with pytest.raises(ValueError):
+        duckdb_upsample("documents", -0.1, "doc_id")
+
+
+def test_upsample_duckdb_parity(spark, docs, duck):
+    from leann_rs_spark.operators.sampling import duckdb_upsample, upsample
+
+    got = sorted((r["doc_id"], r["copy"]) for r in
+                 upsample(docs, 1.3, "doc_id").collect())
+    want = sorted((a, b) for a, b in duck.execute(
+        f"SELECT doc_id, copy FROM ({duckdb_upsample('documents', 1.3, 'doc_id')})"
+    ).fetchall())
+    assert got == want
