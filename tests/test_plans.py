@@ -280,3 +280,62 @@ def test_bm25_write_shuffles_on_bucket(spark):
     )
     plan = plan_of(pre_write)
     assert "hashpartitioning(term_bucket" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators: clustering, span dedup, sampling
+# ---------------------------------------------------------------------------
+
+def test_cluster_assign_inline_is_shuffle_free(spark):
+    from leann_rs_spark.operators.ann import take_centroids
+    from leann_rs_spark.operators.clustering import cluster_assign
+
+    emb = _emb(spark)
+    df = cluster_assign(emb, take_centroids(emb, 8))
+    assert "Exchange" not in plan_of(df)  # pure projection over the scan
+
+
+def _shuffles(plan: str) -> int:
+    """Non-broadcast exchanges in a simple-mode plan."""
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_cluster_assign_broadcast_path_no_vector_shuffle(spark):
+    from leann_rs_spark.operators.ann import take_centroids
+    from leann_rs_spark.operators.clustering import cluster_assign
+
+    emb = _emb(spark)
+    plan = plan_of(
+        cluster_assign(emb, take_centroids(emb, 8), inline_max=2), "simple"
+    )
+    assert "BroadcastExchange" in plan  # codebook ships once per executor
+    # the only non-broadcast exchange is the final per-id partial MAX
+    assert _shuffles(plan) == 1
+
+
+def test_upsample_is_shuffle_free(spark):
+    from leann_rs_spark.operators.sampling import upsample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in plan_of(upsample(docs, 2.5, "doc_id"))
+
+
+def test_stratified_sample_single_exchange(spark):
+    from leann_rs_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(stratified_sample(docs, "lang", 5, "doc_id"), "simple")
+    assert _shuffles(plan) == 1  # just the group window
+
+
+def test_duplicate_spans_bounded_shuffles(spark):
+    from leann_rs_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(duplicate_spans(docs, n=8), "simple")
+    # at most three keyed shuffles: gram count, per-doc coverage, and
+    # the final doc_id join (the dup-gram side may instead be broadcast
+    # when small — either physical choice is acceptable, a cartesian or
+    # extra repartition is not)
+    assert _shuffles(plan) <= 3
+    assert "CartesianProduct" not in plan
