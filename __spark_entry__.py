@@ -559,6 +559,33 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_C = 16
 _SPAN_N = 8
+# Gopher thresholds relaxed for the synthetic corpus (docs are ~10-99
+# words with at most 1 stopword type): same filter SHAPE, test-sized cuts
+_CURATION_GOPHER = {"min_words": 20, "min_stopword_hits": 1}
+
+
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composition a training-data
+    build actually runs, as one declarative plan: Gopher quality gate
+    (projection) → exact dedup (one hash shuffle) → MinHash near-dup
+    clusters with canonical keep (banded join + label propagation) →
+    stable train/val/test assignment (projection). Every stage is the
+    already-gated operator; this gate pins their COMPOSITION."""
+    from leann_rs_spark.functions.textstats import gopher_keep
+    from leann_rs_spark.operators.dedup import (
+        dedup_keep_canonical,
+        exact_dedup,
+    )
+
+    docs = _fan(_docs(spark, sf_dir))
+    q = docs.filter(gopher_keep("text", **_CURATION_GOPHER))
+    canon = exact_dedup(q).filter("is_canonical").select("doc_id")
+    q2 = q.join(canon, "doc_id", "left_semi")
+    pairs = minhash_near_dups(q2, threshold=0.5)
+    kept = dedup_keep_canonical(q2, pairs).filter("keep")
+    return split_assign(kept, "doc_id").select(
+        "doc_id", "lang", "split"
+    ).orderBy("doc_id")
 
 
 def x_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,6 +1201,35 @@ def _register_dedup_oracles() -> None:
 _register_dedup_oracles()
 
 
+def _register_curation_oracle() -> None:
+    from leann_rs_spark.functions.textstats import duckdb_gopher_keep
+    from leann_rs_spark.operators.dedup import duckdb_dedup_clusters
+
+    gok = duckdb_gopher_keep("text", **_CURATION_GOPHER)
+    mh = duckdb_minhash_near_dups(threshold=0.5, table="ded1")
+    cl = duckdb_dedup_clusters("SELECT id_a, id_b FROM pairs")
+    _ORACLES["x_curation_pipeline"] = f"""
+        WITH gok AS (SELECT * FROM documents WHERE {gok}),
+        ded1 AS (
+            SELECT * EXCLUDE (__can) FROM (
+                SELECT g.*, min(doc_id) OVER (PARTITION BY md5(text)) AS __can
+                FROM gok g
+            ) WHERE doc_id = __can
+        ),
+        pairs AS (SELECT id_a, id_b FROM ({mh})),
+        clusters AS (SELECT * FROM ({cl}) t),
+        kept AS (
+            SELECT d.* FROM ded1 d LEFT JOIN clusters c ON c.id = d.doc_id
+            WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+        )
+        SELECT doc_id, lang, {duckdb_split_assign('doc_id')} AS split
+        FROM kept ORDER BY doc_id
+    """
+
+
+_register_curation_oracle()
+
+
 def _register_rag_oracle() -> None:
     from leann_rs_spark.functions.vector import duckdb_dot as _dd
     from leann_rs_spark.operators.embedder import (
@@ -1509,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_exact_substr": x_exact_substr,
+        "x_curation_pipeline": x_curation_pipeline,
         "x_cluster_assign": x_cluster_assign,
         "x_semantic_dedup": x_semantic_dedup,
         "x_multimodal_features": x_multimodal_features,

@@ -603,19 +603,36 @@ def duckdb_gopher_signals(text: str) -> dict[str, str]:
     }
 
 
-def duckdb_gopher_keep(text: str) -> str:
+def duckdb_gopher_keep(
+    text: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+    max_top4_char_frac: float = 0.16,
+) -> str:
+    """Oracle twin of `gopher_keep` — same thresholds, same defaults."""
     s = duckdb_gopher_signals(text)
     return (
-        f"({s['word_count']} BETWEEN 50 AND 100000"
-        f" AND {s['mean_word_len']} BETWEEN 3.0 AND 10.0"
-        f" AND {s['symbol_word_ratio']} <= 0.1"
-        f" AND {s['bullet_line_frac']} <= 0.9"
-        f" AND {s['ellipsis_line_frac']} <= 0.3"
-        f" AND {s['alpha_word_frac']} >= 0.8"
-        f" AND {s['required_stopword_hits']} >= 2"
-        f" AND {duckdb_dup_line_frac(text)} <= 0.30"
-        f" AND ({duckdb_dup_line_char_frac(text)}) <= 0.20"
-        f" AND ({duckdb_top_ngram_char_frac(text, 2)}) <= 0.20"
-        f" AND ({duckdb_top_ngram_char_frac(text, 3)}) <= 0.18"
-        f" AND ({duckdb_top_ngram_char_frac(text, 4)}) <= 0.16)"
+        f"({s['word_count']} BETWEEN {min_words} AND {max_words}"
+        f" AND {s['mean_word_len']} BETWEEN {min_mean_word_len} AND {max_mean_word_len}"
+        f" AND {s['symbol_word_ratio']} <= {max_symbol_word_ratio}"
+        f" AND {s['bullet_line_frac']} <= {max_bullet_line_frac}"
+        f" AND {s['ellipsis_line_frac']} <= {max_ellipsis_line_frac}"
+        f" AND {s['alpha_word_frac']} >= {min_alpha_word_frac}"
+        f" AND {s['required_stopword_hits']} >= {min_stopword_hits}"
+        f" AND {duckdb_dup_line_frac(text)} <= {max_dup_line_frac}"
+        f" AND ({duckdb_dup_line_char_frac(text)}) <= {max_dup_line_char_frac}"
+        f" AND ({duckdb_top_ngram_char_frac(text, 2)}) <= {max_top2_char_frac}"
+        f" AND ({duckdb_top_ngram_char_frac(text, 3)}) <= {max_top3_char_frac}"
+        f" AND ({duckdb_top_ngram_char_frac(text, 4)}) <= {max_top4_char_frac})"
     )
