@@ -201,6 +201,26 @@ def q1_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(assigned, cents, qv, k=10, nprobe=_IVF_NPROBE)
 
 
+def q2_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2 batch-serving shape: per-query IVF probing for a whole
+    query table — the Q×nprobe probe set broadcasts into the assigned
+    join (dynamic partition pruning on a cluster-partitioned table);
+    the corpus is never shuffled. batch_search (q3_batch) is the exact
+    full-scan twin this approximates."""
+    from leann_rs_spark.operators.ann import ivf_search_batch
+
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    assigned = ivf_assign(_fan(emb), cents)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_search_batch(
+        assigned, cents, queries, k=5, nprobe=_IVF_NPROBE
+    ).orderBy("query_id", "rank")
+
+
 _DSL_EVENTS = "k>50,k<=90 OR k in [1,2,3]"
 _DSL_DOCS = "lang in [en,de] AND source^src1"
 
@@ -1078,6 +1098,14 @@ def _register_bm25_oracles() -> None:
     _ORACLES["q1_ivf_topk"] = duckdb_ivf_search(
         query_vec_id=4, k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_CENTROIDS
     )
+    from leann_rs_spark.operators.ann import duckdb_ivf_search_batch
+
+    _ORACLES["q2_ivf_batch_topk"] = f"""
+        SELECT * FROM ({duckdb_ivf_search_batch(
+            n_queries=5, k=5, nprobe=_IVF_NPROBE, n_centroids=_IVF_CENTROIDS
+        )})
+        ORDER BY query_id, rank
+    """
 
 
 _register_bm25_oracles()
@@ -1543,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
         "q3_filtered_topk": q3_filtered_topk,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
         "q5_filter_dsl_json": q5_filter_dsl_json,
         "q7_search_read_path": q7_search_read_path,

@@ -511,3 +511,123 @@ def duckdb_lsh_near_dups(
         WHERE a.id < b.id AND {cos} >= {threshold}
     """
 
+
+
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k per query over the IVF index for a whole QUERY TABLE —
+    the batch-serving shape (mirrors search.batch_search, which is the
+    exact full-scan twin).
+
+    Plan: queries × broadcast(centroids) → per-query probe ranking (a
+    window over Q×C rows — driver-free, but all data is query-sized) →
+    the tiny (Q×nprobe) probe table broadcasts into the join with
+    `assigned`, so the corpus is NEVER shuffled; when `assigned` is a
+    parquet table partitioned by cluster_id, the broadcast join's
+    cluster_id keys drive DYNAMIC partition pruning — each batch scans
+    only the union of probed clusters. Final per-query top-k is one
+    window over candidates (Σ probed-cluster sizes per query, the IVF
+    cost model: nprobe/C of the corpus per query).
+    """
+    from pyspark.sql import Window
+
+    qv = F.col(query_vec_col)
+    qc = queries.select(query_id_col, query_vec_col).crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        query_id_col,
+        query_vec_col,
+        "centroid_id",
+        dot(qv, F.col("centroid_vec")).alias("__qs"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qs").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            query_id_col, query_vec_col,
+            F.col("centroid_id").alias("cluster_id"),
+        )
+    )
+    scored = assigned.join(F.broadcast(probes), "cluster_id").select(
+        query_id_col,
+        id_col,
+        dot(F.col(vec_col), qv).alias("score"),
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def duckdb_ivf_search_batch(
+    n_queries: int,
+    k: int,
+    nprobe: int,
+    n_centroids: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of `ivf_search_batch` with the take_centroids policy
+    and queries = the `n_queries` smallest ids (mirroring q3_batch)."""
+    d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+    d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+    d_aq = duckdb_dot(f"a.{vec_col}", "q.qv")
+    return f"""
+        WITH cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, {vec_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT {id_col} AS query_id, {vec_col} AS qv
+            FROM {table} WHERE {id_col} < {n_queries}
+        ),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {d_cq} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM cent c, q
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT q.query_id, a.{id_col}, {d_aq} AS score
+            FROM assigned a
+            JOIN probes p ON a.cluster_id = p.centroid_id
+            JOIN q ON q.query_id = p.query_id
+        )
+        SELECT query_id, {id_col}, score, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

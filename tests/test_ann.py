@@ -207,3 +207,49 @@ def test_lsh_bucket_splitting_is_result_identical(spark):
     }
     assert base  # the planted duplicates must collide
     assert split == base
+
+
+def test_batch_full_probe_equals_exact_batch(spark, emb, assigned):
+    from leann_rs_spark.operators.ann import ivf_search_batch
+    from leann_rs_spark.operators.search import batch_search
+
+    cents = take_centroids(emb, N_CENT)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in ivf_search_batch(
+            assigned, cents, queries, k=5, nprobe=N_CENT
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["score"])
+        for r in batch_search(emb, queries, k=5, metric="ip").collect()
+    )
+    assert got == want  # full probe == exact, bit-for-bit
+
+
+def test_batch_partial_probe_matches_oracle(spark, emb, assigned, duck):
+    from leann_rs_spark.operators.ann import (
+        duckdb_ivf_search_batch,
+        ivf_search_batch,
+    )
+
+    cents = take_centroids(emb, N_CENT)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["score"], 9))
+        for r in ivf_search_batch(
+            assigned, cents, queries, k=5, nprobe=2
+        ).collect()
+    )
+    want = sorted(
+        (q, rk, v, round(s, 9))
+        for q, v, s, rk in duck.execute(
+            duckdb_ivf_search_batch(n_queries=4, k=5, nprobe=2, n_centroids=N_CENT)
+        ).fetchall()
+    )
+    assert got == want
