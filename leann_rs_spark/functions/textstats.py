@@ -353,61 +353,84 @@ def dup_line_char_frac(text: Column | str) -> Column:
     element is duplicated iff it equals its predecessor or successor
     (element_at positions clamped — Spark's boolean operators do not
     short-circuit, so out-of-range probes must stay in range even when
-    the guard is false)."""
+    the guard is false).
+
+    The sorted line array is let-bound via the single-element-array
+    transform (the codebase's HOF idiom): referencing the split
+    expression directly inside the per-element lambda would re-split
+    the text once per line per probe (Catalyst does not CSE into HOF
+    lambdas; measured ~5× on the Gopher gate)."""
     text = F.col(text) if isinstance(text, str) else text
-    lines = F.array_sort(_doc_lines(text))
 
-    def dup_len(x, i):
-        prev_ok = (i > 0) & (x == F.element_at(lines, F.greatest(i, F.lit(1))))
-        nxt = F.least(i + 2, F.greatest(F.size(lines), F.lit(1)))
-        next_ok = (i + 2 <= F.size(lines)) & (x == F.element_at(lines, nxt))
-        return F.when(prev_ok | next_ok, F.length(x)).otherwise(F.lit(0))
+    def body(lines: Column) -> Column:
+        def dup_len(x, i):
+            prev_ok = (i > 0) & (
+                x == F.element_at(lines, F.greatest(i, F.lit(1)))
+            )
+            nxt = F.least(i + 2, F.greatest(F.size(lines), F.lit(1)))
+            next_ok = (i + 2 <= F.size(lines)) & (x == F.element_at(lines, nxt))
+            return F.when(prev_ok | next_ok, F.length(x)).otherwise(F.lit(0))
 
-    dup_chars = F.aggregate(
-        F.transform(lines, dup_len), F.lit(0), lambda a, x: a + x
-    )
-    total = F.aggregate(
-        F.transform(lines, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
-    return F.when(
-        total > 0, dup_chars.cast("double") / total.cast("double")
-    ).otherwise(F.lit(0.0))
+        dup_chars = F.aggregate(
+            F.transform(lines, dup_len), F.lit(0), lambda a, x: a + x
+        )
+        total = F.aggregate(
+            F.transform(lines, lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        return F.when(
+            total > 0, dup_chars.cast("double") / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(F.array_sort(_doc_lines(text))), body)[0]
 
 
 def top_ngram_char_frac(text: Column | str, n: int) -> Column:
     """Characters covered by the most frequent word n-gram (count ×
     n-gram length incl. internal spaces) over the raw text length.
     Computed with one sorted fold carrying (prev, run, best) — the max
-    run in a sorted array is the max multiplicity."""
+    run in a sorted array is the max multiplicity.
+
+    The token array is let-bound (single-element-array transform)
+    before the per-position n-gram build: referencing the whitespace
+    split directly inside the position lambda would re-split the text
+    once per n-gram position — the documented HOF-CSE trap, measured
+    ~5× on the Gopher gate."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = _ws_words(text)
-    ngrams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    s = F.array_sort(ngrams)
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.struct(
-            F.lit(0).alias("cnt"), F.lit(0).alias("len"), F.lit("").alias("ng")
-        ).alias("best"),
-    )
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        cand = F.struct(run.alias("cnt"), F.length(x).alias("len"), x.alias("ng"))
-        best = F.when(cand > acc["best"], cand).otherwise(acc["best"])
-        return F.struct(x.alias("prev"), run.alias("run"), best.alias("best"))
+    def body(toks: Column) -> Column:
+        ngrams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        s = F.array_sort(ngrams)
+        init = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.struct(
+                F.lit(0).alias("cnt"), F.lit(0).alias("len"), F.lit("").alias("ng")
+            ).alias("best"),
+        )
 
-    best = F.aggregate(s, init, step, lambda acc: acc["best"])
-    return (
-        (best["cnt"] * best["len"]).cast("double")
-        / F.greatest(F.length(text), F.lit(1)).cast("double")
-    )
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            cand = F.struct(
+                run.alias("cnt"), F.length(x).alias("len"), x.alias("ng")
+            )
+            best = F.when(cand > acc["best"], cand).otherwise(acc["best"])
+            return F.struct(x.alias("prev"), run.alias("run"), best.alias("best"))
+
+        best = F.aggregate(s, init, step, lambda acc: acc["best"])
+        return (
+            (best["cnt"] * best["len"]).cast("double")
+            / F.greatest(F.length(text), F.lit(1)).cast("double")
+        )
+
+    return F.transform(F.array(_ws_words(text)), body)[0]
 
 
 def duckdb_dup_line_frac(text: str) -> str:

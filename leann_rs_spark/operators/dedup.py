@@ -372,7 +372,17 @@ def dedup_clusters(
     """
     # symmetrize by exploding each pair into both directions — ONE
     # evaluation of the (possibly expensive) upstream pair pipeline;
-    # a two-branch union would run it twice before the persist lands
+    # a two-branch union would run it twice before materialization.
+    #
+    # localCheckpoint (not persist): an iterative loop's logical plan
+    # NESTS per round, and every round's action re-analyzes the whole
+    # tree — with an expression-heavy upstream (quality filters, LSH
+    # sketches) the driver-side Catalyst work grows to dominate
+    # (measured: 6.7 s then 13 s per round over 324 edges with the
+    # curation pipeline upstream; sub-second with lineage truncated).
+    # The standard iterative-graph practice (GraphX does the same).
+    # Local checkpoints trade fault-tolerance for speed — acceptable
+    # for a handful of rounds; a lost executor re-runs the operator.
     sym = (
         pairs.select(
             F.explode(
@@ -388,13 +398,14 @@ def dedup_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
-        "lab", F.col("id")
-    ).persist()
-    labels.count()
-    cached_prev = labels  # the currently-persisted generation
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         # neighbor minimum: push each node's label to its neighbors,
         # take the min of (own label, incoming labels). The old label
@@ -412,15 +423,12 @@ def dedup_clusters(
             own.unionByName(incoming)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"), F.max("own").alias("old"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("lab") != F.col("old")).limit(1).count()
-        cached_prev.unpersist()
-        cached_prev = merged
         labels = merged.select("id", "lab")
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select("id", F.col("lab").alias("cluster_id"))
 
 
