@@ -664,8 +664,10 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id"
     )
     cents = take_centroids(emb, _SEMDEDUP_C, id_col="doc_id")
+    # embed_documents output is L2-normalized -> metric="ip": identical
+    # pairs, no per-(row,centroid) or per-pair norm folds
     pairs = semantic_near_dups(
-        emb, cents, id_col="doc_id", threshold=_EMBCOS_TAU
+        emb, cents, id_col="doc_id", threshold=_EMBCOS_TAU, metric="ip"
     )
     return pairs.select(
         "id_a", "id_b", (F.round("cos", 6) + F.lit(0.0)).alias("cos_r")
@@ -1187,7 +1189,7 @@ def _register_dedup_oracles() -> None:
         SELECT id_a, id_b, round(cos, 6) + 0.0 AS cos_r
         FROM ({duckdb_semantic_near_dups(
             _SEMDEDUP_C, threshold=_EMBCOS_TAU, id_col="doc_id",
-            emb_sql=emb_tbl,
+            emb_sql=emb_tbl, metric="ip",
         )})
         ORDER BY id_a, id_b
     """

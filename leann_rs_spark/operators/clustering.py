@@ -43,9 +43,19 @@ from pyspark.sql import DataFrame, functions as F
 
 from leann_rs_spark.functions.vector import (
     cosine,
+    dot,
     duckdb_cosine,
+    duckdb_dot,
 )
 from leann_rs_spark.operators.ann import IVF_INLINE_MAX_CENTROIDS
+
+
+def _score_fn(metric: str):
+    if metric == "cosine":
+        return cosine
+    if metric == "ip":
+        return dot
+    raise ValueError(f"metric must be 'cosine' or 'ip', got {metric!r}")
 
 
 def cluster_assign(
@@ -54,6 +64,7 @@ def cluster_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     inline_max: int = IVF_INLINE_MAX_CENTROIDS,
+    metric: str = "cosine",
 ) -> DataFrame:
     """→ (id_col, vec_col, cluster_id, cos): nearest centroid by cosine.
 
@@ -71,7 +82,12 @@ def cluster_assign(
 
     Scores are full cosine so the output doubles are directly
     comparable to dedup/ANN thresholds and to the DuckDB oracle.
+    `metric="ip"` scores with the plain dot product — for L2-normalized
+    embeddings (embed_documents output) the ranking is identical and
+    the per-centroid norm folds disappear (norms are a per-ROW
+    quantity; never pay them per (row, centroid)).
     """
+    score = _score_fn(metric)
     cent_df = centroids.select("centroid_id", "centroid_vec")
     cents = sorted(
         cent_df.limit(inline_max + 1).collect(),
@@ -94,7 +110,7 @@ def cluster_assign(
             F.transform(
                 cent_lit,
                 lambda c: F.struct(
-                    cosine(vec, c["cv"]).alias("s"), (-c["cid"]).alias("neg_id")
+                    score(vec, c["cv"]).alias("s"), (-c["cid"]).alias("neg_id")
                 ),
             )
         )
@@ -108,7 +124,7 @@ def cluster_assign(
         F.col(id_col),
         vec,
         F.struct(
-            cosine(vec, F.col("centroid_vec")).alias("s"),
+            score(vec, F.col("centroid_vec")).alias("s"),
             (-F.col("centroid_id")).alias("neg_id"),
         ).alias("__cand"),
     )
@@ -134,6 +150,7 @@ def semantic_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     cache: bool = True,
+    metric: str = "cosine",
 ) -> DataFrame:
     """→ (id_a, id_b, cos): near-duplicate pairs that share a cluster.
 
@@ -153,9 +170,13 @@ def semantic_near_dups(
 
     `cache` persists the assigned table: both join sides read it, and
     without a persist each side would re-run assignment.
+
+    `metric="ip"` (for L2-normalized embeddings) assigns AND verifies
+    with plain dot products — same pairs, no per-pair norm folds.
     """
+    score = _score_fn(metric)
     assigned = cluster_assign(
-        vectors, centroids, id_col=id_col, vec_col=vec_col
+        vectors, centroids, id_col=id_col, vec_col=vec_col, metric=metric
     ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster_id")
     if cache:
         # persist AND materialize: the self-join launches both sides
@@ -171,7 +192,7 @@ def semantic_near_dups(
     return (
         a.join(b, on="cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", score(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -197,13 +218,18 @@ def semantic_keep(
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
 
+def _duckdb_score(metric: str, a: str, b: str) -> str:
+    return duckdb_cosine(a, b) if metric == "cosine" else duckdb_dot(a, b)
+
+
 def _assigned_cte(
-    n_centroids: int, table: str, id_col: str, vec_col: str
+    n_centroids: int, table: str, id_col: str, vec_col: str,
+    metric: str = "cosine",
 ) -> str:
     """cent + assigned CTEs shared by both oracles — same
-    take_centroids policy (n smallest ids) and the same cosine argmax
+    take_centroids policy (n smallest ids) and the same score argmax
     with centroid_id-ASC tie-break as cluster_assign."""
-    cos_ec = duckdb_cosine(f"e.{vec_col}", "c.centroid_vec")
+    cos_ec = _duckdb_score(metric, f"e.{vec_col}", "c.centroid_vec")
     return f"""
         cent AS (
             SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
@@ -237,10 +263,11 @@ def duckdb_cluster_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     emb_sql: str | None = None,
+    metric: str = "cosine",
 ) -> str:
     src, table = _with_src(emb_sql, table)
     return f"""
-        WITH {src}{_assigned_cte(n_centroids, table, id_col, vec_col)}
+        WITH {src}{_assigned_cte(n_centroids, table, id_col, vec_col, metric)}
         SELECT {id_col}, cluster_id, cos FROM assigned
     """
 
@@ -252,11 +279,12 @@ def duckdb_semantic_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     emb_sql: str | None = None,
+    metric: str = "cosine",
 ) -> str:
-    cos_ab = duckdb_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    cos_ab = _duckdb_score(metric, f"a.{vec_col}", f"b.{vec_col}")
     src, table = _with_src(emb_sql, table)
     return f"""
-        WITH {src}{_assigned_cte(n_centroids, table, id_col, vec_col)}
+        WITH {src}{_assigned_cte(n_centroids, table, id_col, vec_col, metric)}
         SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos_ab} AS cos
         FROM assigned a JOIN assigned b ON a.cluster_id = b.cluster_id
         WHERE a.{id_col} < b.{id_col} AND {cos_ab} >= {threshold}
