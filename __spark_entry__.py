@@ -584,6 +584,29 @@ _SPAN_N = 8
 _CURATION_GOPHER = {"min_words": 20, "min_stopword_hits": 1}
 
 
+def x_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (P50/P90/P95/P99) — the
+    distribution audit every corpus build runs before setting chunk and
+    packing budgets. EXACT interpolated percentiles (bit-identical to
+    DuckDB's quantile_cont, verified): one groupBy shuffle + per-group
+    sort. At 100 TB the production knob is percentile_approx (t-digest,
+    mergeable partial aggregation, no per-group sort) — this gate pins
+    the exact semantics the approximation is measured against."""
+    agg = _docs(spark, sf_dir).groupBy("source").agg(
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.95, 0.99))").alias("p"),
+        F.count("*").alias("n_docs"),
+    )
+    names = ["p50_r", "p90_r", "p95_r", "p99_r"]
+    return agg.select(
+        "source",
+        *[
+            (F.round(F.col("p")[i], 6) + F.lit(0.0)).alias(n)
+            for i, n in enumerate(names)
+        ],
+        "n_docs",
+    ).orderBy("source")
+
+
 def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus curation — the composition a training-data
     build actually runs, as one declarative plan: Gopher quality gate
@@ -987,6 +1010,24 @@ def x_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+_HOP_SLIDE = "5 minutes"
+
+
+def x_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event stats (10-minute windows sliding every 5):
+    every event lands in exactly duration/slide windows. Batch twin of
+    the streaming form (streaming/ingest.py, same function)."""
+    from leann_rs_spark.streaming.ingest import hopping_event_stats
+
+    out = hopping_event_stats(
+        read_events(spark, sf_dir), _WINDOW_DUR, _HOP_SLIDE
+    )
+    return out.select(
+        "window_start", "event_type", "n_events",
+        (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value_r"),
+    ).orderBy("window_start", "event_type")
+
+
 _LSH_PLANES = 32
 _LSH_BANDS = 4
 
@@ -1247,6 +1288,20 @@ def _register_dedup_oracles() -> None:
 _register_dedup_oracles()
 
 
+def _register_percentile_oracle() -> None:
+    qs = [("p50_r", 0.5), ("p90_r", 0.9), ("p95_r", 0.95), ("p99_r", 0.99)]
+    cols = ", ".join(
+        f"round(quantile_cont(n_chars, {q}), 6) + 0.0 AS {n}" for n, q in qs
+    )
+    _ORACLES["x_length_percentiles"] = f"""
+        SELECT source, {cols}, count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """
+
+
+_register_percentile_oracle()
+
+
 def _register_curation_oracle() -> None:
     from leann_rs_spark.functions.textstats import duckdb_gopher_keep
     from leann_rs_spark.operators.dedup import duckdb_dedup_clusters
@@ -1366,6 +1421,19 @@ def _register_session_oracle() -> None:
                count(*) AS n_events,
                round(sum(value), 6) + 0.0 AS sum_value_r
         FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+    # hopping windows: an event at ts belongs to the duration/slide
+    # windows starting at time_bucket(slide, ts) - k*slide,
+    # k = 0..duration/slide-1 (same epoch alignment argument as above)
+    _ORACLES["x_hopping_stats"] = f"""
+        SELECT time_bucket(INTERVAL '{_HOP_SLIDE}', ts)
+                   - (k.x * INTERVAL '{_HOP_SLIDE}') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) + 0.0 AS sum_value_r
+        FROM events, unnest(generate_series(0, 1)) k(x)
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
@@ -1622,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_exact_substr": x_exact_substr,
         "x_curation_pipeline": x_curation_pipeline,
+        "x_length_percentiles": x_length_percentiles,
+        "x_hopping_stats": x_hopping_stats,
         "x_cluster_assign": x_cluster_assign,
         "x_semantic_dedup": x_semantic_dedup,
         "x_multimodal_features": x_multimodal_features,

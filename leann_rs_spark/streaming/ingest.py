@@ -107,6 +107,37 @@ def windowed_event_stats(
     )
 
 
+def hopping_event_stats(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Hopping (sliding) window stats per event_type: each event counts
+    toward duration/slide overlapping windows (trend smoothing /
+    rate-over-trailing-window queries). Same batch↔stream duality as
+    `windowed_event_stats` — F.window(duration, slide) explodes each
+    row into its windows map-side, then ONE groupBy shuffle; at scale
+    the shuffle volume is duration/slide × events, the knob to watch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_windowed_event_stats(
     spark: SparkSession,
     input_path: str,

@@ -108,3 +108,47 @@ def test_stream_dedup(spark, tmp_path):
     _drain(stream_dedup_events(spark, inp, outp, ckpt))
     out = spark.read.parquet(outp)
     assert out.count() == out.select("event_id").distinct().count() == 200
+
+
+def test_hopping_each_event_in_duration_over_slide_windows(spark):
+    from leann_rs_spark.streaming.ingest import hopping_event_stats
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    out = hopping_event_stats(ev, "10 minutes", "5 minutes")
+    total = out.agg(F.sum("n_events")).head()[0]
+    assert total == 2 * ev.count()  # duration/slide = 2 windows per event
+
+
+def test_hopping_batch_equals_stream(spark, tmp_path):
+    import shutil
+
+    from leann_rs_spark.streaming.ingest import hopping_event_stats
+
+    # streaming watermarks require TIMESTAMP (not NTZ) event time
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in hopping_event_stats(ev, "10 minutes", "5 minutes").collect()
+    }
+    src = str(tmp_path / "src")
+    shutil.copytree(f"{SF_SMOKE}", src, ignore=shutil.ignore_patterns("*"))
+    ev.write.mode("overwrite").parquet(f"{src}/events")
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(f"{src}/events")
+    )
+    q = (
+        hopping_event_stats(stream, "10 minutes", "5 minutes")
+        .writeStream.format("memory")
+        .queryName("hoptest")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("SELECT * FROM hoptest").collect()
+    }
+    q.stop()
+    assert got == batch
