@@ -339,3 +339,26 @@ def test_duplicate_spans_bounded_shuffles(spark):
     # extra repartition is not)
     assert _shuffles(plan) <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_batch_probes_broadcast_corpus_not_shuffled(spark):
+    from leann_rs_spark.operators.ann import (
+        ivf_assign,
+        ivf_search_batch,
+        take_centroids,
+    )
+
+    emb = _emb(spark)
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(
+        ivf_search_batch(assigned, cents, queries, k=5, nprobe=2), "simple"
+    )
+    assert "BroadcastExchange" in plan  # the Q×nprobe probe table
+    # shuffles: the probe-ranking window (query-sized) + the final
+    # per-query rank window (candidate-sized) — the corpus itself
+    # reaches the join through the broadcast, never an exchange
+    assert _shuffles(plan) <= 2
