@@ -143,6 +143,17 @@ def cluster_assign(
     )
 
 
+def suggest_centroids(n_rows: int, target_cluster_rows: int = 256) -> int:
+    """The C that keeps SemDeDup's Σ|c|² ≈ N²/C pair work bounded:
+    C ≈ N / target_cluster_rows (min 1). C must SCALE with the corpus —
+    measured at 50k docs on local[32]: a frozen C=16 degraded the pair
+    join to 166 s (quadratic regime), C=256 (N/C ≈ 200) ran in 27 s
+    with the expected small recall trade. At 100 TB pick
+    target_cluster_rows so one cluster's pair block fits a task, and
+    use kmeans_centroids for balance."""
+    return max(1, n_rows // max(1, target_cluster_rows))
+
+
 def semantic_near_dups(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -151,6 +162,8 @@ def semantic_near_dups(
     threshold: float = 0.95,
     cache: bool = True,
     metric: str = "cosine",
+    verify: str = "expr",
+    bucket_block: int = 1024,
 ) -> DataFrame:
     """→ (id_a, id_b, cos): near-duplicate pairs that share a cluster.
 
@@ -173,11 +186,65 @@ def semantic_near_dups(
 
     `metric="ip"` (for L2-normalized embeddings) assigns AND verifies
     with plain dot products — same pairs, no per-pair norm folds.
+
+    `verify="kernel"` (requires metric="ip") scores each cluster in a
+    grouped-map numpy kernel instead of the expression pair join —
+    clusters stream to the worker as Arrow row batches and are scored
+    in id-sorted sub-block pairs of ≤ `bucket_block` rows (the same
+    memory-bounded kernel as ann.lsh_near_dups, same sequential dims
+    fold, bit-identical scores). Use it when clusters are large: the
+    per-pair cost drops from an interpreted expression tree to a numpy
+    elementwise op.
     """
     score = _score_fn(metric)
     assigned = cluster_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, metric=metric
     ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster_id")
+    if verify == "kernel":
+        if metric != "ip":
+            raise ValueError(
+                "verify='kernel' scores with plain dot products — "
+                "requires metric='ip' (L2-normalized vectors)"
+            )
+        import numpy as np
+        import pandas as pd
+
+        id_dt = dict(vectors.dtypes)[id_col]
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            if n < 2:
+                return empty
+            pdf = pdf.sort_values("id", kind="mergesort")
+            ids = pdf["id"].tolist()
+            A = np.array(pdf["v"].tolist(), dtype=np.float64)
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+            for i0 in range(0, n, bucket_block):
+                Ai = A[i0 : i0 + bucket_block]
+                for j0 in range(i0, n, bucket_block):
+                    Aj = A[j0 : j0 + bucket_block]
+                    acc = np.zeros((len(Ai), len(Aj)), dtype=np.float64)
+                    for d in range(A.shape[1]):  # sequential fold: bit-
+                        acc += Ai[:, d, None] * Aj[None, :, d]  # exact
+                    mask = acc >= threshold
+                    if i0 == j0:
+                        mask &= np.triu(np.ones(mask.shape, dtype=bool), 1)
+                    ii, jj = np.nonzero(mask)
+                    out_a.extend(ids[i0 + i] for i in ii)
+                    out_b.extend(ids[j0 + j] for j in jj)
+                    out_c.extend(acc[ii, jj])
+            if not out_a:
+                return empty
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+        return assigned.groupBy("cluster_id").applyInPandas(
+            kernel, f"id_a {id_dt}, id_b {id_dt}, cos double"
+        )
+    if verify != "expr":
+        raise ValueError(f"verify must be 'expr' or 'kernel', got {verify!r}")
     if cache:
         # persist AND materialize: the self-join launches both sides
         # concurrently, and an unmaterialized persist races

@@ -134,3 +134,62 @@ def test_duckdb_parity_pairs(spark):
         for t in con.execute(duckdb_semantic_near_dups(8, threshold=0.5)).fetchall()
     )
     assert got == want
+
+
+def test_kernel_verify_identical_to_expression(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from leann_rs_spark.functions.vector import l2_normalize
+
+    emb = _emb(spark).select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    cents = take_centroids(emb, 8)
+    ex = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_near_dups(
+            emb, cents, threshold=0.5, metric="ip"
+        ).collect()
+    )
+    ke = sorted(
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semantic_near_dups(
+            emb, cents, threshold=0.5, metric="ip", verify="kernel"
+        ).collect()
+    )
+    assert ex == ke  # bit-exact, not approximately equal
+
+
+def test_kernel_verify_sub_blocks_identical(spark):
+    from leann_rs_spark.functions.vector import l2_normalize
+
+    emb = _emb(spark).select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    cents = take_centroids(emb, 2)  # two huge clusters -> many sub-blocks
+    big = sorted(
+        tuple(r) for r in semantic_near_dups(
+            emb, cents, threshold=0.5, metric="ip", verify="kernel",
+            bucket_block=16,
+        ).collect()
+    )
+    one = sorted(
+        tuple(r) for r in semantic_near_dups(
+            emb, cents, threshold=0.5, metric="ip", verify="kernel",
+        ).collect()
+    )
+    assert big == one
+
+
+def test_kernel_verify_requires_ip(spark):
+    emb = _emb(spark)
+    cents = take_centroids(emb, 4)
+    with pytest.raises(ValueError):
+        semantic_near_dups(emb, cents, metric="cosine", verify="kernel")
+
+
+def test_suggest_centroids_scales_with_n():
+    from leann_rs_spark.operators.clustering import suggest_centroids
+
+    assert suggest_centroids(50_000, 256) == 195
+    assert suggest_centroids(100, 256) == 1
+    assert suggest_centroids(0) == 1
