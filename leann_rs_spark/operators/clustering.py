@@ -26,11 +26,13 @@ balances cluster sizes, which is what makes the N²/C bound real on
 skewed corpora. The oracle pins THIS module's assignment and pair
 math, not the codebook policy.
 
-Assignment ranks by full cosine (not inner product): SemDeDup is
-defined on angular similarity and corpus embeddings are not guaranteed
-normalized. Both engines compute cosine with the same double-fold
-(functions/vector.py: dot/duckdb_dot, l2_norm/duckdb_l2_norm), so
-assignments and pair scores match bit-for-bit.
+Assignment ranks by full cosine by default (SemDeDup is defined on
+angular similarity and corpus embeddings are not guaranteed
+normalized); `metric="ip"` switches both assignment and pair
+verification to plain dot products for declared-normalized input —
+same ranking, none of the per-(row, centroid) norm folds. Both engines
+compute either metric with the same double-fold (functions/vector.py),
+so assignments and pair scores match bit-for-bit.
 
 Reference parity note: the reference has no clustering surface — this
 module is part of the brief's large-scale-training-pipeline extension
