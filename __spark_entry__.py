@@ -553,6 +553,27 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+_REINGEST_N = 20  # re-crawled docs in the incremental-exact gate
+
+
+def x_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time EXACT dedup: a batch of new docs plus a re-crawl of
+    20 corpus docs under fresh ids — the anti-join on the text hash
+    drops the re-crawled rows, keeps the genuinely new ones. One
+    left-anti join; at scale Spark's runtime Bloom filter (built from
+    the batch side) prunes the corpus scan."""
+    from leann_rs_spark.operators.dedup import exact_dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    reingest = docs.filter(F.col("doc_id") < _REINGEST_N).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000)
+    )
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT).unionByName(reingest)
+    out = exact_dedup_incremental(corpus, _fan(batch))
+    return out.select("doc_id", "text_md5").orderBy("doc_id")
+
+
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_fan(_docs(spark, sf_dir)), max_hamming=3).orderBy(
         "id_a", "id_b"
@@ -1235,6 +1256,20 @@ def _register_dedup_oracles() -> None:
         ORDER BY id_a, id_b
     """
     _ORACLES["x_dedup_exact"] = duckdb_exact_dedup()
+    from leann_rs_spark.operators.dedup import duckdb_exact_dedup_incremental
+
+    _corpus_sql = f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}"
+    _batch_sql = (
+        f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT} "
+        "UNION ALL "
+        "SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars "
+        f"FROM documents WHERE doc_id < {_REINGEST_N}"
+    )
+    _ORACLES["x_dedup_exact_incremental"] = f"""
+        SELECT doc_id, text_md5
+        FROM ({duckdb_exact_dedup_incremental(_corpus_sql, _batch_sql)})
+        ORDER BY doc_id
+    """
     _ORACLES["x_dedup_minhash"] = f"""
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
         FROM ({duckdb_minhash_near_dups(threshold=0.5)})
@@ -1686,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_incremental": x_dedup_incremental,
+        "x_dedup_exact_incremental": x_dedup_exact_incremental,
         "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_exact_substr": x_exact_substr,

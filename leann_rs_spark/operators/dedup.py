@@ -84,6 +84,55 @@ def exact_dedup(
     )
 
 
+def exact_dedup_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time exact dedup: the rows of `new_docs` whose text does
+    NOT already occur in `corpus` (and, within the batch, only the
+    smallest id per identical text — a batch can carry its own dups).
+
+    One left-anti join on the md5 — at 100 TB Spark's runtime Bloom
+    filter (built from the small batch side) prunes the corpus scan
+    before the join, and only hash-width rows ever shuffle. The
+    MinHash twin is `minhash_near_dups_incremental`."""
+    new_h = new_docs.withColumn("text_md5", F.md5(F.col(text_col)))
+    batch_canon = new_h.groupBy("text_md5").agg(
+        F.min(id_col).alias("__keep_id")
+    )
+    new_h = new_h.join(batch_canon, "text_md5").filter(
+        F.col(id_col) == F.col("__keep_id")
+    ).drop("__keep_id")
+    corpus_h = corpus.select(F.md5(F.col(text_col)).alias("text_md5"))
+    return new_h.join(corpus_h, "text_md5", "left_anti")
+
+
+def duckdb_exact_dedup_incremental(
+    corpus_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+        WITH newh AS (
+            SELECT *, md5({text_col}) AS text_md5 FROM ({new_sql})
+        ),
+        canon AS (
+            SELECT text_md5, min({id_col}) AS keep_id FROM newh GROUP BY 1
+        ),
+        batch AS (
+            SELECT n.* FROM newh n JOIN canon c
+            ON n.text_md5 = c.text_md5 AND n.{id_col} = c.keep_id
+        )
+        SELECT b.* FROM batch b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ({corpus_sql}) c WHERE md5(c.{text_col}) = b.text_md5
+        )
+    """
+
+
 def duckdb_exact_dedup(id_col: str = "doc_id", text_col: str = "text",
                        table: str = "documents") -> str:
     return f"""

@@ -397,3 +397,53 @@ def test_duplicate_spans_duckdb_parity(spark):
         for a, b, c, d, e in con.execute(duckdb_duplicate_spans(8)).fetchall()
     )
     assert got == want
+
+
+def test_exact_dedup_incremental_drops_corpus_and_batch_dups(spark):
+    from leann_rs_spark.operators.dedup import exact_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "known text"), (2, "other known")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "known text"),   # exact dup of corpus -> dropped
+            (11, "fresh text"),   # new -> kept
+            (12, "fresh text"),   # in-batch dup, higher id -> dropped
+            (13, "also new"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in exact_dedup_incremental(corpus, batch).collect()}
+    assert kept == {11, 13}
+
+
+def test_exact_dedup_incremental_duckdb_parity(spark):
+    from leann_rs_spark.operators.dedup import (
+        duckdb_exact_dedup_incremental,
+        exact_dedup_incremental,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    got = sorted(
+        (r["doc_id"], r["text_md5"])
+        for r in exact_dedup_incremental(corpus, batch).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        (a, b)
+        for a, b in con.execute(
+            "SELECT doc_id, text_md5 FROM ("
+            + duckdb_exact_dedup_incremental(
+                "SELECT * FROM documents WHERE doc_id < 300",
+                "SELECT * FROM documents WHERE doc_id >= 300",
+            )
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
