@@ -634,38 +634,16 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (projection) → exact dedup (one hash shuffle) → MinHash near-dup
     clusters with canonical keep (banded join + label propagation) →
     stable train/val/test assignment (projection). Every stage is the
-    already-gated operator; this gate pins their COMPOSITION."""
-    from leann_rs_spark.functions.textstats import gopher_keep
-    from leann_rs_spark.operators.dedup import (
-        dedup_keep_canonical,
-        exact_dedup,
-    )
+    already-gated operator; this gate pins their COMPOSITION (plan
+    notes in operators/curation.py)."""
+    from leann_rs_spark.operators.curation import curate_corpus
 
-    docs = _fan(_docs(spark, sf_dir))
-    # Two measured traps (98 s → 4 s at sf0.1):
-    # 1. FilterExec splits a conjunctive predicate into independent
-    #    conditions, defeating subexpression elimination — the Gopher
-    #    conditions share the words/lines arrays, so filtering on the
-    #    raw predicate recomputes them per condition (5× the projection
-    #    cost). Compute keep as a PROJECTED column behind a cache
-    #    boundary (the boundary stops CollapseProject/PushDownPredicate
-    #    from rewriting it back into a filter).
-    # 2. Left inline, the predicate is also pushed into EVERY join
-    #    branch of the downstream dedup self-joins. The persists give
-    #    every consumer the materialized rows. Same at 100 TB — a
-    #    curation run checkpoints the filtered corpus before the
-    #    dedup joins.
-    proj = docs.withColumn(
-        "__keep", gopher_keep("text", **_CURATION_GOPHER)
-    ).persist()
-    q = proj.filter("__keep").drop("__keep")
-    canon = exact_dedup(q).filter("is_canonical").select("doc_id")
-    q2 = q.join(canon, "doc_id", "left_semi").persist()
-    pairs = minhash_near_dups(q2, threshold=0.5)
-    kept = dedup_keep_canonical(q2, pairs).filter("keep")
-    return split_assign(kept, "doc_id").select(
-        "doc_id", "lang", "split"
-    ).orderBy("doc_id")
+    out = curate_corpus(
+        _fan(_docs(spark, sf_dir)),
+        gopher_params=_CURATION_GOPHER,
+        minhash_threshold=0.5,
+    )
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
 
 
 def x_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -389,6 +389,34 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus curation over a documents parquet: quality gate →
+    exact dedup → MinHash near-dup cluster keep → split assignment
+    (operators/curation.py). Beyond the reference's surface — the
+    pipeline entry point for the training-data operators."""
+    from leann_rs_spark.operators.curation import curate_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    gopher = {}
+    if args.min_words is not None:
+        gopher["min_words"] = args.min_words
+    if args.min_stopword_hits is not None:
+        gopher["min_stopword_hits"] = args.min_stopword_hits
+    out = curate_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        gopher_params=gopher,
+        minhash_threshold=args.minhash_threshold,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(f"Curated {args.input}: kept {n_out}/{n_in} docs -> {args.output}")
+    return 0
+
+
 def cmd_config(args) -> int:
     from leann_rs_spark.config import Config, create_example_if_missing
 
@@ -513,6 +541,23 @@ def build_parser() -> argparse.ArgumentParser:
     cf.add_argument("action", choices=["show", "init", "path"])
     cf.add_argument("--config", default=None)
     cf.set_defaults(fn=cmd_config)
+
+    cu = sub.add_parser(
+        "curate",
+        help="Curate a documents parquet: quality gate + dedup + split",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet path")
+    cu.add_argument("--output", required=True, help="output parquet path")
+    cu.add_argument("--id-col", default="doc_id", dest="id_col")
+    cu.add_argument("--text-col", default="text", dest="text_col")
+    cu.add_argument("--min-words", type=int, default=None, dest="min_words")
+    cu.add_argument(
+        "--min-stopword-hits", type=int, default=None, dest="min_stopword_hits"
+    )
+    cu.add_argument(
+        "--minhash-threshold", type=float, default=0.5, dest="minhash_threshold"
+    )
+    cu.set_defaults(fn=cmd_curate)
 
     return p
 

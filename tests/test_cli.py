@@ -215,3 +215,23 @@ def test_ask_without_question_errors(chat_wh, capsys):
     rc = main(["ask", "idx", "--warehouse", chat_wh])
     assert rc == 2
     assert "provide a question" in capsys.readouterr().err
+
+
+def test_cli_curate(spark, tmp_path_factory, capsys):
+    out_dir = str(tmp_path_factory.mktemp("curated") / "out")
+    rc = main([
+        "curate",
+        "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", out_dir,
+        "--min-words", "20",
+        "--min-stopword-hits", "1",
+    ])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "kept" in msg
+    curated = spark.read.parquet(out_dir)
+    n = curated.count()
+    assert 0 < n < 500
+    assert "split" in curated.columns
+    # survivors pass the quality gate and are near-dup canonical
+    assert curated.filter("split not in ('train','val','test')").count() == 0
