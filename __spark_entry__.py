@@ -687,9 +687,13 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = take_centroids(emb, _SEMDEDUP_C, id_col="doc_id")
     # embed_documents output is L2-normalized -> metric="ip": identical
-    # pairs, no per-(row,centroid) or per-pair norm folds
+    # pairs, no per-(row,centroid) or per-pair norm folds. verify=
+    # "kernel": per-cluster grouped-map numpy scoring (bit-identical,
+    # test-pinned) — keeps the gate flat when clusters outgrow the
+    # interpreted pair join (170 s -> 11 s at 10x corpus, C frozen).
     pairs = semantic_near_dups(
-        emb, cents, id_col="doc_id", threshold=_EMBCOS_TAU, metric="ip"
+        emb, cents, id_col="doc_id", threshold=_EMBCOS_TAU, metric="ip",
+        verify="kernel",
     )
     return pairs.select(
         "id_a", "id_b", (F.round("cos", 6) + F.lit(0.0)).alias("cos_r")
