@@ -95,6 +95,9 @@ def cluster_assign(
         cent_df.limit(inline_max + 1).collect(),
         key=lambda r: r["centroid_id"],
     )
+    if not cents:
+        # an empty codebook would silently assign NULL clusters
+        raise ValueError("cluster_assign: centroids is empty")
     vec = F.col(vec_col)
     if len(cents) <= inline_max:
         cent_lit = F.array(

@@ -193,3 +193,10 @@ def test_suggest_centroids_scales_with_n():
     assert suggest_centroids(50_000, 256) == 195
     assert suggest_centroids(100, 256) == 1
     assert suggest_centroids(0) == 1
+
+
+def test_empty_codebook_rejected(spark):
+    emb = _emb(spark)
+    empty = take_centroids(emb, 8).filter("centroid_id < 0")
+    with pytest.raises(ValueError):
+        cluster_assign(emb, empty)
