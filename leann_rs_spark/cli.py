@@ -410,6 +410,7 @@ def cmd_curate(args) -> int:
         text_col=args.text_col,
         gopher_params=gopher,
         minhash_threshold=args.minhash_threshold,
+        span_n=args.cut_dup_spans,
     )
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
@@ -556,6 +557,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument(
         "--minhash-threshold", type=float, default=0.5, dest="minhash_threshold"
+    )
+    cu.add_argument(
+        "--cut-dup-spans", type=int, default=None, dest="cut_dup_spans",
+        metavar="N",
+        help="also cut every token covered by a corpus-duplicated "
+             "N-token gram from the surviving docs",
     )
     cu.set_defaults(fn=cmd_curate)
 

@@ -37,12 +37,19 @@ def curate_corpus(
     gopher_params: dict | None = None,
     minhash_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
+    span_n: int | None = None,
 ) -> DataFrame:
     """→ the surviving rows of `docs` plus a `split` column.
 
     `gopher_params` are keyword overrides for
     functions.textstats.gopher_keep (defaults = the published
     thresholds); `split_weights` as in sampling.split_assign.
+
+    `span_n` additionally applies exact-substring span dedup to the
+    SURVIVORS (dedup.duplicate_spans): the text column is replaced by
+    the cleaned text with every token covered by a corpus-duplicated
+    span_n-gram removed — document-level fuzzy dedup first, then
+    span-level exact dedup, the Lee-et-al. order.
     """
     from leann_rs_spark.functions.textstats import gopher_keep
     from leann_rs_spark.operators.dedup import (
@@ -66,6 +73,22 @@ def curate_corpus(
         q2, id_col=id_col, text_col=text_col, threshold=minhash_threshold
     )
     kept = dedup_keep_canonical(q2, pairs, id_col=id_col).filter("keep")
-    return split_assign(kept, id_col, weights=split_weights).drop(
+    out = split_assign(kept, id_col, weights=split_weights).drop(
         "cluster_id", "keep"
     )
+    if span_n is not None:
+        from leann_rs_spark.operators.dedup import duplicate_spans
+
+        # gram counts over the SURVIVORS (cutting spans duplicated in
+        # dropped docs would over-delete); persist — duplicate_spans
+        # reads its input for grams and again for reconstruction
+        out = out.persist()
+        clean = duplicate_spans(
+            out, n=span_n, id_col=id_col, text_col=text_col
+        ).select(id_col, "clean_text")
+        out = (
+            out.drop(text_col)
+            .join(clean, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+    return out

@@ -235,3 +235,27 @@ def test_cli_curate(spark, tmp_path_factory, capsys):
     assert "split" in curated.columns
     # survivors pass the quality gate and are near-dup canonical
     assert curated.filter("split not in ('train','val','test')").count() == 0
+
+
+def test_cli_curate_with_span_cut(spark, tmp_path_factory, capsys):
+    out_dir = str(tmp_path_factory.mktemp("curated2") / "out")
+    rc = main([
+        "curate",
+        "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", out_dir,
+        "--min-words", "20",
+        "--min-stopword-hits", "1",
+        "--cut-dup-spans", "8",
+    ])
+    assert rc == 0
+    curated = spark.read.parquet(out_dir)
+    assert curated.count() > 0
+    # span cutting can only shorten text, never lengthen
+    import pyspark.sql.functions as F
+    orig = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", F.length("text").alias("orig_len")
+    )
+    grown = curated.select("doc_id", F.length("text").alias("new_len")).join(
+        orig, "doc_id"
+    ).filter("new_len > orig_len")
+    assert grown.count() == 0
