@@ -260,6 +260,13 @@ def append_to_index(
         chunks, ["doc_id", "chunk_index"], "idx", start=meta.passage_count
     )
     passages.write.mode("append").parquet(f"{base}/passages")
+    # read back ONLY the appended rows (idx >= old passage_count — a
+    # min/max row-group prune on the scan): the embed and BM25 stages
+    # below would otherwise re-run the Python chunker + dense-id sort,
+    # the same write-then-read-back pattern build_index uses
+    passages = spark.read.parquet(f"{base}/passages").filter(
+        F.col("idx") >= meta.passage_count
+    )
     added = passages.count()
 
     if not meta.is_pruned:
