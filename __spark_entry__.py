@@ -675,6 +675,20 @@ def x_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-domain reweighting: cluster assignment is the grouping
+    key for weighted mixing — keep every vector in even-id clusters,
+    a deterministic quarter of the odd ones. Assignment is one map
+    pass; the mix is per-source filters + a union (no shuffle)."""
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _SEMDEDUP_C)
+    assigned = cluster_assign(emb, cents).select("vec_id", "cluster_id")
+    even = assigned.filter(F.col("cluster_id") % 2 == 0)
+    odd = assigned.filter(F.col("cluster_id") % 2 == 1)
+    out = weighted_mix([(even, 1.0), (odd, 0.25)], "vec_id")
+    return out.orderBy("vec_id")
+
+
 def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): embed → cluster → near-dup pairs
     WITHIN clusters only. The cluster equi-join bounds pair work at
@@ -1533,6 +1547,23 @@ def _register_sampling_oracles() -> None:
         "doc_id",
     )
     _ORACLES["x_weighted_mix"] = f"SELECT * FROM ({mix}) ORDER BY doc_id"
+    _assigned = duckdb_cluster_assign(_SEMDEDUP_C)
+    dmix = duckdb_weighted_mix(
+        [
+            (
+                f"SELECT vec_id, cluster_id FROM ({_assigned}) "
+                "WHERE cluster_id % 2 = 0",
+                1.0,
+            ),
+            (
+                f"SELECT vec_id, cluster_id FROM ({_assigned}) "
+                "WHERE cluster_id % 2 = 1",
+                0.25,
+            ),
+        ],
+        "vec_id",
+    )
+    _ORACLES["x_domain_mix"] = f"SELECT * FROM ({dmix}) ORDER BY vec_id"
 
 
 _register_sampling_oracles()
@@ -1712,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hopping_stats": x_hopping_stats,
         "x_cluster_assign": x_cluster_assign,
         "x_semantic_dedup": x_semantic_dedup,
+        "x_domain_mix": x_domain_mix,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,
         "x_text_quality": x_text_quality,
