@@ -362,3 +362,19 @@ def test_ivf_batch_probes_broadcast_corpus_not_shuffled(spark):
     # per-query rank window (candidate-sized) — the corpus itself
     # reaches the join through the broadcast, never an exchange
     assert _shuffles(plan) <= 2
+
+
+def test_domain_mix_adds_no_shuffle_beyond_assignment(spark):
+    from leann_rs_spark.operators.ann import take_centroids
+    from leann_rs_spark.operators.clustering import cluster_assign
+    from leann_rs_spark.operators.sampling import weighted_mix
+
+    emb = _emb(spark)
+    assigned = cluster_assign(emb, take_centroids(emb, 8)).select(
+        "vec_id", "cluster_id"
+    )
+    even = assigned.filter(F.col("cluster_id") % 2 == 0)
+    odd = assigned.filter(F.col("cluster_id") % 2 == 1)
+    plan = plan_of(weighted_mix([(even, 1.0), (odd, 0.25)], "vec_id"), "simple")
+    # inline assignment is a projection; the mix is filters + union
+    assert _shuffles(plan) == 0
