@@ -1457,14 +1457,19 @@ def _register_session_oracle() -> None:
     """
     # hopping windows: an event at ts belongs to the duration/slide
     # windows starting at time_bucket(slide, ts) - k*slide,
-    # k = 0..duration/slide-1 (same epoch alignment argument as above)
+    # k = 0..duration/slide-1 (same epoch alignment argument as above).
+    # k_max is DERIVED from the gate constants so the oracle tracks
+    # them if they change.
+    from leann_rs_spark.streaming.sessionize import _gap_seconds
+
+    hop_k_max = int(_gap_seconds(_WINDOW_DUR) / _gap_seconds(_HOP_SLIDE)) - 1
     _ORACLES["x_hopping_stats"] = f"""
         SELECT time_bucket(INTERVAL '{_HOP_SLIDE}', ts)
                    - (k.x * INTERVAL '{_HOP_SLIDE}') AS window_start,
                event_type,
                count(*) AS n_events,
                round(sum(value), 6) + 0.0 AS sum_value_r
-        FROM events, unnest(generate_series(0, 1)) k(x)
+        FROM events, unnest(generate_series(0, {hop_k_max})) k(x)
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
@@ -1709,7 +1714,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the driver's correctness run processed the
+    # FIRST 50 entries in round 3, so gates that have never (or least
+    # recently) appeared in a driver CORRECTNESS artifact come first —
+    # x_append_consistency / x_stratified_sample / x_upsample had no
+    # driver row through r3, the next 7 were last checked in r02, new
+    # round-4 gates follow, and the 40 gates green in CORRECTNESS_r03
+    # close the dict.
     return {
+        "x_append_consistency": x_append_consistency,
+        "x_stratified_sample": x_stratified_sample,
+        "x_upsample": x_upsample,
+        "x_weighted_mix": x_weighted_mix,
+        "x_quality_expectations": x_quality_expectations,
+        "x_text_redact": x_text_redact,
+        "x_decontaminate": x_decontaminate,
+        "x_sample_det": x_sample_det,
+        "x_split_assign": x_split_assign,
+        "x_shuffle_det": x_shuffle_det,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
@@ -1760,16 +1782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
         "x_pack_sequences": x_pack_sequences,
-        "x_weighted_mix": x_weighted_mix,
-        "x_quality_expectations": x_quality_expectations,
-        "x_text_redact": x_text_redact,
-        "x_decontaminate": x_decontaminate,
-        "x_sample_det": x_sample_det,
-        "x_stratified_sample": x_stratified_sample,
-        "x_upsample": x_upsample,
-        "x_split_assign": x_split_assign,
-        "x_shuffle_det": x_shuffle_det,
-        "x_append_consistency": x_append_consistency,
     }
 
 

@@ -250,6 +250,24 @@ def append_to_index(
         )
     check_embedding_model(meta, strict=True)
     base = _index_dir(warehouse, name)
+    # Orphan detection: a prior append that crashed after writing
+    # passages but before save_meta leaves rows with idx >=
+    # meta.passage_count. This batch's dense ids would COLLIDE with
+    # them, and the read-back-by-range below would sweep them in and
+    # double-embed. One max() over a min/max-prunable column; refuse
+    # with a recovery hint rather than silently corrupting ids.
+    max_idx = (
+        spark.read.parquet(f"{base}/passages")
+        .agg(F.max("idx").alias("m"))
+        .head()["m"]
+    )
+    if max_idx is not None and max_idx >= meta.passage_count:
+        raise ValueError(
+            f"index {name!r} has orphaned passages (max idx {max_idx} >= "
+            f"meta.passage_count {meta.passage_count}) — a prior append "
+            "crashed mid-write; rebuild the index or delete rows with "
+            f"idx >= {meta.passage_count} before appending"
+        )
     chunks = chunk_documents(
         new_docs,
         strategy="auto",

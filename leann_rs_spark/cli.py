@@ -404,6 +404,7 @@ def cmd_curate(args) -> int:
         gopher["min_words"] = args.min_words
     if args.min_stopword_hits is not None:
         gopher["min_stopword_hits"] = args.min_stopword_hits
+    cached: list = []
     out = curate_corpus(
         docs,
         id_col=args.id_col,
@@ -411,8 +412,11 @@ def cmd_curate(args) -> int:
         gopher_params=gopher,
         minhash_threshold=args.minhash_threshold,
         span_n=args.cut_dup_spans,
+        intermediates=cached,
     )
     out.write.mode("overwrite").parquet(args.output)
+    for df in cached:  # the write materialized everything; free the cache
+        df.unpersist()
     n_out = spark.read.parquet(args.output).count()
     print(f"Curated {args.input}: kept {n_out}/{n_in} docs -> {args.output}")
     return 0

@@ -38,6 +38,8 @@ def curate_corpus(
     minhash_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
     span_n: int | None = None,
+    intermediates: list | None = None,
+    stage_timings: dict | None = None,
 ) -> DataFrame:
     """→ the surviving rows of `docs` plus a `split` column.
 
@@ -50,7 +52,25 @@ def curate_corpus(
     the cleaned text with every token covered by a corpus-duplicated
     span_n-gram removed — document-level fuzzy dedup first, then
     span-level exact dedup, the Lee-et-al. order.
+
+    `intermediates`: a caller-owned list that receives every DataFrame
+    this call `.persist()`ed. The persists are plan boundaries the
+    composition needs, but the returned frame is lazy, so they cannot
+    be unpersisted here; a long-lived driver (CLI session, repeated
+    curate calls) should unpersist them once the result is
+    materialized, or cached partitions accumulate until storage
+    eviction.
+
+    `stage_timings`: opt-in instrumentation — when a dict is passed,
+    each stage boundary is MATERIALIZED (count) and its wall seconds
+    recorded under keys quality_gate / exact_dedup /
+    minhash_cluster_keep / split_assign / span_dedup, so a regression
+    inside the composition is attributable to a stage. Materializing
+    changes the job structure (adds count jobs), so timing runs are
+    not plan-identical to production runs; results are unchanged.
     """
+    import time
+
     from leann_rs_spark.functions.textstats import gopher_keep
     from leann_rs_spark.operators.dedup import (
         dedup_keep_canonical,
@@ -59,30 +79,47 @@ def curate_corpus(
     )
     from leann_rs_spark.operators.sampling import split_assign
 
-    proj = docs.withColumn(
-        "__keep", gopher_keep(text_col, **(gopher_params or {}))
-    ).persist()
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if intermediates is not None:
+            intermediates.append(df)
+        return df
+
+    def _mark(name: str, df: DataFrame, t0: float) -> float:
+        if stage_timings is not None:
+            df.count()
+            stage_timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter()
+
+    t0 = time.perf_counter()
+    proj = _persist(
+        docs.withColumn("__keep", gopher_keep(text_col, **(gopher_params or {})))
+    )
     q = proj.filter("__keep").drop("__keep")
+    t0 = _mark("quality_gate", q, t0)
     canon = (
         exact_dedup(q, id_col=id_col, text_col=text_col)
         .filter("is_canonical")
         .select(id_col)
     )
-    q2 = q.join(canon, id_col, "left_semi").persist()
+    q2 = _persist(q.join(canon, id_col, "left_semi"))
+    t0 = _mark("exact_dedup", q2, t0)
     pairs = minhash_near_dups(
         q2, id_col=id_col, text_col=text_col, threshold=minhash_threshold
     )
     kept = dedup_keep_canonical(q2, pairs, id_col=id_col).filter("keep")
+    t0 = _mark("minhash_cluster_keep", kept, t0)
     out = split_assign(kept, id_col, weights=split_weights).drop(
         "cluster_id", "keep"
     )
+    t0 = _mark("split_assign", out, t0)
     if span_n is not None:
         from leann_rs_spark.operators.dedup import duplicate_spans
 
         # gram counts over the SURVIVORS (cutting spans duplicated in
         # dropped docs would over-delete); persist — duplicate_spans
         # reads its input for grams and again for reconstruction
-        out = out.persist()
+        out = _persist(out)
         clean = duplicate_spans(
             out, n=span_n, id_col=id_col, text_col=text_col
         ).select(id_col, "clean_text")
@@ -91,4 +128,5 @@ def curate_corpus(
             .join(clean, id_col)
             .withColumnRenamed("clean_text", text_col)
         )
+        t0 = _mark("span_dedup", out, t0)
     return out

@@ -1281,6 +1281,6 @@ def duckdb_duplicate_spans(
                (CASE WHEN st.n_tokens > 0
                      THEN st.dup_tokens::double / st.n_tokens
                      ELSE 0.0 END) AS dup_frac,
-               clean.clean_text
-        FROM st JOIN clean USING ({id_col})
+               coalesce(clean.clean_text, '') AS clean_text
+        FROM st LEFT JOIN clean USING ({id_col})
     """

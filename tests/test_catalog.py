@@ -409,3 +409,27 @@ def test_provider_built_index_lifecycle(spark, docs, warehouse):
     assert [(r["doc_id"], r["text"], round(r["score"], 9)) for r in pruned] == [
         (r["doc_id"], r["text"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_append_refuses_orphaned_passages(spark, docs, warehouse):
+    """A prior append that crashed after the passages write but before
+    save_meta leaves rows with idx >= meta.passage_count. Appending on
+    top would assign COLLIDING dense ids and re-embed the orphans —
+    append_to_index must detect and refuse (ADVICE r3: the range
+    read-back would silently sweep the orphans into the new batch)."""
+    catalog.build_index(
+        spark, warehouse, "orphidx", docs.filter(F.col("doc_id") < 10),
+        chunk_size=16, chunk_overlap=4, dims=32,
+    )
+    meta = catalog.load_meta(warehouse, "orphidx")
+    # simulate the crash: passages written past passage_count, meta stale
+    spark.range(3).select(
+        (F.col("id") + meta.passage_count).alias("idx"),
+        F.lit(999).alias("doc_id"),
+        F.lit("orphan").alias("source"),
+        F.lit(0).alias("chunk_index"),
+        F.lit("orphan text").alias("text"),
+    ).write.mode("append").parquet(f"{warehouse}/orphidx/passages")
+    more = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+    with pytest.raises(ValueError, match="orphaned passages"):
+        catalog.append_to_index(spark, warehouse, "orphidx", more)

@@ -447,3 +447,38 @@ def test_exact_dedup_incremental_duckdb_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_duplicate_spans_duckdb_parity_with_empty_docs(spark):
+    """Zero-token docs (empty / whitespace-only text) must survive BOTH
+    the operator and the oracle with n_tokens=0 and clean_text='' — the
+    oracle's clean CTE has no token rows for them, so its final join
+    must be a LEFT join (regression: an INNER join dropped them)."""
+    from leann_rs_spark.operators.dedup import (
+        duckdb_duplicate_spans,
+        duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h x"),
+        (2, "a b c d e f g h y"),
+        (3, ""),
+        (4, "   "),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["dup_tokens"],
+         round(r["dup_frac"], 6), r["clean_text"])
+        for r in duplicate_spans(df, n=8).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    want = sorted(
+        (a, b, c, round(d, 6), e)
+        for a, b, c, d, e in con.execute(
+            duckdb_duplicate_spans(8, table=f"(SELECT * FROM (VALUES {vals}) v(doc_id, text))")
+        ).fetchall()
+    )
+    assert got == want
+    assert (3, 0, 0, 0.0, "") in got and (4, 0, 0, 0.0, "") in got
