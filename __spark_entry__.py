@@ -389,13 +389,19 @@ def t5_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t6_prompt_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6: asymmetric prompt-template prefixing (document prefix changes
-    the embedding; src/embedding/mod.rs:126-143 registry analog) through
-    the bulk embedding path."""
+    """T6: asymmetric prompt-template prefixing through the bulk
+    embedding path, with the prefix resolved from the MODEL REGISTRY
+    (models.py ← src/embedding/models.rs:33-125; applied as
+    embed_with_template, mod.rs:126-143). The oracle hardcodes
+    'passage: ', so this gate pins the registry's E5 mapping — and the
+    version-tag stripping — not just the concat plumbing."""
+    from leann_rs_spark.models import get_model_config
+
+    prefix = get_model_config("e5-base-v2:latest").document_prefix
     emb = embed_documents(
         _fan(_docs(spark, sf_dir)),
         dims=_EMBED_DIMS,
-        prompt_template="passage: ",
+        prompt_template=prefix,
         id_col="doc_id",
         bulk=True,
     )

@@ -141,7 +141,26 @@ def build_index(
     providers.py network clients or a local model); `dims` is then
     auto-probed from the provider (T8) and meta records the
     mode/model so search/append refuse mismatched providers. Default
-    is the native hash-expression embedder."""
+    is the native hash-expression embedder.
+
+    `embedding_model` additionally resolves the MODEL REGISTRY
+    (models.py ← /root/reference/src/embedding/models.rs:33-125):
+    when the caller did not pass explicit templates, the model's
+    document/query prefixes are applied automatically (asymmetric
+    models like E5/BGE/nomic/mxbai silently lose recall without
+    them) and the resolved config is recorded in
+    meta.extra["model_config"]. Explicit template args always win.
+    `dims` stays caller/probe-controlled: the registry's dimensions
+    describe the real model, which the provider probe confirms; the
+    hash stand-in synthesizes whatever width it is asked for."""
+    if embedding_model is not None:
+        from leann_rs_spark.models import get_model_config
+
+        cfg = get_model_config(embedding_model)
+        if doc_prompt_template is None and cfg.document_prefix:
+            doc_prompt_template = cfg.document_prefix
+        if query_prompt_template is None and cfg.query_prefix:
+            query_prompt_template = cfg.query_prefix
     base = _index_dir(warehouse, name)
     chunks = chunk_documents(
         docs, strategy=strategy, chunk_size=chunk_size, chunk_overlap=chunk_overlap
@@ -180,6 +199,16 @@ def build_index(
         query_prompt_template=query_prompt_template,
         extra={"bm25": with_bm25},
     )
+    if embedding_model is not None:
+        from dataclasses import asdict as _asdict
+
+        # resolved registry config travels with the index; the model
+        # NAME lands in meta.embedding_model only on the provider path
+        # (hash mode keeps its "hash-v2" version pin for
+        # check_embedding_model)
+        meta.extra["model_config"] = {
+            "model": embedding_model, **_asdict(cfg)
+        }
     if provider is not None:
         meta.embedding_mode = embedding_mode if embedding_mode != "hash" else "custom"
         meta.embedding_model = embedding_model or type(provider).__name__
