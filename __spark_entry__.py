@@ -1051,6 +1051,76 @@ def x_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+_STREAM_WM = "30 minutes"
+
+
+def _stream_events_input(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as ONE parquet file into a scratch dir —
+    the streaming gates' file source. One file → one micro-batch, so
+    per-user event order inside the stateful kernel is total (the
+    cross-batch-disorder caveat of file sources never applies) and the
+    emitted set is deterministic."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="leann-stream-gate-")
+    (
+        read_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1)
+        .write.parquet(f"{d}/in")
+    )
+    return d
+
+
+def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sessionizer itself (applyInPandasWithState,
+    streaming/sessionize.py:169), oracle-gated: run the file-source
+    stream with Trigger.AvailableNow into parquet, return the sink.
+    Emission semantics are deterministic for a single-batch input:
+    every session closed by an in-batch gap is emitted, plus each
+    user's trailing session iff its event-time timeout
+    (session_end + gap) is strictly below the final watermark
+    (max ts - delay) — GroupStateTimeout fires when the watermark
+    passes the set timestamp. The oracle is the batch twin
+    (duckdb_sessionize, the same SQL that gates x_sessionize) filtered
+    by exactly that rule."""
+    from leann_rs_spark.streaming.sessionize import stream_sessionize_events
+
+    d = _stream_events_input(spark, sf_dir)
+    q = stream_sessionize_events(
+        spark, f"{d}/in", f"{d}/out", f"{d}/ckpt",
+        gap=_SESSION_GAP, watermark=_STREAM_WM,
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+    out = spark.read.parquet(f"{d}/out")
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("sum_value", 6).alias("sum_value_r"),
+    ).orderBy("user_id", "session_start")
+
+
+def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING watermarked tumbling-window aggregation
+    (streaming/ingest.py:141), oracle-gated via its parquet sink.
+    Append mode emits a window when the final watermark closes it
+    (window_end <= max ts - delay); the oracle is the x_window_stats
+    batch SQL filtered by that rule."""
+    from leann_rs_spark.streaming.ingest import stream_windowed_event_stats
+
+    d = _stream_events_input(spark, sf_dir)
+    q = stream_windowed_event_stats(
+        spark, f"{d}/in", f"{d}/out", f"{d}/ckpt",
+        window_duration=_WINDOW_DUR, watermark=_STREAM_WM,
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+    out = spark.read.parquet(f"{d}/out")
+    return out.select(
+        "window_start", "event_type", "n_events",
+        (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value_r"),
+    ).orderBy("window_start", "event_type")
+
+
 _LSH_PLANES = 32
 _LSH_BANDS = 4
 
@@ -1479,6 +1549,38 @@ def _register_session_oracle() -> None:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+    # Streaming-form gates: same batch SQL, filtered by the emission
+    # rule the stream's final watermark implies (see the gate
+    # docstrings). All cutoffs derived from the gate constants.
+    gap_s = _gap_seconds(_SESSION_GAP)
+    wm_s = _gap_seconds(_STREAM_WM)
+    dur_s = _gap_seconds(_WINDOW_DUR)
+    _ORACLES["x_stream_sessionize"] = f"""
+        WITH sess AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY session_start DESC
+            ) AS rn
+            FROM ({duckdb_sessionize(_SESSION_GAP)})
+        ),
+        mx AS (SELECT max(ts) AS m FROM events)
+        SELECT user_id, session_start, session_end, n_events,
+               round(sum_value, 6) AS sum_value_r
+        FROM sess, mx
+        WHERE rn > 1
+           OR epoch(session_end) + {gap_s} < epoch(mx.m) - {wm_s}
+        ORDER BY user_id, session_start
+    """
+    _ORACLES["x_stream_window_stats"] = f"""
+        WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT time_bucket(INTERVAL '{_WINDOW_DUR}', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) + 0.0 AS sum_value_r
+        FROM events, mx
+        GROUP BY 1, 2, mx.m
+        HAVING epoch(window_start) + {dur_s} <= epoch(mx.m) - {wm_s}
+        ORDER BY 1, 2
+    """
 
 
 _register_session_oracle()
@@ -1738,6 +1840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sample_det": x_sample_det,
         "x_split_assign": x_split_assign,
         "x_shuffle_det": x_shuffle_det,
+        # new round-4 gates
+        "x_stream_sessionize": x_stream_sessionize,
+        "x_stream_window_stats": x_stream_window_stats,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
