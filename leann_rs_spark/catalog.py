@@ -347,6 +347,8 @@ def append_to_index(
         meta = build_ivf_index(
             spark, warehouse, name,
             n_centroids=int(meta.extra.get("ivf_centroids", 16)),
+            centroids=meta.extra.get("ivf_policy", "kmeans"),
+            seed=int(meta.extra.get("ivf_seed", 42)),
         )
     return meta
 
@@ -623,6 +625,8 @@ def build_ivf_index(
     warehouse: str,
     name: str,
     n_centroids: int = 16,
+    centroids: str = "kmeans",
+    seed: int = 42,
 ) -> IndexMeta:
     """Cluster the index's embeddings and persist them PARTITIONED BY
     cluster_id — the Spark counterpart of the reference's graph-index
@@ -632,14 +636,33 @@ def build_ivf_index(
     so the scan reads nprobe/n_centroids of the files — at 100 TB the
     difference between scanning everything and scanning a shard list.
 
+    `centroids`: "kmeans" (default) learns the codebook with seeded
+    MLlib KMeans — on real (non-uniform) embedding distributions a
+    learned codebook balances cluster sizes, which is what makes
+    nprobe/C partition pruning effective (one giant cluster would make
+    every probe scan half the corpus). "take" uses the deterministic
+    first-n-ids sample — the oracle-gate policy (its SQL twin is
+    trivially expressible) and a fallback when MLlib is unavailable.
+    The policy and seed are recorded in meta and reused when append
+    re-derives the layout.
+
     Layout: <base>/ivf/cluster_id=<c>/*.parquet + <base>/ivf_centroids/.
     """
-    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        take_centroids,
+    )
 
     base = _index_dir(warehouse, name)
     meta = load_meta(warehouse, name)
     emb = spark.read.parquet(f"{base}/embeddings")
-    cents = take_centroids(emb, n_centroids, id_col="idx")
+    if centroids == "kmeans":
+        cents = kmeans_centroids(emb, n_centroids, id_col="idx", seed=seed)
+    elif centroids == "take":
+        cents = take_centroids(emb, n_centroids, id_col="idx")
+    else:
+        raise ValueError(f"unknown centroid policy {centroids!r}")
     assigned = ivf_assign(emb, cents, id_col="idx")
     # shuffle on the partition column before the partitioned write
     # (same shape as the postings write): one task per cluster
@@ -650,6 +673,8 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(f"{base}/ivf_centroids")
     meta.backend = "ivf"
     meta.extra["ivf_centroids"] = n_centroids
+    meta.extra["ivf_policy"] = centroids
+    meta.extra["ivf_seed"] = seed
     save_meta(warehouse, name, meta)
     return meta
 

@@ -35,6 +35,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the LARGEST
     right_ts <= left_ts for the same `on` key (backward as-of,
@@ -44,6 +45,16 @@ def asof_join(
 
     Right payload columns are renamed `<col><suffix>`; the matched
     right timestamp is `<right_ts><suffix>`.
+
+    `salt_buckets`: skew mitigation for a dominating key (a bot user,
+    a default session id) that would concentrate one window partition.
+    Left rows spread across `salt_buckets` sub-partitions by a
+    deterministic row hash; right rows REPLICATE into every bucket, so
+    each left row still sees the full right history for its key —
+    results are exactly the original semantics (test-pinned). Cost:
+    the right side shuffles salt_buckets×; use when left ≫ right per
+    hot key (events vs. snapshots, the as-of shape). The partition key
+    becomes (on, salt), so max partition size drops by ~salt_buckets.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
@@ -64,11 +75,27 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c != on],
         *[F.col(c).alias(f"{c}{suffix}") for c in payload],
     )
+    part_cols = [on]
+    if salt_buckets is not None and salt_buckets > 1:
+        # left: deterministic row-hash bucket over ALL left columns
+        # (ties on identical full rows share a bucket — harmless);
+        # right: one copy per bucket via a generator, map-side
+        l_tagged = l_tagged.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in left.columns]),
+                F.lit(salt_buckets),
+            ).cast("int"),
+        )
+        r_tagged = r_tagged.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        ).withColumn("__salt", F.col("__salt").cast("int"))
+        part_cols = [on, "__salt"]
     u = l_tagged.unionByName(r_tagged)
     # side 0 sorts before side 1 at equal ts → right rows at exactly
     # left_ts are visible to the left row (inclusive >=)
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

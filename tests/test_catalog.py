@@ -433,3 +433,45 @@ def test_append_refuses_orphaned_passages(spark, docs, warehouse):
     more = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
     with pytest.raises(ValueError, match="orphaned passages"):
         catalog.append_to_index(spark, warehouse, "orphidx", more)
+
+
+def test_ivf_default_policy_is_learned_codebook(spark, docs, warehouse):
+    """The persisted-artifact default is the seeded-KMeans codebook
+    (balanced clusters = effective nprobe/C pruning at scale); the
+    policy travels in meta and the full-probe search still equals the
+    exact read path."""
+    catalog.build_index(
+        spark, warehouse, "kmidx", docs, chunk_size=16, chunk_overlap=4,
+        dims=32, with_bm25=False,
+    )
+    meta = catalog.build_ivf_index(spark, warehouse, "kmidx", n_centroids=8)
+    assert meta.extra["ivf_policy"] == "kmeans"
+    assert meta.extra["ivf_seed"] == 42
+    # every passage assigned exactly once, clusters partition the corpus
+    assigned = spark.read.parquet(f"{warehouse}/kmidx/ivf")
+    assert assigned.count() == meta.passage_count
+    assert assigned.select("idx").distinct().count() == meta.passage_count
+    sizes = [
+        r["n"] for r in
+        assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    ]
+    assert sum(sizes) == meta.passage_count and len(sizes) >= 2
+    # full probe (nprobe = C) degrades to exact search
+    got = catalog.search_ivf_index(
+        spark, warehouse, "kmidx", "alpha beta", k=5, nprobe=8
+    )
+    want = catalog.search_index(
+        spark, warehouse, "kmidx", "alpha beta", k=5, hybrid=False
+    )
+    rows = lambda df: [
+        (r["idx"], round(r["score"], 9)) for r in df.collect()
+    ]
+    assert rows(got) == rows(want)
+    # rebuild with the same seed is deterministic
+    pairs = lambda df: sorted(
+        (r["idx"], r["cluster_id"]) for r in df.select("idx", "cluster_id").collect()
+    )
+    before = pairs(assigned)
+    catalog.build_ivf_index(spark, warehouse, "kmidx", n_centroids=8)
+    a2 = spark.read.parquet(f"{warehouse}/kmidx/ivf")
+    assert pairs(a2) == before

@@ -129,3 +129,64 @@ def test_interval_join_containment(spark):
         "user_id long, ts timestamp, tag string",
     )
     assert interval_join(edge, ivs, on="user_id").count() == 0
+
+
+def test_asof_salted_exact_semantics(spark, trades, quotes):
+    """salt_buckets must be invisible in the results: every left row
+    still sees the full right history for its key (right rows
+    replicate into every bucket)."""
+    base = sorted(
+        (r["user_id"], r["price"], r["ts_right"], r["quote_right"])
+        for r in asof_join(trades, quotes, on="user_id").collect()
+    )
+    for b in (2, 4, 7):
+        salted = sorted(
+            (r["user_id"], r["price"], r["ts_right"], r["quote_right"])
+            for r in asof_join(
+                trades, quotes, on="user_id", salt_buckets=b
+            ).collect()
+        )
+        assert salted == base, f"salt_buckets={b}"
+
+
+def test_asof_salted_exact_on_skewed_events(spark):
+    """90 %-single-key skew: the salted form must still be exact vs the
+    unsalted one (and vs tolerance interplay)."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # concentrate most rows on one key — the hot-key regime salting is for
+    skew = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(F.col("user_id")),
+    )
+    clicks = skew.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = skew.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    key = lambda df: sorted(
+        (r["event_id"], r["ts_right"], r["v_right"]) for r in df.collect()
+    )
+    base = key(asof_join(clicks, views, on="user_id", right_cols=["v"]))
+    salted = key(
+        asof_join(clicks, views, on="user_id", right_cols=["v"], salt_buckets=8)
+    )
+    assert salted == base
+
+
+def test_asof_salted_partitions_by_salt(trades, quotes):
+    """The salted window's partition key must include the salt column —
+    otherwise the hot key still lands in one partition."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(trades, quotes, on="user_id", salt_buckets=4).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "__salt" in plan
+    assert "hashpartitioning" in plan and "__salt" in plan.split(
+        "hashpartitioning", 1
+    )[1]
