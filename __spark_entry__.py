@@ -221,6 +221,32 @@ def q2_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_RECALL_K = 10
+_RECALL_Q = 5
+_RECALL_SWEEP = [1, 2, 4, 8, _IVF_CENTROIDS]
+
+
+def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF accuracy/cost curve: recall@10 of probe-pruned search vs
+    exact, per nprobe — the measurement that picks the production
+    nprobe for the 100 TB operator (q1/q2 pin determinism; this pins
+    WHAT the approximation costs). nprobe = C closes the sweep at
+    recall 1.0 by construction (IVF degrades to exact), a built-in
+    self-check the oracle verifies too."""
+    from leann_rs_spark.operators.ann import ivf_recall_curve
+
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    assigned = ivf_assign(_fan(emb), cents)
+    queries = emb.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_recall_curve(
+        assigned, cents, queries, k=_RECALL_K, nprobes=_RECALL_SWEEP
+    )
+
+
 _DSL_EVENTS = "k>50,k<=90 OR k in [1,2,3]"
 _DSL_DOCS = "lang in [en,de] AND source^src1"
 
@@ -1258,6 +1284,12 @@ def _register_bm25_oracles() -> None:
         )})
         ORDER BY query_id, rank
     """
+    from leann_rs_spark.operators.ann import duckdb_ivf_recall_curve
+
+    _ORACLES["x_ivf_recall"] = duckdb_ivf_recall_curve(
+        n_queries=_RECALL_Q, k=_RECALL_K, nprobes=_RECALL_SWEEP,
+        n_centroids=_IVF_CENTROIDS,
+    )
 
 
 _register_bm25_oracles()
@@ -1843,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-4 gates
         "x_stream_sessionize": x_stream_sessionize,
         "x_stream_window_stats": x_stream_window_stats,
+        "x_ivf_recall": x_ivf_recall,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -631,3 +631,169 @@ def duckdb_ivf_search_batch(
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def ivf_recall_curve(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Recall@k of IVF probe-pruned search vs exact search, per nprobe —
+    the accuracy/cost curve that picks the production nprobe (the
+    reference's `complexity` knob plays the same role for its graph
+    indexes, src/index/searcher.rs:24-38).
+
+    One pass: every (query, vector) candidate is scored ONCE with its
+    cluster's per-query probe rank attached; each sweep point is then a
+    top-k window over the `probe_rank <= p` subset, and exact = the
+    unfiltered top-k (nprobe = C degrades to exact, so recall hits 1.0
+    at the sweep's tail — a built-in self-check). Micro-averaged:
+    recall = |ivf top-k ∩ exact top-k| / |exact top-k| over all
+    queries. The scored-candidates frame is persisted across the
+    sweep's consumers.
+
+    Scale: this is a DIAGNOSTIC run on a query SAMPLE (Q rows) — the
+    exact baseline is a Q×N scan by construction. Run it on a sampled
+    query set against the production corpus, not per-query online.
+    """
+    from pyspark.sql import Window
+
+    nprobes = nprobes or [1, 2, 4, 8, 16]
+    qv = F.col(query_vec_col)
+    qc = queries.select(query_id_col, query_vec_col).crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        query_id_col,
+        query_vec_col,
+        "centroid_id",
+        dot(qv, F.col("centroid_vec")).alias("__qs"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qs").desc(), F.col("centroid_id").asc()
+    )
+    probes = qc.withColumn("probe_rank", F.row_number().over(w_probe)).select(
+        query_id_col, query_vec_col,
+        F.col("centroid_id").alias("cluster_id"), "probe_rank",
+    )
+    cand = assigned.join(F.broadcast(probes), "cluster_id").select(
+        query_id_col,
+        id_col,
+        "probe_rank",
+        dot(F.col(vec_col), qv).alias("score"),
+    ).persist()
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        cand.withColumn("__rnk", F.row_number().over(w_rank))
+        .filter(F.col("__rnk") <= k)
+        .select(query_id_col, id_col)
+        .persist()
+    )
+    n_exact = exact.count()  # materializes both persists
+    curves = []
+    for p in nprobes:
+        topk = (
+            cand.filter(F.col("probe_rank") <= p)
+            .withColumn("__rnk", F.row_number().over(w_rank))
+            .filter(F.col("__rnk") <= k)
+            .select(query_id_col, id_col)
+        )
+        hits = topk.join(exact, [query_id_col, id_col], "left_semi").agg(
+            F.count("*").alias("n")
+        ).select(
+            F.lit(p).alias("nprobe"),
+            (F.round(F.col("n").cast("double") / F.lit(float(n_exact)), 6)
+             + F.lit(0.0)).alias("recall_r"),
+        )
+        curves.append(hits)
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("nprobe")
+
+
+def duckdb_ivf_recall_curve(
+    n_queries: int,
+    k: int,
+    nprobes: list[int],
+    n_centroids: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of `ivf_recall_curve` with the take_centroids policy
+    and queries = the `n_queries` smallest ids (the q2 conventions)."""
+    d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+    d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+    d_aq = duckdb_dot(f"a.{vec_col}", "q.qv")
+    sweep = ", ".join(str(p) for p in nprobes)
+    return f"""
+        WITH cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, {vec_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT {id_col} AS query_id, {vec_col} AS qv
+            FROM {table} WHERE {id_col} < {n_queries}
+        ),
+        pr AS (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {d_cq} DESC, c.centroid_id ASC
+                   ) AS probe_rank
+            FROM cent c, q
+        ),
+        cand AS (
+            SELECT q.query_id, a.{id_col}, pr.probe_rank, {d_aq} AS score
+            FROM assigned a
+            JOIN pr ON a.cluster_id = pr.centroid_id
+            JOIN q ON q.query_id = pr.query_id
+        ),
+        exact AS (
+            SELECT query_id, {id_col} FROM (
+                SELECT query_id, {id_col}, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+                ) AS rnk FROM cand
+            ) WHERE rnk <= {k}
+        ),
+        sweep AS (SELECT unnest([{sweep}]) AS nprobe),
+        topk AS (
+            SELECT nprobe, query_id, {id_col} FROM (
+                SELECT s.nprobe, c.query_id, c.{id_col},
+                       row_number() OVER (
+                           PARTITION BY s.nprobe, c.query_id
+                           ORDER BY c.score DESC, c.{id_col} ASC
+                       ) AS rnk
+                FROM sweep s JOIN cand c ON c.probe_rank <= s.nprobe
+            ) WHERE rnk <= {k}
+        ),
+        hits AS (
+            SELECT t.nprobe, count(*) AS n
+            FROM topk t JOIN exact e
+              ON t.query_id = e.query_id AND t.{id_col} = e.{id_col}
+            GROUP BY t.nprobe
+        )
+        SELECT s.nprobe,
+               round(coalesce(h.n, 0)::double
+                     / (SELECT count(*) FROM exact), 6) + 0.0 AS recall_r
+        FROM sweep s LEFT JOIN hits h USING (nprobe)
+        ORDER BY s.nprobe
+    """
