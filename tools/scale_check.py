@@ -72,7 +72,7 @@ def main() -> None:
         "x_curation_pipeline", "x_asof_join", "x_interval_join",
         "x_sessionize", "x_window_stats", "x_hopping_stats",
     ]
-    results: dict[str, dict[str, float]] = {}
+    results: dict[str, dict] = {}
     for name in names:
         results[name] = {}
         for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
@@ -87,8 +87,131 @@ def main() -> None:
             results[name][f"{label}_rows"] = n
             print(f"# {label:3} {name}: {dt}s rows={n}", file=sys.stderr)
             spark.catalog.clearCache()
+
+    results["curation_stages"] = curation_stage_timings(spark, args)
+    spark.catalog.clearCache()
+    results["asof_skew"] = asof_skew_check(spark, args)
+    spark.catalog.clearCache()
+    results["ivf_codebook_balance"] = ivf_balance_check(spark, args)
     print(json.dumps(results))
     spark.stop()
+
+
+def curation_stage_timings(spark, args) -> dict:
+    """Per-stage wall time of the composed curation pipeline at 1× and
+    10× (VERDICT r3: the 9 s composition had no internal attribution).
+    Uses the gate's parameters (curate_corpus defaults + span cuts)."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.curation import curate_corpus
+
+    out: dict[str, dict] = {}
+    for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timings: dict[str, float] = {}
+        cached: list = []
+        t0 = time.perf_counter()
+        curate_corpus(
+            docs.select("doc_id", "lang", "source", "text"),
+            gopher_params={"min_words": 20, "min_stopword_hits": 1},
+            minhash_threshold=0.5,
+            stage_timings=timings,
+            intermediates=cached,
+        ).count()
+        timings["total"] = round(time.perf_counter() - t0, 2)
+        for df in cached:
+            df.unpersist()
+        out[label] = timings
+        print(f"# {label:3} curation stages: {timings}", file=sys.stderr)
+    return out
+
+
+def asof_skew_check(spark, args) -> dict:
+    """90 %-single-key skew: as-of join with and without salting, 1× and
+    10×. Salting must keep the skewed case flat-ish while the result
+    stays exact (equality asserted at 1×)."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.joins import asof_join
+
+    out: dict[str, dict] = {}
+    for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        skew = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        clicks = skew.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        views = skew.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("v")
+        )
+        clicks.persist().count()
+        views.persist().count()
+        entry_: dict[str, float] = {}
+        for salt, tag in ((None, "unsalted"), (32, "salted32")):
+            t0 = time.perf_counter()
+            n = asof_join(
+                clicks, views, on="user_id", right_cols=["v"],
+                salt_buckets=salt,
+            ).count()
+            entry_[tag] = round(time.perf_counter() - t0, 2)
+            entry_[f"{tag}_rows"] = n
+        if label == "1x":
+            a = asof_join(clicks, views, on="user_id", right_cols=["v"])
+            b = asof_join(
+                clicks, views, on="user_id", right_cols=["v"],
+                salt_buckets=32,
+            )
+            key = lambda df: sorted(
+                (r["event_id"], r["ts_right"], r["v_right"])
+                for r in df.collect()
+            )
+            entry_["exact_match"] = key(a) == key(b)
+        clicks.unpersist()
+        views.unpersist()
+        out[label] = entry_
+        print(f"# {label:3} asof skew: {entry_}", file=sys.stderr)
+    return out
+
+
+def ivf_balance_check(spark, args) -> dict:
+    """Cluster-size balance of the two codebook policies on the real
+    (non-uniform) embedding table — the reason seeded k-means is the
+    persisted-artifact default. Reports the max/mean cluster-size ratio
+    (1.0 = perfectly balanced) and the largest cluster's corpus share."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+        take_centroids,
+    )
+
+    emb = spark.read.parquet(f"{args.base}/embeddings.parquet")
+    n = emb.count()
+    out: dict[str, dict] = {}
+    for policy, cents_fn in (
+        ("take", lambda: take_centroids(emb, 16)),
+        ("kmeans", lambda: kmeans_centroids(emb, 16)),
+    ):
+        sizes = [
+            r["c"]
+            for r in ivf_assign(emb, cents_fn())
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        out[policy] = {
+            "clusters": len(sizes),
+            "max_over_mean": round(max(sizes) / (n / len(sizes)), 2),
+            "max_share": round(max(sizes) / n, 4),
+        }
+        print(f"# ivf balance {policy}: {out[policy]}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":
