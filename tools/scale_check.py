@@ -107,7 +107,11 @@ def curation_stage_timings(spark, args) -> dict:
 
     out: dict[str, dict] = {}
     for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # single-file scratch parquet → fan out like the gate does, or
+        # the projection stages serialize onto a few scan tasks
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         timings: dict[str, float] = {}
         cached: list = []
         t0 = time.perf_counter()
