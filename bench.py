@@ -109,12 +109,22 @@ def main() -> None:
             failures[name] = err or "no successful repetition"
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
 
+    # Host-load snapshot: this box is SHARED, and round-over-round
+    # deltas have repeatedly turned out to be co-tenant load rather
+    # than plan changes (SURVEY §9/§10). Recording the 1/5/15-min load
+    # averages beside the numbers makes that attributable.
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
     out = {
         "metric": "sum of per-query wall-clock over the engine query suite",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "load_avg_1_5_15": load,
+        "ncpus": os.cpu_count(),
         # Measurement conditions, so results are comparable across
         # rounds: each query is min-of-`reps` full cold executions
         # (cache cleared + explicit GC between reps), after one
