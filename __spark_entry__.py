@@ -1078,25 +1078,39 @@ def x_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_WM = "30 minutes"
+_STREAM_INPUTS: dict[str, str] = {}
 
 
 def _stream_events_input(spark: SparkSession, sf_dir: str) -> str:
-    """Write the events table as ONE parquet file into a scratch dir —
-    the streaming gates' file source. One file → one micro-batch, so
-    per-user event order inside the stateful kernel is total (the
-    cross-batch-disorder caveat of file sources never applies) and the
-    emitted set is deterministic."""
+    """The events table as ONE parquet file in a scratch dir — the
+    streaming gates' file source, cached per corpus (fixture prep, not
+    the measured operator — the q15 index fixture precedent). One file
+    → one micro-batch, so per-user event order inside the stateful
+    kernel is total (the cross-batch-disorder caveat of file sources
+    never applies) and the emitted set is deterministic. Output and
+    checkpoint dirs stay FRESH per run — reusing a checkpoint would
+    skip the processing the gate times."""
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="leann-stream-gate-")
-    (
-        read_events(spark, sf_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1)
-        .write.parquet(f"{d}/in")
-    )
-    return d
+    path = _STREAM_INPUTS.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="leann-stream-gate-in-")
+        (
+            read_events(spark, sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(f"{path}/in")
+        )
+        _STREAM_INPUTS[sf_dir] = path
+    return path
+
+
+def _stream_run_dirs(input_root: str) -> tuple[str, str]:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="leann-stream-gate-run-")
+    return f"{d}/out", f"{d}/ckpt"
 
 
 def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,12 +1128,13 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leann_rs_spark.streaming.sessionize import stream_sessionize_events
 
     d = _stream_events_input(spark, sf_dir)
+    outp, ckpt = _stream_run_dirs(d)
     q = stream_sessionize_events(
-        spark, f"{d}/in", f"{d}/out", f"{d}/ckpt",
+        spark, f"{d}/in", outp, ckpt,
         gap=_SESSION_GAP, watermark=_STREAM_WM,
     )
     assert q.awaitTermination(600), "stream did not drain"
-    out = spark.read.parquet(f"{d}/out")
+    out = spark.read.parquet(outp)
     return out.select(
         "user_id", "session_start", "session_end", "n_events",
         F.round("sum_value", 6).alias("sum_value_r"),
@@ -1135,12 +1150,13 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leann_rs_spark.streaming.ingest import stream_windowed_event_stats
 
     d = _stream_events_input(spark, sf_dir)
+    outp, ckpt = _stream_run_dirs(d)
     q = stream_windowed_event_stats(
-        spark, f"{d}/in", f"{d}/out", f"{d}/ckpt",
+        spark, f"{d}/in", outp, ckpt,
         window_duration=_WINDOW_DUR, watermark=_STREAM_WM,
     )
     assert q.awaitTermination(600), "stream did not drain"
-    out = spark.read.parquet(f"{d}/out")
+    out = spark.read.parquet(outp)
     return out.select(
         "window_start", "event_type", "n_events",
         (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value_r"),
@@ -1835,8 +1851,11 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
     the timed region. An index is a durable artifact — the q15 gate
     measures the read path, and without this the rep-1 timing silently
     includes a full index build (the write path x_append_consistency
-    already covers)."""
+    already covers). Same for the streaming gates' one-file input
+    fixture — the gates time the streaming query, not the fixture
+    write."""
     _q15_index(spark, sf_dir)
+    _stream_events_input(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
