@@ -1106,7 +1106,7 @@ def _stream_events_input(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _stream_run_dirs(input_root: str) -> tuple[str, str]:
+def _stream_run_dirs() -> tuple[str, str]:
     import tempfile
 
     d = tempfile.mkdtemp(prefix="leann-stream-gate-run-")
@@ -1128,16 +1128,18 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leann_rs_spark.streaming.sessionize import stream_sessionize_events
 
     d = _stream_events_input(spark, sf_dir)
-    outp, ckpt = _stream_run_dirs(d)
+    outp, ckpt = _stream_run_dirs()
     q = stream_sessionize_events(
         spark, f"{d}/in", outp, ckpt,
         gap=_SESSION_GAP, watermark=_STREAM_WM,
     )
-    assert q.awaitTermination(600), "stream did not drain"
+    drained = q.awaitTermination(600)  # hoisted: not stripped under -O
+    if not drained:
+        raise RuntimeError("stream did not drain")
     out = spark.read.parquet(outp)
     return out.select(
         "user_id", "session_start", "session_end", "n_events",
-        F.round("sum_value", 6).alias("sum_value_r"),
+        (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value_r"),
     ).orderBy("user_id", "session_start")
 
 
@@ -1150,12 +1152,14 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from leann_rs_spark.streaming.ingest import stream_windowed_event_stats
 
     d = _stream_events_input(spark, sf_dir)
-    outp, ckpt = _stream_run_dirs(d)
+    outp, ckpt = _stream_run_dirs()
     q = stream_windowed_event_stats(
         spark, f"{d}/in", outp, ckpt,
         window_duration=_WINDOW_DUR, watermark=_STREAM_WM,
     )
-    assert q.awaitTermination(600), "stream did not drain"
+    drained = q.awaitTermination(600)  # hoisted: not stripped under -O
+    if not drained:
+        raise RuntimeError("stream did not drain")
     out = spark.read.parquet(outp)
     return out.select(
         "window_start", "event_type", "n_events",
@@ -1600,9 +1604,15 @@ def _register_session_oracle() -> None:
     # Streaming-form gates: same batch SQL, filtered by the emission
     # rule the stream's final watermark implies (see the gate
     # docstrings). All cutoffs derived from the gate constants.
-    gap_s = _gap_seconds(_SESSION_GAP)
-    wm_s = _gap_seconds(_STREAM_WM)
-    dur_s = _gap_seconds(_WINDOW_DUR)
+    # Spark tracks event-time watermarks AND GroupState timeout
+    # timestamps at TRUNCATED-millisecond precision (the sessionize
+    # kernel itself sets last_us // 1000 + gap ms); timestamps in the
+    # events table carry sub-ms components, so the oracle's cutoff
+    # arithmetic must be done in epoch_ms or a boundary landing inside
+    # the sub-ms gap would diverge.
+    gap_ms = int(_gap_seconds(_SESSION_GAP) * 1000)
+    wm_ms = int(_gap_seconds(_STREAM_WM) * 1000)
+    dur_ms = int(_gap_seconds(_WINDOW_DUR) * 1000)
     _ORACLES["x_stream_sessionize"] = f"""
         WITH sess AS (
             SELECT *, row_number() OVER (
@@ -1612,10 +1622,10 @@ def _register_session_oracle() -> None:
         ),
         mx AS (SELECT max(ts) AS m FROM events)
         SELECT user_id, session_start, session_end, n_events,
-               round(sum_value, 6) AS sum_value_r
+               round(sum_value, 6) + 0.0 AS sum_value_r
         FROM sess, mx
         WHERE rn > 1
-           OR epoch(session_end) + {gap_s} < epoch(mx.m) - {wm_s}
+           OR epoch_ms(session_end) + {gap_ms} < epoch_ms(mx.m) - {wm_ms}
         ORDER BY user_id, session_start
     """
     _ORACLES["x_stream_window_stats"] = f"""
@@ -1626,7 +1636,7 @@ def _register_session_oracle() -> None:
                round(sum(value), 6) + 0.0 AS sum_value_r
         FROM events, mx
         GROUP BY 1, 2, mx.m
-        HAVING epoch(window_start) + {dur_s} <= epoch(mx.m) - {wm_s}
+        HAVING epoch_ms(window_start) + {dur_ms} <= epoch_ms(mx.m) - {wm_ms}
         ORDER BY 1, 2
     """
 

@@ -347,7 +347,10 @@ def append_to_index(
         meta = build_ivf_index(
             spark, warehouse, name,
             n_centroids=int(meta.extra.get("ivf_centroids", 16)),
-            centroids=meta.extra.get("ivf_policy", "kmeans"),
+            # legacy metas (pre-policy) were built with take_centroids;
+            # defaulting them to kmeans would silently swap the codebook
+            # (and newly require MLlib) on the first append
+            centroids=meta.extra.get("ivf_policy", "take"),
             seed=int(meta.extra.get("ivf_seed", 42)),
         )
     return meta

@@ -659,6 +659,7 @@ def ivf_recall_curve(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    intermediates: list | None = None,
 ) -> DataFrame:
     """Recall@k of IVF probe-pruned search vs exact search, per nprobe —
     the accuracy/cost curve that picks the production nprobe (the
@@ -672,7 +673,9 @@ def ivf_recall_curve(
     at the sweep's tail — a built-in self-check). Micro-averaged:
     recall = |ivf top-k ∩ exact top-k| / |exact top-k| over all
     queries. The scored-candidates frame is persisted across the
-    sweep's consumers.
+    sweep's consumers; `intermediates` (a caller-owned list) receives
+    the persisted frames so a long-lived driver sweeping many
+    configurations can unpersist them after materializing the curve.
 
     Scale: this is a DIAGNOSTIC run on a query SAMPLE (Q rows) — the
     exact baseline is a Q×N scan by construction. Run it on a sampled
@@ -713,6 +716,8 @@ def ivf_recall_curve(
         .persist()
     )
     n_exact = exact.count()  # materializes both persists
+    if intermediates is not None:
+        intermediates.extend([cand, exact])
     curves = []
     for p in nprobes:
         topk = (

@@ -105,7 +105,8 @@ def curate_corpus(
     q2 = _persist(q.join(canon, id_col, "left_semi"))
     t0 = _mark("exact_dedup", q2, t0)
     pairs = minhash_near_dups(
-        q2, id_col=id_col, text_col=text_col, threshold=minhash_threshold
+        q2, id_col=id_col, text_col=text_col, threshold=minhash_threshold,
+        intermediates=intermediates,
     )
     kept = dedup_keep_canonical(q2, pairs, id_col=id_col).filter("keep")
     t0 = _mark("minhash_cluster_keep", kept, t0)

@@ -274,9 +274,12 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.5,
     cache: bool = True,
+    intermediates: list | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for candidate pairs sharing an LSH band
-    bucket AND exact shingle-Jaccard ≥ threshold.
+    bucket AND exact shingle-Jaccard ≥ threshold. `intermediates`
+    receives any frame this call persisted (the signature table), so
+    long-lived drivers can unpersist once results are materialized.
 
     Scale shape: explode to (band, bucket, doc) — shuffle keyed on the
     band bucket co-locates only colliding docs; the verify join carries
@@ -295,6 +298,8 @@ def minhash_near_dups(
         # computed twice (the stages race before blocks exist).
         sigs = sigs.persist()
         sigs.count()
+        if intermediates is not None:
+            intermediates.append(sigs)
     # banded carries ONLY (id, band, bucket): the band explode duplicates
     # every row `bands`×, and the (band, bucket) shuffle moves each copy —
     # keeping the shingle arrays out of it cuts the shuffled bytes to the

@@ -77,13 +77,17 @@ def asof_join(
     )
     part_cols = [on]
     if salt_buckets is not None and salt_buckets > 1:
-        # left: deterministic row-hash bucket over ALL left columns
-        # (ties on identical full rows share a bucket — harmless);
-        # right: one copy per bucket via a generator, map-side
+        # left: deterministic row-hash bucket over the HASHABLE left
+        # columns (xxhash64 rejects MapType; ties on identical hashed
+        # tuples share a bucket — harmless); right: one copy per
+        # bucket via a generator, map-side
+        hashable = [
+            c for c, t in left.dtypes if not t.startswith("map")
+        ] or [on]
         l_tagged = l_tagged.withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in left.columns]),
+                F.xxhash64(*[F.col(c) for c in hashable]),
                 F.lit(salt_buckets),
             ).cast("int"),
         )

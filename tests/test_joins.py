@@ -190,3 +190,20 @@ def test_asof_salted_partitions_by_salt(trades, quotes):
     assert "hashpartitioning" in plan and "__salt" in plan.split(
         "hashpartitioning", 1
     )[1]
+
+
+def test_asof_salted_with_map_column(spark):
+    """xxhash64 rejects MapType — the salt hash must skip map columns
+    instead of failing at plan time on frames carrying map payloads."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:05"), {"a": "1"}),
+         (1, _ts("2024-01-01 10:00:10"), {"b": "2"})],
+        "user_id long, ts timestamp, attrs map<string,string>",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0)],
+        "user_id long, ts timestamp, quote double",
+    )
+    out = asof_join(left, right, on="user_id", salt_buckets=4).collect()
+    assert len(out) == 2
+    assert all(r["quote_right"] == 1.0 for r in out)

@@ -209,9 +209,13 @@ def ivf_balance_check(spark, args) -> dict:
             .agg(F.count("*").alias("c"))
             .collect()
         ]
+        # mean over the CONFIGURED cluster count — empty clusters emit
+        # no groupBy row, and dividing by the non-empty count would
+        # understate imbalance exactly for the policy that strands them
         out[policy] = {
-            "clusters": len(sizes),
-            "max_over_mean": round(max(sizes) / (n / len(sizes)), 2),
+            "nonempty_clusters": len(sizes),
+            "configured_clusters": 16,
+            "max_over_mean": round(max(sizes) / (n / 16), 2),
             "max_share": round(max(sizes) / n, 4),
         }
         print(f"# ivf balance {policy}: {out[policy]}", file=sys.stderr)
