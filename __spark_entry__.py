@@ -1167,6 +1167,21 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram-LM cross-entropy per document — the
+    perplexity-style quality signal CCNet-family pipelines filter on
+    (functions/textstats.lm_score, arXiv:1911.00359 shape). Two
+    map-side-combined count shuffles + natural-key score joins; the
+    1-row vocab frame broadcasts."""
+    from leann_rs_spark.functions.textstats import lm_score
+
+    out = lm_score(_fan(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "n_bigrams",
+        (F.round("xent", 6) + F.lit(0.0)).alias("xent_r"),
+    ).orderBy("doc_id")
+
+
 _LSH_PLANES = 32
 _LSH_BANDS = 4
 
@@ -1659,6 +1674,12 @@ def _register_lsh_corpus_oracles() -> None:
         SELECT id_a, id_b, round(cos, 6) AS cos_r FROM ({lsh})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.functions.textstats import duckdb_lm_score
+
+    _ORACLES["x_lm_score"] = f"""
+        SELECT doc_id, n_bigrams, round(xent, 6) + 0.0 AS xent_r
+        FROM ({duckdb_lm_score()}) ORDER BY doc_id
+    """
     _ORACLES["x_corpus_stats"] = f"""
         SELECT lang,
                count(*) AS n_docs,
@@ -1905,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sessionize": x_stream_sessionize,
         "x_stream_window_stats": x_stream_window_stats,
         "x_ivf_recall": x_ivf_recall,
+        "x_lm_score": x_lm_score,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

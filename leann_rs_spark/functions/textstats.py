@@ -659,3 +659,122 @@ def duckdb_gopher_keep(
         f" AND ({duckdb_top_ngram_char_frac(text, 3)}) <= {max_top3_char_frac}"
         f" AND ({duckdb_top_ngram_char_frac(text, 4)}) <= {max_top4_char_frac})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-self bigram-LM scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def lm_score(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+):
+    """Per-document cross-entropy under a bigram LM trained on the
+    corpus ITSELF (add-k smoothing) — the perplexity-style quality
+    signal CCNet-family pipelines (arXiv:1911.00359) filter on: text
+    far from the corpus distribution (boilerplate, garble, wrong
+    language) scores high, typical prose scores low. Self-training
+    avoids shipping an external LM while keeping the signal's shape;
+    swap the count tables for a reference corpus's to reproduce CCNet
+    exactly.
+
+    → (id_col, n_bigrams, xent) with xent = avg over the doc's
+    bigrams of -ln p(w2|w1), p = (c(w1,w2)+k) / (c(w1)+k·V); docs with
+    <2 tokens keep n_bigrams=0 and NULL xent.
+
+    Scale shape: bigram counts are ONE groupBy with map-side partials;
+    context counts reduce from the bigram table (vocab-sized, no
+    second pass over the corpus); scoring joins the exploded bigrams
+    to the count tables on their natural keys — shuffle joins that AQE
+    can convert to broadcast when the vocabulary fits, correct either
+    way at 100 TB. The per-doc average is one more map-side-combined
+    groupBy. Nothing is driver-resident.
+    """
+    toks = docs.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
+    # in-row bigram construction: zip the array against itself shifted
+    # by one (slice lengths clamp at 0 for short docs)
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("__t", F.lit(1), n1),
+        F.slice("__t", F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = toks.select("__id", F.explode(bg).alias("__bg")).select(
+        "__id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
+    vocab = toks.select(F.explode("__t").alias("__w")).agg(
+        F.count_distinct("__w").alias("__v")
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id",
+            (
+                -F.log(
+                    (F.col("__c2") + F.lit(k))
+                    / (F.col("__c1") + F.lit(k) * F.col("__v"))
+                )
+            ).alias("__nll"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("__nll") / F.count("*")).alias("xent"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
+    )
+
+
+def duckdb_lm_score(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> str:
+    """Oracle twin of `lm_score` — same tokenize, same smoothing, same
+    bigram construction (DuckDB lacks WITH ORDINALITY here: positions
+    via unnest(generate_series), CLAUDE.md note)."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    toks = duckdb_tokenize(text_col)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS id, {toks} AS t FROM {table}
+        ),
+        pairs AS (
+            SELECT id, list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v FROM (
+            SELECT unnest(t) AS w FROM toks
+        )),
+        scored AS (
+            SELECT p.id,
+                   -ln((c2.c2 + {k}) / (c1.c1 + {k} * v.v)) AS nll
+            FROM pairs p
+            JOIN c2 USING (w1, w2)
+            JOIN c1 USING (w1), v
+        ),
+        per_doc AS (
+            SELECT id, count(*) AS n_bigrams, sum(nll) / count(*) AS xent
+            FROM scored GROUP BY id
+        )
+        SELECT d.{id_col}, coalesce(p.n_bigrams, 0) AS n_bigrams, p.xent
+        FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.id
+    """

@@ -263,3 +263,50 @@ def test_gopher_filter_matches_duckdb(spark, duck):
         """).fetchall()
     }
     assert got == want
+
+
+def test_lm_score_hand_computed(spark):
+    """Bigram add-k cross-entropy on a corpus small enough to verify by
+    hand; short/empty docs keep n_bigrams=0 and NULL xent."""
+    import math
+
+    from leann_rs_spark.functions.textstats import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb"),
+            (2, "aa bb cc"),
+            (3, "aa"),          # 1 token -> no bigrams
+            (4, ""),            # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # corpus bigrams: (aa,bb) x3, (bb,aa) x1, (bb,cc) x1 ; V = 3
+    k = 0.1
+    p_ab = (3 + k) / (4 + k * 3)   # c1(aa)=3... wait c1 = sum of c2 rows
+    # c1(aa) = 3 (aa->bb); c1(bb) = 2 (bb->aa, bb->cc)
+    p_ab = (3 + k) / (3 + k * 3)
+    p_ba = (1 + k) / (2 + k * 3)
+    p_bc = (1 + k) / (2 + k * 3)
+    x1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    x2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["xent"] - x1) < 1e-9
+    assert out[2]["n_bigrams"] == 2
+    assert abs(out[2]["xent"] - x2) < 1e-9
+    assert out[3]["n_bigrams"] == 0 and out[3]["xent"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["xent"] is None
+
+
+def test_lm_score_ranks_garble_above_prose(spark):
+    """The quality-signal sanity check: a doc of corpus-typical prose
+    scores lower cross-entropy than a doc of rare one-off bigrams."""
+    from leann_rs_spark.functions.textstats import lm_score
+
+    prose = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, prose) for i in range(20)]
+    rows.append((100, "zxqv wkjh qqpl mnbv zzzz"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["xent"] for r in lm_score(docs).collect()}
+    assert out[100] > out[0]
