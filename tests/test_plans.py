@@ -378,3 +378,43 @@ def test_domain_mix_adds_no_shuffle_beyond_assignment(spark):
     plan = plan_of(weighted_mix([(even, 1.0), (odd, 0.25)], "vec_id"), "simple")
     # inline assignment is a projection; the mix is filters + union
     assert _shuffles(plan) == 0
+
+
+def test_lm_score_plan_is_native_and_broadcasts_vocab(spark):
+    """lm_score must stay JVM-side (no Python eval nodes), never plan a
+    cartesian product, and the only nested-loop join allowed is the
+    broadcast of the 1-row vocab frame."""
+    from leann_rs_spark.functions.textstats import lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(lm_score(docs))
+    tree = plan.split("(1) ")[0]  # tree section (details repeat names)
+    assert "CartesianProduct" not in plan
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    for py_node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                    "MapInPandas"):
+        assert py_node not in plan, py_node
+
+
+def test_ivf_recall_probe_table_broadcasts(spark):
+    """The recall sweep's candidate join must broadcast the Q×C probe
+    table — the corpus side is never shuffled."""
+    from leann_rs_spark.operators.ann import (
+        ivf_assign,
+        ivf_recall_curve,
+        take_centroids,
+    )
+
+    emb = _emb(spark)
+    cents = take_centroids(emb, 16)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    df = ivf_recall_curve(assigned, cents, queries, k=5, nprobes=[1, 16])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # and the sweep self-checks: nprobe = C row must be exact
+    rows = {r["nprobe"]: r["recall_r"] for r in df.collect()}
+    assert rows[16] == 1.0
