@@ -133,3 +133,52 @@ def test_batch_sessionize_property(spark):
         for w in want
     )
     assert _norm(got) == want_t
+
+
+def test_stream_sessionize_ms_boundary_semantics(spark, tmp_path):
+    """Spark tracks event-time watermarks and GroupState timeouts at
+    TRUNCATED milliseconds while timestamps carry microseconds. The
+    gate oracle's emission rule is floor_ms(session_end) + gap_ms <
+    floor_ms(max_ts) - wm_ms — pin both sides of that boundary: a
+    timeout EQUAL to the watermark at ms precision must hold (even
+    though a µs-precision comparison would emit), one 1 ms below must
+    emit."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    gap_wm_s = 1800  # gap = watermark = 30 minutes
+
+    def run(tag, tmax_us):
+        rows = [
+            # user 1: a single event with a 100 µs component — its
+            # timeout is floor_ms = base + 1800 s exactly
+            (1, base + dt.timedelta(microseconds=100), 1, "e", 1.0, "{}"),
+            # user 2 defines max event time (its own trailing session is
+            # always held)
+            (2, base + dt.timedelta(seconds=3600, microseconds=tmax_us),
+             2, "e", 1.0, "{}"),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+        d = str(tmp_path / tag)
+        ev.coalesce(1).write.parquet(f"{d}/in")
+        from leann_rs_spark.streaming.sessionize import (
+            stream_sessionize_events,
+        )
+
+        q = stream_sessionize_events(
+            spark, f"{d}/in", f"{d}/out", f"{d}/ckpt",
+            gap="30 minutes", watermark="30 minutes",
+        )
+        assert q.awaitTermination(120)
+        return {
+            r["user_id"] for r in spark.read.parquet(f"{d}/out").collect()
+        }
+
+    # watermark floor_ms = base+1800.000 == timeout → NOT fired (strict <)
+    assert run("hold", 900) == set()
+    # watermark floor_ms = base+1800.001 > timeout → fired
+    assert run("emit", 1900) == {1}
