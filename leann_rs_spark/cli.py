@@ -422,6 +422,25 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_import_index(args) -> int:
+    """Migrate an existing reference index (JSONL passages + ids.txt +
+    flat-f32 embeddings + meta.json) into the Parquet catalog — after
+    this every read-path command (search/ask/serve) works against it."""
+    from leann_rs_spark.sources.leann_import import import_reference_index
+
+    spark = _spark(args)
+    meta = import_reference_index(
+        spark, args.src_dir, args.warehouse, args.name,
+        with_bm25=not args.no_bm25,
+    )
+    print(
+        f"Imported '{args.name}': {meta.passage_count} passages, "
+        f"dims={meta.dimensions}, mode={meta.embedding_mode}"
+        f"{' (pruned)' if meta.is_pruned else ''}"
+    )
+    return 0
+
+
 def cmd_config(args) -> int:
     from leann_rs_spark.config import Config, create_example_if_missing
 
@@ -569,6 +588,23 @@ def build_parser() -> argparse.ArgumentParser:
              "N-token gram from the surviving docs",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    im = sub.add_parser(
+        "import-index",
+        help="Import a reference (leann-rs) index directory into the "
+             "warehouse (passages + embeddings + meta [+ BM25])",
+    )
+    im.add_argument("name", help="index name in the warehouse")
+    im.add_argument(
+        "--from", required=True, dest="src_dir",
+        help="reference index directory (.leann/indexes/<name>)",
+    )
+    im.add_argument("--warehouse", default=".leann-spark")
+    im.add_argument(
+        "--no-bm25", action="store_true",
+        help="skip building BM25 postings for the imported passages",
+    )
+    im.set_defaults(fn=cmd_import_index)
 
     return p
 

@@ -1,0 +1,225 @@
+"""Import a reference (leann-rs) on-disk index into the Spark layout.
+
+The migration path for existing users: a reference index directory
+(`.leann/indexes/<name>/`) holds
+
+    documents.leann.meta.json     JSON meta (src/index/meta.rs:8-43)
+    documents.passages.jsonl      one {"id","text","metadata"} per line
+                                  (src/index/passages.rs:11-17; file
+                                  names via Path::with_extension on
+                                  `documents.leann`, builder.rs:101,
+                                  passages.rs:31-32)
+    documents.passages.idx.json   id → byte-offset map (obsolete here —
+                                  Parquet pushdown replaces point-seek)
+    documents.ids.txt             newline-joined ids, insert order =
+                                  dense vector index (builder.rs:100-103)
+    documents.embeddings          flat little-endian f32, row-major
+                                  count × dims (embeddings.rs:12-34)
+    documents.leann               ANN graph artifact (opaque, backend-
+                                  owned; not imported — exact/IVF search
+                                  replaces it)
+
+`import_reference_index` maps those into the catalog's Parquet tables +
+meta.json, after which every read-path operator (search/hybrid/RAG/
+serve) works unchanged. Indexes built with a network embedding provider
+keep their mode/model in meta, so search correctly demands the same
+`query_provider` the reference would reconstruct (search.rs:100-117).
+
+Scale notes: ids.txt and the JSONL are single-node-sized by
+construction (the reference keeps all ids/vectors in driver RAM while
+building, builder.rs:230-232), so reading ids driver-side is bounded by
+the source system itself. The flat-f32 embeddings file is read
+DISTRIBUTED: each task seeks its own `idx * dims * 4` byte range via
+mapInPandas, so import parallelism is ours even though the source
+artifact is single-node (the file must be visible to executors — local
+mode or a shared mount).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from leann_rs_spark.catalog import IndexMeta, _index_dir, save_meta
+
+
+def _ref_paths(index_dir: str) -> dict[str, str]:
+    base = os.path.join(index_dir, "documents")
+    return {
+        "meta": base + ".leann.meta.json",
+        "passages": base + ".passages.jsonl",
+        "ids": base + ".ids.txt",
+        "embeddings": base + ".embeddings",
+    }
+
+
+def read_reference_passages(
+    spark: SparkSession, index_dir: str
+) -> DataFrame:
+    """passages.jsonl + ids.txt → (idx, doc_id, source, chunk_index,
+    text, metadata) with `idx` = the position in ids.txt (the dense id
+    every ANN backend keyed vectors by, hnsw.rs:128-130).
+
+    `metadata` is kept as its raw JSON string (the reference's metadata
+    is schemaless, passages.rs:15-16) — address fields with
+    `get_json_object` or the filter DSL's JSON resolver. doc_id /
+    chunk_index / source are surfaced from the conventional metadata
+    keys when present so the read path's result assembly works out of
+    the box.
+    """
+    p = _ref_paths(index_dir)
+    with open(p["ids"]) as f:
+        ids = [line.rstrip("\n") for line in f if line != "\n"]
+    if ids and ids[-1] == "":
+        ids.pop()
+    id_to_idx = spark.createDataFrame(
+        [(i, pid) for i, pid in enumerate(ids)], "idx bigint, id string"
+    )
+    raw = spark.read.text(p["passages"]).filter(F.length("value") > 0)
+    parsed = raw.select(
+        F.get_json_object("value", "$.id").alias("id"),
+        F.get_json_object("value", "$.text").alias("text"),
+        F.coalesce(
+            F.get_json_object("value", "$.metadata"), F.lit("{}")
+        ).alias("metadata"),
+    )
+    joined = parsed.join(id_to_idx, "id")
+    # conventional metadata keys (the reference's own build pipeline
+    # stamps source paths into metadata); fall back to the passage id
+    return joined.select(
+        "idx",
+        F.coalesce(
+            F.col("id").cast("bigint"),
+            F.col("idx"),
+        ).alias("doc_id"),
+        F.coalesce(
+            F.get_json_object("metadata", "$.source"),
+            F.get_json_object("metadata", "$.path"),
+            F.get_json_object("metadata", "$.file"),
+        ).alias("source"),
+        F.coalesce(
+            F.get_json_object("metadata", "$.chunk_index").cast("int"),
+            F.lit(0),
+        ).alias("chunk_index"),
+        "text",
+        "metadata",
+    )
+
+
+def read_reference_embeddings(
+    spark: SparkSession, index_dir: str, count: int, dims: int
+) -> DataFrame:
+    """documents.embeddings (flat little-endian f32, row-major) →
+    (idx, embedding ARRAY<DOUBLE>). Distributed: each task reads only
+    its partition's byte range."""
+    p = _ref_paths(index_dir)
+    path = p["embeddings"]
+    expected = count * dims * 4
+    actual = os.path.getsize(path)
+    if actual != expected:
+        raise ValueError(
+            f"embeddings file is {actual} bytes; meta implies "
+            f"{expected} ({count} × {dims} f32) — corrupt or mismatched"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("idx", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def read_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lo, hi = int(pdf["id"].min()), int(pdf["id"].max())
+            with open(path, "rb") as f:
+                f.seek(lo * dims * 4)
+                buf = f.read((hi - lo + 1) * dims * 4)
+            mat = np.frombuffer(buf, dtype="<f4").reshape(-1, dims)
+            idxs = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "idx": idxs,
+                    "embedding": [
+                        mat[i - lo].astype("float64").tolist() for i in idxs
+                    ],
+                }
+            )
+
+    # spark.range partitions are contiguous ranges → each task's reads
+    # are one sequential slice of the file
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism, count))
+    return (
+        spark.range(0, count, 1, n_parts)
+        .mapInPandas(read_rows, schema=schema)
+    )
+
+
+def import_reference_index(
+    spark: SparkSession,
+    index_dir: str,
+    warehouse: str,
+    name: str,
+    with_bm25: bool = True,
+) -> IndexMeta:
+    """Reference index directory → catalog index (passages +
+    embeddings Parquet + meta.json [+ BM25 postings]). Returns the new
+    meta. Pruned source indexes import as pruned (search falls back to
+    the recompute plan, which needs the original provider)."""
+    paths = _ref_paths(index_dir)
+    with open(paths["meta"]) as f:
+        src = json.load(f)
+    dims = int(src["dimensions"])
+    count = int(src["passage_count"])
+
+    base = _index_dir(warehouse, name)
+    passages = read_reference_passages(spark, index_dir)
+    passages.write.mode("overwrite").parquet(f"{base}/passages")
+    passages = spark.read.parquet(f"{base}/passages")
+    n = passages.count()
+    if n != count:
+        raise ValueError(
+            f"imported {n} passages but meta.passage_count is {count} — "
+            "ids.txt / passages.jsonl mismatch"
+        )
+
+    pruned = bool(src.get("is_pruned")) or not os.path.exists(
+        paths["embeddings"]
+    )
+    if not pruned:
+        emb = read_reference_embeddings(spark, index_dir, count, dims)
+        emb.write.mode("overwrite").parquet(f"{base}/embeddings")
+
+    if with_bm25:
+        from leann_rs_spark.catalog import _write_bm25
+
+        _write_bm25(passages, base, mode="overwrite")
+
+    meta = IndexMeta(
+        backend="exact",  # the graph artifact is not imported
+        embedding_mode=src.get("embedding_mode", "custom"),
+        embedding_model=src.get("embedding_model", "unknown"),
+        dimensions=dims,
+        passage_count=count,
+        is_pruned=pruned,
+        extra={
+            "bm25": with_bm25,
+            "imported_from": os.path.abspath(index_dir),
+            "source_meta": {
+                k: src[k]
+                for k in (
+                    "version", "backend_name", "embedding_model",
+                    "embedding_mode", "is_recompute", "is_pruned",
+                )
+                if k in src
+            },
+        },
+    )
+    save_meta(warehouse, name, meta)
+    return meta
