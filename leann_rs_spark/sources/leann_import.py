@@ -223,3 +223,97 @@ def import_reference_index(
     )
     save_meta(warehouse, name, meta)
     return meta
+
+
+def export_reference_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    out_dir: str,
+) -> dict:
+    """The reverse migration: a catalog index → the reference's on-disk
+    layout (passages.jsonl + idx.json offset map + ids.txt + flat-f32
+    embeddings + meta.json), so a corpus BUILT at Spark scale can be
+    handed to the single-node reference binary. The ANN graph artifact
+    (documents.leann) is backend-owned and not produced — the reference
+    rebuilds it from these files (its recompute/compat machinery treats
+    the graph as derivable; cf. src/backend/compat.rs rebuild hints).
+
+    Rows stream through the driver in idx order via toLocalIterator —
+    bounded memory, and the target format is single-node-sized by
+    definition (the reference memory-maps the whole embeddings file).
+    Returns a summary dict.
+    """
+    import struct
+
+    from leann_rs_spark.catalog import load_meta
+
+    meta = load_meta(warehouse, name)
+    base_in = _index_dir(warehouse, name)
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.join(out_dir, "documents")
+
+    passages = (
+        spark.read.parquet(f"{base_in}/passages")
+        .select("idx", "doc_id", "source", "chunk_index", "text")
+        .orderBy("idx")
+    )
+    ids: list[str] = []
+    offsets: dict[str, int] = {}
+    with open(base + ".passages.jsonl", "wb") as f:
+        for row in passages.toLocalIterator():
+            pid = str(row["doc_id"])
+            # passage ids must be unique; chunk-level exports reuse the
+            # reference's convention of sequential ids
+            pid = str(row["idx"]) if pid in offsets else pid
+            offsets[pid] = f.tell()
+            rec = {
+                "id": pid,
+                "text": row["text"],
+                "metadata": {
+                    "source": row["source"],
+                    "chunk_index": row["chunk_index"],
+                },
+            }
+            f.write((json.dumps(rec) + "\n").encode())
+            ids.append(pid)
+    with open(base + ".passages.idx.json", "w") as f:
+        json.dump(offsets, f)
+    with open(base + ".ids.txt", "w") as f:
+        f.write("\n".join(ids))
+
+    n_emb = 0
+    if not meta.is_pruned:
+        emb = (
+            spark.read.parquet(f"{base_in}/embeddings")
+            .select("idx", "embedding")
+            .orderBy("idx")
+        )
+        with open(base + ".embeddings", "wb") as f:
+            for row in emb.toLocalIterator():
+                vec = row["embedding"]
+                f.write(struct.pack(f"<{len(vec)}f", *[float(x) for x in vec]))
+                n_emb += 1
+
+    ref_meta = {
+        "version": "1.0",
+        # no graph artifact is produced; hnsw is the reference's
+        # rebuildable default backend
+        "backend_name": "hnsw",
+        "embedding_model": meta.embedding_model,
+        "embedding_mode": (
+            meta.embedding_mode if meta.embedding_mode != "hash" else "custom"
+        ),
+        "dimensions": meta.dimensions,
+        "passage_count": meta.passage_count,
+        "is_recompute": True,
+        "is_pruned": meta.is_pruned,
+    }
+    with open(base + ".leann.meta.json", "w") as f:
+        json.dump(ref_meta, f, indent=2)
+    return {
+        "passages": len(ids),
+        "embeddings": n_emb,
+        "pruned": meta.is_pruned,
+        "out_dir": out_dir,
+    }

@@ -132,3 +132,42 @@ def test_import_pruned_index(spark, tmp_path, ref_index):
     assert not os.path.isdir(f"{wh}/pruned/embeddings")
     # BM25 over the imported passages still works without embeddings
     assert os.path.isdir(f"{wh}/pruned/bm25_postings")
+
+
+def test_export_import_round_trip(spark, tmp_path):
+    """Catalog → reference format → catalog is the identity on
+    passages, embeddings (to f32 precision), and search results."""
+    from leann_rs_spark.sources.leann_import import export_reference_index
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "source", "text")
+    )
+    wh = str(tmp_path / "wh")
+    catalog.build_index(
+        spark, wh, "orig", docs, chunk_size=16, chunk_overlap=4, dims=16,
+        with_bm25=False,
+    )
+    out_dir = str(tmp_path / "exported")
+    summary = export_reference_index(spark, wh, "orig", out_dir)
+    meta0 = catalog.load_meta(wh, "orig")
+    assert summary["passages"] == summary["embeddings"] == meta0.passage_count
+
+    meta = import_reference_index(spark, out_dir, wh, "back", with_bm25=False)
+    assert meta.passage_count == meta0.passage_count
+    assert meta.dimensions == 16
+
+    # same exact top-k through the re-imported index, via a provider
+    # that replays the hash embedder (mode is 'custom' after export)
+    from leann_rs_spark.operators.embedder import HashEmbedder
+
+    q = "alpha beta"
+    want = catalog.search_index(spark, wh, "orig", q, k=5, hybrid=False)
+    got = catalog.search_index(
+        spark, wh, "back", q, k=5, hybrid=False,
+        query_provider=HashEmbedder(dims=16),
+    )
+    w = [(r["text"], round(r["score"], 4)) for r in want.collect()]
+    g = [(r["text"], round(r["score"], 4)) for r in got.collect()]
+    assert g == w  # scores equal to f32-storage precision
