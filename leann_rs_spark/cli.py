@@ -441,6 +441,22 @@ def cmd_import_index(args) -> int:
     return 0
 
 
+def cmd_export_index(args) -> int:
+    """Write an index out in the reference's single-node format —
+    build at Spark scale, serve with the reference binary (it rebuilds
+    its ANN graph from these files)."""
+    from leann_rs_spark.sources.leann_import import export_reference_index
+
+    spark = _spark(args)
+    s = export_reference_index(spark, args.warehouse, args.name, args.out_dir)
+    print(
+        f"Exported '{args.name}': {s['passages']} passages, "
+        f"{s['embeddings']} embeddings -> {s['out_dir']}"
+        f"{' (pruned)' if s['pruned'] else ''}"
+    )
+    return 0
+
+
 def cmd_config(args) -> int:
     from leann_rs_spark.config import Config, create_example_if_missing
 
@@ -605,6 +621,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip building BM25 postings for the imported passages",
     )
     im.set_defaults(fn=cmd_import_index)
+
+    ex = sub.add_parser(
+        "export-index",
+        help="Export a warehouse index to the reference's on-disk "
+             "format (JSONL + ids.txt + flat-f32 embeddings + meta)",
+    )
+    ex.add_argument("name", help="index name in the warehouse")
+    ex.add_argument(
+        "--to", required=True, dest="out_dir",
+        help="output directory for the reference-format files",
+    )
+    ex.add_argument("--warehouse", default=".leann-spark")
+    ex.set_defaults(fn=cmd_export_index)
 
     return p
 
