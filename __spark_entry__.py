@@ -1028,6 +1028,34 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def x_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of query through the hot-key salting path
+    (salt_buckets=8: left rows hash-spread, right rows replicated per
+    bucket, window partitioned by (key, salt)) against the SAME oracle
+    — salting must be invisible in the results, which is the entire
+    claim that makes it safe to enable on a skewed key at 100 TB."""
+    from leann_rs_spark.operators.joins import asof_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["view_value"],
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("view_ts"),
+        (F.round("view_value_right", 6) + F.lit(0.0)).alias("view_value_r"),
+    ).orderBy("event_id")
+
+
 _SESSION_GAP = "30 minutes"
 
 
@@ -1586,6 +1614,8 @@ def _register_session_oracle() -> None:
                round(view_value_right, 6) + 0.0 AS view_value_r
         FROM ({asof}) ORDER BY event_id
     """
+    # the salted physical form answers the SAME query — same oracle
+    _ORACLES["x_asof_join_salted"] = _ORACLES["x_asof_join"]
     # Spark's window() aligns tumbling windows to the unix epoch;
     # DuckDB time_bucket's default origin (2000-01-01) lands on the
     # same boundaries for any duration that divides a day.
@@ -1927,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_window_stats": x_stream_window_stats,
         "x_ivf_recall": x_ivf_recall,
         "x_lm_score": x_lm_score,
+        "x_asof_join_salted": x_asof_join_salted,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
