@@ -623,11 +623,23 @@ def search_index(
 # Spark-native): the ANN "graph build" becomes a partitionBy write.
 # ---------------------------------------------------------------------------
 
+def suggest_ivf_centroids(n_rows: int) -> int:
+    """Codebook size for an IVF index over `n_rows` vectors:
+    C ≈ 4·√N (the published FAISS guideline for IVF training), floored
+    at 16. A FROZEN C is the measured failure mode at scale — per-probe
+    scan cost is ~N/C of the corpus, so C must grow with N or every
+    query's probed share balloons (the same C∝N lesson SURVEY §10
+    measured for SemDeDup: frozen C=16 went quadratic at 10×)."""
+    import math
+
+    return max(16, int(4 * math.sqrt(max(n_rows, 1))))
+
+
 def build_ivf_index(
     spark: SparkSession,
     warehouse: str,
     name: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     centroids: str = "kmeans",
     seed: int = 42,
 ) -> IndexMeta:
@@ -660,6 +672,9 @@ def build_ivf_index(
     base = _index_dir(warehouse, name)
     meta = load_meta(warehouse, name)
     emb = spark.read.parquet(f"{base}/embeddings")
+    if n_centroids is None:
+        # size the codebook to the corpus (see suggest_ivf_centroids)
+        n_centroids = suggest_ivf_centroids(meta.passage_count)
     if centroids == "kmeans":
         cents = kmeans_centroids(emb, n_centroids, id_col="idx", seed=seed)
     elif centroids == "take":

@@ -475,3 +475,22 @@ def test_ivf_default_policy_is_learned_codebook(spark, docs, warehouse):
     catalog.build_ivf_index(spark, warehouse, "kmidx", n_centroids=8)
     a2 = spark.read.parquet(f"{warehouse}/kmidx/ivf")
     assert pairs(a2) == before
+
+
+def test_ivf_autosized_codebook(spark, docs, warehouse):
+    """n_centroids=None sizes the codebook as 4·√N (floored at 16) —
+    the C∝N rule that keeps per-probe scan share flat as the corpus
+    grows."""
+    from leann_rs_spark.catalog import suggest_ivf_centroids
+
+    assert suggest_ivf_centroids(0) == 16
+    assert suggest_ivf_centroids(100) == 40
+    assert suggest_ivf_centroids(1_000_000) == 4000
+    catalog.build_index(
+        spark, warehouse, "autoidx", docs, chunk_size=16, chunk_overlap=4,
+        dims=32, with_bm25=False,
+    )
+    meta = catalog.build_ivf_index(spark, warehouse, "autoidx", n_centroids=None)
+    assert meta.extra["ivf_centroids"] == suggest_ivf_centroids(
+        meta.passage_count
+    )

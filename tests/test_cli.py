@@ -259,3 +259,25 @@ def test_cli_curate_with_span_cut(spark, tmp_path_factory, capsys):
         orig, "doc_id"
     ).filter("new_len > orig_len")
     assert grown.count() == 0
+
+
+def test_cli_build_with_registry_model(spark, tmp_path_factory, capsys):
+    """`build --embedding-model e5-base` must resolve the registry's
+    prompt prefixes end-to-end through the CLI wiring (the r3 gap:
+    the flag previously resolved to nothing)."""
+    import json as _json
+
+    wh = str(tmp_path_factory.mktemp("cli_wh_reg"))
+    rc = main([
+        "build", "regidx", "--warehouse", wh,
+        "--docs", f"{SF_SMOKE}/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+        "--embedding-model", "e5-base",
+    ])
+    assert rc == 0
+    meta = _json.loads(open(f"{wh}/regidx/meta.json").read())
+    assert meta["doc_prompt_template"] == "passage: "
+    assert meta["query_prompt_template"] == "query: "
+    assert meta["extra"]["model_config"]["model"] == "e5-base"
+    # hash mode keeps its version pin
+    assert meta["embedding_model"] == "hash-v2"
