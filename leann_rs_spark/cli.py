@@ -21,6 +21,14 @@ from pyspark.sql import SparkSession
 DEFAULT_WAREHOUSE = ".leann/indexes"  # locate.rs:11-36 project-local root
 
 
+def _centroids_arg(raw: str):
+    """--ivf-centroids value: an int, or 'auto' → None (the library
+    then sizes the codebook as 4·√N, catalog.suggest_ivf_centroids)."""
+    if raw.strip().lower() == "auto":
+        return None
+    return int(raw)
+
+
 def _spark(args) -> SparkSession:
     from leann_rs_spark.session import get_spark
 
@@ -499,7 +507,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--max-files", type=int, default=None, dest="max_files")
     b.add_argument("--max-file-size-kb", type=int, default=None,
                    dest="max_file_size_kb")
-    b.add_argument("--ivf-centroids", type=int, default=16, dest="ivf_centroids")
+    b.add_argument(
+        "--ivf-centroids", type=_centroids_arg, default=None,
+        dest="ivf_centroids", metavar="N|auto",
+        help="IVF codebook size; 'auto' (default) sizes it as "
+             "4*sqrt(N) — a frozen C is the measured scale failure mode",
+    )
     b.add_argument("--embedding-mode", default="hash", dest="embedding_mode",
                    choices=["hash", "openai", "ollama", "gemini"])
     b.add_argument("--embedding-model", default=None, dest="embedding_model")
@@ -615,7 +628,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--from", required=True, dest="src_dir",
         help="reference index directory (.leann/indexes/<name>)",
     )
-    im.add_argument("--warehouse", default=".leann-spark")
+    im.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
     im.add_argument(
         "--no-bm25", action="store_true",
         help="skip building BM25 postings for the imported passages",
@@ -632,7 +645,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--to", required=True, dest="out_dir",
         help="output directory for the reference-format files",
     )
-    ex.add_argument("--warehouse", default=".leann-spark")
+    ex.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
     ex.set_defaults(fn=cmd_export_index)
 
     return p

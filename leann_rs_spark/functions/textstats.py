@@ -670,6 +670,7 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: float = 0.1,
+    intermediates: list | None = None,
 ):
     """Per-document cross-entropy under a bigram LM trained on the
     corpus ITSELF (add-k smoothing) — the perplexity-style quality
@@ -691,6 +692,12 @@ def lm_score(
     can convert to broadcast when the vocabulary fits, correct either
     way at 100 TB. The per-doc average is one more map-side-combined
     groupBy. Nothing is driver-resident.
+
+    The exploded-bigram frame feeds BOTH the count aggregation and the
+    scoring join (different exchange shapes — not reusable plan
+    subtrees), so it is persisted AND materialized here; at 100 TB
+    that persist is "write the bigram table once". `intermediates`
+    receives it for caller unpersist in long-lived drivers.
     """
     toks = docs.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
     # in-row bigram construction: zip the array against itself shifted
@@ -703,7 +710,10 @@ def lm_score(
     )
     pairs = toks.select("__id", F.explode(bg).alias("__bg")).select(
         "__id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
-    )
+    ).persist()
+    pairs.count()  # materialize: two consumers with different exchanges
+    if intermediates is not None:
+        intermediates.append(pairs)
     c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c2"))
     c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
     vocab = toks.select(F.explode("__t").alias("__w")).agg(

@@ -71,9 +71,7 @@ def read_reference_passages(
     """
     p = _ref_paths(index_dir)
     with open(p["ids"]) as f:
-        ids = [line.rstrip("\n") for line in f if line != "\n"]
-    if ids and ids[-1] == "":
-        ids.pop()
+        ids = [s for s in (line.rstrip("\r\n") for line in f) if s]
     id_to_idx = spark.createDataFrame(
         [(i, pid) for i, pid in enumerate(ids)], "idx bigint, id string"
     )
@@ -87,10 +85,13 @@ def read_reference_passages(
     )
     joined = parsed.join(id_to_idx, "id")
     # conventional metadata keys (the reference's own build pipeline
-    # stamps source paths into metadata); fall back to the passage id
+    # stamps source paths into metadata; our export stamps doc_id and
+    # chunk_index there) — metadata doc_id wins, then the numeric
+    # passage id, then the dense idx
     return joined.select(
         "idx",
         F.coalesce(
+            F.get_json_object("metadata", "$.doc_id").cast("bigint"),
             F.col("id").cast("bigint"),
             F.col("idx"),
         ).alias("doc_id"),
@@ -179,6 +180,14 @@ def import_reference_index(
     count = int(src["passage_count"])
 
     base = _index_dir(warehouse, name)
+    # importing over an existing index must not leave stale derived
+    # artifacts behind: old bm25_postings/ivf keep idx→content mappings
+    # of the REPLACED passages, and search_index enables hybrid by
+    # directory existence — silently wrong rankings otherwise
+    if os.path.isdir(base):
+        import shutil
+
+        shutil.rmtree(base)
     passages = read_reference_passages(spark, index_dir)
     passages.write.mode("overwrite").parquet(f"{base}/passages")
     passages = spark.read.parquet(f"{base}/passages")
@@ -201,6 +210,21 @@ def import_reference_index(
 
         _write_bm25(passages, base, mode="overwrite")
 
+    opts = src.get("embedding_options") or {}
+    if not opts.get("doc_prompt_template") and not opts.get(
+        "query_prompt_template"
+    ):
+        # the reference resolves prompt prefixes from the model NAME at
+        # embed time (get_model_config, models.rs:33-125) — an imported
+        # nomic/e5 index was built WITH the document prefix, so searches
+        # here must apply the query prefix the same way
+        from leann_rs_spark.models import get_model_config
+
+        cfg = get_model_config(src.get("embedding_model", ""))
+        opts = {
+            "doc_prompt_template": cfg.document_prefix or None,
+            "query_prompt_template": cfg.query_prefix or None,
+        }
     meta = IndexMeta(
         backend="exact",  # the graph artifact is not imported
         embedding_mode=src.get("embedding_mode", "custom"),
@@ -208,6 +232,8 @@ def import_reference_index(
         dimensions=dims,
         passage_count=count,
         is_pruned=pruned,
+        doc_prompt_template=opts.get("doc_prompt_template"),
+        query_prompt_template=opts.get("query_prompt_template"),
         extra={
             "bm25": with_bm25,
             "imported_from": os.path.abspath(index_dir),
@@ -262,16 +288,21 @@ def export_reference_index(
     offsets: dict[str, int] = {}
     with open(base + ".passages.jsonl", "wb") as f:
         for row in passages.toLocalIterator():
-            pid = str(row["doc_id"])
-            # passage ids must be unique; chunk-level exports reuse the
-            # reference's convention of sequential ids
-            pid = str(row["idx"]) if pid in offsets else pid
+            # passage id = the dense idx, ALWAYS — unique by
+            # construction, and exactly the reference's own convention
+            # (chunk ids are a global sequential counter,
+            # chunker/simple.rs:38-40). doc_id/chunk_index travel in
+            # metadata so a round-trip import restores them losslessly;
+            # reusing doc_id as the pid collides once a document has
+            # more than one chunk.
+            pid = str(row["idx"])
             offsets[pid] = f.tell()
             rec = {
                 "id": pid,
                 "text": row["text"],
                 "metadata": {
                     "source": row["source"],
+                    "doc_id": row["doc_id"],
                     "chunk_index": row["chunk_index"],
                 },
             }
@@ -309,6 +340,36 @@ def export_reference_index(
         "is_recompute": True,
         "is_pruned": meta.is_pruned,
     }
+    # Prompt templates: the stored f32 vectors embed the DOC template's
+    # prefix. A reference binary resolves prefixes from the model NAME
+    # through its own registry (models.rs) — consistent whenever the
+    # index's templates came from our registry for the same name. Ship
+    # them in the meta's embedding_options pass-through field
+    # (meta.rs:33-35, serde-tolerated) so the provenance is explicit,
+    # and warn when the reference's registry would NOT reproduce them
+    # (custom templates → its query/recompute embeddings would be
+    # prefix-inconsistent with the exported vectors).
+    if meta.doc_prompt_template or meta.query_prompt_template:
+        ref_meta["embedding_options"] = {
+            "doc_prompt_template": meta.doc_prompt_template,
+            "query_prompt_template": meta.query_prompt_template,
+        }
+        from leann_rs_spark.models import get_model_config
+
+        cfg = get_model_config(meta.embedding_model)
+        if (cfg.document_prefix, cfg.query_prefix) != (
+            meta.doc_prompt_template or "",
+            meta.query_prompt_template or "",
+        ):
+            import warnings
+
+            warnings.warn(
+                "exported index uses custom prompt templates the "
+                f"reference's registry will not resolve for model "
+                f"{meta.embedding_model!r}; its query embeddings will "
+                "be prefix-inconsistent with the exported vectors",
+                stacklevel=2,
+            )
     with open(base + ".leann.meta.json", "w") as f:
         json.dump(ref_meta, f, indent=2)
     return {

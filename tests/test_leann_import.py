@@ -168,6 +168,18 @@ def test_export_import_round_trip(spark, tmp_path):
         spark, wh, "back", q, k=5, hybrid=False,
         query_provider=HashEmbedder(dims=16),
     )
-    w = [(r["text"], round(r["score"], 4)) for r in want.collect()]
-    g = [(r["text"], round(r["score"], 4)) for r in got.collect()]
+    # doc_id must survive the round trip (chunked docs: passage id is
+    # the idx, doc_id travels in metadata — a doc_id-as-pid scheme
+    # silently reassigns later chunks to other documents' ids)
+    w = [(r["doc_id"], r["text"], round(r["score"], 4)) for r in want.collect()]
+    g = [(r["doc_id"], r["text"], round(r["score"], 4)) for r in got.collect()]
     assert g == w  # scores equal to f32-storage precision
+    p_orig = spark.read.parquet(f"{wh}/orig/passages")
+    p_back = spark.read.parquet(f"{wh}/back/passages")
+    pairs = lambda df: sorted(
+        (r["idx"], r["doc_id"], r["chunk_index"])
+        for r in df.select("idx", "doc_id", "chunk_index").collect()
+    )
+    assert pairs(p_back) == pairs(p_orig)
+    # multi-chunk docs exist in this corpus, or the test proves nothing
+    assert p_orig.groupBy("doc_id").count().agg(F.max("count")).head()[0] > 1
