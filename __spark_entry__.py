@@ -1195,6 +1195,63 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+_TFIDF_QUERY = "merge sort batch"
+_TFIDF_K = 10
+
+
+def x_tfidf_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-trained LOCAL embedding model (TF-IDF × signed
+    random projection, embedder.tfidf_embed_documents): integer-exact
+    idf quantization makes the distributed form, the driver-side
+    TfidfEmbedder provider, and the SQL oracle bit-identical. The
+    in-process local model slot the reference fills with Candle
+    (candle.rs:102-216), trained from the corpus instead of downloaded
+    weights."""
+    from leann_rs_spark.operators.embedder import tfidf_embed_documents
+
+    emb = tfidf_embed_documents(_fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "doc_id", "dim",
+        (F.round(F.col("v"), 6) + F.lit(0.0)).alias("val"),
+    )
+
+
+def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval with the corpus-trained model: the query
+    embeds against CORPUS statistics (idf from corpus, tf from query —
+    the asymmetric convention), exact top-k by inner product. Unlike
+    the hash embedder, documents sharing the query's rare terms
+    genuinely rank higher — local-model semantic retrieval with a full
+    SQL oracle."""
+    from leann_rs_spark.functions.vector import dot
+    from leann_rs_spark.operators.embedder import (
+        tfidf_corpus_stats,
+        tfidf_embed_documents,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = tfidf_embed_documents(_fan(docs), dims=_EMBED_DIMS)
+    dfreq, nd = tfidf_corpus_stats(docs)
+    qdf = spark.createDataFrame(
+        [(0, _TFIDF_QUERY)], "doc_id bigint, text string"
+    )
+    qv = tfidf_embed_documents(
+        qdf, dims=_EMBED_DIMS, dfreq=dfreq, n_docs_df=nd
+    ).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            dot(F.col("embedding"), F.col("qv")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_TFIDF_K)
+        .select("doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score_r"))
+    )
+
+
 def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self bigram-LM cross-entropy per document — the
     perplexity-style quality signal CCNet-family pipelines filter on
@@ -1704,6 +1761,23 @@ def _register_lsh_corpus_oracles() -> None:
         SELECT id_a, id_b, round(cos, 6) AS cos_r FROM ({lsh})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.embedder import duckdb_tfidf_embed_table
+
+    tfidf_tbl = duckdb_tfidf_embed_table(dims=_EMBED_DIMS)
+    _ORACLES["x_tfidf_embed"] = f"""
+        SELECT doc_id, i - 1 AS dim, round(embedding[i], 6) + 0.0 AS val
+        FROM ({tfidf_tbl}) e, unnest(generate_series(1, {_EMBED_DIMS})) t(i)
+    """
+    tfidf_q = duckdb_tfidf_embed_table(
+        dims=_EMBED_DIMS, query_text=f"'{_TFIDF_QUERY}'"
+    )
+    _ORACLES["x_tfidf_topk"] = f"""
+        WITH emb AS ({tfidf_tbl}), q AS (SELECT embedding AS qv FROM ({tfidf_q}))
+        SELECT doc_id, round({duckdb_dot('e.embedding', 'q.qv')}, 6) + 0.0 AS score_r
+        FROM emb e, q
+        ORDER BY {duckdb_dot('e.embedding', 'q.qv')} DESC, doc_id ASC
+        LIMIT {_TFIDF_K}
+    """
     from leann_rs_spark.functions.textstats import duckdb_lm_score
 
     _ORACLES["x_lm_score"] = f"""
@@ -1958,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_recall": x_ivf_recall,
         "x_lm_score": x_lm_score,
         "x_asof_join_salted": x_asof_join_salted,
+        "x_tfidf_embed": x_tfidf_embed,
+        "x_tfidf_topk": x_tfidf_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -373,3 +373,233 @@ def embed_documents(
     # vector dims+1 times; without it each read re-evaluates the sums
     emb = F.transform(F.array(raw), _normalized)[0]
     return agg.withColumn(out_col, emb).select(id_col, *others, out_col)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained local embedding model: TF-IDF + signed random projection.
+#
+# The reference's local path runs a real in-process model (Candle,
+# /root/reference/src/embedding/candle.rs:102-216). This sandbox has no
+# torch and no network, so the semantic local model here is the
+# classical one: document vector = L2-normalized sum over tokens of
+# tf·idf times a deterministic ±-weight projection of the token (the
+# hashing-trick / random-projection family). Unlike the pure hash
+# embedder (which only matches identical token multisets), documents
+# SHARING RARE TERMS get genuinely similar vectors — real lexical-
+# semantic retrieval, trained from the corpus itself, no external
+# weights.
+#
+# Exactness design (the hash-v2 trick extended): idf is quantized to
+# integer micro-units once per term — idf_q = round((ln((N+1)/(df+1))
+# + 1) · 1e6) — so every per-(token, dim) contribution
+# tf · idf_q · w_int is an INTEGER product and the per-dim sums are
+# exact and order-independent in both engines; one double division
+# (1e9) at the end. Overflow bound: tf · idf_q · 1000 · distinct-terms
+# per doc must stay < 2^63 — satisfied by any realistic document
+# (≈2·10^5 weighted token-units of headroom at web scale).
+# ---------------------------------------------------------------------------
+
+def _tfidf_weighted_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    dfreq: DataFrame | None = None,
+    n_docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """→ (id, _tok, _wq) integer tf·idf_q weights per (doc, term).
+    `dfreq`/`n_docs_df` default to the input corpus's own stats; pass
+    them explicitly to embed QUERIES against corpus statistics."""
+    toks = docs.select(F.col(id_col).alias("__tid"), F.explode(tokenize(text_col)).alias("_tok"))
+    tf = toks.groupBy("__tid", "_tok").agg(F.count("*").alias("_tf"))
+    if dfreq is None:
+        dfreq = tf.groupBy("_tok").agg(F.count("*").alias("_df"))
+    if n_docs_df is None:
+        n_docs_df = docs.agg(F.count("*").alias("_n"))
+    w = tf.join(dfreq, "_tok", "left").crossJoin(F.broadcast(n_docs_df))
+    idf_q = F.round(
+        (
+            F.log(
+                (F.col("_n") + F.lit(1.0))
+                / (F.coalesce(F.col("_df"), F.lit(0)) + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    return w.select(
+        F.col("__tid").alias(id_col),
+        "_tok",
+        (F.col("_tf") * idf_q).alias("_wq"),
+    )
+
+
+def tfidf_corpus_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """→ (dfreq(_tok, _df), n_docs 1-row frame): the corpus statistics
+    queries must be embedded against (idf comes from the CORPUS, tf
+    from the query — the asymmetric convention)."""
+    toks = docs.select(
+        F.col(id_col).alias("__tid"), F.explode(tokenize(text_col)).alias("_tok")
+    )
+    dfreq = (
+        toks.distinct().groupBy("_tok").agg(F.count("*").alias("_df"))
+    )
+    return dfreq, docs.agg(F.count("*").alias("_n"))
+
+
+def tfidf_embed_documents(
+    docs: DataFrame,
+    dims: int = DEFAULT_DIMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dfreq: DataFrame | None = None,
+    n_docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """→ (id_col, embedding): the corpus-trained TF-IDF projection
+    model, fully distributed — one tf shuffle, a vocabulary-keyed df
+    join (AQE broadcasts it when the vocab fits), and one
+    map-side-combined sum per (doc, dim) with the per-dim arithmetic
+    unrolled into codegen'd aggregates (the embed_documents bulk
+    shape). Token-less docs keep the zero vector."""
+    w = _tfidf_weighted_terms(docs, id_col, text_col, dfreq, n_docs_df)
+    pair = hash_pair(F.col("_tok"))
+    w = w.withColumn("_a", pair["a"]).withColumn("_b", pair["b"])
+    sums = [
+        F.sum(
+            F.col("_wq")
+            * (((F.col("_a") + F.lit(j + 1) * F.col("_b")) % F.lit(HASH_P))
+               % F.lit(_MOD) - F.lit(1000))
+        ).alias(f"_s{j}")
+        for j in range(dims)
+    ]
+    agg = w.groupBy(id_col).agg(*sums)
+    # token-less docs never enter the token stream — restore them with
+    # the zero vector (the hash embedder's empty-text convention)
+    agg = docs.select(id_col).join(agg, id_col, "left")
+    raw = F.array(
+        *[
+            F.coalesce(F.col(f"_s{j}"), F.lit(0)).cast("double") / F.lit(1e9)
+            for j in range(dims)
+        ]
+    )
+    emb = F.transform(F.array(raw), _normalized)[0]
+    return agg.withColumn(out_col, emb).select(id_col, out_col)
+
+
+def duckdb_tfidf_embed_table(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = DEFAULT_DIMS,
+    query_text: str | None = None,
+) -> str:
+    """Oracle twin of `tfidf_embed_documents` — identical tokenize, md5
+    pair, integer idf quantization, integer sums, final normalize.
+    With `query_text`, returns ONE row (id NULL) embedding that string
+    against the TABLE's df/N statistics (the query-side form)."""
+    from leann_rs_spark.functions.text import (
+        duckdb_hash_pair,
+        duckdb_tokenize,
+    )
+
+    if query_text is None:
+        target = f"SELECT {id_col} AS tid, {duckdb_tokenize(text_col)} AS t FROM {table}"
+    else:
+        # tid 0, not NULL: the reassembly joins ON tid, and NULL keys
+        # never match in SQL joins
+        target = f"SELECT 0::bigint AS tid, {duckdb_tokenize(query_text)} AS t"
+    pair = duckdb_hash_pair("w.tok")
+    weight = f"(({pair}).a + (j + 1) * ({pair}).b) % {HASH_P} % {_MOD} - 1000"
+    return f"""
+        WITH target AS ({target}),
+        toks AS (SELECT tid, unnest(t) AS tok FROM target),
+        tf AS (SELECT tid, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        corpus_tf AS (
+            SELECT {id_col} AS cid, unnest({duckdb_tokenize(text_col)}) AS tok
+            FROM {table}
+        ),
+        dfq AS (
+            SELECT tok, count(*) AS df
+            FROM (SELECT DISTINCT cid, tok FROM corpus_tf) GROUP BY tok
+        ),
+        n AS (SELECT count(*) AS n FROM {table}),
+        w AS (
+            SELECT tf.tid, tf.tok,
+                   tf.tf * CAST(round((ln((n.n + 1.0)
+                        / (coalesce(dfq.df, 0) + 1.0)) + 1.0) * 1e6)
+                        AS BIGINT) AS wq
+            FROM tf LEFT JOIN dfq USING (tok), n
+        ),
+        per_dim AS (
+            SELECT w.tid, j,
+                   sum(w.wq * ({weight}))::double / 1e9 AS rawv
+            FROM w, unnest(generate_series(0, {dims - 1})) s(j)
+            GROUP BY 1, 2
+        ),
+        vecs AS (
+            SELECT tid, list(rawv ORDER BY j) AS raw FROM per_dim GROUP BY tid
+        ),
+        allrows AS (
+            SELECT t.tid,
+                   coalesce(v.raw,
+                            list_transform(generate_series(1, {dims}),
+                                           x -> 0.0)) AS raw
+            FROM (SELECT DISTINCT tid FROM target) t
+            LEFT JOIN vecs v USING (tid)
+        )
+        SELECT tid AS {id_col}, {DUCKDB_NORMALIZE} AS embedding FROM allrows
+    """
+
+
+class TfidfEmbedder:
+    """Provider-interface wrapper over the corpus-trained model: `fit`
+    collects the vocabulary df map driver-side (vocab-sized — fine for
+    single-process query embedding; the corpus side always uses the
+    distributed form), then `embed` produces query vectors against the
+    corpus statistics, slotting into search_index(query_provider=) /
+    embed_pandas like any network provider. The in-process local model
+    the reference's Candle backend plays (candle.rs:102-216), built
+    from the corpus instead of downloaded weights."""
+
+    def __init__(self, dims: int = DEFAULT_DIMS):
+        self.dims = dims
+        self.df: dict[str, int] = {}
+        self.n_docs = 0
+
+    def fit(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        toks = docs.select(
+            F.col(id_col).alias("__tid"), F.explode(tokenize(text_col)).alias("_tok")
+        )
+        rows = (
+            toks.distinct().groupBy("_tok").agg(F.count("*").alias("_df")).collect()
+        )
+        self.df = {r["_tok"]: r["_df"] for r in rows}
+        self.n_docs = docs.count()
+        return self
+
+    def embed(self, texts: list[str]) -> list[list[float]]:
+        out = []
+        for text in texts:
+            counts: dict[str, int] = {}
+            for t in _py_tokenize(text):
+                counts[t] = counts.get(t, 0) + 1
+            acc = [0] * self.dims
+            for tok, tf in counts.items():
+                idf_q = round(
+                    (math.log((self.n_docs + 1.0) / (self.df.get(tok, 0) + 1.0))
+                     + 1.0) * 1e6
+                )
+                wq = tf * int(idf_q)
+                a, b = _py_hash_pair(tok)
+                for j in range(self.dims):
+                    h = (a + (j + 1) * b) % HASH_P
+                    acc[j] += wq * ((h % _MOD) - 1000)
+            raw = [x / 1e9 for x in acc]
+            norm = 0.0
+            for x in raw:
+                norm += x * x
+            norm = max(math.sqrt(norm), 1e-12)
+            out.append([x / norm for x in raw])
+        return out

@@ -207,3 +207,74 @@ def test_bulk_and_scalar_paths_bit_identical(spark):
         .select("doc_id", "embedding").collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained TF-IDF projection model (the local-model slot)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_provider_matches_distributed(spark):
+    from leann_rs_spark.operators.embedder import (
+        TfidfEmbedder,
+        tfidf_embed_documents,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+        .cache()
+    )
+    emb = {
+        r["doc_id"]: tuple(round(x, 9) for x in r["embedding"])
+        for r in tfidf_embed_documents(docs, dims=16).collect()
+    }
+    prov = TfidfEmbedder(dims=16).fit(docs)
+    rows = docs.orderBy("doc_id").limit(8).collect()
+    got = prov.embed([r["text"] for r in rows])
+    for r, v in zip(rows, got):
+        assert tuple(round(x, 9) for x in v) == emb[r["doc_id"]], r["doc_id"]
+
+
+def test_tfidf_rare_term_retrieval(spark):
+    """The semantic property the hash embedder lacks: a query sharing a
+    RARE term with one document ranks that document first, even though
+    no document equals the query text."""
+    from leann_rs_spark.functions.vector import dot
+    from leann_rs_spark.operators.embedder import (
+        tfidf_corpus_stats,
+        tfidf_embed_documents,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "mitochondria zygote chromatin biology notes"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = tfidf_embed_documents(docs, dims=32)
+    dfreq, nd = tfidf_corpus_stats(docs)
+    qdf = spark.createDataFrame(
+        [(0, "zygote chromatin")], "doc_id long, text string"
+    )
+    qv = tfidf_embed_documents(
+        qdf, dims=32, dfreq=dfreq, n_docs_df=nd
+    ).select(F.col("embedding").alias("qv"))
+    top = (
+        emb.crossJoin(F.broadcast(qv))
+        .select("doc_id", dot(F.col("embedding"), F.col("qv")).alias("s"))
+        .orderBy(F.col("s").desc())
+        .head()
+    )
+    assert top["doc_id"] == 100 and top["s"] > 0.5
+
+
+def test_tfidf_empty_doc_zero_vector(spark):
+    from leann_rs_spark.operators.embedder import tfidf_embed_documents
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in tfidf_embed_documents(docs, dims=8).collect()}
+    assert len(out) == 3
+    assert all(x == 0.0 for x in out[2]) and all(x == 0.0 for x in out[3])
+    assert any(x != 0.0 for x in out[1])
