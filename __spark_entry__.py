@@ -247,6 +247,48 @@ def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8
+_PQ_K = 16
+_PQ_REFINES = [1, 2, 4, 8, 64]
+
+
+def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): take-policy sub-
+    codebooks → per-subspace argmin encoding (one projection) →
+    decode-then-dot ADC top-k over the M-byte codes. The 100 TB scan-
+    bytes path: 32× less I/O than full f32 vectors; q3 is the exact
+    twin it approximates."""
+    from leann_rs_spark.operators.pq import (
+        pq_encode, pq_search, take_subcodebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = take_subcodebooks(emb, m=_PQ_M, k=_PQ_K)
+    codes = pq_encode(_fan(emb), cb)
+    qv = _query_vec(spark, sf_dir, 4)
+    return pq_search(codes, cb, qv, k=10)
+
+
+def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ compression-accuracy curve: recall@10 of ADC shortlist +
+    exact refine vs exact search, per refine factor (x_ivf_recall's
+    analog for the code-compression knob). refine·k ≥ N closes the
+    sweep at recall 1.0 by construction — the built-in self-check."""
+    from leann_rs_spark.operators.pq import (
+        pq_refine_recall_curve, take_subcodebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = take_subcodebooks(emb, m=_PQ_M, k=_PQ_K)
+    queries = emb.filter(F.col("vec_id") < _RECALL_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_refine_recall_curve(
+        _fan(emb), cb, queries, k=_RECALL_K, refines=_PQ_REFINES
+    )
+
+
 _DSL_EVENTS = "k>50,k<=90 OR k in [1,2,3]"
 _DSL_DOCS = "lang in [en,de] AND source^src1"
 
@@ -1410,6 +1452,18 @@ def _register_bm25_oracles() -> None:
         n_queries=_RECALL_Q, k=_RECALL_K, nprobes=_RECALL_SWEEP,
         n_centroids=_IVF_CENTROIDS,
     )
+    from leann_rs_spark.operators.pq import (
+        duckdb_pq_refine_recall_curve,
+        duckdb_pq_search,
+    )
+
+    _ORACLES["x_pq_topk"] = duckdb_pq_search(
+        query_vec_id=4, k=10, m=_PQ_M, n_codebook=_PQ_K
+    )
+    _ORACLES["x_pq_recall"] = duckdb_pq_refine_recall_curve(
+        n_queries=_RECALL_Q, k=_RECALL_K, refines=_PQ_REFINES,
+        m=_PQ_M, n_codebook=_PQ_K,
+    )
 
 
 _register_bm25_oracles()
@@ -2034,6 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_asof_join_salted": x_asof_join_salted,
         "x_tfidf_embed": x_tfidf_embed,
         "x_tfidf_topk": x_tfidf_topk,
+        "x_pq_topk": x_pq_topk,
+        "x_pq_recall": x_pq_recall,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

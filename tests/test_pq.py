@@ -1,0 +1,141 @@
+"""Product quantization (operators/pq.py): encode determinism, ADC/refine
+semantics, codebook policies, and the no-shuffle search plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.pq import (
+    kmeans_subcodebooks,
+    pq_encode,
+    pq_encode_col,
+    pq_reconstruct_col,
+    pq_refine_recall_curve,
+    pq_search,
+    pq_search_refined,
+    take_subcodebooks,
+)
+from leann_rs_spark.operators.search import exact_search
+from tests.conftest import SF_SMOKE
+
+M, K = 8, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def cb(emb):
+    return take_subcodebooks(emb, m=M, k=K)
+
+
+def test_codebook_shape(cb):
+    assert len(cb) == M
+    assert all(len(sub) == K for sub in cb)
+    assert all(len(cv) == 64 // M for sub in cb for cv in sub)
+
+
+def test_codebook_rejects_indivisible_dims(emb):
+    with pytest.raises(ValueError):
+        take_subcodebooks(emb, m=7, k=K)
+
+
+def test_codebook_sources_encode_to_themselves(emb, cb):
+    """A vector whose sub-slices ARE codebook entries has distance 0 to
+    its own sub-centroid, so (modulo exact duplicates, tie-broken by
+    cid) it decodes back to itself bit-for-bit."""
+    rows = (
+        pq_encode(emb.filter(F.col("vec_id") < K), cb)
+        .withColumn("recon", pq_reconstruct_col(F.col("code"), cb))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .collect()
+    )
+    assert len(rows) == K
+    for r in rows:
+        assert [float(x) for x in r["recon"]] == pytest.approx(
+            [float(x) for x in r["embedding"]], abs=0.0
+        )
+
+
+def test_codes_are_valid_and_deterministic(emb, cb):
+    codes = pq_encode(emb, cb)
+    bad = codes.filter(
+        (F.size("code") != M)
+        | F.exists("code", lambda c: (c < 0) | (c >= K))
+    ).count()
+    assert bad == 0
+    a = {r["vec_id"]: list(r["code"]) for r in codes.collect()}
+    b = {r["vec_id"]: list(r["code"]) for r in pq_encode(emb, cb).collect()}
+    assert a == b
+
+
+def test_full_refine_equals_exact(spark, emb, cb):
+    """refine·k ≥ N degrades refined search to exact search — ids AND
+    scores bit-identical (the refine scores are exact dot products)."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    n = emb.count()
+    codes = pq_encode(emb, cb)
+    refined = pq_search_refined(
+        codes, emb, cb, qv, k=10, refine=(n // 10) + 1
+    ).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in refined] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_adc_self_query_ranks_self_first(emb, cb):
+    """The query's own row decodes to the closest code — ADC must rank
+    the query vector itself at the top (sanity of the score direction)."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    top = pq_search(pq_encode(emb, cb), cb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7
+
+
+def test_recall_curve_monotone_and_closes_at_one(emb, cb):
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    inter = []
+    curve = pq_refine_recall_curve(
+        emb, cb, queries, k=5, refines=[1, 4, (n // 5) + 1],
+        intermediates=inter,
+    ).collect()
+    rec = [r["recall_r"] for r in curve]
+    assert rec == sorted(rec)
+    assert rec[-1] == 1.0
+    assert all(0.0 <= x <= 1.0 for x in rec)
+    for df in inter:
+        df.unpersist()
+
+
+def test_kmeans_subcodebooks_shape_and_search(emb):
+    cb2 = kmeans_subcodebooks(emb, m=M, k=4, seed=7)
+    assert len(cb2) == M and all(len(s) == 4 for s in cb2)
+    cb3 = kmeans_subcodebooks(emb, m=M, k=4, seed=7)
+    assert cb2 == cb3  # seeded → reproducible codebook
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = pq_search(pq_encode(emb, cb2), cb2, qv, k=5).collect()
+    assert len(top) == 5
+
+
+def test_adc_search_plan_has_no_exchange(emb, cb):
+    """ADC top-k is Scan → Project → TakeOrdered: the corpus is never
+    shuffled (the reduction happens in the take, not an Exchange)."""
+    qv = [1.0] * 64
+    plan = (
+        pq_search(pq_encode(emb, cb), cb, qv, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_encode_plan_is_shuffle_free(emb, cb):
+    plan = (
+        pq_encode(emb, cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
