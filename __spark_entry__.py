@@ -289,6 +289,33 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_REFINE = 3
+
+
+def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale serving shape (IVF-PQ + refine):
+    coarse probing prunes the scan to nprobe/C of the corpus, ADC
+    scores the survivors at M bytes/row, exact rescoring touches only
+    refine·k rows — per-query scan bytes (nprobe/C)·N·M, the two knobs
+    multiplying. q1 (IVF over full vectors) and x_pq_topk (codes, no
+    pruning) are its single-knob twins."""
+    from leann_rs_spark.operators.pq import (
+        ivf_pq_search, pq_encode, take_subcodebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = take_subcodebooks(emb, m=_PQ_M, k=_PQ_K)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    assigned_codes = pq_encode(
+        ivf_assign(_fan(emb), cents), cb, extra_cols=["cluster_id"]
+    )
+    qv = _query_vec(spark, sf_dir, 4)
+    return ivf_pq_search(
+        assigned_codes, cents, cb, qv,
+        k=10, nprobe=_IVF_NPROBE, refine=_IVFPQ_REFINE, vectors=emb,
+    )
+
+
 _DSL_EVENTS = "k>50,k<=90 OR k in [1,2,3]"
 _DSL_DOCS = "lang in [en,de] AND source^src1"
 
@@ -1464,6 +1491,13 @@ def _register_bm25_oracles() -> None:
         n_queries=_RECALL_Q, k=_RECALL_K, refines=_PQ_REFINES,
         m=_PQ_M, n_codebook=_PQ_K,
     )
+    from leann_rs_spark.operators.pq import duckdb_ivf_pq_search
+
+    _ORACLES["x_ivfpq_topk"] = duckdb_ivf_pq_search(
+        query_vec_id=4, k=10, nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_CENTROIDS, refine=_IVFPQ_REFINE,
+        m=_PQ_M, n_codebook=_PQ_K,
+    )
 
 
 _register_bm25_oracles()
@@ -2090,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_topk": x_tfidf_topk,
         "x_pq_topk": x_pq_topk,
         "x_pq_recall": x_pq_recall,
+        "x_ivfpq_topk": x_ivfpq_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

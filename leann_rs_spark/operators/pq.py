@@ -168,12 +168,16 @@ def pq_encode(
     codebook: Codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, code) for every vector — the compressed index table. At
-    scale this is what gets persisted (optionally alongside cluster_id
-    from ivf_assign for IVF-PQ partition pruning)."""
+    """(id, code[, extras]) for every vector — the compressed index
+    table. At scale this is what gets persisted; pass
+    extra_cols=["cluster_id"] on an ivf_assign output to build the
+    IVF-PQ layout (partition-prunable codes)."""
     return vectors.select(
-        id_col, pq_encode_col(F.col(vec_col), codebook).alias("code")
+        id_col,
+        pq_encode_col(F.col(vec_col), codebook).alias("code"),
+        *(extra_cols or []),
     )
 
 
@@ -242,6 +246,59 @@ def pq_search_refined(
         .limit(refine * k)
         .select(id_col)
     )
+    return (
+        vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(id_col, dot(F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_search(
+    assigned_codes: DataFrame,
+    centroids: DataFrame,
+    codebook: Codebook,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 0,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed billion-scale serving shape (FAISS IndexIVFPQ):
+    coarse IVF probing prunes the scan to nprobe/C of the corpus
+    (static partition pruning on a cluster_id-partitioned table), ADC
+    scores the survivors at M bytes/row, and refine > 0 exact-rescores
+    the top refine·k against the full vectors (broadcast semi-join —
+    refine·k point reads, never a second pass).
+
+    `assigned_codes` is pq_encode(ivf_assign(...),
+    extra_cols=["cluster_id"]). nprobe = C with refine covering k·refine
+    ≥ probed rows degrades to exact search over the probed set
+    (test-pinned). Per-query scan bytes: (nprobe/C) · N · M — the two
+    knobs multiply.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe_rows = (
+        centroids.select(
+            "centroid_id", dot(F.col("centroid_vec"), q).alias("__qs")
+        )
+        .orderBy(F.col("__qs").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe_ids = [r["centroid_id"] for r in probe_rows]
+    pruned = assigned_codes.filter(F.col("cluster_id").isin(probe_ids))
+    adc = pruned.select(
+        id_col,
+        dot(q, pq_reconstruct_col(F.col("code"), codebook)).alias("score"),
+    ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    if refine <= 0:
+        return adc.limit(k)
+    if vectors is None:
+        raise ValueError("refine > 0 needs the full-vector table")
+    shortlist = adc.limit(refine * k).select(id_col)
     return (
         vectors.join(F.broadcast(shortlist), id_col, "left_semi")
         .select(id_col, dot(F.col(vec_col), q).alias("score"))
@@ -419,6 +476,83 @@ def duckdb_pq_search(
         FROM recon r, q
         ORDER BY score DESC, r.{id_col} ASC
         LIMIT {k}
+    """
+
+
+def duckdb_ivf_pq_search(
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+    n_centroids: int,
+    refine: int = 0,
+    m: int = PQ_DEFAULT_M,
+    n_codebook: int = PQ_DEFAULT_K,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of `ivf_pq_search`: take-policy coarse centroids AND
+    sub-codebooks, query = the embedding of `query_vec_id`."""
+    d = dims // m
+    common = _duckdb_pq_common(m, n_codebook, d, table, id_col, vec_col)
+    d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+    d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+    adc = duckdb_dot("q.qv", "r.rv")
+    exact = duckdb_dot(f"e.{vec_col}", "q.qv")
+    final = (
+        f"""
+        shortlist AS (
+            SELECT {id_col} FROM adc_ranked WHERE rn <= {refine * k}
+        )
+        SELECT e.{id_col}, {exact} AS score
+        FROM {table} e JOIN shortlist s ON s.{id_col} = e.{id_col}, q
+        ORDER BY score DESC, e.{id_col} ASC LIMIT {k}"""
+        if refine > 0
+        else f"""
+        noop AS (SELECT 1)
+        SELECT {id_col}, score FROM adc_ranked
+        ORDER BY score DESC, {id_col} ASC LIMIT {k}"""
+    )
+    return f"""
+        WITH {common},
+        cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT {vec_col} AS qv FROM {table}
+            WHERE {id_col} = {query_vec_id}
+        ),
+        probes AS (
+            SELECT centroid_id FROM (
+                SELECT c.centroid_id,
+                       row_number() OVER (
+                           ORDER BY {d_cq} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM cent c, q
+            ) WHERE rn <= {nprobe}
+        ),
+        adc_ranked AS (
+            SELECT r.{id_col}, {adc} AS score,
+                   row_number() OVER (
+                       ORDER BY {adc} DESC, r.{id_col} ASC
+                   ) AS rn
+            FROM recon r
+            JOIN assigned a ON a.{id_col} = r.{id_col}
+            JOIN probes p ON p.centroid_id = a.cluster_id, q
+        ),
+        {final}
     """
 
 

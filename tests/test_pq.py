@@ -121,6 +121,58 @@ def test_kmeans_subcodebooks_shape_and_search(emb):
     assert len(top) == 5
 
 
+def test_ivf_pq_full_probe_full_refine_equals_exact(spark, emb, cb):
+    """nprobe = C prunes nothing; refine covering N rescores everything
+    exactly — the composed path degrades to exact search bit-for-bit."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.pq import ivf_pq_search
+
+    C = 8
+    cents = take_centroids(emb, C)
+    ac = pq_encode(ivf_assign(emb, cents), cb, extra_cols=["cluster_id"])
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).head()["embedding"]]
+    n = emb.count()
+    got = ivf_pq_search(
+        ac, cents, cb, qv, k=10, nprobe=C, refine=(n // 10) + 1, vectors=emb
+    ).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_ivf_pq_probing_prunes_candidates(emb, cb):
+    """nprobe=1 results are a subset of the probed cluster's members."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.pq import ivf_pq_search
+
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    ac = pq_encode(assigned, cb, extra_cols=["cluster_id"])
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).head()["embedding"]]
+    got = ivf_pq_search(ac, cents, cb, qv, k=10, nprobe=1).collect()
+    clusters = {
+        r["cluster_id"]
+        for r in assigned.join(
+            emb.sparkSession.createDataFrame(
+                [(r["vec_id"],) for r in got], "vec_id bigint"
+            ),
+            "vec_id",
+        ).collect()
+    }
+    assert len(clusters) == 1
+
+
+def test_ivf_pq_refine_requires_vectors(emb, cb):
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.pq import ivf_pq_search
+
+    cents = take_centroids(emb, 8)
+    ac = pq_encode(ivf_assign(emb, cents), cb, extra_cols=["cluster_id"])
+    with pytest.raises(ValueError):
+        ivf_pq_search(ac, cents, cb, [0.0] * 64, refine=2)
+
+
 def test_adc_search_plan_has_no_exchange(emb, cb):
     """ADC top-k is Scan → Project → TakeOrdered: the corpus is never
     shuffled (the reduction happens in the take, not an Exchange)."""
