@@ -290,6 +290,26 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVFPQ_REFINE = 3
+_DSIR_TARGET = "source = 'src1' AND lang = 'en'"
+_DSIR_N = 100
+
+
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, arXiv:2302.03169):
+    raw documents resampled toward the hashed-n-gram distribution of a
+    target domain (here src1/en) via seeded Gumbel-top-n over the
+    log importance weights — deterministic, repartition-stable. Two
+    map-side-combined count shuffles; the ≤4096-row log-ratio model
+    broadcasts into the scoring join."""
+    from leann_rs_spark.operators.dsir import dsir_select
+
+    docs = _fan(_docs(spark, sf_dir))
+    target = docs.filter(F.expr(_DSIR_TARGET))
+    out = dsir_select(docs, target, n=_DSIR_N)
+    return out.select(
+        "doc_id", "n_grams",
+        (F.round("log_weight", 6) + F.lit(0.0)).alias("logw_r"),
+    ).orderBy("doc_id")
 
 
 def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1498,6 +1518,11 @@ def _register_bm25_oracles() -> None:
         n_centroids=_IVF_CENTROIDS, refine=_IVFPQ_REFINE,
         m=_PQ_M, n_codebook=_PQ_K,
     )
+    from leann_rs_spark.operators.dsir import duckdb_dsir_select
+
+    _ORACLES["x_dsir_select"] = duckdb_dsir_select(
+        target_where=_DSIR_TARGET, n=_DSIR_N
+    )
 
 
 _register_bm25_oracles()
@@ -2125,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pq_topk": x_pq_topk,
         "x_pq_recall": x_pq_recall,
         "x_ivfpq_topk": x_ivfpq_topk,
+        "x_dsir_select": x_dsir_select,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
