@@ -1198,7 +1198,9 @@ _STREAM_WM = "30 minutes"
 _STREAM_INPUTS: dict[str, str] = {}
 
 
-def _stream_events_input(spark: SparkSession, sf_dir: str) -> str:
+def _stream_events_input(
+    spark: SparkSession, sf_dir: str, with_dups: bool = False
+) -> str:
     """The events table as ONE parquet file in a scratch dir — the
     streaming gates' file source, cached per corpus (fixture prep, not
     the measured operator — the q15 index fixture precedent). One file
@@ -1206,20 +1208,27 @@ def _stream_events_input(spark: SparkSession, sf_dir: str) -> str:
     kernel is total (the cross-batch-disorder caveat of file sources
     never applies) and the emitted set is deterministic. Output and
     checkpoint dirs stay FRESH per run — reusing a checkpoint would
-    skip the processing the gate times."""
+    skip the processing the gate times.
+
+    with_dups=True appends an exact copy of every 7th event — the
+    planted duplicates the x_stream_dedup gate must drop (copies are
+    bit-identical rows, so the deduped set equals the original table
+    regardless of which copy survives)."""
     import tempfile
 
-    path = _STREAM_INPUTS.get(sf_dir)
+    key = (sf_dir, with_dups)
+    path = _STREAM_INPUTS.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="leann-stream-gate-in-")
-        (
+        ev = (
             read_events(spark, sf_dir)
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1)
-            .write.mode("overwrite").parquet(f"{path}/in")
         )
-        _STREAM_INPUTS[sf_dir] = path
+        if with_dups:
+            ev = ev.unionAll(ev.filter(F.col("event_id") % 7 == 0))
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{path}/in")
+        _STREAM_INPUTS[key] = path
     return path
 
 
@@ -1282,6 +1291,30 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "event_type", "n_events",
         (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value_r"),
     ).orderBy("window_start", "event_type")
+
+
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING exact dedup (dropDuplicatesWithinWatermark on
+    event_id, streaming/ingest.py:168), oracle-gated via its parquet
+    sink: the input plants an exact copy of every 7th event, the sink
+    must contain each event_id exactly once. Copies are bit-identical
+    rows, so the surviving set equals the events table itself — the
+    oracle is a plain scan. Unlike the windowed gates there is no
+    emission holdback: dedup is row-emitting, not an aggregation, so a
+    single-batch input yields the full deduped set."""
+    from leann_rs_spark.streaming.ingest import stream_dedup_events
+
+    d = _stream_events_input(spark, sf_dir, with_dups=True)
+    outp, ckpt = _stream_run_dirs()
+    q = stream_dedup_events(spark, f"{d}/in", outp, ckpt, watermark=_STREAM_WM)
+    drained = q.awaitTermination(600)  # hoisted: not stripped under -O
+    if not drained:
+        raise RuntimeError("stream did not drain")
+    out = spark.read.parquet(outp)
+    return out.select(
+        "event_id", "user_id", "event_type",
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+    ).orderBy("event_id")
 
 
 _TFIDF_QUERY = "merge sort batch"
@@ -1854,6 +1887,14 @@ def _register_session_oracle() -> None:
         HAVING epoch_ms(window_start) + {dur_ms} <= epoch_ms(mx.m) - {wm_ms}
         ORDER BY 1, 2
     """
+    # Streaming dedup: planted exact copies must be dropped, so the
+    # surviving set IS the events table (no emission holdback — dedup
+    # is row-emitting, not an aggregation).
+    _ORACLES["x_stream_dedup"] = """
+        SELECT event_id, user_id, event_type,
+               round(value, 6) + 0.0 AS value_r
+        FROM events ORDER BY event_id
+    """
 
 
 _register_session_oracle()
@@ -2104,6 +2145,7 @@ def prewarm(spark: SparkSession, sf_dir: str) -> None:
     write."""
     _q15_index(spark, sf_dir)
     _stream_events_input(spark, sf_dir)
+    _stream_events_input(spark, sf_dir, with_dups=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2142,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-4 gates
         "x_stream_sessionize": x_stream_sessionize,
         "x_stream_window_stats": x_stream_window_stats,
+        "x_stream_dedup": x_stream_dedup,
         "x_ivf_recall": x_ivf_recall,
         "x_lm_score": x_lm_score,
         "x_asof_join_salted": x_asof_join_salted,
