@@ -71,6 +71,12 @@ def main() -> None:
         "x_dedup_minhash", "x_ann_lsh_near_dups", "x_semantic_dedup",
         "x_curation_pipeline", "x_asof_join", "x_interval_join",
         "x_sessionize", "x_window_stats", "x_hopping_stats",
+        # round-4 additions: compressed-ANN and importance-resampling
+        # families (PQ encode+ADC is a linear projection pass; IVF-PQ
+        # adds probe pruning; DSIR is two count shuffles + broadcast
+        # scoring; the recall sweep is the Q×N diagnostic shape)
+        "x_pq_topk", "x_ivfpq_topk", "x_pq_recall", "x_dsir_select",
+        "x_stream_dedup",
     ]
     results: dict[str, dict] = {}
     for name in names:
