@@ -344,6 +344,7 @@ def append_to_index(
         # IVF layout is a derived table, so re-derive it (the reference
         # has the same obligation, src/backend/hnsw.rs:142-191 add path;
         # DiskANN simply refuses updates, src/backend/mod.rs:81-100)
+        pq_m = meta.extra.get("pq_m")
         meta = build_ivf_index(
             spark, warehouse, name,
             n_centroids=int(meta.extra.get("ivf_centroids", 16)),
@@ -352,6 +353,9 @@ def append_to_index(
             # (and newly require MLlib) on the first append
             centroids=meta.extra.get("ivf_policy", "take"),
             seed=int(meta.extra.get("ivf_seed", 42)),
+            # a pq-enabled index re-derives its codes too (same m/k)
+            pq_m=int(pq_m) if pq_m is not None else None,
+            pq_k=int(meta.extra.get("pq_k", 16)),
         )
     return meta
 
@@ -642,6 +646,8 @@ def build_ivf_index(
     n_centroids: int | None = 16,
     centroids: str = "kmeans",
     seed: int = 42,
+    pq_m: int | None = None,
+    pq_k: int = 16,
 ) -> IndexMeta:
     """Cluster the index's embeddings and persist them PARTITIONED BY
     cluster_id — the Spark counterpart of the reference's graph-index
@@ -661,7 +667,18 @@ def build_ivf_index(
     The policy and seed are recorded in meta and reused when append
     re-derives the layout.
 
-    Layout: <base>/ivf/cluster_id=<c>/*.parquet + <base>/ivf_centroids/.
+    `pq_m`: when set, the IVF rows additionally carry a product-
+    quantized code (operators/pq.py) PACKED into one bigint — the
+    IVF-PQ layout: a probe scan reads 8 bytes/vector instead of the
+    full embedding (the 100 TB scan-bytes knob), and
+    `search_ivf_index(use_pq=True, refine=…)` rescores only the ADC
+    shortlist against the full vectors. Sub-codebook policy follows
+    `centroids` (kmeans → per-subspace seeded k-means; take →
+    deterministic slices); m/k are recorded in meta and the codebook
+    persists next to the coarse one.
+
+    Layout: <base>/ivf/cluster_id=<c>/*.parquet + <base>/ivf_centroids/
+    [+ <base>/pq_codebook/ when pq_m is set].
     """
     from leann_rs_spark.operators.ann import (
         ivf_assign,
@@ -682,6 +699,36 @@ def build_ivf_index(
     else:
         raise ValueError(f"unknown centroid policy {centroids!r}")
     assigned = ivf_assign(emb, cents, id_col="idx")
+    if pq_m is not None:
+        from leann_rs_spark.operators.pq import (
+            codebook_to_rows,
+            kmeans_subcodebooks,
+            pq_bits,
+            pq_encode_col,
+            pq_pack_col,
+            take_subcodebooks,
+        )
+
+        if centroids == "kmeans":
+            cb = kmeans_subcodebooks(emb, m=pq_m, k=pq_k, seed=seed)
+        else:
+            cb = take_subcodebooks(emb, m=pq_m, k=pq_k, id_col="idx")
+        bits = pq_bits(pq_k)
+        assigned = assigned.withColumn(
+            "code",
+            pq_pack_col(
+                pq_encode_col(F.col("embedding"), cb), pq_m, bits
+            ),
+        )
+        spark.createDataFrame(
+            codebook_to_rows(cb),
+            schema="m int, cid int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{base}/pq_codebook")
+        meta.extra["pq_m"] = pq_m
+        meta.extra["pq_k"] = pq_k
+    else:
+        meta.extra.pop("pq_m", None)
+        meta.extra.pop("pq_k", None)
     # shuffle on the partition column before the partitioned write
     # (same shape as the postings write): one task per cluster
     # directory instead of every task writing a file into every one
@@ -704,12 +751,20 @@ def search_ivf_index(
     query: str,
     k: int = 5,
     nprobe: int = 4,
+    use_pq: bool = False,
+    refine: int = 4,
 ) -> DataFrame:
     """Probe-pruned search over the persisted IVF layout: rank centroids
     for the query on the driver (n_centroids rows), then exact top-k
     over only the probed clusters' files (partition pruning does the
     seek a graph traversal would). Returns (idx, score, doc_id, source,
-    text) like search_index."""
+    text) like search_index.
+
+    `use_pq=True` (needs a pq-enabled build) scores the probed rows by
+    ADC over the packed codes — 8 bytes/row instead of the full vector
+    — and, when refine > 0, exact-rescores only the top refine·k
+    against the embeddings table. The 100 TB read path: scan bytes =
+    (nprobe/C)·N·8 plus refine·k point reads."""
     from leann_rs_spark.operators.ann import ivf_search
     from leann_rs_spark.operators.embedder import py_hash_embedding
 
@@ -724,7 +779,40 @@ def search_ivf_index(
     qv = py_hash_embedding(qtext, meta.dimensions)
     assigned = spark.read.parquet(f"{base}/ivf")
     cents = spark.read.parquet(f"{base}/ivf_centroids")
-    hits = ivf_search(assigned, cents, qv, k=k, nprobe=nprobe, id_col="idx")
+    if use_pq:
+        if "pq_m" not in meta.extra:
+            raise ValueError(
+                f"index {name!r} has no PQ codes — rebuild with "
+                f"build_ivf_index(pq_m=...)"
+            )
+        from leann_rs_spark.operators.pq import (
+            codebook_from_rows,
+            ivf_pq_search,
+            pq_bits,
+            pq_unpack_col,
+        )
+
+        m = int(meta.extra["pq_m"])
+        bits = pq_bits(int(meta.extra["pq_k"]))
+        cb = codebook_from_rows(
+            spark.read.parquet(f"{base}/pq_codebook").collect()
+        )
+        codes = assigned.select(
+            "idx",
+            pq_unpack_col(F.col("code"), m, bits).alias("code"),
+            "cluster_id",
+        )
+        vectors = (
+            spark.read.parquet(f"{base}/embeddings")
+            if refine > 0
+            else None
+        )
+        hits = ivf_pq_search(
+            codes, cents, cb, qv, k=k, nprobe=nprobe,
+            refine=refine, vectors=vectors, id_col="idx",
+        )
+    else:
+        hits = ivf_search(assigned, cents, qv, k=k, nprobe=nprobe, id_col="idx")
     passages = spark.read.parquet(f"{base}/passages")
     return (
         F.broadcast(hits)

@@ -117,13 +117,16 @@ def cmd_build(args) -> int:
         embedding_mode=args.embedding_mode,
         embedding_model=args.embedding_model,
     )
-    if args.backend == "ivf":
+    if args.backend in ("ivf", "ivfpq"):
         # reference `--backend hnsw|diskann` analog (src/cli/build.rs):
         # the ANN artifact here is the cluster-partitioned parquet layout
+        # (ivfpq adds packed product-quantized codes: 8-byte probe scans)
         from leann_rs_spark.catalog import build_ivf_index
 
         meta = build_ivf_index(
-            spark, args.warehouse, args.name, n_centroids=args.ivf_centroids
+            spark, args.warehouse, args.name, n_centroids=args.ivf_centroids,
+            pq_m=args.pq_m if args.backend == "ivfpq" else None,
+            pq_k=args.pq_k,
         )
     print(f"Built index '{args.name}': {meta.passage_count} passages")
     return 0
@@ -169,6 +172,8 @@ def cmd_search(args) -> int:
         rows = search_ivf_index(
             spark, args.warehouse, args.name, args.query,
             k=args.top_k, nprobe=args.nprobe,
+            use_pq="pq_m" in meta.extra and not args.no_pq,
+            refine=args.pq_refine,
         ).collect()
     else:
         rows = search_index(
@@ -500,7 +505,12 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--chunking-strategy", default="auto",
                    choices=["auto", "simple", "ast"], dest="chunking_strategy")
     b.add_argument("--dims", type=int, default=64)
-    b.add_argument("--backend", default="exact", choices=["exact", "ivf"])
+    b.add_argument("--backend", default="exact",
+                   choices=["exact", "ivf", "ivfpq"])
+    b.add_argument("--pq-m", type=int, default=8, dest="pq_m",
+                   help="ivfpq: subspaces per vector (dims % m == 0)")
+    b.add_argument("--pq-k", type=int, default=16, dest="pq_k",
+                   help="ivfpq: sub-centroids per subspace")
     b.add_argument("--file-types", default=None, dest="file_types",
                    help="comma-separated extension allowlist (dir builds)")
     b.add_argument("--exclude-types", default=None, dest="exclude_types")
@@ -539,6 +549,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--exact", action="store_true",
                    help="force the exact path even on an ivf-backed index")
     s.add_argument("--nprobe", type=int, default=4)
+    s.add_argument("--no-pq", action="store_true", dest="no_pq",
+                   help="scan full vectors even on a pq-enabled index")
+    s.add_argument("--pq-refine", type=int, default=4, dest="pq_refine",
+                   help="exact-rescore the top refine*k ADC candidates")
     s.add_argument("--embedding-base-url", default=None, dest="embedding_base_url")
     s.add_argument("--api-key", default=None, dest="api_key")
     s.set_defaults(fn=cmd_search)

@@ -181,6 +181,61 @@ def pq_encode(
     )
 
 
+def pq_bits(k: int) -> int:
+    """Bits per sub-code: ceil(log2(k))."""
+    return max((k - 1).bit_length(), 1)
+
+
+def pq_pack_col(code: Column, m: int, bits: int) -> Column:
+    """Pack an M-element code array into ONE non-negative BIGINT
+    (requires m·bits ≤ 60): sub-code i occupies bits [i·bits,
+    (i+1)·bits). This is the persisted-artifact form — 8 bytes per row
+    in shuffles and scans regardless of M (the simhash packed-long
+    trick applied to PQ codes)."""
+    if m * bits > 60:
+        raise ValueError(f"m*bits={m * bits} exceeds the 60-bit budget")
+    total = F.lit(0).cast("long")
+    for i in range(m):
+        total = total + (
+            F.element_at(code, i + 1).cast("long") * F.lit(1 << (i * bits))
+        )
+    return total
+
+
+def pq_unpack_col(packed: Column, m: int, bits: int) -> Column:
+    """Inverse of pq_pack_col — back to the array<int> the scoring
+    expressions consume. Literal shifts per subspace keep this a pure
+    codegen'd projection."""
+    mask = (1 << bits) - 1
+    return F.array(
+        *[
+            F.shiftright(packed, i * bits).bitwiseAND(F.lit(mask)).cast("int")
+            for i in range(m)
+        ]
+    )
+
+
+def codebook_to_rows(codebook: Codebook) -> list[tuple[int, int, list[float]]]:
+    """(m, cid, cv) rows for persisting a codebook as parquet."""
+    return [
+        (m, cid, list(cv))
+        for m, sub in enumerate(codebook)
+        for cid, cv in enumerate(sub)
+    ]
+
+
+def codebook_from_rows(rows) -> Codebook:
+    """Rebuild the nested-list codebook from (m, cid, cv) rows."""
+    by_m: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_m.setdefault(int(r["m"]), {})[int(r["cid"])] = [
+            float(x) for x in r["cv"]
+        ]
+    return [
+        [by_m[m][c] for c in sorted(by_m[m])] for m in sorted(by_m)
+    ]
+
+
 def pq_reconstruct_col(code: Column, codebook: Codebook) -> Column:
     """decode(code): concatenation of the chosen sub-centroids — an
     array<double> literal lookup per row. ADC scoring is

@@ -494,3 +494,84 @@ def test_ivf_autosized_codebook(spark, docs, warehouse):
     assert meta.extra["ivf_centroids"] == suggest_ivf_centroids(
         meta.passage_count
     )
+
+
+@pytest.fixture(scope="module")
+def ivfpq_built(spark, docs, warehouse):
+    catalog.build_index(
+        spark, warehouse, "pqidx", docs, chunk_size=16, chunk_overlap=4,
+        dims=32, with_bm25=False,
+    )
+    return catalog.build_ivf_index(
+        spark, warehouse, "pqidx", n_centroids=4, centroids="take",
+        pq_m=8, pq_k=8,
+    )
+
+
+def test_ivfpq_build_writes_packed_codes(spark, warehouse, ivfpq_built):
+    meta = ivfpq_built
+    assert meta.extra["pq_m"] == 8 and meta.extra["pq_k"] == 8
+    ivf = spark.read.parquet(f"{warehouse}/pqidx/ivf")
+    assert dict(ivf.dtypes)["code"] == "bigint"
+    assert ivf.filter(F.col("code") < 0).count() == 0
+    cb = spark.read.parquet(f"{warehouse}/pqidx/pq_codebook")
+    assert cb.count() == 8 * 8  # m * k rows
+    # every persisted row has a code covering all subspaces
+    assert ivf.filter(F.col("code").isNull()).count() == 0
+
+
+def test_ivfpq_full_probe_full_refine_equals_exact(spark, warehouse, ivfpq_built):
+    """nprobe=C + refine covering the corpus: the PQ read path must
+    reproduce the exact read path bit-for-bit through the catalog."""
+    n = spark.read.parquet(f"{warehouse}/pqidx/ivf").count()
+    exact = catalog.search_index(
+        spark, warehouse, "pqidx", "alpha beta gamma", k=5, hybrid=False
+    ).select("idx", "score").collect()
+    pq = catalog.search_ivf_index(
+        spark, warehouse, "pqidx", "alpha beta gamma", k=5, nprobe=4,
+        use_pq=True, refine=(n // 5) + 1,
+    ).select("idx", "score").collect()
+    assert [(r["idx"], r["score"]) for r in pq] == [
+        (r["idx"], r["score"]) for r in exact
+    ]
+
+
+def test_ivfpq_adc_only_returns_k(spark, warehouse, ivfpq_built):
+    rows = catalog.search_ivf_index(
+        spark, warehouse, "pqidx", "alpha beta", k=3, nprobe=4,
+        use_pq=True, refine=0,
+    ).collect()
+    assert len(rows) == 3
+    # result carries the assembled passage columns like the exact path
+    assert {"idx", "score", "doc_id", "source", "text"} <= set(rows[0].asDict())
+
+
+def test_ivfpq_use_pq_without_codes_raises(spark, docs, warehouse):
+    catalog.build_index(
+        spark, warehouse, "nopq", docs.limit(3), chunk_size=16,
+        chunk_overlap=4, dims=32, with_bm25=False,
+    )
+    catalog.build_ivf_index(
+        spark, warehouse, "nopq", n_centroids=2, centroids="take"
+    )
+    with pytest.raises(ValueError, match="no PQ codes"):
+        catalog.search_ivf_index(
+            spark, warehouse, "nopq", "alpha", k=2, use_pq=True
+        )
+
+
+def test_ivfpq_append_rederives_codes(spark, docs, warehouse, ivfpq_built):
+    more = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 45))
+    )
+    meta = catalog.append_to_index(spark, warehouse, "pqidx", more)
+    assert meta.extra.get("pq_m") == 8  # pq survives the re-derive
+    ivf = spark.read.parquet(f"{warehouse}/pqidx/ivf")
+    assert ivf.count() == meta.passage_count
+    assert ivf.filter(F.col("code").isNull()).count() == 0
+    rows = catalog.search_ivf_index(
+        spark, warehouse, "pqidx", "alpha beta", k=3, nprobe=4,
+        use_pq=True, refine=2,
+    ).collect()
+    assert len(rows) == 3

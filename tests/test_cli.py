@@ -122,6 +122,37 @@ def test_cli_ivf_backend_build_and_search(spark, tmp_path_factory, capsys):
     ]
 
 
+def test_cli_ivfpq_backend_build_and_search(spark, tmp_path_factory, capsys):
+    """--backend ivfpq: packed PQ codes ride the IVF layout; search
+    defaults to the ADC+refine read path, --no-pq forces full vectors.
+    With full probes and a generous refine both must match --exact."""
+    wh = str(tmp_path_factory.mktemp("cli_ivfpq_wh"))
+    rc = main([
+        "build", "pqx", "--warehouse", wh,
+        "--docs", f"{SF_SMOKE}/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+        "--backend", "ivfpq", "--ivf-centroids", "4",
+        "--pq-m", "4", "--pq-k", "8",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "search", "pqx", "some document text fragment", "--warehouse", wh,
+        "--top-k", "3", "--json", "--nprobe", "4", "--pq-refine", "1000",
+    ])
+    assert rc == 0
+    pq_rows = json.loads(capsys.readouterr().out)
+    rc = main([
+        "search", "pqx", "some document text fragment", "--warehouse", wh,
+        "--top-k", "3", "--json", "--exact",
+    ])
+    assert rc == 0
+    exact_rows = json.loads(capsys.readouterr().out)
+    assert [(r["idx"], r["score"]) for r in pq_rows] == [
+        (r["idx"], r["score"]) for r in exact_rows
+    ]
+
+
 def test_cli_build_from_directory_with_filters(spark, tmp_path_factory, capsys):
     src = tmp_path_factory.mktemp("corpus")
     (src / "a.txt").write_text("alpha beta gamma delta " * 30)

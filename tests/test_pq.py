@@ -173,6 +173,33 @@ def test_ivf_pq_refine_requires_vectors(emb, cb):
         ivf_pq_search(ac, cents, cb, [0.0] * 64, refine=2)
 
 
+def test_pack_unpack_roundtrip(spark):
+    from leann_rs_spark.operators.pq import pq_bits, pq_pack_col, pq_unpack_col
+
+    assert pq_bits(16) == 4 and pq_bits(256) == 8 and pq_bits(2) == 1
+    m, k = 8, 16
+    bits = pq_bits(k)
+    rows = [([(i * 7 + j * 3) % k for j in range(m)],) for i in range(50)]
+    df = spark.createDataFrame(rows, "code array<int>")
+    out = df.select(
+        "code",
+        pq_unpack_col(pq_pack_col(F.col("code"), m, bits), m, bits).alias("rt"),
+    ).collect()
+    for r in out:
+        assert list(r["rt"]) == list(r["code"])
+    with pytest.raises(ValueError):
+        pq_pack_col(F.col("code"), 8, 8)  # 64 bits > 60-bit budget
+
+
+def test_codebook_rows_roundtrip(spark, cb):
+    from leann_rs_spark.operators.pq import codebook_from_rows, codebook_to_rows
+
+    df = spark.createDataFrame(
+        codebook_to_rows(cb), schema="m int, cid int, cv array<double>"
+    )
+    assert codebook_from_rows(df.collect()) == cb
+
+
 def test_adc_search_plan_has_no_exchange(emb, cb):
     """ADC top-k is Scan → Project → TakeOrdered: the corpus is never
     shuffled (the reduction happens in the take, not an Exchange)."""
