@@ -1293,6 +1293,22 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+_TOPNGRAM_N = 3
+_TOPNGRAM_K = 20
+
+
+def x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-k trigrams with occurrence + document
+    frequency (functions/textstats.top_ngrams) — the audit query behind
+    boilerplate discovery and stop-gram lists. One map-side-combined
+    groupBy + TakeOrdered; the word-count shape at any corpus size."""
+    from leann_rs_spark.functions.textstats import top_ngrams
+
+    return top_ngrams(
+        _fan(_docs(spark, sf_dir)), n=_TOPNGRAM_N, k=_TOPNGRAM_K
+    )
+
+
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING exact dedup (dropDuplicatesWithinWatermark on
     event_id, streaming/ingest.py:168), oracle-gated via its parquet
@@ -1555,6 +1571,11 @@ def _register_bm25_oracles() -> None:
 
     _ORACLES["x_dsir_select"] = duckdb_dsir_select(
         target_where=_DSIR_TARGET, n=_DSIR_N
+    )
+    from leann_rs_spark.functions.textstats import duckdb_top_ngrams
+
+    _ORACLES["x_top_ngrams"] = duckdb_top_ngrams(
+        n=_TOPNGRAM_N, k=_TOPNGRAM_K
     )
 
 
@@ -2194,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pq_recall": x_pq_recall,
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_dsir_select": x_dsir_select,
+        "x_top_ngrams": x_top_ngrams,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -788,3 +788,69 @@ def duckdb_lm_score(
         SELECT d.{id_col}, coalesce(p.n_bigrams, 0) AS n_bigrams, p.xent
         FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.id
     """
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters — top-k n-grams with document frequency.
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most frequent word n-grams across the corpus, with total
+    occurrence count and document frequency — the corpus-audit query
+    behind boilerplate discovery (a 50k-df trigram IS a template) and
+    stop-gram lists (dedup.ngram_jaccard's `max_ngram_df` cut and the
+    Gopher top-ngram repetition signal both consume exactly this).
+
+    → (ngram, n_occurrences, n_docs), ties broken ngram ASC.
+
+    Scale: explode → ONE map-side-combined groupBy (count +
+    count_distinct partials) → TakeOrdered(k). The word-count shape;
+    no joins, nothing driver-resident. At 100 TB add a pre-aggregation
+    salt only if one gram dominates a partition's hash range — the
+    partial aggregation already absorbs ordinary skew.
+    """
+    from leann_rs_spark.functions.text import tokenize, word_ngrams
+
+    toks = tokenize(text_col)
+    grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(toks, n)).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("__id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def duckdb_top_ngrams(
+    n: int = 3,
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from leann_rs_spark.functions.text import duckdb_tokenize, duckdb_word_ngrams
+
+    toks = duckdb_tokenize(text_col)
+    return f"""
+        WITH g AS (
+            SELECT {id_col} AS id, unnest({duckdb_word_ngrams('t', n)}) AS ngram
+            FROM (SELECT {id_col}, {toks} AS t FROM {table})
+        )
+        SELECT ngram, count(*) AS n_occurrences,
+               count(DISTINCT id) AS n_docs
+        FROM g GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram ASC
+        LIMIT {k}
+    """

@@ -310,3 +310,34 @@ def test_lm_score_ranks_garble_above_prose(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["xent"] for r in lm_score(docs).collect()}
     assert out[100] > out[0]
+
+
+def test_top_ngrams_hand_computed(spark):
+    from leann_rs_spark.functions.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown dog sits"),
+            (3, "the quick brown fox runs the quick brown fox"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = top_ngrams(docs, n=3, k=2).collect()
+    assert (rows[0]["ngram"], rows[0]["n_occurrences"], rows[0]["n_docs"]) == (
+        "the quick brown", 4, 3
+    )
+    assert (rows[1]["ngram"], rows[1]["n_occurrences"], rows[1]["n_docs"]) == (
+        "quick brown fox", 3, 2
+    )
+
+
+def test_top_ngrams_tie_break_is_lexicographic(spark):
+    from leann_rs_spark.functions.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "bb cc dd"), (2, "aa bb cc")], "doc_id bigint, text string"
+    )
+    rows = top_ngrams(docs, n=2, k=4).collect()
+    # all bigrams occur once except "bb cc" (twice); rest tie → asc
+    assert [r["ngram"] for r in rows] == ["bb cc", "aa bb", "cc dd"]
