@@ -242,9 +242,23 @@ def x_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    return ivf_recall_curve(
-        assigned, cents, queries, k=_RECALL_K, nprobes=_RECALL_SWEEP
+    inter: list = []
+    curve = ivf_recall_curve(
+        assigned, cents, queries, k=_RECALL_K, nprobes=_RECALL_SWEEP,
+        intermediates=inter,
     )
+    return _materialize_curve(spark, curve, inter)
+
+
+def _materialize_curve(spark: SparkSession, curve: DataFrame, inter: list) -> DataFrame:
+    """Collect a (sweep-sized, ≤ a few rows) curve and unpersist the
+    Q×N candidate frames behind it: the selfcheck/bench session runs
+    every gate in ONE Spark session, and leaving each sweep's persisted
+    candidates pinned shrinks the storage pool for later gates."""
+    rows = curve.collect()
+    for df in inter:
+        df.unpersist()
+    return spark.createDataFrame(rows, curve.schema)
 
 
 _PQ_M = 8
@@ -284,9 +298,12 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    return pq_refine_recall_curve(
-        _fan(emb), cb, queries, k=_RECALL_K, refines=_PQ_REFINES
+    inter: list = []
+    curve = pq_refine_recall_curve(
+        _fan(emb), cb, queries, k=_RECALL_K, refines=_PQ_REFINES,
+        intermediates=inter,
     )
+    return _materialize_curve(spark, curve, inter)
 
 
 _IVFPQ_REFINE = 3
@@ -305,11 +322,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fan(_docs(spark, sf_dir))
     target = docs.filter(F.expr(_DSIR_TARGET))
-    out = dsir_select(docs, target, n=_DSIR_N)
-    return out.select(
+    inter: list = []
+    out = dsir_select(docs, target, n=_DSIR_N, intermediates=inter).select(
         "doc_id", "n_grams",
         (F.round("log_weight", 6) + F.lit(0.0)).alias("logw_r"),
     ).orderBy("doc_id")
+    return _materialize_curve(spark, out, inter)
 
 
 def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,7 +1213,7 @@ def x_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_WM = "30 minutes"
-_STREAM_INPUTS: dict[str, str] = {}
+_STREAM_INPUTS: dict[tuple[str, bool], str] = {}
 
 
 def _stream_events_input(

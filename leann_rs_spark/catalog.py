@@ -429,6 +429,14 @@ def prune_index(warehouse: str, name: str) -> IndexMeta:
         if os.path.isdir(cdir):
             shutil.rmtree(cdir)
         meta.backend = "exact"
+    # PQ codes live inside the ivf layout — with it gone, a surviving
+    # pq_m in meta would pass search_ivf_index's use_pq guard and die
+    # on the missing path later; drop the codebook artifact too
+    pq_dir = os.path.join(_index_dir(warehouse, name), "pq_codebook")
+    if os.path.isdir(pq_dir):
+        shutil.rmtree(pq_dir)
+    meta.extra.pop("pq_m", None)
+    meta.extra.pop("pq_k", None)
     save_meta(warehouse, name, meta)
     return meta
 
@@ -729,6 +737,10 @@ def build_ivf_index(
     else:
         meta.extra.pop("pq_m", None)
         meta.extra.pop("pq_k", None)
+        # a previous pq-enabled build may have left its codebook behind
+        cb_dir = f"{base}/pq_codebook"
+        if os.path.isdir(cb_dir):
+            shutil.rmtree(cb_dir)
     # shuffle on the partition column before the partitioned write
     # (same shape as the postings write): one task per cluster
     # directory instead of every task writing a file into every one

@@ -63,21 +63,24 @@ def dsir_log_ratio(
     alpha: float = DSIR_ALPHA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    raw_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, log_ratio): ln p̂_target − ln q̂_raw per feature bucket,
     add-α smoothed. Keyed by every bucket present in EITHER corpus
     (full outer join of the two count tables), so scoring joins never
-    drop a gram. ≤ `buckets` rows — always broadcastable."""
+    drop a gram. ≤ `buckets` rows — always broadcastable.
+
+    `raw_buckets`: pre-computed _doc_buckets(raw) — dsir_weights passes
+    its persisted copy so the raw corpus is tokenized/hashed ONCE for
+    both the q-model counts and the per-document scoring."""
     ct = (
         _doc_buckets(target, id_col, text_col, buckets)
         .groupBy("bucket")
         .agg(F.count("*").alias("__ct"))
     )
-    cr = (
-        _doc_buckets(raw, id_col, text_col, buckets)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("__cr"))
-    )
+    if raw_buckets is None:
+        raw_buckets = _doc_buckets(raw, id_col, text_col, buckets)
+    cr = raw_buckets.groupBy("bucket").agg(F.count("*").alias("__cr"))
     nt = ct.agg(F.sum("__ct").alias("__nt"))
     nr = cr.agg(F.sum("__cr").alias("__nr"))
     ab = float(alpha) * buckets
@@ -108,14 +111,28 @@ def dsir_weights(
     alpha: float = DSIR_ALPHA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    intermediates: list | None = None,
 ) -> DataFrame:
     """(id_col, n_grams, log_weight) for every raw document. Docs with
     no grams keep log_weight = 0 (an empty product), mirroring the
-    paper's per-example independence."""
-    ratio = dsir_log_ratio(raw, target, buckets, alpha, id_col, text_col)
+    paper's per-example independence.
+
+    The exploded (id, bucket) frame feeds BOTH the q-model counts and
+    the scoring aggregation (different exchange shapes), so it is
+    persisted AND materialized — the tokenize+bigram+md5 explode is
+    the dominant 100 TB cost and must run once, not twice (the
+    lm_score persist-boundary rule). `intermediates` (caller-owned
+    list) receives the persisted frame for unpersist in long-lived
+    drivers."""
+    db = _doc_buckets(raw, id_col, text_col, buckets).persist()
+    db.count()  # materialize: two consumers with different exchanges
+    if intermediates is not None:
+        intermediates.append(db)
+    ratio = dsir_log_ratio(
+        raw, target, buckets, alpha, id_col, text_col, raw_buckets=db
+    )
     per_doc = (
-        _doc_buckets(raw, id_col, text_col, buckets)
-        .join(F.broadcast(ratio), "bucket")
+        db.join(F.broadcast(ratio), "bucket")
         .groupBy("__id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -157,14 +174,26 @@ def dsir_select(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    intermediates: list | None = None,
 ) -> DataFrame:
     """Gumbel-top-n resampling: the n raw documents maximizing
     log_weight/T + Gumbelᵢ — sampling without replacement with
     P(select) ∝ w^(1/T) (T→0 degrades to hard top-n by weight;
-    test-pinned). Returns (id_col, n_grams, log_weight)."""
-    w = dsir_weights(raw, target, buckets, alpha, id_col, text_col)
-    key = (F.col("log_weight") / F.lit(float(temperature))) + gumbel_key(
-        id_col, seed
+    test-pinned). Returns (id_col, n_grams, log_weight).
+
+    The selection key is rounded to 6 dp before the cut: log_weight is
+    a shuffle-order-dependent float sum, and an unrounded key could
+    flip membership at the n-boundary between engines (or runs) on
+    last-ulp noise. Rounding makes the cut deterministic; residual
+    ties break on id ASC."""
+    w = dsir_weights(
+        raw, target, buckets, alpha, id_col, text_col,
+        intermediates=intermediates,
+    )
+    key = F.round(
+        (F.col("log_weight") / F.lit(float(temperature)))
+        + gumbel_key(id_col, seed),
+        6,
     )
     return (
         w.withColumn("__key", key)
@@ -244,8 +273,8 @@ def duckdb_dsir_select(
         sel AS (
             SELECT {id_col}, n_grams, log_weight
             FROM allw
-            ORDER BY (log_weight / {float(temperature)})
-                     + (-ln(-ln({u}))) DESC, {id_col} ASC
+            ORDER BY round((log_weight / {float(temperature)})
+                     + (-ln(-ln({u}))), 6) DESC, {id_col} ASC
             LIMIT {n}
         )
         SELECT {id_col}, n_grams,

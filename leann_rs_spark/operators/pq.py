@@ -130,11 +130,18 @@ def _sub_cb_lit(sub_cb: list[list[float]]) -> Column:
 
 def _l2_dist2(a: Column, b: Column) -> Column:
     """Σ (aᵢ−bᵢ)² as the same sequential DOUBLE fold as dot() — the
-    bit-reproducible shape duckdb's list_reduce mirrors."""
+    bit-reproducible shape duckdb's list_reduce mirrors. The
+    difference is let-bound (single-element transform) so it is
+    evaluated once per element, not once per factor (the CLAUDE.md
+    HOF-CSE trap)."""
     return F.aggregate(
         F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
+            a,
+            b,
+            lambda x, y: F.transform(
+                F.array(x.cast("double") - y.cast("double")),
+                lambda d: d * d,
+            )[0],
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -149,16 +156,22 @@ def pq_encode_col(vec: Column, codebook: Codebook) -> Column:
     d = _sub_dim(codebook)
     codes = []
     for i, sub_cb in enumerate(codebook):
-        sub = F.slice(vec, i * d + 1, d)
-        best = F.array_min(
-            F.transform(
-                _sub_cb_lit(sub_cb),
-                lambda c: F.struct(
-                    _l2_dist2(sub, c["cv"]).alias("dist"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
+        # let-bind the slice: referencing it directly inside the
+        # per-centroid lambda would re-slice the vector once per
+        # codebook entry (K× per subspace — the CLAUDE.md HOF-CSE trap)
+        cb_lit = _sub_cb_lit(sub_cb)
+        best = F.transform(
+            F.array(F.slice(vec, i * d + 1, d)),
+            lambda sub: F.array_min(
+                F.transform(
+                    cb_lit,
+                    lambda c: F.struct(
+                        _l2_dist2(sub, c["cv"]).alias("dist"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+        )[0]
         codes.append(best["cid"])
     return F.array(*codes)
 
@@ -427,12 +440,9 @@ def pq_refine_recall_curve(
         intermediates.extend([cand, ranked])
     curves = []
     for r in refines:
-        w_ref = Window.partitionBy(query_id_col).orderBy(
-            F.col("exact").desc(), F.col(id_col).asc()
-        )
         got = (
             ranked.filter(F.col("adc_rank") <= r * k)
-            .withColumn("__rr", F.row_number().over(w_ref))
+            .withColumn("__rr", F.row_number().over(w_exact))
             .filter(F.col("__rr") <= k)
             .select(query_id_col, id_col)
         )

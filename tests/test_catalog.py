@@ -575,3 +575,24 @@ def test_ivfpq_append_rederives_codes(spark, docs, warehouse, ivfpq_built):
         use_pq=True, refine=2,
     ).collect()
     assert len(rows) == 3
+
+
+def test_prune_clears_pq_artifacts(spark, docs, warehouse):
+    import os
+
+    catalog.build_index(
+        spark, warehouse, "prunepq", docs.limit(4), chunk_size=16,
+        chunk_overlap=4, dims=32, with_bm25=False,
+    )
+    catalog.build_ivf_index(
+        spark, warehouse, "prunepq", n_centroids=2, centroids="take",
+        pq_m=8, pq_k=4,
+    )
+    meta = catalog.prune_index(warehouse, "prunepq")
+    assert "pq_m" not in meta.extra
+    assert not os.path.isdir(f"{warehouse}/prunepq/pq_codebook")
+    # the guard now fires cleanly instead of a missing-path read error
+    with pytest.raises(ValueError):
+        catalog.search_ivf_index(
+            spark, warehouse, "prunepq", "alpha", k=2, use_pq=True
+        )

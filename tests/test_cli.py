@@ -151,6 +151,17 @@ def test_cli_ivfpq_backend_build_and_search(spark, tmp_path_factory, capsys):
     assert [(r["idx"], r["score"]) for r in pq_rows] == [
         (r["idx"], r["score"]) for r in exact_rows
     ]
+    # --no-pq on a pq-enabled index takes the full-vector IVF path;
+    # with full probes it must also match exact
+    rc = main([
+        "search", "pqx", "some document text fragment", "--warehouse", wh,
+        "--top-k", "3", "--json", "--nprobe", "4", "--no-pq",
+    ])
+    assert rc == 0
+    nopq_rows = json.loads(capsys.readouterr().out)
+    assert [(r["idx"], r["score"]) for r in nopq_rows] == [
+        (r["idx"], r["score"]) for r in exact_rows
+    ]
 
 
 def test_cli_build_from_directory_with_filters(spark, tmp_path_factory, capsys):
