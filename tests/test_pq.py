@@ -173,6 +173,22 @@ def test_ivf_pq_refine_requires_vectors(emb, cb):
         ivf_pq_search(ac, cents, cb, [0.0] * 64, refine=2)
 
 
+def test_k_larger_than_corpus_returns_all(emb, cb):
+    n = emb.count()
+    rows = pq_search(pq_encode(emb, cb), cb, [1.0] * 64, k=n + 50).collect()
+    assert len(rows) == n
+
+
+def test_nprobe_exceeding_centroid_count_is_safe(emb, cb):
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.pq import ivf_pq_search
+
+    cents = take_centroids(emb, 4)
+    ac = pq_encode(ivf_assign(emb, cents), cb, extra_cols=["cluster_id"])
+    rows = ivf_pq_search(ac, cents, cb, [1.0] * 64, k=5, nprobe=99).collect()
+    assert len(rows) == 5
+
+
 def test_pack_unpack_roundtrip(spark):
     from leann_rs_spark.operators.pq import pq_bits, pq_pack_col, pq_unpack_col
 

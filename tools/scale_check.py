@@ -99,6 +99,10 @@ def main() -> None:
     results["asof_skew"] = asof_skew_check(spark, args)
     spark.catalog.clearCache()
     results["ivf_codebook_balance"] = ivf_balance_check(spark, args)
+    # measurement conditions: shared-host load keeps masquerading as
+    # plan regressions (bench.py records the same field)
+    results["load_avg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
+    results["ncpus"] = os.cpu_count()
     print(json.dumps(results))
     spark.stop()
 
