@@ -24,6 +24,13 @@ Scale shape (nothing driver-resident, one corpus pass per model):
 At 100 TB the raw-corpus counts are the only large aggregation, and
 they are exactly the word-count shape Spark's partial aggregation is
 built for. Add-α smoothing keeps unseen-in-target buckets finite.
+
+Note the log-weight is also, up to the class prior, the log-odds of a
+multinomial NAIVE BAYES classifier (target vs raw) over the same
+hashed features — so `dsir_weights` doubles as the "fasttext-style
+quality classifier score" of CCNet/GPT-3-era pipelines: threshold it
+for filtering, Gumbel-top-n it for resampling (the paper argues
+resampling beats thresholding on diversity).
 """
 
 from __future__ import annotations
