@@ -1388,15 +1388,22 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    emb = tfidf_embed_documents(_fan(docs), dims=_EMBED_DIMS)
-    dfreq, nd = tfidf_corpus_stats(docs)
+    # one df/N aggregation feeds BOTH the corpus embedding and the
+    # query embedding (tfidf_embed_documents would otherwise re-derive
+    # its own) — persisted: the stats frame has two consumers with
+    # different downstream shapes
+    dfreq, nd = tfidf_corpus_stats(_fan(docs))
+    dfreq = dfreq.persist()
+    emb = tfidf_embed_documents(
+        _fan(docs), dims=_EMBED_DIMS, dfreq=dfreq, n_docs_df=nd
+    )
     qdf = spark.createDataFrame(
         [(0, _TFIDF_QUERY)], "doc_id bigint, text string"
     )
     qv = tfidf_embed_documents(
         qdf, dims=_EMBED_DIMS, dfreq=dfreq, n_docs_df=nd
     ).select(F.col("embedding").alias("qv"))
-    return (
+    out = (
         emb.crossJoin(F.broadcast(qv))
         .select(
             "doc_id",
@@ -1406,6 +1413,7 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TFIDF_K)
         .select("doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score_r"))
     )
+    return _materialize_curve(spark, out, [dfreq])
 
 
 def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
