@@ -16,7 +16,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 DEFAULT_WAREHOUSE = ".leann/indexes"  # locate.rs:11-36 project-local root
 
@@ -435,6 +435,107 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """One-shot corpus audit over a documents parquet: size, length
+    percentiles, language mix, quality pass rate, exact-duplicate
+    rate, top n-grams — the report a training-data build reads before
+    setting chunking/packing/filter knobs. Composes the gated
+    operators; every number is reproducible through the library."""
+    import json as _json
+
+    from leann_rs_spark.functions.text import tokenize
+    from leann_rs_spark.functions.textstats import (
+        gopher_keep,
+        lang_id,
+        top_ngrams,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    id_col, text_col = args.id_col, args.text_col
+    base = docs.select(
+        id_col,
+        F.length(text_col).alias("__len"),
+        F.size(tokenize(text_col)).alias("__toks"),
+        lang_id(F.col(text_col)).alias("__lang"),
+        gopher_keep(F.col(text_col)).alias("__keep"),
+        F.md5(F.col(text_col)).alias("__h"),
+    ).persist()
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(__len, array(0.5, 0.9, 0.99))").alias("lp"),
+        F.expr("percentile(__toks, array(0.5, 0.9, 0.99))").alias("tp"),
+        F.sum("__toks").alias("total_tokens"),
+        F.avg(F.col("__keep").cast("double")).alias("keep_rate"),
+        F.count_distinct("__h").alias("uniq"),
+    ).first()
+    langs = {
+        r["__lang"]: r["c"]
+        for r in base.groupBy("__lang").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc()).limit(8).collect()
+    }
+    grams = [
+        (r["ngram"], r["n_occurrences"], r["n_docs"])
+        for r in top_ngrams(
+            docs, n=args.ngram_n, k=args.ngram_k,
+            id_col=id_col, text_col=text_col,
+        ).collect()
+    ]
+    base.unpersist()
+    report = {
+        "n_docs": stats["n"],
+        "total_tokens": stats["total_tokens"],
+        "chars_p50_p90_p99": [round(x, 1) for x in stats["lp"]],
+        "tokens_p50_p90_p99": [round(x, 1) for x in stats["tp"]],
+        "gopher_keep_rate": round(stats["keep_rate"], 4),
+        "exact_dup_rate": round(1.0 - stats["uniq"] / stats["n"], 4)
+        if stats["n"] else 0.0,
+        "languages": langs,
+        "top_ngrams": grams,
+    }
+    print(_json.dumps(report, indent=2))
+    return 0
+
+
+def cmd_select(args) -> int:
+    """DSIR importance resampling from the command line: pick the raw
+    documents most like a target slice (operators/dsir.py,
+    arXiv:2302.03169). --target-where is a SQL predicate defining the
+    target domain within the input."""
+    from leann_rs_spark.operators.dsir import dsir_select
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    target = docs.filter(F.expr(args.target_where))
+    n_t = target.count()
+    if n_t == 0:
+        print(f"error: --target-where matched no documents", file=sys.stderr)
+        return 1
+    cached: list = []
+    sel = dsir_select(
+        docs, target, n=args.n,
+        buckets=args.buckets, temperature=args.temperature, seed=args.seed,
+        id_col=args.id_col, text_col=args.text_col,
+        intermediates=cached,
+    )
+    out = docs.join(
+        F.broadcast(sel.select(args.id_col, "log_weight")), args.id_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    for df in cached:
+        df.unpersist()
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        f"Selected {n_out}/{docs.count()} docs toward target "
+        f"({n_t} target docs) -> {args.output}"
+    )
+    return 0
+
+
 def cmd_import_index(args) -> int:
     """Migrate an existing reference index (JSONL passages + ids.txt +
     flat-f32 embeddings + meta.json) into the Parquet catalog — after
@@ -631,6 +732,38 @@ def build_parser() -> argparse.ArgumentParser:
              "N-token gram from the surviving docs",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    an = sub.add_parser(
+        "analyze",
+        help="Corpus audit report: size, lengths, languages, quality,"
+             " duplicate rate, top n-grams",
+    )
+    an.add_argument("--input", required=True, help="documents parquet path")
+    an.add_argument("--id-col", default="doc_id", dest="id_col")
+    an.add_argument("--text-col", default="text", dest="text_col")
+    an.add_argument("--ngram-n", type=int, default=3, dest="ngram_n")
+    an.add_argument("--ngram-k", type=int, default=10, dest="ngram_k")
+    an.set_defaults(fn=cmd_analyze)
+
+    se = sub.add_parser(
+        "select",
+        help="DSIR importance resampling toward a target slice",
+    )
+    se.add_argument("--input", required=True, help="documents parquet path")
+    se.add_argument("--output", required=True, help="output parquet path")
+    se.add_argument(
+        "--target-where", required=True, dest="target_where",
+        help="SQL predicate defining the target domain, e.g."
+             " \"source = 'wiki' AND lang = 'en'\"",
+    )
+    se.add_argument("-n", "--n", type=int, required=True,
+                    help="documents to select")
+    se.add_argument("--buckets", type=int, default=4096)
+    se.add_argument("--temperature", type=float, default=1.0)
+    se.add_argument("--seed", type=int, default=42)
+    se.add_argument("--id-col", default="doc_id", dest="id_col")
+    se.add_argument("--text-col", default="text", dest="text_col")
+    se.set_defaults(fn=cmd_select)
 
     im = sub.add_parser(
         "import-index",

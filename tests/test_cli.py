@@ -323,3 +323,42 @@ def test_cli_build_with_registry_model(spark, tmp_path_factory, capsys):
     assert meta["extra"]["model_config"]["model"] == "e5-base"
     # hash mode keeps its version pin
     assert meta["embedding_model"] == "hash-v2"
+
+
+def test_cli_analyze_report(spark, capsys):
+    rc = main(["analyze", "--input", f"{SF_SMOKE}/documents.parquet"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert rep["n_docs"] == n
+    assert len(rep["chars_p50_p90_p99"]) == 3
+    assert rep["chars_p50_p90_p99"] == sorted(rep["chars_p50_p90_p99"])
+    assert 0.0 <= rep["gopher_keep_rate"] <= 1.0
+    assert 0.0 <= rep["exact_dup_rate"] <= 1.0
+    assert sum(rep["languages"].values()) == n
+    assert len(rep["top_ngrams"]) == 10
+    assert rep["total_tokens"] > 0
+
+
+def test_cli_select_dsir(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("cli_sel") / "sel.parquet")
+    rc = main([
+        "select", "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", out, "--target-where", "source = 'src1'",
+        "-n", "10", "--buckets", "512",
+    ])
+    assert rc == 0
+    assert "Selected 10/500" in capsys.readouterr().out
+    sel = spark.read.parquet(out)
+    assert sel.count() == 10
+    assert "log_weight" in sel.columns and "text" in sel.columns
+
+
+def test_cli_select_empty_target_errors(tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("cli_sel2") / "sel.parquet")
+    rc = main([
+        "select", "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", out, "--target-where", "source = 'nope'",
+        "-n", "5",
+    ])
+    assert rc == 1
