@@ -122,6 +122,11 @@ def sniff_image_dims(content: bytes) -> tuple[int | None, int | None]:
                         int.from_bytes(content[i + 5 : i + 7], "big"),
                     )
                 i += 2 + seg_len
+        if content[:2] == b"BM" and len(content) >= 26:
+            return (
+                int.from_bytes(content[18:22], "little", signed=True),
+                abs(int.from_bytes(content[22:26], "little", signed=True)),
+            )
         if _HAVE_PIL:
             import io
 
@@ -245,6 +250,130 @@ def resize_plan(
         "height",
         F.greatest(F.floor(F.col("width") * scale).cast("int"), F.lit(1)).alias("out_w"),
         F.greatest(F.floor(F.col("height") * scale).cast("int"), F.lit(1)).alias("out_h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real pixel path — uncompressed 24-bit BMP, the one raster format this
+# container can decode/encode with no external codec (pure numpy).
+# PIL/libav would widen the format set behind the same functions; the
+# pipeline shape (mapInPandas batch → decode → vectorized kernel →
+# re-encode) is exactly what a real multi-format decoder runs.
+# ---------------------------------------------------------------------------
+
+def bmp_decode(content: bytes):
+    """Uncompressed BGR888 BMP → HxWx3 uint8 (RGB, top-down); None on
+    anything else (other formats, compressed BMPs, truncated bytes)."""
+    import numpy as np
+
+    try:
+        if content[:2] != b"BM" or len(content) < 54:
+            return None
+        offset = int.from_bytes(content[10:14], "little")
+        hdr = int.from_bytes(content[14:18], "little")
+        w = int.from_bytes(content[18:22], "little", signed=True)
+        h = int.from_bytes(content[22:26], "little", signed=True)
+        bpp = int.from_bytes(content[28:30], "little")
+        comp = int.from_bytes(content[30:34], "little")
+        if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        end = offset + stride * h
+        if len(content) < end:
+            return None
+        rows = np.frombuffer(content[offset:end], dtype=np.uint8)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    except Exception:
+        return None
+
+
+def bmp_encode(arr) -> bytes:
+    """HxWx3 uint8 RGB → uncompressed bottom-up BGR888 BMP bytes."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    data = body.tobytes()
+    size = 54 + len(data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def nn_resize(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize via vectorized index maps — the
+    deterministic kernel (floor(i·H/out_h), floor(j·W/out_w))."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    yy = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xx = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return arr[yy][:, xx]
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """The REAL pixel stage: decode BMP blobs, aspect-preserving-fit
+    nearest-neighbor resize, re-encode — Arrow-batched mapInPandas,
+    bytes never leave the executor. Undecodable blobs keep their row
+    with NULL output (total over dirty corpora). → (media_id, width,
+    height, out_w, out_h, content<BINARY resized BMP>)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("out_w", T.IntegerType(), True),
+            T.StructField("out_h", T.IntegerType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"]) if r["content"] is not None else b""
+                arr = bmp_decode(content)
+                if arr is None:
+                    rows.append(
+                        {"media_id": r["media_id"], "width": None,
+                         "height": None, "out_w": None, "out_h": None,
+                         "content": None}
+                    )
+                    continue
+                h, w = arr.shape[:2]
+                scale = min(target_w / w, target_h / h)
+                ow = max(int(w * scale), 1)
+                oh = max(int(h * scale), 1)
+                rows.append(
+                    {"media_id": r["media_id"], "width": w, "height": h,
+                     "out_w": ow, "out_h": oh,
+                     "content": bmp_encode(nn_resize(arr, ow, oh))}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=out_schema
     )
 
 

@@ -177,3 +177,69 @@ def test_real_engine_decodes_headers(spark):
     assert got[3][:3] == (None, None, None)  # dirty bytes -> NULLs, row kept
     assert got[4][:3] == (None, None, None)  # no pure-python video codec
     assert all(v[3] > 0 for v in got.values())
+
+
+# --- real BMP pixel path ---------------------------------------------------
+
+def _gradient_bmp(w, h):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import bmp_encode
+
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :, 0] = (np.arange(h)[:, None] * 255 // max(h - 1, 1))
+    arr[:, :, 1] = (np.arange(w)[None, :] * 255 // max(w - 1, 1))
+    arr[:, :, 2] = 7
+    return arr, bmp_encode(arr)
+
+
+def test_bmp_roundtrip_identity():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import bmp_decode
+
+    arr, blob = _gradient_bmp(13, 9)  # odd width exercises row padding
+    back = bmp_decode(blob)
+    assert back is not None and np.array_equal(back, arr)
+
+
+def test_bmp_sniff_dims():
+    from leann_rs_spark.operators.multimodal import sniff_image_dims
+
+    _, blob = _gradient_bmp(33, 21)
+    assert sniff_image_dims(blob) == (33, 21)
+
+
+def test_nn_resize_reference():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import nn_resize
+
+    arr, _ = _gradient_bmp(10, 6)
+    out = nn_resize(arr, 5, 3)
+    assert out.shape == (3, 5, 3)
+    for i in range(3):
+        for j in range(5):
+            assert np.array_equal(out[i, j], arr[i * 6 // 3, j * 10 // 5])
+
+
+def test_resize_images_real_pixels(spark):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import bmp_decode, resize_images
+
+    _, big = _gradient_bmp(64, 32)
+    _, small = _gradient_bmp(8, 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(small)), (3, bytearray(b"not a bmp"))],
+        "media_id bigint, content binary",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 16, 16).collect()}
+    assert rows[1]["width"] == 64 and rows[1]["height"] == 32
+    assert (rows[1]["out_w"], rows[1]["out_h"]) == (16, 8)  # aspect fit
+    out1 = bmp_decode(bytes(rows[1]["content"]))
+    assert out1.shape == (8, 16, 3)
+    # upscale-capped: 8x8 fits within 16x16 -> scale 2
+    assert (rows[2]["out_w"], rows[2]["out_h"]) == (16, 16)
+    # dirty bytes keep their row with NULL output
+    assert rows[3]["content"] is None and rows[3]["out_w"] is None
