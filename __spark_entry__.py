@@ -1394,6 +1394,7 @@ def x_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different downstream shapes
     dfreq, nd = tfidf_corpus_stats(_fan(docs))
     dfreq = dfreq.persist()
+    dfreq.count()  # materialize: the two consumers race an empty cache
     emb = tfidf_embed_documents(
         _fan(docs), dims=_EMBED_DIMS, dfreq=dfreq, n_docs_df=nd
     )

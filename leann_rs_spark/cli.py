@@ -455,13 +455,17 @@ def cmd_analyze(args) -> int:
         spark.sparkContext.defaultParallelism
     )
     id_col, text_col = args.id_col, args.text_col
+    # NULL text (common in dirty crawls) folds to '' so sizes stay >= 0
+    # and the md5 duplicate check counts null-text rows as duplicates of
+    # the empty document rather than vanishing from count_distinct
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         id_col,
-        F.length(text_col).alias("__len"),
-        F.size(tokenize(text_col)).alias("__toks"),
-        lang_id(F.col(text_col)).alias("__lang"),
-        gopher_keep(F.col(text_col)).alias("__keep"),
-        F.md5(F.col(text_col)).alias("__h"),
+        F.length(txt).alias("__len"),
+        F.size(tokenize(txt)).alias("__toks"),
+        lang_id(txt).alias("__lang"),
+        gopher_keep(txt).alias("__keep"),
+        F.md5(txt).alias("__h"),
     ).persist()
     stats = base.agg(
         F.count("*").alias("n"),
@@ -471,6 +475,10 @@ def cmd_analyze(args) -> int:
         F.avg(F.col("__keep").cast("double")).alias("keep_rate"),
         F.count_distinct("__h").alias("uniq"),
     ).first()
+    if not stats["n"]:
+        base.unpersist()
+        print(_json.dumps({"n_docs": 0}))
+        return 0
     langs = {
         r["__lang"]: r["c"]
         for r in base.groupBy("__lang").agg(F.count("*").alias("c"))
@@ -490,8 +498,7 @@ def cmd_analyze(args) -> int:
         "chars_p50_p90_p99": [round(x, 1) for x in stats["lp"]],
         "tokens_p50_p90_p99": [round(x, 1) for x in stats["tp"]],
         "gopher_keep_rate": round(stats["keep_rate"], 4),
-        "exact_dup_rate": round(1.0 - stats["uniq"] / stats["n"], 4)
-        if stats["n"] else 0.0,
+        "exact_dup_rate": round(1.0 - stats["uniq"] / stats["n"], 4),
         "languages": langs,
         "top_ngrams": grams,
     }
@@ -510,6 +517,7 @@ def cmd_select(args) -> int:
     docs = spark.read.parquet(args.input).repartition(
         spark.sparkContext.defaultParallelism
     )
+    n_raw = docs.count()
     target = docs.filter(F.expr(args.target_where))
     n_t = target.count()
     if n_t == 0:
@@ -530,7 +538,7 @@ def cmd_select(args) -> int:
         df.unpersist()
     n_out = spark.read.parquet(args.output).count()
     print(
-        f"Selected {n_out}/{docs.count()} docs toward target "
+        f"Selected {n_out}/{n_raw} docs toward target "
         f"({n_t} target docs) -> {args.output}"
     )
     return 0

@@ -123,10 +123,13 @@ def sniff_image_dims(content: bytes) -> tuple[int | None, int | None]:
                     )
                 i += 2 + seg_len
         if content[:2] == b"BM" and len(content) >= 26:
-            return (
-                int.from_bytes(content[18:22], "little", signed=True),
-                abs(int.from_bytes(content[22:26], "little", signed=True)),
-            )
+            bw = int.from_bytes(content[18:22], "little", signed=True)
+            bh = int.from_bytes(content[22:26], "little", signed=True)
+            # negative width / zero height are spec-invalid — fall
+            # through to the (None, None) corrupt-bytes contract
+            if bw > 0 and bh != 0:
+                return bw, abs(bh)
+            return None, None
         if _HAVE_PIL:
             import io
 
@@ -277,6 +280,8 @@ def bmp_decode(content: bytes):
         comp = int.from_bytes(content[30:34], "little")
         if hdr < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
             return None
+        if offset < 14 + hdr:  # pixel data cannot start inside the header
+            return None
         flip = h > 0  # positive height = bottom-up row order
         h = abs(h)
         stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
@@ -334,7 +339,13 @@ def resize_images(
     nearest-neighbor resize, re-encode — Arrow-batched mapInPandas,
     bytes never leave the executor. Undecodable blobs keep their row
     with NULL output (total over dirty corpora). → (media_id, width,
-    height, out_w, out_h, content<BINARY resized BMP>)."""
+    height, out_w, out_h, content<BINARY resized BMP>).
+
+    No SQL-oracle gate: binary codecs are outside DuckDB's expressible
+    surface (the serving/filesystem operator class) — pinned instead by
+    round-trip, kernel-reference, and dirty-bytes tests; the RELATIONAL
+    half of resizing (the aspect-fit dimension math) stays oracle-gated
+    via resize_plan (x_media_resize)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -362,3 +362,26 @@ def test_cli_select_empty_target_errors(tmp_path_factory, capsys):
         "-n", "5",
     ])
     assert rc == 1
+
+
+def test_cli_analyze_empty_corpus(spark, tmp_path_factory, capsys):
+    p = str(tmp_path_factory.mktemp("empty") / "e.parquet")
+    spark.createDataFrame([], "doc_id bigint, text string").write.parquet(p)
+    rc = main(["analyze", "--input", p])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"n_docs": 0}
+
+
+def test_cli_analyze_null_text_rows(spark, tmp_path_factory, capsys):
+    p = str(tmp_path_factory.mktemp("nulls") / "n.parquet")
+    spark.createDataFrame(
+        [(1, "real words here"), (2, None), (3, None)],
+        "doc_id bigint, text string",
+    ).write.parquet(p)
+    rc = main(["analyze", "--input", p])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_docs"] == 3
+    assert rep["total_tokens"] >= 0
+    # the two null-text docs are duplicates of the empty document
+    assert rep["exact_dup_rate"] == round(1 - 2 / 3, 4)

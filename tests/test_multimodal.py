@@ -243,3 +243,16 @@ def test_resize_images_real_pixels(spark):
     assert (rows[2]["out_w"], rows[2]["out_h"]) == (16, 16)
     # dirty bytes keep their row with NULL output
     assert rows[3]["content"] is None and rows[3]["out_w"] is None
+
+
+def test_bmp_corrupt_headers_rejected():
+    from leann_rs_spark.operators.multimodal import bmp_decode, sniff_image_dims
+
+    _, blob = _gradient_bmp(6, 4)
+    neg_w = bytearray(blob)
+    neg_w[18:22] = (-100).to_bytes(4, "little", signed=True)
+    assert sniff_image_dims(bytes(neg_w)) == (None, None)
+    assert bmp_decode(bytes(neg_w)) is None
+    bad_off = bytearray(blob)
+    bad_off[10:14] = (2).to_bytes(4, "little")  # pixel data inside header
+    assert bmp_decode(bytes(bad_off)) is None
