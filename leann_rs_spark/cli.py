@@ -544,6 +544,73 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_tune(args) -> int:
+    """Accuracy/cost curves for a built ivf/ivfpq index: recall@k of
+    probe-pruned search per nprobe (ann.ivf_recall_curve) and, when the
+    index carries PQ codes, recall@k of ADC+refine per refine factor
+    (pq.pq_refine_recall_curve) — the measurements that pick the
+    production nprobe/refine knobs. Queries are the index's own first
+    --queries embeddings (deterministic); the exact baseline is Q×N by
+    construction, so run it on the sample, not per-query online."""
+    import json as _json
+
+    from leann_rs_spark.catalog import _index_dir, load_meta
+    from leann_rs_spark.operators.ann import ivf_recall_curve
+
+    spark = _spark(args)
+    meta = load_meta(args.warehouse, args.name)
+    if meta.backend != "ivf":
+        print(f"error: index {args.name!r} has no IVF layout", file=sys.stderr)
+        return 1
+    base = _index_dir(args.warehouse, args.name)
+    assigned = spark.read.parquet(f"{base}/ivf")
+    cents = spark.read.parquet(f"{base}/ivf_centroids")
+    emb = spark.read.parquet(f"{base}/embeddings")
+    queries = (
+        emb.orderBy("idx").limit(args.queries)
+        .select(F.col("idx").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    n_cent = int(meta.extra.get("ivf_centroids", 16))
+    sweep = sorted({p for p in [1, 2, 4, 8, 16, n_cent] if p <= n_cent})
+    cached: list = []
+    curve = ivf_recall_curve(
+        assigned.select("idx", "embedding", "cluster_id"), cents, queries,
+        k=args.top_k, nprobes=sweep, id_col="idx",
+        intermediates=cached,
+    ).collect()
+    report = {
+        "index": args.name,
+        "backend": "ivfpq" if "pq_m" in meta.extra else "ivf",
+        "n_centroids": n_cent,
+        "k": args.top_k,
+        "queries": args.queries,
+        "nprobe_recall": {str(r["nprobe"]): r["recall_r"] for r in curve},
+    }
+    for df in cached:
+        df.unpersist()
+    if "pq_m" in meta.extra:
+        from leann_rs_spark.operators.pq import (
+            codebook_from_rows,
+            pq_refine_recall_curve,
+        )
+
+        cb = codebook_from_rows(
+            spark.read.parquet(f"{base}/pq_codebook").collect()
+        )
+        cached2: list = []
+        pq_curve = pq_refine_recall_curve(
+            emb, cb, queries, k=args.top_k, refines=[1, 2, 4, 8],
+            id_col="idx", intermediates=cached2,
+        ).collect()
+        report["pq_refine_recall"] = {
+            str(r["refine"]): r["recall_r"] for r in pq_curve
+        }
+        for df in cached2:
+            df.unpersist()
+    print(_json.dumps(report, indent=2))
+    return 0
+
+
 def cmd_import_index(args) -> int:
     """Migrate an existing reference index (JSONL passages + ids.txt +
     flat-f32 embeddings + meta.json) into the Parquet catalog — after
@@ -772,6 +839,16 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--id-col", default="doc_id", dest="id_col")
     se.add_argument("--text-col", default="text", dest="text_col")
     se.set_defaults(fn=cmd_select)
+
+    tu = sub.add_parser(
+        "tune",
+        help="Recall curves for an ivf/ivfpq index: pick nprobe/refine",
+    )
+    tu.add_argument("name")
+    tu.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+    tu.add_argument("--queries", type=int, default=20)
+    tu.add_argument("--top-k", type=int, default=10, dest="top_k")
+    tu.set_defaults(fn=cmd_tune)
 
     im = sub.add_parser(
         "import-index",

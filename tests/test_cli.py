@@ -385,3 +385,38 @@ def test_cli_analyze_null_text_rows(spark, tmp_path_factory, capsys):
     assert rep["total_tokens"] >= 0
     # the two null-text docs are duplicates of the empty document
     assert rep["exact_dup_rate"] == round(1 - 2 / 3, 4)
+
+
+def test_cli_tune_recall_curves(spark, tmp_path_factory, capsys):
+    wh = str(tmp_path_factory.mktemp("cli_tune_wh"))
+    rc = main([
+        "build", "tunex", "--warehouse", wh,
+        "--docs", f"{SF_SMOKE}/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+        "--backend", "ivfpq", "--ivf-centroids", "4",
+        "--pq-m", "4", "--pq-k", "8",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["tune", "tunex", "--warehouse", wh, "--queries", "5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["backend"] == "ivfpq"
+    # nprobe = C degrades to exact -> recall 1.0 closes the sweep
+    assert rep["nprobe_recall"]["4"] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in rep["nprobe_recall"].values())
+    assert set(rep["pq_refine_recall"]) == {"1", "2", "4", "8"}
+    rs = [rep["pq_refine_recall"][k] for k in ["1", "2", "4", "8"]]
+    assert rs == sorted(rs)  # refine recall is monotone
+
+
+def test_cli_tune_requires_ivf(tmp_path_factory, capsys):
+    wh = str(tmp_path_factory.mktemp("cli_tune_wh2"))
+    rc = main([
+        "build", "flat", "--warehouse", wh,
+        "--docs", f"{SF_SMOKE}/documents.parquet",
+        "--chunk-size", "32", "--chunk-overlap", "8", "--dims", "16",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert main(["tune", "flat", "--warehouse", wh]) == 1
