@@ -1311,6 +1311,29 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def x_select_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed selection pipeline over the round's NEW operators:
+    DSIR-resample toward the target domain, then pack the selected
+    documents into fixed-token-budget training batches — the
+    composition a pretraining-mix build actually runs (the
+    x_curation_pipeline lesson: stages gated alone still break when
+    composed — filter pushdown through joins, reused subtrees). The
+    oracle nests the full DSIR twin inside the pack twin."""
+    from leann_rs_spark.operators.dsir import dsir_select
+    from leann_rs_spark.operators.sampling import pack_sequences
+
+    docs = _fan(_docs(spark, sf_dir))
+    target = docs.filter(F.expr(_DSIR_TARGET))
+    inter: list = []
+    sel = dsir_select(docs, target, n=_DSIR_N, intermediates=inter)
+    seldocs = docs.join(F.broadcast(sel.select("doc_id")), "doc_id")
+    packed = pack_sequences(
+        seldocs.withColumn("n_tokens", token_count("text")),
+        "n_tokens", 512, "doc_id", n_shards=8, id_cols=["doc_id"],
+    ).orderBy("doc_id")
+    return _materialize_curve(spark, packed, inter)
+
+
 _TOPNGRAM_N = 3
 _TOPNGRAM_K = 20
 
@@ -1603,6 +1626,17 @@ def _register_bm25_oracles() -> None:
 
     _ORACLES["x_top_ngrams"] = duckdb_top_ngrams(
         n=_TOPNGRAM_N, k=_TOPNGRAM_K
+    )
+    from leann_rs_spark.operators.sampling import duckdb_pack_sequences
+
+    _sel_sql = duckdb_dsir_select(target_where=_DSIR_TARGET, n=_DSIR_N)
+    _sel_pack = duckdb_pack_sequences(
+        f"(SELECT d.doc_id, {duckdb_token_count('d.text')} AS n_tokens "
+        f"FROM documents d JOIN ({_sel_sql}) s ON d.doc_id = s.doc_id)",
+        "n_tokens", 512, "doc_id", n_shards=8, id_cols="doc_id",
+    )
+    _ORACLES["x_select_pack"] = (
+        f"SELECT * FROM ({_sel_pack}) ORDER BY doc_id"
     )
 
 
@@ -2243,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
+        "x_select_pack": x_select_pack,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
