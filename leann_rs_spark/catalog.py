@@ -722,6 +722,11 @@ def build_ivf_index(
         else:
             cb = take_subcodebooks(emb, m=pq_m, k=pq_k, id_col="idx")
         bits = pq_bits(pq_k)
+        # expression encode, deliberately: the numpy-kernel form
+        # (pq_encode(kernel=True), bit-identical) measured 2.5x SLOWER
+        # here — Arrow transfer of the vector column dominates while
+        # the interpreted HOF runs at ~10 µs/row across cores. Measured
+        # at 5k and 20k rows, both directions (SURVEY round-4 log).
         assigned = assigned.withColumn(
             "code",
             pq_pack_col(

@@ -182,15 +182,78 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: list[str] | None = None,
+    kernel: bool = False,
 ) -> DataFrame:
     """(id, code[, extras]) for every vector — the compressed index
     table. At scale this is what gets persisted; pass
     extra_cols=["cluster_id"] on an ivf_assign output to build the
-    IVF-PQ layout (partition-prunable codes)."""
-    return vectors.select(
-        id_col,
-        pq_encode_col(F.col(vec_col), codebook).alias("code"),
-        *(extra_cols or []),
+    IVF-PQ layout (partition-prunable codes).
+
+    kernel=True runs the encoding as an Arrow-batched numpy kernel
+    (mapInPandas) instead of the Catalyst expression, accumulating
+    distances with the SAME sequential d-fold as _l2_dist2 and
+    breaking ties argmin-first (= smallest cid) — BIT-IDENTICAL to
+    the expression form (test-pinned, the lsh_near_dups kernel
+    precedent). Measured result: at 5k-20k rows x 64 dims the kernel
+    is ~2.5x SLOWER — Arrow transfer of the vector column dominates
+    while the interpreted HOF runs at ~10 µs/row — so the expression
+    form is the default everywhere; the kernel exists for regimes
+    where per-row expression cost grows (large K·M codebooks) and as
+    the template for a future columnar-input variant."""
+    if not kernel:
+        return vectors.select(
+            id_col,
+            pq_encode_col(F.col(vec_col), codebook).alias("code"),
+            *(extra_cols or []),
+        )
+
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    m = len(codebook)
+    d = _sub_dim(codebook)
+    extras = list(extra_cols or [])
+    # (M, K, d) float64 — exactly the literal values of the expression
+    cb = np.array(codebook, dtype=np.float64)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"__id": [], "code": [], **{c: [] for c in extras}}
+                )
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(n, m, d)
+            codes = np.empty((n, m), dtype=np.int32)
+            for i in range(m):
+                # sequential fold over d matches _l2_dist2's
+                # ((0+t1)+t2)+... bracketing bit-for-bit
+                acc = np.zeros((n, cb.shape[1]), dtype=np.float64)
+                for j in range(d):
+                    diff = x[:, i, j, None] - cb[i, None, :, j]
+                    acc += diff * diff
+                # argmin returns the FIRST minimum = smallest cid,
+                # matching array_min's (dist, cid) lexicographic order
+                codes[:, i] = np.argmin(acc, axis=1)
+            out = {"__id": pdf[id_col].values, "code": list(codes)}
+            for c in extras:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    in_schema = dict(vectors.dtypes)
+    schema = ", ".join(
+        [f"__id {in_schema[id_col]}", "code array<int>"]
+        + [f"{c} {in_schema[c]}" for c in extras]
+    )
+    sel = [id_col, vec_col] + [c for c in extras if c not in (id_col, vec_col)]
+    return (
+        vectors.select(*sel)
+        .mapInPandas(run, schema=schema)
+        .withColumnRenamed("__id", id_col)
     )
 
 

@@ -189,6 +189,47 @@ def test_nprobe_exceeding_centroid_count_is_safe(emb, cb):
     assert len(rows) == 5
 
 
+def test_kernel_encode_bit_identical_to_expression(spark, emb, cb):
+    """The numpy kernel (sequential d-fold, argmin-first tie-break)
+    must reproduce the Catalyst expression form code-for-code — the
+    lsh_near_dups kernel precedent. Checked on the real table and on
+    a duplicate-heavy corpus (exact ties exercise the tie-break)."""
+    a = {r["vec_id"]: list(r["code"]) for r in pq_encode(emb, cb).collect()}
+    b = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode(emb, cb, kernel=True).collect()
+    }
+    assert a == b
+    import random
+
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(i, base if i % 2 == 0 else
+             [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    dup = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cb2 = take_subcodebooks(dup, m=8, k=8)
+    a2 = {r["vec_id"]: list(r["code"]) for r in pq_encode(dup, cb2).collect()}
+    b2 = {
+        r["vec_id"]: list(r["code"])
+        for r in pq_encode(dup, cb2, kernel=True).collect()
+    }
+    assert a2 == b2
+
+
+def test_kernel_encode_carries_extra_cols(spark, emb, cb):
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+
+    assigned = ivf_assign(emb, take_centroids(emb, 4))
+    out = pq_encode(
+        assigned, cb, extra_cols=["embedding", "cluster_id"], kernel=True
+    )
+    assert set(out.columns) == {"vec_id", "code", "embedding", "cluster_id"}
+    row = out.filter(F.col("vec_id") == 3).head()
+    src = assigned.filter(F.col("vec_id") == 3).head()
+    assert list(row["embedding"]) == list(src["embedding"])
+    assert row["cluster_id"] == src["cluster_id"]
+
+
 def test_pack_unpack_roundtrip(spark):
     from leann_rs_spark.operators.pq import pq_bits, pq_pack_col, pq_unpack_col
 
