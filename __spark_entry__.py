@@ -1311,6 +1311,32 @@ def x_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def x_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-serving IVF-PQ (q2's twin over codes): the Q×nprobe probe
+    table broadcasts into the code join — on a cluster-partitioned
+    table, dynamic partition pruning at M bytes/row — ADC shortlists
+    per query, a broadcast candidate set drives the exact rescore.
+    Per-batch scan: union of probed clusters × 8 bytes/vector."""
+    from leann_rs_spark.operators.pq import (
+        ivf_pq_search_batch, pq_encode, take_subcodebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cb = take_subcodebooks(emb, m=_PQ_M, k=_PQ_K)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    assigned_codes = pq_encode(
+        ivf_assign(_fan(emb), cents), cb, extra_cols=["cluster_id"]
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_search_batch(
+        assigned_codes, cents, cb, queries,
+        k=5, nprobe=_IVF_NPROBE, refine=_IVFPQ_REFINE, vectors=emb,
+    ).orderBy("query_id", "rank")
+
+
 def x_select_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed selection pipeline over the round's NEW operators:
     DSIR-resample toward the target domain, then pack the selected
@@ -1617,6 +1643,16 @@ def _register_bm25_oracles() -> None:
         n_centroids=_IVF_CENTROIDS, refine=_IVFPQ_REFINE,
         m=_PQ_M, n_codebook=_PQ_K,
     )
+    from leann_rs_spark.operators.pq import duckdb_ivf_pq_search_batch
+
+    _ORACLES["x_ivfpq_batch"] = f"""
+        SELECT * FROM ({duckdb_ivf_pq_search_batch(
+            n_queries=5, k=5, nprobe=_IVF_NPROBE,
+            n_centroids=_IVF_CENTROIDS, refine=_IVFPQ_REFINE,
+            m=_PQ_M, n_codebook=_PQ_K,
+        )})
+        ORDER BY query_id, rank
+    """
     from leann_rs_spark.operators.dsir import duckdb_dsir_select
 
     _ORACLES["x_dsir_select"] = duckdb_dsir_select(
@@ -2275,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pq_topk": x_pq_topk,
         "x_pq_recall": x_pq_recall,
         "x_ivfpq_topk": x_ivfpq_topk,
+        "x_ivfpq_batch": x_ivfpq_batch,
         "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
         "x_select_pack": x_select_pack,

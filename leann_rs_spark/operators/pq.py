@@ -438,6 +438,84 @@ def ivf_pq_search(
     )
 
 
+def ivf_pq_search_batch(
+    assigned_codes: DataFrame,
+    centroids: DataFrame,
+    codebook: Codebook,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 0,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch-serving IVF-PQ (the ivf_search_batch twin over codes):
+    per-query probe ranking → the Q×nprobe probe table BROADCASTS into
+    the code join (dynamic partition pruning on a cluster-partitioned
+    table; the corpus is never shuffled) → ADC per (query, code) pair
+    → per-query ADC top-(refine·k) window → optional exact rescore via
+    a broadcast shortlist semi-join. Returns (query_id, id, score,
+    rank). Per-batch scan bytes: union of probed clusters × M bytes."""
+    from pyspark.sql import Window
+
+    qv = F.col(query_vec_col)
+    qc = queries.select(query_id_col, query_vec_col).crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        query_id_col,
+        query_vec_col,
+        "centroid_id",
+        dot(qv, F.col("centroid_vec")).alias("__qs"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qs").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            query_id_col, query_vec_col,
+            F.col("centroid_id").alias("cluster_id"),
+        )
+    )
+    scored = assigned_codes.join(F.broadcast(probes), "cluster_id").select(
+        query_id_col,
+        id_col,
+        dot(qv, pq_reconstruct_col(F.col("code"), codebook)).alias("score"),
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    shortlist_k = k if refine <= 0 else refine * k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= shortlist_k)
+    )
+    if refine <= 0:
+        return shortlist.select(query_id_col, id_col, "score", "rank")
+    if vectors is None:
+        raise ValueError("refine > 0 needs the full-vector table")
+    cand = shortlist.select(query_id_col, id_col).join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)),
+        query_id_col,
+    )
+    rescored = vectors.join(
+        F.broadcast(cand), id_col
+    ).select(
+        query_id_col,
+        id_col,
+        dot(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
 def pq_refine_recall_curve(
     vectors: DataFrame,
     codebook: Codebook,
@@ -679,6 +757,94 @@ def duckdb_ivf_pq_search(
             FROM recon r
             JOIN assigned a ON a.{id_col} = r.{id_col}
             JOIN probes p ON p.centroid_id = a.cluster_id, q
+        ),
+        {final}
+    """
+
+
+def duckdb_ivf_pq_search_batch(
+    n_queries: int,
+    k: int,
+    nprobe: int,
+    n_centroids: int,
+    refine: int = 0,
+    m: int = PQ_DEFAULT_M,
+    n_codebook: int = PQ_DEFAULT_K,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of `ivf_pq_search_batch` (take policies, queries =
+    the `n_queries` smallest ids — the q2 conventions)."""
+    d = dims // m
+    common = _duckdb_pq_common(m, n_codebook, d, table, id_col, vec_col)
+    d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+    d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+    adc = duckdb_dot("q.qv", "r.rv")
+    exact = duckdb_dot(f"e.{vec_col}", "q.qv")
+    shortlist_k = k if refine <= 0 else refine * k
+    final = (
+        f"""
+        rescored AS (
+            SELECT s.query_id, e.{id_col}, {exact} AS score
+            FROM {table} e
+            JOIN short s ON s.{id_col} = e.{id_col}
+            JOIN q ON q.query_id = s.query_id
+        )
+        SELECT query_id, {id_col}, score, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+            ) AS rank FROM rescored
+        ) WHERE rank <= {k}"""
+        if refine > 0
+        else f"""
+        noop AS (SELECT 1)
+        SELECT query_id, {id_col}, score, rank FROM short"""
+    )
+    return f"""
+        WITH {common},
+        cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT {id_col} AS query_id, {vec_col} AS qv
+            FROM {table} WHERE {id_col} < {n_queries}
+        ),
+        probes AS (
+            SELECT query_id, centroid_id FROM (
+                SELECT q.query_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {d_cq} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM cent c, q
+            ) WHERE rn <= {nprobe}
+        ),
+        adc AS (
+            SELECT q.query_id, r.{id_col}, {adc} AS score
+            FROM recon r
+            JOIN assigned a ON a.{id_col} = r.{id_col}
+            JOIN probes p ON p.centroid_id = a.cluster_id
+            JOIN q ON q.query_id = p.query_id
+        ),
+        short AS (
+            SELECT query_id, {id_col}, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+                ) AS rank FROM adc
+            ) WHERE rank <= {shortlist_k}
         ),
         {final}
     """

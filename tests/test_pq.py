@@ -163,6 +163,47 @@ def test_ivf_pq_probing_prunes_candidates(emb, cb):
     assert len(clusters) == 1
 
 
+def test_ivf_pq_batch_matches_single_and_exact(spark, emb, cb):
+    """The batch form per query ≡ the single-query form; with full
+    probes + covering refine both ≡ exact batch search."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.pq import (
+        ivf_pq_search, ivf_pq_search_batch,
+    )
+    from leann_rs_spark.operators.search import batch_search
+
+    C = 8
+    cents = take_centroids(emb, C)
+    ac = pq_encode(ivf_assign(emb, cents), cb, extra_cols=["cluster_id"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = ivf_pq_search_batch(
+        ac, cents, cb, queries, k=4, nprobe=2, refine=2, vectors=emb
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid in (0, 1, 2):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = ivf_pq_search(
+            ac, cents, cb, qv, k=4, nprobe=2, refine=2, vectors=emb
+        ).collect()
+        assert by_q[qid] == [(r["vec_id"], r["score"]) for r in single]
+    n = emb.count()
+    full = ivf_pq_search_batch(
+        ac, cents, cb, queries, k=4, nprobe=C, refine=(n // 4) + 1,
+        vectors=emb,
+    ).collect()
+    exact = batch_search(emb, queries, k=4, metric="ip").collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["vec_id"], r["score"], r["rank"]) for r in rows
+    )
+    assert key(full) == key(exact)
+
+
 def test_ivf_pq_refine_requires_vectors(emb, cb):
     from leann_rs_spark.operators.ann import ivf_assign, take_centroids
     from leann_rs_spark.operators.pq import ivf_pq_search
