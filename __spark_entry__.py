@@ -1135,6 +1135,35 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (the polars join_asof strategy
+    surface): every click gets the same user's CLOSEST view by |Δts|,
+    ties to the earlier one. Physically both carry windows evaluate
+    over ONE exchange (same partitioning, ascending + descending
+    sorts); the oracle composes DuckDB's two ASOF directions and picks
+    per row with the same epoch-seconds distance compare."""
+    from leann_rs_spark.operators.joins import asof_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        clicks, views, on="user_id", right_cols=["view_value"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("view_ts"),
+        (F.round("view_value_right", 6) + F.lit(0.0)).alias("view_value_r"),
+    ).orderBy("event_id")
+
+
 def x_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of query through the hot-key salting path
     (salt_buckets=8: left rows hash-spread, right rows replicated per
@@ -1937,6 +1966,20 @@ def _register_session_oracle() -> None:
     """
     # the salted physical form answers the SAME query — same oracle
     _ORACLES["x_asof_join_salted"] = _ORACLES["x_asof_join"]
+    nearest = duckdb_asof_join(
+        "SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'",
+        "SELECT user_id, ts, max(value) AS view_value FROM events"
+        " WHERE event_type = 'view' GROUP BY user_id, ts",
+        on="user_id",
+        right_cols=["view_value"],
+        direction="nearest",
+        left_id="event_id",
+    )
+    _ORACLES["x_asof_nearest"] = f"""
+        SELECT event_id, user_id, ts, ts_right AS view_ts,
+               round(view_value_right, 6) + 0.0 AS view_value_r
+        FROM ({nearest}) ORDER BY event_id
+    """
     # Spark's window() aligns tumbling windows to the unix epoch;
     # DuckDB time_bucket's default origin (2000-01-01) lands on the
     # same boundaries for any duration that divides a day.
@@ -2306,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_recall": x_ivf_recall,
         "x_lm_score": x_lm_score,
         "x_asof_join_salted": x_asof_join_salted,
+        "x_asof_nearest": x_asof_nearest,
         "x_tfidf_embed": x_tfidf_embed,
         "x_tfidf_topk": x_tfidf_topk,
         "x_pq_topk": x_pq_topk,

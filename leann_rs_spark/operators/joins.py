@@ -36,12 +36,26 @@ def asof_join(
     tolerance: str | None = None,
     suffix: str = "_right",
     salt_buckets: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the right row with the LARGEST
-    right_ts <= left_ts for the same `on` key (backward as-of,
-    inclusive — DuckDB ASOF JOIN semantics). Unmatched left rows keep
-    NULL right columns (left join). `tolerance` (an INTERVAL string,
-    e.g. "10 minutes") drops matches older than left_ts - tolerance.
+    """For every left row, attach one right row for the same `on` key
+    by `direction` (the polars join_asof / pandas merge_asof surface):
+
+    - "backward" (default): the LARGEST right_ts <= left_ts
+      (inclusive — DuckDB ASOF JOIN semantics);
+    - "forward": the SMALLEST right_ts >= left_ts;
+    - "nearest": whichever of the two is closer by |Δts|, ties to the
+      backward match (the earlier right row).
+
+    Unmatched left rows keep NULL right columns (left join).
+    `tolerance` (an INTERVAL string, e.g. "10 minutes") drops matches
+    farther than the tolerance in the match direction (both
+    directions for "nearest" — the nearer VALID side wins).
+
+    Forward reuses the same union-sort single-Exchange shape with the
+    window ordered descending; nearest evaluates both windows over
+    the one exchange (same partitioning → Catalyst reuses it; the
+    second sort is in-partition) and chooses per row.
 
     Right payload columns are renamed `<col><suffix>`; the matched
     right timestamp is `<right_ts><suffix>`.
@@ -95,30 +109,83 @@ def asof_join(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
         ).withColumn("__salt", F.col("__salt").cast("int"))
         part_cols = [on, "__salt"]
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     u = l_tagged.unionByName(r_tagged)
-    # side 0 sorts before side 1 at equal ts → right rows at exactly
-    # left_ts are visible to the left row (inclusive >=)
-    w = (
+    # side 0 sorts before side 1 at equal ts (in BOTH orderings) →
+    # right rows at exactly left_ts are visible to the left row
+    # (inclusive <= / >=)
+    w_b = (
         Window.partitionBy(*part_cols)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_f = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _carry(w, alias_prefix=""):
+        return [
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{alias_prefix}{c}{suffix}")
+            for c in payload
+        ]
+
+    if direction == "backward":
+        carry_cols = _carry(w_b)
+    elif direction == "forward":
+        carry_cols = _carry(w_f)
+    else:
+        carry_cols = _carry(w_b, "__b_") + _carry(w_f, "__f_")
     carried = u.select(
         on,
         "__ts",
         "__side",
         *[F.col(c) for c in left.columns if c != on],
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        *carry_cols,
     )
     out = carried.filter(F.col("__side") == 1).drop("__side", "__ts")
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+    if direction == "nearest":
+        bts = F.col(f"__b_{right_ts}{suffix}")
+        fts = F.col(f"__f_{right_ts}{suffix}")
+        lts = F.col(left_ts)
+        valid_b = bts.isNotNull() & (
+            F.lit(True) if tol is None else (bts >= lts - tol)
+        )
+        valid_f = fts.isNotNull() & (
+            F.lit(True) if tol is None else (fts <= lts + tol)
+        )
+        # ties (equal distance) go backward — the earlier right row.
+        # distances compare in EXACT integer microseconds (timestamp
+        # NTZ/LTZ-safe; the oracle uses epoch_us, the same integers)
+        def us(c: Column) -> Column:
+            return F.unix_micros(c.cast("timestamp"))
+
+        pick_b = valid_b & (
+            ~valid_f | ((us(lts) - us(bts)) <= (us(fts) - us(lts)))
+        )
+        return out.select(
+            on,
+            *[F.col(c) for c in left.columns if c != on],
+            *[
+                F.when(pick_b, F.col(f"__b_{c}{suffix}"))
+                .when(valid_f, F.col(f"__f_{c}{suffix}"))
+                .alias(f"{c}{suffix}")
+                for c in payload
+            ],
+        )
     if tolerance is not None:
         matched_ts = F.col(f"{right_ts}{suffix}")
-        keep = matched_ts.isNotNull() & (
-            matched_ts >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            matched_ts >= F.col(left_ts) - tol
+            if direction == "backward"
+            else matched_ts <= F.col(left_ts) + tol
         )
+        keep = matched_ts.isNotNull() & in_tol
         out = out.select(
             on,
             *[F.col(c) for c in left.columns if c != on],
@@ -138,18 +205,66 @@ def duckdb_asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    left_id: str | None = None,
 ) -> str:
-    """Oracle twin over DuckDB's native ASOF JOIN (no tolerance form)."""
+    """Oracle twin over DuckDB's native ASOF JOIN (no tolerance form).
+    direction maps to the ASOF inequality (>= backward, <= forward);
+    "nearest" composes both ASOF joins and picks per row — it needs
+    `left_id`, a unique left key to stitch the two matches together."""
     right_cols = right_cols or []
-    sel_r = ", ".join(
-        [f"r.{right_ts} AS {right_ts}{suffix}"]
-        + [f"r.{c} AS {c}{suffix}" for c in right_cols]
+    payload = [right_ts, *right_cols]
+    if direction in ("backward", "forward"):
+        op = ">=" if direction == "backward" else "<="
+        sel_r = ", ".join(
+            [f"r.{right_ts} AS {right_ts}{suffix}"]
+            + [f"r.{c} AS {c}{suffix}" for c in right_cols]
+        )
+        return f"""
+            SELECT l.*, {sel_r}
+            FROM ({left_sql}) l
+            ASOF LEFT JOIN ({right_sql}) r
+              ON l.{on} = r.{on} AND l.{left_ts} {op} r.{right_ts}
+        """
+    if direction != "nearest":
+        raise ValueError(f"unknown direction {direction!r}")
+    if left_id is None:
+        raise ValueError("nearest twin needs left_id")
+    b_sel = ", ".join(f"r.{c} AS __b_{c}" for c in payload)
+    f_sel = ", ".join(f"r.{c} AS __f_{c}" for c in payload)
+    pick = ", ".join(
+        f"CASE WHEN __pick_b THEN __b_{c} "
+        f"WHEN __f_{right_ts} IS NOT NULL THEN __f_{c} END AS {c}{suffix}"
+        for c in payload
     )
     return f"""
-        SELECT l.*, {sel_r}
-        FROM ({left_sql}) l
-        ASOF LEFT JOIN ({right_sql}) r
-          ON l.{on} = r.{on} AND l.{left_ts} >= r.{right_ts}
+        WITH B AS (
+            SELECT l.*, {b_sel}
+            FROM ({left_sql}) l
+            ASOF LEFT JOIN ({right_sql}) r
+              ON l.{on} = r.{on} AND l.{left_ts} >= r.{right_ts}
+        ),
+        FW AS (
+            SELECT l.{left_id} AS __lid, {f_sel}
+            FROM ({left_sql}) l
+            ASOF LEFT JOIN ({right_sql}) r
+              ON l.{on} = r.{on} AND l.{left_ts} <= r.{right_ts}
+        ),
+        J AS (
+            SELECT B.*, {", ".join(f"FW.__f_{c}" for c in payload)},
+                   (__b_{right_ts} IS NOT NULL AND (
+                        __f_{right_ts} IS NULL
+                        OR (epoch_us({left_ts}) - epoch_us(__b_{right_ts}))
+                           <= (epoch_us(__f_{right_ts}) - epoch_us({left_ts}))
+                   )) AS __pick_b
+            FROM B JOIN FW ON B.{left_id} = FW.__lid
+        )
+        SELECT * EXCLUDE ({", ".join(
+            ["__pick_b"]
+            + [f"__b_{c}" for c in payload]
+            + [f"__f_{c}" for c in payload]
+        )}), {pick}
+        FROM J
     """
 
 

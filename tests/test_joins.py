@@ -207,3 +207,72 @@ def test_asof_salted_with_map_column(spark):
     out = asof_join(left, right, on="user_id", salt_buckets=4).collect()
     assert len(out) == 2
     assert all(r["quote_right"] == 1.0 for r in out)
+
+
+# --- direction: forward / nearest -----------------------------------------
+
+def _asof_map(df):
+    return {
+        (r["user_id"], r["ts"]): (r["ts_right"], r["quote_right"])
+        for r in df.collect()
+    }
+
+
+def test_asof_forward_hand_vectors(trades, quotes):
+    out = _asof_map(
+        asof_join(trades, quotes, on="user_id", right_cols=["quote"],
+                  direction="forward")
+    )
+    # trade 10:00:05 has a quote AT 10:00:05 (inclusive)
+    assert out[(1, _ts("2024-01-01 10:00:05"))][1] == 2.0
+    # trade 10:00:10: no later quote -> NULL
+    assert out[(1, _ts("2024-01-01 10:00:10"))] == (None, None)
+    # trade 09:59:00: next quote is 10:00:00
+    assert out[(1, _ts("2024-01-01 09:59:00"))][1] == 1.0
+    # user 2's only quote is earlier -> NULL forward
+    assert out[(2, _ts("2024-01-01 10:00:07"))] == (None, None)
+
+
+def test_asof_nearest_hand_vectors(trades, quotes):
+    out = _asof_map(
+        asof_join(trades, quotes, on="user_id", right_cols=["quote"],
+                  direction="nearest")
+    )
+    # 10:00:05: backward match is AT the ts (distance 0) -> 2.0
+    assert out[(1, _ts("2024-01-01 10:00:05"))][1] == 2.0
+    # 10:00:10: backward 10:00:09 (1s) beats nothing forward
+    assert out[(1, _ts("2024-01-01 10:00:10"))][1] == 3.0
+    # 09:59:00: only forward exists (10:00:00)
+    assert out[(1, _ts("2024-01-01 09:59:00"))][1] == 1.0
+    # user 2: only backward exists
+    assert out[(2, _ts("2024-01-01 10:00:07"))][1] == 9.0
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:05"), 0.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:03"), 11.0),
+         (1, _ts("2024-01-01 10:00:07"), 22.0)],
+        "user_id long, ts timestamp, quote double",
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["quote"],
+                    direction="nearest").head()
+    assert out["quote_right"] == 11.0  # equal 2s distance -> backward
+
+
+def test_asof_forward_tolerance(trades, quotes):
+    out = _asof_map(
+        asof_join(trades, quotes, on="user_id", right_cols=["quote"],
+                  direction="forward", tolerance="30 seconds")
+    )
+    # 09:59:00 -> next quote 10:00:00 is 60s away: outside tolerance
+    assert out[(1, _ts("2024-01-01 09:59:00"))] == (None, None)
+    assert out[(1, _ts("2024-01-01 10:00:05"))][1] == 2.0
+
+
+def test_asof_unknown_direction_raises(trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="user_id", direction="sideways")
