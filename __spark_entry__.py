@@ -307,6 +307,21 @@ def x_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVFPQ_REFINE = 3
+def x_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized search (operators/sq.py) — the middle rung of
+    the storage ladder (f32 → SQ8 D bytes → PQ M bytes): per-dim
+    min/max learned in one aggregate pass, floor-quantized byte codes,
+    decode-then-dot top-k. 4× scan-bytes cut at ~0.2 % score error;
+    x_pq_topk is the 32× rung, q3 the exact baseline."""
+    from leann_rs_spark.operators.sq import sq8_encode, sq8_search, sq8_train
+
+    emb = _emb(spark, sf_dir)
+    mins, rngs = sq8_train(emb, dims=64)
+    codes = sq8_encode(_fan(emb), mins, rngs)
+    qv = _query_vec(spark, sf_dir, 4)
+    return sq8_search(codes, mins, rngs, qv, k=10)
+
+
 _DSIR_TARGET = "source = 'src1' AND lang = 'en'"
 _DSIR_N = 100
 
@@ -1672,6 +1687,9 @@ def _register_bm25_oracles() -> None:
         n_centroids=_IVF_CENTROIDS, refine=_IVFPQ_REFINE,
         m=_PQ_M, n_codebook=_PQ_K,
     )
+    from leann_rs_spark.operators.sq import duckdb_sq8_search
+
+    _ORACLES["x_sq8_topk"] = duckdb_sq8_search(query_vec_id=4, k=10)
     from leann_rs_spark.operators.pq import duckdb_ivf_pq_search_batch
 
     _ORACLES["x_ivfpq_batch"] = f"""
@@ -2356,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pq_recall": x_pq_recall,
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_ivfpq_batch": x_ivfpq_batch,
+        "x_sq8_topk": x_sq8_topk,
         "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
         "x_select_pack": x_select_pack,
