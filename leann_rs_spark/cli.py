@@ -571,7 +571,13 @@ def cmd_tune(args) -> int:
         .select(F.col("idx").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
     n_cent = int(meta.extra.get("ivf_centroids", 16))
-    sweep = sorted({p for p in [1, 2, 4, 8, 16, n_cent] if p <= n_cent})
+    # geometric sweep 1,2,4,... up to C, C included: resolution across
+    # the whole operating range whatever the (auto-sized) codebook is
+    sweep, p = [], 1
+    while p < n_cent:
+        sweep.append(p)
+        p *= 2
+    sweep.append(n_cent)
     cached: list = []
     curve = ivf_recall_curve(
         assigned.select("idx", "embedding", "cluster_id"), cents, queries,

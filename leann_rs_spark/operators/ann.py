@@ -529,6 +529,37 @@ def duckdb_lsh_near_dups(
 
 
 
+def probe_ranks(
+    queries: DataFrame,
+    centroids: DataFrame,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query centroid ranking — the shared probe-table builder for
+    every batch form (exact IVF, IVF-PQ, recall sweeps): queries ×
+    broadcast(centroids), ranked per query by inner product with
+    centroid_id ASC tie-break. → (query_id, query_vec, cluster_id,
+    probe_rank). Callers filter probe_rank <= nprobe."""
+    from pyspark.sql import Window
+
+    qv = F.col(query_vec_col)
+    qc = queries.select(query_id_col, query_vec_col).crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        query_id_col,
+        query_vec_col,
+        "centroid_id",
+        dot(qv, F.col("centroid_vec")).alias("__qs"),
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__qs").desc(), F.col("centroid_id").asc()
+    )
+    return qc.withColumn("probe_rank", F.row_number().over(w_probe)).select(
+        query_id_col, query_vec_col,
+        F.col("centroid_id").alias("cluster_id"), "probe_rank",
+    )
+
+
 def ivf_search_batch(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -557,24 +588,10 @@ def ivf_search_batch(
     from pyspark.sql import Window
 
     qv = F.col(query_vec_col)
-    qc = queries.select(query_id_col, query_vec_col).crossJoin(
-        F.broadcast(centroids)
-    ).select(
-        query_id_col,
-        query_vec_col,
-        "centroid_id",
-        dot(qv, F.col("centroid_vec")).alias("__qs"),
-    )
-    w_probe = Window.partitionBy(query_id_col).orderBy(
-        F.col("__qs").desc(), F.col("centroid_id").asc()
-    )
     probes = (
-        qc.withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            query_id_col, query_vec_col,
-            F.col("centroid_id").alias("cluster_id"),
-        )
+        probe_ranks(queries, centroids, query_id_col, query_vec_col)
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("probe_rank")
     )
     scored = assigned.join(F.broadcast(probes), "cluster_id").select(
         query_id_col,
@@ -685,21 +702,7 @@ def ivf_recall_curve(
 
     nprobes = nprobes or [1, 2, 4, 8, 16]
     qv = F.col(query_vec_col)
-    qc = queries.select(query_id_col, query_vec_col).crossJoin(
-        F.broadcast(centroids)
-    ).select(
-        query_id_col,
-        query_vec_col,
-        "centroid_id",
-        dot(qv, F.col("centroid_vec")).alias("__qs"),
-    )
-    w_probe = Window.partitionBy(query_id_col).orderBy(
-        F.col("__qs").desc(), F.col("centroid_id").asc()
-    )
-    probes = qc.withColumn("probe_rank", F.row_number().over(w_probe)).select(
-        query_id_col, query_vec_col,
-        F.col("centroid_id").alias("cluster_id"), "probe_rank",
-    )
+    probes = probe_ranks(queries, centroids, query_id_col, query_vec_col)
     cand = assigned.join(F.broadcast(probes), "cluster_id").select(
         query_id_col,
         id_col,

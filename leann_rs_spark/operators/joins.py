@@ -75,19 +75,29 @@ def asof_join(
     ]
     payload = [right_ts, *right_cols]
 
+    # the right payload is carried as ONE STRUCT, not per-column: a
+    # right row with a NULL payload value must still match AS A ROW
+    # (per-column last(ignorenulls) would stitch fields from different
+    # right rows — DuckDB's ASOF, like any join, is row-atomic)
+    rtypes = dict(right.dtypes)
+    pay_type = "struct<" + ", ".join(
+        f"`{c}{suffix}`: {rtypes[c]}" for c in payload
+    ) + ">"
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c != on],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in payload],
+        F.lit(None).cast(pay_type).alias("__pay"),
     )
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns if c != on],
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload]
+        ).alias("__pay"),
     )
     part_cols = [on]
     if salt_buckets is not None and salt_buckets > 1:
@@ -126,20 +136,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    def _carry(w, alias_prefix=""):
-        return [
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{alias_prefix}{c}{suffix}")
-            for c in payload
-        ]
+    def _carry(w, alias):
+        return F.last(F.col("__pay"), ignorenulls=True).over(w).alias(alias)
 
-    if direction == "backward":
-        carry_cols = _carry(w_b)
-    elif direction == "forward":
-        carry_cols = _carry(w_f)
+    if direction == "nearest":
+        carry_cols = [_carry(w_b, "__b"), _carry(w_f, "__f")]
     else:
-        carry_cols = _carry(w_b, "__b_") + _carry(w_f, "__f_")
+        carry_cols = [_carry(w_b if direction == "backward" else w_f, "__m")]
     carried = u.select(
         on,
         "__ts",
@@ -149,10 +152,10 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1).drop("__side", "__ts")
     tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+    lts = F.col(left_ts)
     if direction == "nearest":
-        bts = F.col(f"__b_{right_ts}{suffix}")
-        fts = F.col(f"__f_{right_ts}{suffix}")
-        lts = F.col(left_ts)
+        bts = F.col("__b")[f"{right_ts}{suffix}"]
+        fts = F.col("__f")[f"{right_ts}{suffix}"]
         valid_b = bts.isNotNull() & (
             F.lit(True) if tol is None else (bts >= lts - tol)
         )
@@ -160,41 +163,36 @@ def asof_join(
             F.lit(True) if tol is None else (fts <= lts + tol)
         )
         # ties (equal distance) go backward — the earlier right row.
-        # distances compare in EXACT integer microseconds (timestamp
-        # NTZ/LTZ-safe; the oracle uses epoch_us, the same integers)
-        def us(c: Column) -> Column:
-            return F.unix_micros(c.cast("timestamp"))
-
-        pick_b = valid_b & (
-            ~valid_f | ((us(lts) - us(bts)) <= (us(fts) - us(lts)))
+        # distances compare as INTERVAL subtractions: wall-clock linear
+        # for NTZ (no epoch cast, no DST nonlinearity — the
+        # sessionize.py trap) and instant-linear for LTZ; the oracle's
+        # naive-timestamp subtraction is the same arithmetic
+        pick_b = valid_b & (~valid_f | ((lts - bts) <= (fts - lts)))
+        chosen = (
+            F.when(pick_b, F.col("__b"))
+            .when(valid_f, F.col("__f"))
+            .alias("__m")
         )
-        return out.select(
-            on,
-            *[F.col(c) for c in left.columns if c != on],
-            *[
-                F.when(pick_b, F.col(f"__b_{c}{suffix}"))
-                .when(valid_f, F.col(f"__f_{c}{suffix}"))
-                .alias(f"{c}{suffix}")
-                for c in payload
-            ],
+        out = out.select(
+            on, *[F.col(c) for c in left.columns if c != on], chosen
         )
-    if tolerance is not None:
-        matched_ts = F.col(f"{right_ts}{suffix}")
+    elif tolerance is not None:
+        matched_ts = F.col("__m")[f"{right_ts}{suffix}"]
         in_tol = (
-            matched_ts >= F.col(left_ts) - tol
+            matched_ts >= lts - tol
             if direction == "backward"
-            else matched_ts <= F.col(left_ts) + tol
+            else matched_ts <= lts + tol
         )
-        keep = matched_ts.isNotNull() & in_tol
         out = out.select(
             on,
             *[F.col(c) for c in left.columns if c != on],
-            *[
-                F.when(keep, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in payload
-            ],
+            F.when(matched_ts.isNotNull() & in_tol, F.col("__m")).alias("__m"),
         )
-    return out
+    return out.select(
+        on,
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.col("__m")[f"{c}{suffix}"].alias(f"{c}{suffix}") for c in payload],
+    )
 
 
 def duckdb_asof_join(
@@ -254,8 +252,8 @@ def duckdb_asof_join(
             SELECT B.*, {", ".join(f"FW.__f_{c}" for c in payload)},
                    (__b_{right_ts} IS NOT NULL AND (
                         __f_{right_ts} IS NULL
-                        OR (epoch_us({left_ts}) - epoch_us(__b_{right_ts}))
-                           <= (epoch_us(__f_{right_ts}) - epoch_us({left_ts}))
+                        OR ({left_ts} - __b_{right_ts})
+                           <= (__f_{right_ts} - {left_ts})
                    )) AS __pick_b
             FROM B JOIN FW ON B.{left_id} = FW.__lid
         )

@@ -461,25 +461,13 @@ def ivf_pq_search_batch(
     rank). Per-batch scan bytes: union of probed clusters × M bytes."""
     from pyspark.sql import Window
 
+    from leann_rs_spark.operators.ann import probe_ranks
+
     qv = F.col(query_vec_col)
-    qc = queries.select(query_id_col, query_vec_col).crossJoin(
-        F.broadcast(centroids)
-    ).select(
-        query_id_col,
-        query_vec_col,
-        "centroid_id",
-        dot(qv, F.col("centroid_vec")).alias("__qs"),
-    )
-    w_probe = Window.partitionBy(query_id_col).orderBy(
-        F.col("__qs").desc(), F.col("centroid_id").asc()
-    )
     probes = (
-        qc.withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            query_id_col, query_vec_col,
-            F.col("centroid_id").alias("cluster_id"),
-        )
+        probe_ranks(queries, centroids, query_id_col, query_vec_col)
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("probe_rank")
     )
     scored = assigned_codes.join(F.broadcast(probes), "cluster_id").select(
         query_id_col,

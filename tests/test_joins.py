@@ -276,3 +276,69 @@ def test_asof_forward_tolerance(trades, quotes):
 def test_asof_unknown_direction_raises(trades, quotes):
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="user_id", direction="sideways")
+
+
+def test_asof_nearest_tolerance_nearer_side_invalid(spark):
+    """The nearer side out of tolerance, the farther side within: the
+    valid side must win (the 'nearest VALID match' rule)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 0.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00"), 11.0),  # backward, 60 min away
+            (1, _ts("2024-01-01 10:05:00"), 22.0),  # forward, 5 min away
+        ],
+        "user_id long, ts timestamp, quote double",
+    )
+    # no tolerance: forward is nearer
+    out = asof_join(left, right, on="user_id", right_cols=["quote"],
+                    direction="nearest").head()
+    assert out["quote_right"] == 22.0
+    # tolerance 10 min: forward still valid, backward not -> forward
+    out = asof_join(left, right, on="user_id", right_cols=["quote"],
+                    direction="nearest", tolerance="10 minutes").head()
+    assert out["quote_right"] == 22.0
+    # tolerance 2 min: neither valid -> NULL
+    out = asof_join(left, right, on="user_id", right_cols=["quote"],
+                    direction="nearest", tolerance="2 minutes").head()
+    assert out["quote_right"] is None and out["ts_right"] is None
+    # flip: nearer FORWARD invalid, farther BACKWARD valid
+    right2 = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:55:00"), 11.0),  # backward, 5 min
+            (1, _ts("2024-01-01 10:01:00"), 22.0),  # forward, 1 min
+        ],
+        "user_id long, ts timestamp, quote double",
+    )
+    out = asof_join(
+        left, right2.filter(F.col("quote") != 0), on="user_id",
+        right_cols=["quote"], direction="nearest",
+    ).head()
+    assert out["quote_right"] == 22.0  # unconstrained: forward nearer
+    # (hypothetical regression target: a tolerance covering only the
+    # backward side must pick backward even though forward is nearer)
+    out = asof_join(left, right2, on="user_id", right_cols=["quote"],
+                    direction="nearest", tolerance="30 seconds").head()
+    assert out["quote_right"] is None  # neither within 30s
+
+
+def test_asof_null_payload_stays_row_atomic(spark):
+    """A right row with a NULL payload value must match AS A ROW: the
+    output may not stitch its ts with an older row's value (the
+    per-column-carry bug class; DuckDB ASOF is row-atomic)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:05"), 0.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:01"), 5.0),
+            (1, _ts("2024-01-01 10:00:04"), None),  # latest prior: NULL value
+        ],
+        "user_id long, ts timestamp, quote double",
+    )
+    out = asof_join(left, right, on="user_id", right_cols=["quote"]).head()
+    assert out["ts_right"] == _ts("2024-01-01 10:00:04")
+    assert out["quote_right"] is None  # NOT 5.0 from the older row
