@@ -1525,6 +1525,88 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_C4_LINE_W = 7
+
+
+def _c4_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic page synthesis for the C4 gate: the synthetic
+    documents table is single-line and punctuation-free, so a literal
+    C4 run would be degenerate (every rule fires or none does — the
+    short-circuit-bias trap SURVEY §9 documents). Rebuild each doc as a
+    multi-line page whose lines get terminal punctuation / 'javascript'
+    / page-level 'lorem ipsum' and '{' injections keyed off the
+    md5-derived hash64 — the same construction runs in the oracle, so
+    every C4 rule discriminates on real row subsets. Word array and
+    line starts are let-bound (HOF-CSE idiom)."""
+    from leann_rs_spark.functions.text import hash64
+
+    def build(words: Column) -> Column:
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.size(words) - 1, F.lit(0)),
+            F.lit(_C4_LINE_W),
+        )
+
+        def line(i: Column) -> Column:
+            base = F.array_join(F.slice(words, i + 1, _C4_LINE_W), " ")
+            h = hash64(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+                )
+            )
+            base = F.when(
+                h % 11 == 0, F.concat(base, F.lit(" javascript"))
+            ).otherwise(base)
+            return (
+                F.when(h % 4 == 1, F.concat(base, F.lit(".")))
+                .when(h % 4 == 2, F.concat(base, F.lit("!")))
+                .when(h % 4 == 3, F.concat(base, F.lit("?")))
+                .otherwise(base)
+            )
+
+        return F.array_join(F.transform(starts, line), "\n")
+
+    dh = hash64(F.concat(F.lit("c4:"), F.col("doc_id").cast("string")))
+    page = F.transform(
+        F.array(F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != F.lit(""))),
+        build,
+    )[0]
+    page = F.concat(
+        page,
+        F.when(dh % 13 == 0, F.lit("\nLorem ipsum dolor sit amet.")).otherwise(
+            F.lit("")
+        ),
+        F.when(dh % 17 == 0, F.lit("\nfunction f() { return 0; }")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", page.alias("page"))
+
+
+def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/page cleaning (arXiv:1910.10683 §2.2,
+    functions/textstats.c4_signals): keep lines ending in terminal
+    punctuation with >= 3 words and no 'javascript'; drop pages with
+    'lorem ipsum', '{', or < 5 surviving sentences. One projection,
+    zero shuffle at any corpus size — the crawl pipeline's first gate,
+    upstream of the dedup family."""
+    from leann_rs_spark.functions.textstats import c4_signals
+
+    s = c4_signals("page")
+    return (
+        _c4_pages(_fan(_docs(spark, sf_dir)))
+        .select(
+            "doc_id",
+            s["keep"].alias("keep"),
+            s["page_bad"].alias("page_bad"),
+            s["n_kept_lines"].alias("n_kept_lines"),
+            s["n_sentences"].alias("n_sentences"),
+            F.md5(s["clean_text"]).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _LSH_PLANES = 32
 _LSH_BANDS = 4
 
@@ -2127,6 +2209,78 @@ def _register_lsh_corpus_oracles() -> None:
                round(avg(n_chars::double), 6) AS avg_chars_r
         FROM documents GROUP BY lang ORDER BY lang
     """
+    _register_c4_oracle()
+
+
+def _register_c4_oracle() -> None:
+    """x_c4_clean oracle: rebuild the synthetic pages with the same
+    md5-hash64 line construction as _c4_pages, then apply the
+    duckdb_c4_signals twins."""
+    from leann_rs_spark.functions.textstats import duckdb_c4_signals
+
+    sig = duckdb_c4_signals("page")
+    w = _C4_LINE_W
+    _ORACLES["x_c4_clean"] = f"""
+        WITH ws AS (
+            SELECT doc_id,
+                   list_filter(str_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        st AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0, greatest(len(w) - 1, 0), {w}))
+                       AS i
+            FROM ws
+        ),
+        b1 AS (
+            SELECT doc_id, i,
+                   list_aggregate(list_slice(w, i + 1, i + {w}),
+                                  'string_agg', ' ') AS base,
+                   ('0x' || substr(md5(doc_id::varchar || ':' || i::varchar),
+                                   1, 15))::bigint AS h
+            FROM st
+        ),
+        b2 AS (
+            SELECT doc_id, i, h,
+                   CASE WHEN h % 11 = 0 THEN base || ' javascript'
+                        ELSE base END AS base2
+            FROM b1
+        ),
+        ln AS (
+            SELECT doc_id, i,
+                   CASE WHEN h % 4 = 1 THEN base2 || '.'
+                        WHEN h % 4 = 2 THEN base2 || '!'
+                        WHEN h % 4 = 3 THEN base2 || '?'
+                        ELSE base2 END AS line
+            FROM b2
+        ),
+        pg0 AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS page0
+            FROM ln GROUP BY doc_id
+        ),
+        pg AS (
+            SELECT doc_id,
+                   page0
+                   || CASE WHEN dh % 13 = 0
+                           THEN chr(10) || 'Lorem ipsum dolor sit amet.'
+                           ELSE '' END
+                   || CASE WHEN dh % 17 = 0
+                           THEN chr(10) || 'function f() {{ return 0; }}'
+                           ELSE '' END AS page
+            FROM (SELECT doc_id, page0,
+                         ('0x' || substr(md5('c4:' || doc_id::varchar),
+                                         1, 15))::bigint AS dh
+                  FROM pg0)
+        )
+        SELECT doc_id,
+               {sig['keep']} AS keep,
+               {sig['page_bad']} AS page_bad,
+               CAST({sig['n_kept_lines']} AS INT) AS n_kept_lines,
+               CAST({sig['n_sentences']} AS INT) AS n_sentences,
+               md5({sig['clean_text']}) AS clean_hash
+        FROM pg ORDER BY doc_id
+    """
 
 
 _register_lsh_corpus_oracles()
@@ -2378,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
         "x_select_pack": x_select_pack,
+        "x_c4_clean": x_c4_clean,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -854,3 +854,102 @@ def duckdb_top_ngrams(
         ORDER BY n_occurrences DESC, ngram ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning (Raffel et al., arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+# The public C4 heuristics, as a per-row expression: keep only lines
+# that end in a terminal punctuation mark, contain >= min_line_words
+# whitespace words, and do not mention "javascript"; drop whole pages
+# containing "lorem ipsum", a curly brace, any blocklist phrase, or
+# fewer than min_sentences sentences after line cleaning. ZERO shuffle
+# at any corpus size — the natural first stage of a crawl pipeline,
+# upstream of dedup (where the reference pipeline starts at chunking,
+# build.rs:640-659, a crawl corpus needs this gate first).
+
+_C4_TERMINAL_RE = '[.!?"”]$'
+_C4_SENT_RE = "[^.!?]"
+
+
+def c4_signals(
+    text: Column | str,
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> Column:
+    """STRUCT(clean_text, n_kept_lines, n_sentences, page_bad, keep).
+
+    clean_text is the newline-join of surviving lines ('' when none
+    survive). page_bad applies to the RAW text (C4 drops the page on
+    raw content); keep = not page_bad AND n_sentences >= min_sentences
+    AND at least one surviving line. The kept-lines array is let-bound
+    via the single-element-array transform (the codebase's HOF idiom) —
+    it is consumed three times (join, size, sentence count)."""
+    text = F.col(text) if isinstance(text, str) else text
+
+    def line_ok(x: Column) -> Column:
+        words = F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != F.lit(""))
+        return (
+            x.rlike(_C4_TERMINAL_RE)
+            & (F.size(words) >= F.lit(min_line_words))
+            & ~F.lower(x).contains("javascript")
+        )
+
+    def body(kept: Column) -> Column:
+        clean = F.array_join(kept, "\n")
+        n_sent = F.length(F.regexp_replace(clean, _C4_SENT_RE, ""))
+        bad = F.lower(text).contains("lorem ipsum") | text.contains("{")
+        for phrase in blocklist:
+            bad = bad | F.lower(text).contains(phrase.lower())
+        keep = (~bad) & (n_sent >= F.lit(min_sentences)) & (F.size(kept) > 0)
+        return F.struct(
+            clean.alias("clean_text"),
+            F.size(kept).alias("n_kept_lines"),
+            n_sent.alias("n_sentences"),
+            bad.alias("page_bad"),
+            keep.alias("keep"),
+        )
+
+    return F.transform(F.array(F.filter(_doc_lines(text), line_ok)), body)[0]
+
+
+def c4_keep(text: Column | str, **kw) -> Column:
+    """The C4 page keep/drop boolean alone."""
+    return c4_signals(text, **kw)["keep"]
+
+
+def c4_clean_text(text: Column | str, **kw) -> Column:
+    """The cleaned page text alone (surviving lines, newline-joined)."""
+    return c4_signals(text, **kw)["clean_text"]
+
+
+def duckdb_c4_signals(
+    text: str,
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> dict[str, str]:
+    """DuckDB twins of the c4_signals struct fields, keyed like it."""
+    lines = _duckdb_lines(text)
+    line_words = "len(list_filter(str_split_regex(trim(x), '\\s+'), w -> w <> ''))"
+    kept = (
+        f"list_filter({lines}, x -> regexp_matches(x, '{_C4_TERMINAL_RE}')"
+        f" AND {line_words} >= {min_line_words}"
+        f" AND NOT contains(lower(x), 'javascript'))"
+    )
+    clean = f"coalesce(list_aggregate({kept}, 'string_agg', chr(10)), '')"
+    n_sent = f"length(regexp_replace({clean}, '{_C4_SENT_RE}', '', 'g'))"
+    bad = f"(contains(lower({text}), 'lorem ipsum') OR contains({text}, '{{'))"
+    for phrase in blocklist:
+        bad = bad[:-1] + f" OR contains(lower({text}), '{phrase.lower()}'))"
+    keep = (
+        f"(NOT {bad} AND {n_sent} >= {min_sentences} AND len({kept}) > 0)"
+    )
+    return {
+        "clean_text": clean,
+        "n_kept_lines": f"len({kept})",
+        "n_sentences": n_sent,
+        "page_bad": bad,
+        "keep": keep,
+    }

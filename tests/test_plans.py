@@ -418,3 +418,15 @@ def test_ivf_recall_probe_table_broadcasts(spark):
     # and the sweep self-checks: nprobe = C row must be exact
     rows = {r["nprobe"]: r["recall_r"] for r in df.collect()}
     assert rows[16] == 1.0
+
+
+def test_c4_clean_is_shuffle_free(spark):
+    """The C4 gate (line filter + page rules) is one projection over
+    the scan — no Exchange anywhere in the plan (the final sort in the
+    gate query is presentation; the operator itself must not shuffle)."""
+    from leann_rs_spark.functions.textstats import c4_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = c4_signals("text")
+    df = docs.select("doc_id", s["keep"], s["clean_text"])
+    assert "Exchange" not in plan_of(df)

@@ -341,3 +341,129 @@ def test_top_ngrams_tie_break_is_lexicographic(spark):
     rows = top_ngrams(docs, n=2, k=4).collect()
     # all bigrams occur once except "bb cc" (twice); rest tie → asc
     assert [r["ngram"] for r in rows] == ["bb cc", "aa bb", "cc dd"]
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning
+# ---------------------------------------------------------------------------
+
+def _c4_rows(spark, texts):
+    from leann_rs_spark.functions.textstats import c4_signals
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    return [
+        r["s"].asDict()
+        for r in docs.orderBy("doc_id")
+        .select(c4_signals("text").alias("s"))
+        .collect()
+    ]
+
+
+def test_c4_line_rules(spark):
+    """Terminal punctuation, min words, and the javascript rule each
+    drop exactly their line; survivors keep document order."""
+    page = "\n".join(
+        [
+            "This line ends with a period.",     # kept
+            "no terminal punctuation here",      # dropped: no punct
+            "Too short.",                        # dropped: < 3 words
+            "Please enable javascript to view.", # dropped: javascript
+            "Does this line survive too?",       # kept
+        ]
+    )
+    (s,) = _c4_rows(spark, [page])
+    assert s["n_kept_lines"] == 2
+    assert s["clean_text"] == (
+        "This line ends with a period.\nDoes this line survive too?"
+    )
+    assert s["n_sentences"] == 2
+
+
+def test_c4_page_rules(spark):
+    """lorem ipsum / '{' / min_sentences fire at page level; a clean
+    5-sentence page survives."""
+    good = "\n".join(f"This is good sentence number {i}." for i in range(5))
+    lorem = good + "\nLorem ipsum dolor sit amet."
+    brace = good + "\nvar x = { a: 1 }"
+    short = "\n".join(f"This is good sentence number {i}." for i in range(4))
+    rows = _c4_rows(spark, [good, lorem, brace, short, ""])
+    assert [r["keep"] for r in rows] == [True, False, False, False, False]
+    assert [r["page_bad"] for r in rows] == [False, True, True, False, False]
+    # the brace page's kept lines still exclude the brace line itself
+    assert rows[2]["n_kept_lines"] == 5
+    # empty doc: no lines, no sentences, clean_text is '' not NULL
+    assert rows[4]["clean_text"] == "" and rows[4]["n_kept_lines"] == 0
+
+
+def test_c4_blocklist_and_quote_terminal(spark):
+    from leann_rs_spark.functions.textstats import c4_signals
+
+    page = "\n".join(
+        ['He said "stop right there."', 'She replied "why would I do that?"']
+        + [f"Filler sentence number {i} here." for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        [(0, page), (1, page + "\nBuy cheap WIDGETS now.")],
+        "doc_id bigint, text string",
+    )
+    out = [
+        r["s"].asDict()
+        for r in docs.orderBy("doc_id")
+        .select(c4_signals("text", blocklist=("cheap widgets",)).alias("s"))
+        .collect()
+    ]
+    assert out[0]["keep"] is True and out[0]["n_kept_lines"] == 5
+    assert out[1]["keep"] is False and out[1]["page_bad"] is True
+
+
+def test_c4_duckdb_parity_random(spark):
+    """Spark struct == DuckDB twins on a mixed corpus including unicode
+    quotes, blank lines, and whitespace runs."""
+    import duckdb
+
+    from leann_rs_spark.functions.textstats import (
+        c4_signals,
+        duckdb_c4_signals,
+    )
+
+    texts = [
+        "One two three.\n\n  spaced   out   line here!  \nshort.",
+        "Ends with close quote.”\nNO PUNCT LINE AT ALL",
+        "Lorem Ipsum is not case sensitive.\nAnother fine line here.",
+        "a { b\nSolid line with words and marks?",
+        "",
+        "Tab\tseparated words count too.\n" * 6,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    s = c4_signals("text")
+    got = [
+        (r["doc_id"], r["k"], r["b"], r["nl"], r["ns"], r["ct"])
+        for r in docs.orderBy("doc_id").select(
+            "doc_id",
+            s["keep"].alias("k"),
+            s["page_bad"].alias("b"),
+            s["n_kept_lines"].alias("nl"),
+            s["n_sentences"].alias("ns"),
+            s["clean_text"].alias("ct"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, t) for i, t in enumerate(texts)],
+    )
+    sig = duckdb_c4_signals("text")
+    want = con.execute(
+        f"""SELECT doc_id, {sig['keep']}, {sig['page_bad']},
+                   CAST({sig['n_kept_lines']} AS INT),
+                   CAST({sig['n_sentences']} AS INT), {sig['clean_text']}
+            FROM documents ORDER BY doc_id"""
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
