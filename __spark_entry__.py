@@ -1607,6 +1607,54 @@ def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-warehouse co-located join (sources/warehouse.py): write
+    lineitem and orders bucketed 8 ways on the order key, then run the
+    recurring fact⋈dim shape — per-order partial agg, join, re-agg by
+    priority. Bucketing moves the fact-side Exchange to WRITE time:
+    the per-order groupBy and the join read the co-located layout with
+    no shuffle (pinned by test_plans.py::test_bucketed_join_has_no_
+    exchange); only the final few-row priority agg exchanges. Revenue
+    sums use the decimal(38,6) exact-sum recipe (tools/parity_exp.py)."""
+    import tempfile
+
+    from leann_rs_spark.sources.warehouse import read_bucketed, write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = tempfile.mkdtemp(prefix="leann-wh-gate-")
+    write_bucketed(
+        li, "leann_gate_li", f"{d}/li", "l_orderkey", 8,
+        sort_cols="l_orderkey",
+    )
+    write_bucketed(
+        od, "leann_gate_od", f"{d}/od", "o_orderkey", 8,
+        sort_cols="o_orderkey",
+    )
+    a = read_bucketed(spark, "leann_gate_li")
+    b = read_bucketed(spark, "leann_gate_od")
+    per_order = a.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("rev"),
+    )
+    return (
+        per_order.join(b, per_order.l_orderkey == b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_lines").alias("n_lines"),
+            (F.round(F.sum("rev").cast("double"), 6) + F.lit(0.0)).alias(
+                "revenue_r"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _LSH_PLANES = 32
 _LSH_BANDS = 4
 
@@ -2210,6 +2258,20 @@ def _register_lsh_corpus_oracles() -> None:
         FROM documents GROUP BY lang ORDER BY lang
     """
     _register_c4_oracle()
+    _ORACLES["x_bucketed_join"] = """
+        WITH per_order AS (
+            SELECT l_orderkey, count(*) AS n_lines,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))) AS rev
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(n_lines)::bigint AS n_lines,
+               round(sum(rev)::double, 6) + 0.0 AS revenue_r
+        FROM per_order JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
 
 
 def _register_c4_oracle() -> None:
@@ -2533,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_ngrams": x_top_ngrams,
         "x_select_pack": x_select_pack,
         "x_c4_clean": x_c4_clean,
+        "x_bucketed_join": x_bucketed_join,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -430,3 +430,52 @@ def test_c4_clean_is_shuffle_free(spark):
     s = c4_signals("text")
     df = docs.select("doc_id", s["keep"], s["clean_text"])
     assert "Exchange" not in plan_of(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed 8 ways on the join key: the per-order agg,
+    the join, AND the key-grouped aggregation run with ZERO Exchange —
+    the write-time shuffle is reused by every downstream consumer. The
+    same query over plain parquet shuffles both sides (counterfactual
+    pinned below)."""
+    from leann_rs_spark.sources.warehouse import (
+        drop_bucketed,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    write_bucketed(
+        li, "tp_li", str(tmp_path / "li"), "l_orderkey", 8,
+        sort_cols="l_orderkey",
+    )
+    write_bucketed(
+        od, "tp_od", str(tmp_path / "od"), "o_orderkey", 8,
+        sort_cols="o_orderkey",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a, b = read_bucketed(spark, "tp_li"), read_bucketed(spark, "tp_od")
+        per_order = a.groupBy("l_orderkey").agg(
+            F.sum("l_extendedprice").alias("rev"), F.count("*").alias("n")
+        )
+        j = per_order.join(b, per_order.l_orderkey == b.o_orderkey).select(
+            "l_orderkey", "o_orderpriority", "rev", "n"
+        )
+        assert "Exchange" not in plan_of(j)
+        # counterfactual: same query over the raw parquet shuffles
+        po2 = li.groupBy("l_orderkey").agg(
+            F.sum("l_extendedprice").alias("rev"), F.count("*").alias("n")
+        )
+        j2 = po2.join(od, po2.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "o_orderpriority", "rev", "n"
+        )
+        assert "Exchange" in plan_of(j2)
+        # and the bucketed result is the same data
+        assert j.count() == j2.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        drop_bucketed(spark, "tp_li")
+        drop_bucketed(spark, "tp_od")

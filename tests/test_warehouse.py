@@ -1,0 +1,74 @@
+"""Bucketed warehouse tables (sources/warehouse.py): spec round-trip,
+append with a stable layout, overwrite rebuild. The no-shuffle plan
+property lives in test_plans.py."""
+
+from pyspark.sql import functions as F
+
+from leann_rs_spark.sources.warehouse import (
+    bucket_spec,
+    drop_bucketed,
+    read_bucketed,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_round_trip_and_spec(spark, tmp_path):
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    try:
+        write_bucketed(
+            od, "tw_orders", str(tmp_path / "od"), "o_orderkey", 4,
+            sort_cols="o_orderkey",
+        )
+        back = read_bucketed(spark, "tw_orders")
+        assert back.count() == od.count()
+        assert sorted(back.columns) == sorted(od.columns)
+        spec = bucket_spec(spark, "tw_orders")
+        assert spec == {
+            "n_buckets": 4,
+            "bucket_cols": ["o_orderkey"],
+            "sort_cols": ["o_orderkey"],
+        }
+    finally:
+        drop_bucketed(spark, "tw_orders")
+
+
+def test_bucketed_append_keeps_spec(spark, tmp_path):
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    half1 = od.filter(F.col("o_orderkey") % 2 == 0)
+    half2 = od.filter(F.col("o_orderkey") % 2 == 1)
+    try:
+        write_bucketed(half1, "tw_app", str(tmp_path / "a"), "o_orderkey", 4)
+        write_bucketed(
+            half2, "tw_app", str(tmp_path / "a"), "o_orderkey", 4,
+            mode="append",
+        )
+        assert read_bucketed(spark, "tw_app").count() == od.count()
+        assert bucket_spec(spark, "tw_app")["n_buckets"] == 4
+    finally:
+        drop_bucketed(spark, "tw_app")
+
+
+def test_bucketed_overwrite_replaces_rows(spark, tmp_path):
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    try:
+        write_bucketed(od, "tw_ow", str(tmp_path / "o"), "o_orderkey", 4)
+        write_bucketed(
+            od.limit(10), "tw_ow", str(tmp_path / "o2"), "o_orderkey", 2
+        )
+        assert read_bucketed(spark, "tw_ow").count() == 10
+        assert bucket_spec(spark, "tw_ow")["n_buckets"] == 2
+    finally:
+        drop_bucketed(spark, "tw_ow")
+
+
+def test_unbucketed_table_has_empty_spec(spark, tmp_path):
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    try:
+        od.write.format("parquet").option(
+            "path", str(tmp_path / "p")
+        ).saveAsTable("tw_plain")
+        assert bucket_spec(spark, "tw_plain") == {}
+    finally:
+        drop_bucketed(spark, "tw_plain")
