@@ -1607,6 +1607,21 @@ def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_analyze_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus audit report as one gated composition
+    (operators/report.py — library twin of the analyze CLI): doc/token
+    counts, exact length/token percentiles, Gopher keep rate,
+    exact-dup rate, detected-language mix, top-ngram heavy hitters.
+    One persisted single-pass projection + the top_ngrams shuffle; the
+    oracle is the full SQL twin including quantile_cont percentiles."""
+    from leann_rs_spark.operators.report import corpus_report
+
+    rep = corpus_report(_fan(_docs(spark, sf_dir)), ngram_n=3, ngram_k=10)
+    return rep.select(
+        "metric", (F.round("value", 6) + F.lit(0.0)).alias("value_r")
+    ).orderBy("metric")
+
+
 def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-warehouse co-located join (sources/warehouse.py): write
     lineitem and orders bucketed 8 ways on the order key, then run the
@@ -2258,6 +2273,7 @@ def _register_lsh_corpus_oracles() -> None:
         FROM documents GROUP BY lang ORDER BY lang
     """
     _register_c4_oracle()
+    _register_report_oracle()
     _ORACLES["x_bucketed_join"] = """
         WITH per_order AS (
             SELECT l_orderkey, count(*) AS n_lines,
@@ -2271,6 +2287,16 @@ def _register_lsh_corpus_oracles() -> None:
                round(sum(rev)::double, 6) + 0.0 AS revenue_r
         FROM per_order JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def _register_report_oracle() -> None:
+    from leann_rs_spark.operators.report import duckdb_corpus_report
+
+    _ORACLES["x_analyze_report"] = f"""
+        SELECT metric, round(value, 6) + 0.0 AS value_r
+        FROM ({duckdb_corpus_report(ngram_n=3, ngram_k=10)})
+        ORDER BY metric
     """
 
 
@@ -2596,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_select_pack": x_select_pack,
         "x_c4_clean": x_c4_clean,
         "x_bucketed_join": x_bucketed_join,
+        "x_analyze_report": x_analyze_report,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
