@@ -1607,6 +1607,110 @@ def x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PD_BOILER = "Subscribe to our newsletter for weekly updates."
+_PD_PAGE_DOCS = 5
+
+
+def _pd_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic page synthesis for the paragraph-dedup gate: the
+    corpus has no exact-duplicate texts and its docs are single-line,
+    so pages are built with KNOWN paragraph duplication — each page is
+    _PD_PAGE_DOCS consecutive docs as paragraphs, every page carries
+    the same boilerplate footer (the classic target: repeats verbatim
+    corpus-wide while its pages are not near-dups of each other), and
+    every doc_id % 11 == 0 text is replanted on the FOLLOWING page
+    (a cross-page copy whose first occurrence must win). The same
+    construction runs in the oracle."""
+    base = docs.select(
+        F.floor(F.col("doc_id") / _PD_PAGE_DOCS).cast("bigint").alias("page_id"),
+        (F.col("doc_id") % _PD_PAGE_DOCS).cast("int").alias("idx"),
+        F.col("text").alias("para"),
+    )
+    boiler = (
+        base.select("page_id")
+        .distinct()
+        .select(
+            "page_id",
+            F.lit(_PD_PAGE_DOCS).cast("int").alias("idx"),
+            F.lit(_PD_BOILER).alias("para"),
+        )
+    )
+    copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.floor(F.col("doc_id") / _PD_PAGE_DOCS) + 1)
+        .cast("bigint")
+        .alias("page_id"),
+        (F.lit(_PD_PAGE_DOCS + 1) + F.col("doc_id") % _PD_PAGE_DOCS)
+        .cast("int")
+        .alias("idx"),
+        F.col("text").alias("para"),
+    )
+    rows = base.unionAll(boiler).unionAll(copies)
+    return rows.groupBy("page_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+
+
+def x_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (operators/dedup.paragraph_dedup —
+    the Dolma/RefinedWeb granularity between doc-level exact_dedup and
+    token-level duplicate_spans): a paragraph occurring ≥2 times
+    corpus-wide survives only at its first (id, position) occurrence;
+    pages are rebuilt from survivors. Two bounded shuffles (md5-keyed
+    first-occurrence agg + page reassembly); the boilerplate footer on
+    every synthesized page and the planted cross-page copies are the
+    duplication the gate must cut."""
+    from leann_rs_spark.operators.dedup import paragraph_dedup
+
+    out = paragraph_dedup(
+        _pd_pages(_fan(_docs(spark, sf_dir))), id_col="page_id"
+    )
+    return out.select(
+        "page_id",
+        "n_paras",
+        "dup_paras",
+        (F.round("dup_frac", 6) + F.lit(0.0)).alias("dup_frac_r"),
+        F.md5("clean_text").alias("clean_hash"),
+    ).orderBy("page_id")
+
+
+def x_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join
+    (streaming/ingest.stream_enrich_events): the event stream joins the
+    customer dimension — broadcast into every micro-batch, stateless,
+    no watermark — and the enriched rows land in the parquet sink. The
+    fourth streaming form to leave pytest: its oracle is the plain
+    batch join, and left-join semantics mean no fact row is ever
+    dropped by a missing dim row."""
+    from leann_rs_spark.streaming.ingest import stream_enrich_events
+
+    d = _stream_events_input(spark, sf_dir)
+    outp, ckpt = _stream_run_dirs()
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    q = stream_enrich_events(spark, f"{d}/in", outp, ckpt, dim)
+    drained = q.awaitTermination(600)  # hoisted: not stripped under -O
+    if not drained:
+        raise RuntimeError("stream did not drain")
+    out = spark.read.parquet(outp)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+        "c_mktsegment",
+        (F.round("c_acctbal", 6) + F.lit(0.0)).alias("acctbal_r"),
+    ).orderBy("event_id")
+
+
 def x_analyze_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus audit report as one gated composition
     (operators/report.py — library twin of the analyze CLI): doc/token
@@ -2274,6 +2378,15 @@ def _register_lsh_corpus_oracles() -> None:
     """
     _register_c4_oracle()
     _register_report_oracle()
+    _register_paragraph_dedup_oracle()
+    _ORACLES["x_stream_enrich"] = """
+        SELECT e.event_id, e.user_id, e.event_type,
+               round(e.value, 6) + 0.0 AS value_r,
+               c.c_mktsegment,
+               round(c.c_acctbal, 6) + 0.0 AS acctbal_r
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+    """
     _ORACLES["x_bucketed_join"] = """
         WITH per_order AS (
             SELECT l_orderkey, count(*) AS n_lines,
@@ -2287,6 +2400,39 @@ def _register_lsh_corpus_oracles() -> None:
                round(sum(rev)::double, 6) + 0.0 AS revenue_r
         FROM per_order JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def _register_paragraph_dedup_oracle() -> None:
+    """x_paragraph_dedup oracle: rebuild the synthetic pages with the
+    same base/boilerplate/cross-page-copy construction as _pd_pages,
+    then apply the duckdb_paragraph_dedup twin."""
+    from leann_rs_spark.operators.dedup import duckdb_paragraph_dedup
+
+    g = _PD_PAGE_DOCS
+    pages_sql = f"""
+        WITH prows AS (
+            SELECT doc_id // {g} AS page_id,
+                   (doc_id % {g})::int AS idx, text AS para
+            FROM documents
+            UNION ALL
+            SELECT DISTINCT doc_id // {g} AS page_id,
+                   {g} AS idx, '{_PD_BOILER}' AS para
+            FROM documents
+            UNION ALL
+            SELECT doc_id // {g} + 1 AS page_id,
+                   ({g} + 1 + doc_id % {g})::int AS idx, text AS para
+            FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT page_id, string_agg(para, chr(10) ORDER BY idx) AS text
+        FROM prows GROUP BY 1
+    """
+    inner = duckdb_paragraph_dedup(pages_sql, id_col="page_id")
+    _ORACLES["x_paragraph_dedup"] = f"""
+        SELECT page_id, n_paras, dup_paras,
+               round(dup_frac, 6) + 0.0 AS dup_frac_r,
+               md5(clean_text) AS clean_hash
+        FROM ({inner}) ORDER BY page_id
     """
 
 
@@ -2623,6 +2769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_clean": x_c4_clean,
         "x_bucketed_join": x_bucketed_join,
         "x_analyze_report": x_analyze_report,
+        "x_paragraph_dedup": x_paragraph_dedup,
+        "x_stream_enrich": x_stream_enrich,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

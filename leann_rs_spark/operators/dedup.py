@@ -1289,3 +1289,128 @@ def duckdb_duplicate_spans(
                coalesce(clean.clean_text, '') AS clean_text
         FROM st LEFT JOIN clean USING ({id_col})
     """
+
+
+def paragraph_dedup(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """→ (id_col, n_paras, dup_paras, dup_frac, clean_text).
+
+    Corpus-level PARAGRAPH dedup (the Dolma / RefinedWeb granularity,
+    between doc-level exact_dedup and token-level duplicate_spans): a
+    paragraph occurring ≥2 times corpus-wide survives only at its FIRST
+    occurrence — ordered by (id, position) — and every later copy is
+    cut from its page. This is the boilerplate killer (nav bars,
+    cookie banners, subscribe footers repeat across pages verbatim
+    while their pages are not near-dups of each other, so doc-level
+    MinHash never fires). Blank/whitespace-only paragraphs are dropped
+    outright; `clean_text` is the page rebuilt from surviving
+    paragraphs in original order.
+
+    Scale shape — two shuffles, both bounded:
+      1. first-occurrence per paragraph: one hash aggregation keyed by
+         md5(paragraph) (narrow 32-char shuffle key instead of the
+         paragraph body; map-side partial min collapses each task's
+         repeats first), then the join back to paragraph rows is
+         co-hashed with the agg so AQE reuses the exchange — the
+         duplicate_spans layout.
+      2. page reassembly keyed by id: value volume bounded by page
+         length, never corpus size.
+    No driver-side state, no Bloom filter to size: exactness comes
+    from the shuffle, which is what a 1000-executor cluster is for.
+    """
+    paras = (
+        pages.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__i", "__p"),
+        )
+        .filter(F.trim(F.col("__p")) != "")
+        .withColumn("__h", F.md5(F.col("__p")))
+    )
+    first = paras.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("__i").alias("x"))
+        ).alias("__k")
+    )
+    marked = paras.join(first, "__h").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__k.i")) & (F.col("__i") == F.col("__k.x")),
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_paras"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("dup_paras"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__i"), F.col("__p")),
+                        )
+                    )
+                ),
+                lambda s: s["__p"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    # pages whose every paragraph is blank have no para rows — carry
+    # them through with zero counts (the duckdb_duplicate_spans
+    # zero-token lesson, r3 ADVICE)
+    return pages.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+        F.coalesce("dup_paras", F.lit(0)).alias("dup_paras"),
+        F.when(
+            F.coalesce("n_paras", F.lit(0)) > 0,
+            F.col("dup_paras").cast("double") / F.col("n_paras").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def duckdb_paragraph_dedup(
+    pages_sql: str,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of paragraph_dedup over a pages relation (id, text):
+    identical split/blank-filter, first occurrence via row_number
+    ordered (id, position) — the min(struct) twin — and ordered
+    string_agg reassembly. LEFT JOIN keeps all-blank pages."""
+    return f"""
+        WITH pages AS ({pages_sql}),
+        pg AS (SELECT {id_col}, string_split(text, chr(10)) AS p FROM pages),
+        paras AS (
+            SELECT {id_col}, i AS idx, list_extract(p, i) AS para
+            FROM pg, unnest(generate_series(1, len(p))) s(i)
+            WHERE trim(list_extract(p, i)) <> ''
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY para ORDER BY {id_col}, idx) AS rn
+            FROM paras
+        ),
+        agg AS (
+            SELECT {id_col},
+                   count(*)::int AS n_paras,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::int AS dup_paras,
+                   coalesce(string_agg(para, chr(10) ORDER BY idx)
+                            FILTER (rn = 1), '') AS clean_text
+            FROM rk GROUP BY 1
+        )
+        SELECT t.{id_col},
+               coalesce(agg.n_paras, 0) AS n_paras,
+               coalesce(agg.dup_paras, 0) AS dup_paras,
+               CASE WHEN coalesce(agg.n_paras, 0) > 0
+                    THEN agg.dup_paras::double / agg.n_paras
+                    ELSE 0.0 END AS dup_frac,
+               coalesce(agg.clean_text, '') AS clean_text
+        FROM pages t LEFT JOIN agg USING ({id_col})
+    """

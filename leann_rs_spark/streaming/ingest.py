@@ -191,3 +191,41 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enrich_events(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    dim: DataFrame,
+    *,
+    on: str = "user_id",
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+):
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins the (small) static dimension `dim` — pre-keyed on
+    `on` — and the enriched rows append to parquet. The static side is
+    broadcast into every batch (stream-static joins are stateless:
+    no watermark, no state store — the planner re-reads/broadcasts the
+    dim per trigger, which is exactly the desired physical shape when
+    the dim fits an executor and the stream does not).
+
+    Left join: an event with no dim row still flows (NULL attrs), so
+    a lagging dimension load never drops facts. At 100 TB/day of
+    events the dim stays a broadcast; a dim too big to broadcast is
+    the cue to switch to the batch as-of/interval join operators.
+    """
+    events = spark.readStream.schema(schema).parquet(input_path)
+    enriched = events.join(F.broadcast(dim), on, "left")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -482,3 +482,102 @@ def test_duplicate_spans_duckdb_parity_with_empty_docs(spark):
     )
     assert got == want
     assert (3, 0, 0, 0.0, "") in got and (4, 0, 0, 0.0, "") in got
+
+
+# ---------------------------------------------------------------- paragraph
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "A\nB\nfoot"),
+            (2, "B\nC\nfoot"),
+            (3, "  \n\n"),
+        ],
+        ["page_id", "text"],
+    )
+    from leann_rs_spark.operators.dedup import paragraph_dedup
+
+    rows = {r["page_id"]: r for r in paragraph_dedup(pages, id_col="page_id").collect()}
+    assert rows[1]["n_paras"] == 3 and rows[1]["dup_paras"] == 0
+    assert rows[1]["clean_text"] == "A\nB\nfoot"
+    assert rows[2]["n_paras"] == 3 and rows[2]["dup_paras"] == 2
+    assert rows[2]["clean_text"] == "C"
+    assert rows[2]["dup_frac"] == pytest.approx(2 / 3)
+    # all-blank page survives with zero counts (the zero-token lesson)
+    assert rows[3]["n_paras"] == 0 and rows[3]["clean_text"] == ""
+
+
+def test_paragraph_dedup_within_page_copy_dropped(spark):
+    pages = spark.createDataFrame([(7, "X\nY\nX")], ["page_id", "text"])
+    from leann_rs_spark.operators.dedup import paragraph_dedup
+
+    r = paragraph_dedup(pages, id_col="page_id").collect()[0]
+    assert r["n_paras"] == 3 and r["dup_paras"] == 1
+    assert r["clean_text"] == "X\nY"
+
+
+def test_paragraph_dedup_duckdb_parity(spark):
+    """Full parity on synthesized pages over the sf0.001 corpus: docs
+    as paragraphs grouped 4/page + a boilerplate footer on every page."""
+    from leann_rs_spark.operators.dedup import (
+        duckdb_paragraph_dedup,
+        paragraph_dedup,
+    )
+
+    docs = _docs(spark)
+    base = docs.select(
+        F.floor(F.col("doc_id") / 4).cast("bigint").alias("page_id"),
+        (F.col("doc_id") % 4).cast("int").alias("idx"),
+        F.col("text").alias("para"),
+    )
+    boiler = base.select("page_id").distinct().select(
+        "page_id", F.lit(4).cast("int").alias("idx"),
+        F.lit("follow us on social media").alias("para"),
+    )
+    pages = (
+        base.unionAll(boiler)
+        .groupBy("page_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    got = sorted(
+        (r["page_id"], r["n_paras"], r["dup_paras"], r["clean_text"])
+        for r in paragraph_dedup(pages, id_col="page_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    pages_sql = """
+        WITH prows AS (
+            SELECT doc_id // 4 AS page_id, (doc_id % 4)::int AS idx,
+                   text AS para FROM documents
+            UNION ALL
+            SELECT DISTINCT doc_id // 4, 4, 'follow us on social media'
+            FROM documents
+        )
+        SELECT page_id, string_agg(para, chr(10) ORDER BY idx) AS text
+        FROM prows GROUP BY 1
+    """
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT page_id, n_paras, dup_paras, clean_text FROM ("
+            f"{duckdb_paragraph_dedup(pages_sql, id_col='page_id')})"
+        ).fetchall()
+    )
+    assert got == want
+    # boilerplate must have been cut from every page but one
+    n_pages = pages.count()
+    kept_boiler = sum(
+        1 for (_, _, _, t) in got if "follow us on social media" in t
+    )
+    assert kept_boiler == 1 and n_pages > 1

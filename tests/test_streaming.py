@@ -152,3 +152,50 @@ def test_hopping_batch_equals_stream(spark, tmp_path):
     }
     q.stop()
     assert got == batch
+
+
+def test_stream_enrich_matches_batch_join(spark, tmp_path):
+    from leann_rs_spark.streaming.ingest import stream_enrich_events
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    dim = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal"
+    )
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(
+        tmp_path / "ck"
+    )
+    events.write.parquet(inp)
+    _drain(stream_enrich_events(spark, inp, outp, ckpt, dim))
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    want = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in events.join(dim, "user_id", "left").collect()
+    }
+    assert got == want and len(got) == events.count()
+
+
+def test_stream_enrich_missing_dim_row_flows_null(spark, tmp_path):
+    from leann_rs_spark.streaming.ingest import stream_enrich_events
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "click", 1.0, ""),
+         (2, "2024-01-01 00:00:01", 99, "click", 2.0, "")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = spark.createDataFrame(
+        [(10, "SEG", 5.0)], "user_id bigint, c_mktsegment string, c_acctbal double"
+    )
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(
+        tmp_path / "ck"
+    )
+    events.write.parquet(inp)
+    _drain(stream_enrich_events(spark, inp, outp, ckpt, dim))
+    rows = {r["event_id"]: r for r in spark.read.parquet(outp).collect()}
+    assert rows[1]["c_mktsegment"] == "SEG"
+    assert rows[2]["c_mktsegment"] is None  # left join: fact never dropped
