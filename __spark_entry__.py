@@ -322,6 +322,22 @@ def x_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_search(codes, mins, rngs, qv, k=10)
 
 
+def x_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search (operators/bq.py) — the extreme rung of
+    the storage ladder (f32 → SQ8 → PQ → BQ D bits): per-dim median
+    thresholds in one aggregate pass, one packed-long projection,
+    Hamming shortlist via bit_count(XOR) + exact rescore of the
+    broadcast shortlist. 32× scan-bytes cut; deterministic because
+    Hamming is an integer ranking (id tie-break)."""
+    from leann_rs_spark.operators.bq import bq_encode, bq_search, bq_train
+
+    emb = _emb(spark, sf_dir)
+    thr = bq_train(emb, dims=64)
+    codes = bq_encode(_fan(emb), thr)
+    qv = _query_vec(spark, sf_dir, 4)
+    return bq_search(codes, thr, qv, k=10, refine=4, vectors=emb)
+
+
 _DSIR_TARGET = "source = 'src1' AND lang = 'en'"
 _DSIR_N = 100
 
@@ -1939,6 +1955,9 @@ def _register_bm25_oracles() -> None:
     from leann_rs_spark.operators.sq import duckdb_sq8_search
 
     _ORACLES["x_sq8_topk"] = duckdb_sq8_search(query_vec_id=4, k=10)
+    from leann_rs_spark.operators.bq import duckdb_bq_search
+
+    _ORACLES["x_bq_topk"] = duckdb_bq_search(query_vec_id=4, k=10, refine=4)
     from leann_rs_spark.operators.pq import duckdb_ivf_pq_search_batch
 
     _ORACLES["x_ivfpq_batch"] = f"""
@@ -2771,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_analyze_report": x_analyze_report,
         "x_paragraph_dedup": x_paragraph_dedup,
         "x_stream_enrich": x_stream_enrich,
+        "x_bq_topk": x_bq_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -1,0 +1,132 @@
+"""Binary quantization (operators/bq.py): packing layout, driver/JVM
+pack agreement, Hamming identity, refine degradation, recall floor,
+plan pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.bq import (
+    bq_encode,
+    bq_hamming_col,
+    bq_query_words,
+    bq_search,
+    bq_train,
+)
+from leann_rs_spark.operators.search import exact_search
+from tests.conftest import SF_SMOKE
+
+DIMS = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def thr(emb):
+    return bq_train(emb, dims=DIMS)
+
+
+def test_word_layout_spans_63_bit_words(spark):
+    """64 dims → 2 words; dim 64 (0-based 63) lands in word 2 bit 0."""
+    dims = 64
+    thr = [0.0] * dims
+    vec = [0.0] * dims
+    vec[0] = 1.0   # word 1, bit 0
+    vec[62] = 1.0  # word 1, bit 62
+    vec[63] = 1.0  # word 2, bit 0
+    df = spark.createDataFrame(
+        [(0, vec)], "vec_id bigint, embedding array<double>"
+    )
+    row = bq_encode(df, thr).head()
+    assert list(row["bcode"]) == [(1 << 0) | (1 << 62), 1]
+    assert bq_query_words(vec, thr) == [(1 << 0) | (1 << 62), 1]
+
+
+def test_driver_pack_matches_jvm_pack(emb, thr):
+    """Every corpus vector packed by the JVM expression equals the
+    driver-side pure-Python pack — the query path and the corpus path
+    can never disagree on a bit."""
+    rows = (
+        bq_encode(emb, thr)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .collect()
+    )
+    for r in rows:
+        assert list(r["bcode"]) == bq_query_words(
+            [float(x) for x in r["embedding"]], thr
+        ), r["vec_id"]
+
+
+def test_hamming_self_is_zero(emb, thr):
+    """bcode vs its own query words → Hamming 0 for every row."""
+    rows = (
+        bq_encode(emb, thr)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .collect()
+    )
+    codes = bq_encode(emb, thr)
+    sample = rows[:5]
+    for r in sample:
+        qw = bq_query_words([float(x) for x in r["embedding"]], thr)
+        h = (
+            codes.filter(F.col("vec_id") == r["vec_id"])
+            .select(bq_hamming_col(F.col("bcode"), qw).alias("h"))
+            .head()["h"]
+        )
+        assert h == 0
+
+
+def test_full_refine_equals_exact(emb, thr):
+    """refine·k ≥ N → the rescore sees every row → exact bit-for-bit."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    n = emb.count()
+    got = bq_search(
+        bq_encode(emb, thr), thr, qv, k=10, refine=(n // 10) + 1, vectors=emb
+    ).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_bq_recall_floor_at_refine4(emb, thr):
+    """1 bit/dim is coarse but the refine=4 shortlist should still
+    recover most of the exact top-10 on this corpus (self-query is
+    always Hamming-0, so the probe's own id is guaranteed)."""
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    got = {
+        r["vec_id"]
+        for r in bq_search(
+            bq_encode(emb, thr), thr, qv, k=10, refine=4, vectors=emb
+        ).collect()
+    }
+    exact = {r["vec_id"] for r in exact_search(emb, qv, k=10, metric="ip").collect()}
+    assert 5 in got
+    assert len(got & exact) >= 5
+
+
+def test_refine_requires_vectors(emb, thr):
+    with pytest.raises(ValueError):
+        bq_search(bq_encode(emb, thr), thr, [0.0] * DIMS, refine=2)
+
+
+def test_encode_plan_is_shuffle_free(emb, thr):
+    plan = bq_encode(emb, thr)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_shortlist_plan_is_take_ordered(emb, thr):
+    """The Hamming shortlist must plan as TakeOrderedAndProject —
+    per-partition heap + driver merge, no shuffle of the code table."""
+    qw = bq_query_words([0.0] * DIMS, thr)
+    plan = (
+        bq_encode(emb, thr)
+        .select("vec_id", bq_hamming_col(F.col("bcode"), qw).alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(40)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
