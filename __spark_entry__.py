@@ -90,7 +90,12 @@ from leann_rs_spark.operators.query_expansion import (
     duckdb_expansion_terms,
     expansion_terms,
 )
-from leann_rs_spark.operators.hybrid import duckdb_hybrid_rerank, hybrid_rerank
+from leann_rs_spark.operators.hybrid import (
+    duckdb_hybrid_rerank,
+    duckdb_rrf_fuse,
+    hybrid_rerank,
+    rrf_fuse,
+)
 from leann_rs_spark.operators.multimodal import (
     decode_media,
     duckdb_media_features,
@@ -465,6 +470,34 @@ def q13_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("combined_r").desc(), F.col("doc_id").asc())
         .limit(_HYBRID_K)
     )
+
+
+def x_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over the q13 candidate lists
+    (operators/hybrid.rrf_fuse) — the score-free fusion alternative to
+    min-max blending: rank-only, so it needs no corpus-wide score
+    stats and no zero-fill semantics. Same upstream top-k producers as
+    q13; only the fusion differs."""
+    docs = _docs(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 3)
+    vec_hits = exact_search(
+        _emb(spark, sf_dir), qv, k=_HYBRID_FETCH_K, metric="ip"
+    ).withColumnRenamed("vec_id", "doc_id")
+    bm25_top = (
+        score_adhoc_query(_fan(docs), _HYBRID_QUERY)
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_FETCH_K)
+    )
+    out = rrf_fuse(vec_hits, bm25_top, k0=60)
+    # rank 0 = "absent from that list": NULL ints round-trip as floats
+    # through both engines' pandas bridges, so the gate output is NULL-free
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
+        (F.round(F.col("rrf"), 6) + F.lit(0.0)).alias("rrf_r"),
+    ).orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc()).limit(10)
 
 
 _EXPAND_QUERY = "spark filter"  # 2 words → should_expand (query.rs:168-171)
@@ -1905,6 +1938,28 @@ def _register_bm25_oracles() -> None:
         SELECT doc_id, round(combined, 6) AS combined_r FROM ({hybrid})
         ORDER BY combined_r DESC, doc_id ASC LIMIT {_HYBRID_K}
     """
+    rrf = duckdb_rrf_fuse(
+        vec_hits_sql=f"""
+            SELECT e.vec_id AS doc_id, {duckdb_dot('e.embedding', 'q.embedding')} AS score
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id = 3
+            ORDER BY score DESC, e.vec_id ASC LIMIT {_HYBRID_FETCH_K}
+        """,
+        bm25_hits_sql=f"""
+            SELECT doc_id, score FROM ({duckdb_bm25_scored(_HYBRID_QUERY)})
+            WHERE score > 0.0
+            ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {_HYBRID_FETCH_K}
+        """,
+        k0=60,
+    )
+    _ORACLES["x_rrf_hybrid"] = f"""
+        SELECT doc_id,
+               coalesce(vec_rank, 0)::bigint AS vec_rank,
+               coalesce(bm25_rank, 0)::bigint AS bm25_rank,
+               round(rrf, 6) + 0.0 AS rrf_r
+        FROM ({rrf})
+        ORDER BY rrf_r DESC, doc_id ASC LIMIT 10
+    """
     exp_passages = f"""
         SELECT d.text FROM (
             SELECT doc_id, round(score, 6) AS score_r
@@ -2791,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_paragraph_dedup": x_paragraph_dedup,
         "x_stream_enrich": x_stream_enrich,
         "x_bq_topk": x_bq_topk,
+        "x_rrf_hybrid": x_rrf_hybrid,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

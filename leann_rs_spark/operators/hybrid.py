@@ -20,7 +20,7 @@ prune to k per partition before shuffling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_ALPHA = 0.7
 OVERFETCH = 5  # src/index/searcher.rs:129-133
@@ -123,6 +123,86 @@ def hybrid_rerank(
         .orderBy(F.col("combined").desc(), F.col(id_col).asc())
     )
     return out
+
+
+def rrf_fuse(
+    vec_hits: DataFrame,
+    bm25_hits: DataFrame,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    score-free alternative to the reference's min-max blend: each list
+    contributes 1/(k0 + rank), absent docs contribute nothing, k0=60
+    is the published default. → (id_col, vec_rank, bm25_rank, rrf)
+    ordered rrf DESC, id ASC. vec_rank/bm25_rank are NULL for docs
+    present in only one list.
+
+    Ranks are computed here over `round(score, 6)` with an id
+    tie-break: float scores rank identically across engines only
+    after the 6-dp recipe (BM25 term sums differ in the last ulp).
+    Both inputs are top-fetch_k candidate sets (tiny), so the
+    unpartitioned rank windows and the full-outer join are
+    driver-trivial — the heavy lifting stays in the upstream top-k
+    producers, exactly as hybrid_rerank."""
+    w = Window.orderBy(F.round(F.col("score"), 6).desc(), F.col(id_col).asc())
+    v = (
+        vec_hits.select(id_col, "score")
+        .withColumn("vec_rank", F.row_number().over(w))
+        .drop("score")
+    )
+    b = (
+        bm25_hits.select(id_col, "score")
+        .withColumn("bm25_rank", F.row_number().over(w))
+        .drop("score")
+    )
+    return (
+        v.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            "vec_rank",
+            "bm25_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(k0) + F.col("vec_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(k0) + F.col("bm25_rank")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    )
+
+
+def duckdb_rrf_fuse(
+    vec_hits_sql: str,
+    bm25_hits_sql: str,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin: both inputs SELECTs producing (id_col, score);
+    identical 6-dp rank keys, identical two-term sum order."""
+    return f"""
+    WITH vh AS ({vec_hits_sql}),
+    bh AS ({bm25_hits_sql}),
+    vr AS (
+        SELECT {id_col}, row_number() OVER (
+            ORDER BY round(score, 6) DESC, {id_col} ASC) AS vec_rank
+        FROM vh
+    ),
+    br AS (
+        SELECT {id_col}, row_number() OVER (
+            ORDER BY round(score, 6) DESC, {id_col} ASC) AS bm25_rank
+        FROM bh
+    )
+    SELECT coalesce(vr.{id_col}, br.{id_col}) AS {id_col},
+           vr.vec_rank, br.bm25_rank,
+           (coalesce(1.0 / ({k0} + vr.vec_rank), 0.0)
+            + coalesce(1.0 / ({k0} + br.bm25_rank), 0.0)) AS rrf
+    FROM vr FULL OUTER JOIN br USING ({id_col})
+    ORDER BY rrf DESC, {id_col} ASC
+    """
 
 
 def duckdb_hybrid_rerank(

@@ -145,3 +145,47 @@ def test_score_adhoc_matches_indexed(spark):
             for r in score_adhoc_query(docs, query).collect()
         }
         assert adhoc == indexed, query
+
+
+# ------------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-doc lists with one overlap; k0=60. doc 1 is rank 1 in both
+    → 2/61; doc 0 is vec-rank 2 only → 1/62; doc 2 is bm25-rank 2 only
+    → 1/62 (ties broken by id)."""
+    from leann_rs_spark.operators.hybrid import rrf_fuse
+
+    vec = spark.createDataFrame(
+        [(1, 0.9), (0, 0.8)], "doc_id bigint, score double"
+    )
+    bm = spark.createDataFrame(
+        [(1, 5.0), (2, 3.0)], "doc_id bigint, score double"
+    )
+    rows = rrf_fuse(vec, bm, k0=60).collect()
+    assert [r["doc_id"] for r in rows] == [1, 0, 2]
+    assert rows[0]["rrf"] == pytest.approx(2 / 61)
+    assert rows[1]["rrf"] == pytest.approx(1 / 62)
+    assert rows[1]["vec_rank"] == 2 and rows[1]["bm25_rank"] is None
+    assert rows[2]["bm25_rank"] == 2 and rows[2]["vec_rank"] is None
+
+
+def test_rrf_rank_ties_break_by_id(spark):
+    """Equal 6-dp scores rank by id ASC — the cross-engine recipe."""
+    from leann_rs_spark.operators.hybrid import rrf_fuse
+
+    vec = spark.createDataFrame(
+        [(7, 0.5), (3, 0.5)], "doc_id bigint, score double"
+    )
+    bm = spark.createDataFrame([], "doc_id bigint, score double")
+    rows = {r["doc_id"]: r["vec_rank"] for r in rrf_fuse(vec, bm).collect()}
+    assert rows[3] == 1 and rows[7] == 2
+
+
+def test_rrf_empty_one_side(spark):
+    from leann_rs_spark.operators.hybrid import rrf_fuse
+
+    vec = spark.createDataFrame([(1, 0.9)], "doc_id bigint, score double")
+    bm = spark.createDataFrame([], "doc_id bigint, score double")
+    rows = rrf_fuse(vec, bm).collect()
+    assert len(rows) == 1 and rows[0]["rrf"] == pytest.approx(1 / 61)
