@@ -1058,6 +1058,36 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CHUNK_BLOCK = 256
+
+
+def x_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk (sampling.concat_chunk): the corpus
+    token stream in doc-id order with EOD markers, cut into fixed
+    256-token blocks — documents SPLIT at block boundaries (the
+    pretraining tokenization shape; x_pack_sequences is the
+    never-split twin). Distributed two-pass prefix sum for the global
+    offsets; block reassembly is one bounded groupBy."""
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    inter: list = []
+    out = concat_chunk(
+        _fan(_docs(spark, sf_dir)), _CHUNK_BLOCK, shard_width=1000,
+        intermediates=inter,
+    )
+    res = out.select(
+        "block_id",
+        "n_tokens",
+        "n_docs",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_hash"),
+    ).orderBy("block_id")
+    res = res.persist()
+    res.count()
+    for df in inter:
+        df.unpersist()
+    return res
+
+
 def x_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain reweighting: keep all English, half German, a quarter of
     everything else — deterministic per-source subsampling + union."""
@@ -2625,6 +2655,11 @@ def _register_sampling_oracles() -> None:
         "n_tokens", 512, "doc_id", n_shards=8, id_cols="doc_id",
     )
     _ORACLES["x_pack_sequences"] = f"SELECT * FROM ({pack}) ORDER BY doc_id"
+    from leann_rs_spark.operators.sampling import duckdb_concat_chunk
+
+    _ORACLES["x_concat_chunk"] = (
+        f"SELECT * FROM ({duckdb_concat_chunk(_CHUNK_BLOCK)}) ORDER BY block_id"
+    )
     mix = duckdb_weighted_mix(
         [
             ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
@@ -2847,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_enrich": x_stream_enrich,
         "x_bq_topk": x_bq_topk,
         "x_rrf_hybrid": x_rrf_hybrid,
+        "x_concat_chunk": x_concat_chunk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

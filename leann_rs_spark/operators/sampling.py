@@ -384,3 +384,160 @@ def duckdb_weighted_mix(
                 + ")"
             )
     return " UNION ALL ".join(parts)
+
+
+def concat_chunk(
+    docs: DataFrame,
+    block_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eod: str = "<|endofdoc|>",
+    shard_width: int = 1 << 20,
+    intermediates: list | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk: tokenize every document, append an
+    EOD marker, concatenate the whole corpus's token stream in id
+    order, and cut it into fixed `block_size` blocks — documents SPLIT
+    across block boundaries (the pretraining tokenization shape;
+    pack_sequences is the whole-document alternative that never
+    splits). → (block_id, n_tokens, n_docs, tokens) where `tokens` is
+    the block's token array, n_tokens == block_size except the final
+    block, n_docs = documents contributing ≥1 token to the block.
+
+    Scale shape — the global token offset is a DISTRIBUTED prefix sum,
+    not a single-partition window:
+      1. intra-shard cumsum: window partitioned by `id div shard_width`
+         (deterministic id-range shards; tune shard_width so one
+         shard's docs fit a task),
+      2. shard bases: one tiny groupBy (N/shard_width rows) cumulated
+         driver-side and broadcast back — the classic two-pass prefix
+         sum,
+      3. each doc explodes into the ≤ (n/block_size + 2) blocks it
+         spans (a slice per block), and one groupBy(block_id)
+         reassembles blocks — value volume bounded by block_size.
+    The tokenized frame is persisted (it feeds the shard-total pass
+    and the main pass); `intermediates` receives it for caller
+    unpersist, the curate_corpus convention.
+    """
+    from pyspark.sql.window import Window
+
+    from leann_rs_spark.functions.text import tokenize
+
+    L = int(block_size)
+    toks = (
+        docs.select(
+            F.col(id_col).cast("bigint").alias("_id"),
+            F.concat(tokenize(text_col), F.array(F.lit(eod))).alias("_t"),
+        )
+        .withColumn("_n", F.size("_t").cast("bigint"))
+        .withColumn("_shard", F.expr(f"_id div {int(shard_width)}"))
+        .persist()
+    )
+    if intermediates is not None:
+        intermediates.append(toks)
+
+    subs = (
+        toks.groupBy("_shard").agg(F.sum("_n").alias("_tot"))
+        .orderBy("_shard")
+        .collect()
+    )
+    bases, acc = [], 0
+    for r in subs:
+        bases.append((r["_shard"], acc))
+        acc += r["_tot"]
+    spark = docs.sparkSession
+    base_df = spark.createDataFrame(
+        bases or [(0, 0)], "_shard bigint, _base bigint"
+    )
+
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        toks.withColumn("_cum", F.sum("_n").over(w))
+        .join(F.broadcast(base_df), "_shard")
+        .select(
+            "_t",
+            "_n",
+            (F.col("_base") + F.col("_cum") - F.col("_n")).alias("_off"),
+        )
+    )
+    pieces = staged.select(
+        "_t",
+        "_off",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.expr(f"_off div {L}"), F.expr(f"(_off + _n - 1) div {L}")
+            )
+        ).alias("block_id"),
+    ).select(
+        "block_id",
+        "_off",
+        F.slice(
+            "_t",
+            (F.greatest(F.col("block_id") * L - F.col("_off"), F.lit(0)) + 1)
+            .cast("int"),
+            (
+                F.least((F.col("block_id") + 1) * L, F.col("_off") + F.col("_n"))
+                - F.greatest(F.col("block_id") * L, F.col("_off"))
+            ).cast("int"),
+        ).alias("_piece"),
+    )
+    return pieces.groupBy("block_id").agg(
+        F.sum(F.size("_piece")).cast("bigint").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_off", "_piece"))),
+                lambda s: s["_piece"],
+            )
+        ).alias("tokens"),
+    )
+
+
+def duckdb_concat_chunk(
+    block_size: int,
+    eod: str = "<|endofdoc|>",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of concat_chunk → (block_id, n_tokens, n_docs,
+    tokens_hash): one global window (the oracle doesn't need the
+    two-pass prefix sum), identical slice arithmetic, block reassembly
+    as an ordered string_agg whose md5 equals md5(array_join(tokens))
+    on the Spark side (pieces are never empty by construction)."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    L = int(block_size)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}::bigint AS id,
+                   list_append({duckdb_tokenize(text_col)}, '{eod}') AS t
+            FROM {table}
+        ),
+        tn AS (SELECT id, t, len(t)::bigint AS n FROM toks),
+        off AS (
+            SELECT *,
+                   (sum(n) OVER (ORDER BY id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n)::bigint AS o
+            FROM tn
+        ),
+        pieces AS (
+            SELECT b.x AS block_id, o,
+                   list_slice(t,
+                       (greatest(b.x * {L} - o, 0) + 1)::int,
+                       (least((b.x + 1) * {L}, o + n) - o)::int) AS piece
+            FROM off, unnest(generate_series(o // {L}, (o + n - 1) // {L})) b(x)
+        )
+        SELECT block_id,
+               sum(len(piece))::bigint AS n_tokens,
+               count(*)::int AS n_docs,
+               md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY o))
+                   AS tokens_hash
+        FROM pieces GROUP BY 1
+    """

@@ -221,3 +221,93 @@ def test_upsample_duckdb_parity(spark, docs, duck):
         f"SELECT doc_id, copy FROM ({duckdb_upsample('documents', 1.3, 'doc_id')})"
     ).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------- concat
+
+
+def test_concat_chunk_hand_vectors(spark):
+    """Two docs, block 4: stream = [aa bb cc EOD dd ee] → block 0 =
+    [aa bb cc EOD] (1 doc), block 1 = [dd ee EOD] (1 doc, short tail).
+    Doc 1 splits? No — doc 0 fills block 0 exactly; doc 1 is the tail."""
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "dd ee")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["block_id"]: r
+        for r in concat_chunk(docs, 4, eod="<e>").collect()
+    }
+    assert list(rows[0]["tokens"]) == ["aa", "bb", "cc", "<e>"]
+    assert rows[0]["n_tokens"] == 4 and rows[0]["n_docs"] == 1
+    assert list(rows[1]["tokens"]) == ["dd", "ee", "<e>"]
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_docs"] == 1
+
+
+def test_concat_chunk_splits_docs_across_blocks(spark):
+    """A 5-token doc with block 3 splits: block 0 = first 3 tokens,
+    block 1 = rest + EOD + next doc's head."""
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd ee"), (1, "ff gg")], "doc_id bigint, text string"
+    )
+    rows = {
+        r["block_id"]: r for r in concat_chunk(docs, 3, eod="<e>").collect()
+    }
+    assert list(rows[0]["tokens"]) == ["aa", "bb", "cc"]
+    assert rows[0]["n_docs"] == 1
+    assert list(rows[1]["tokens"]) == ["dd", "ee", "<e>"]
+    assert list(rows[2]["tokens"]) == ["ff", "gg", "<e>"]
+    # doc 0 contributed to blocks 0 and 1
+    assert rows[1]["n_docs"] == 1 and rows[2]["n_docs"] == 1
+
+
+def test_concat_chunk_stream_reconstructs(docs, spark):
+    """Concatenating all blocks in order reproduces the corpus token
+    stream exactly — nothing lost, nothing duplicated, order intact."""
+    from leann_rs_spark.functions.text import tokenize
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    sub = docs.filter(F.col("doc_id") < 40)
+    blocks = concat_chunk(sub, 64, eod="<e>").orderBy("block_id").collect()
+    got = [t for b in blocks for t in b["tokens"]]
+    want_rows = (
+        sub.select("doc_id", tokenize("text").alias("t"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    want = [t for r in want_rows for t in list(r["t"]) + ["<e>"]]
+    assert got == want
+    # every block but the last is exactly full
+    for b in blocks[:-1]:
+        assert b["n_tokens"] == 64
+
+
+def test_concat_chunk_shard_width_invariant(docs):
+    """The two-pass prefix sum gives the same blocks at any shard
+    width — sharding is a physical knob, not a semantic one."""
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    sub = docs.filter(F.col("doc_id") < 30)
+
+    def run(w):
+        return sorted(
+            (r["block_id"], r["n_tokens"], r["n_docs"], tuple(r["tokens"]))
+            for r in concat_chunk(sub, 32, shard_width=w).collect()
+        )
+
+    assert run(1) == run(7) == run(1 << 20)
+
+
+def test_concat_chunk_empty_text_is_eod_only(spark):
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "aa bb")], "doc_id bigint, text string"
+    )
+    rows = concat_chunk(docs, 10, eod="<e>").collect()
+    assert len(rows) == 1
+    assert list(rows[0]["tokens"]) == ["<e>", "aa", "bb", "<e>"]
+    assert rows[0]["n_docs"] == 2
