@@ -343,6 +343,35 @@ def x_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bq_search(codes, thr, qv, k=10, refine=4, vectors=emb)
 
 
+_NEG_MARGIN = 0.5
+
+
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining (operators/negatives.py) — the
+    contrastive-training data shape: per anchor, different-label rows
+    scoring inside (pos_score − margin, pos_score). Anchors broadcast;
+    the corpus is scored map-side once and never shuffled; local
+    prune caps the ranking shuffle at P·k·Q."""
+    from leann_rs_spark.operators.negatives import mine_hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = mine_hard_negatives(
+        _fan(emb), anchors, k=5, mode="semi_hard", margin=_NEG_MARGIN
+    )
+    return out.select(
+        "anchor_id",
+        "neg_id",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+        (F.round("pos_score", 6) + F.lit(0.0)).alias("pos_r"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("anchor_id", "rank")
+
+
 _DSIR_TARGET = "source = 'src1' AND lang = 'en'"
 _DSIR_N = 100
 
@@ -2043,6 +2072,26 @@ def _register_bm25_oracles() -> None:
     from leann_rs_spark.operators.bq import duckdb_bq_search
 
     _ORACLES["x_bq_topk"] = duckdb_bq_search(query_vec_id=4, k=10, refine=4)
+    from leann_rs_spark.operators.negatives import duckdb_mine_hard_negatives
+
+    neg = duckdb_mine_hard_negatives(
+        anchors_sql="""
+            SELECT vec_id AS anchor_id, embedding AS anchor_vec,
+                   label AS anchor_label
+            FROM embeddings WHERE vec_id < 8
+        """,
+        k=5,
+        mode="semi_hard",
+        margin=_NEG_MARGIN,
+    )
+    _ORACLES["x_hard_negatives"] = f"""
+        SELECT anchor_id, neg_id,
+               round(score, 6) + 0.0 AS score_r,
+               round(pos_score, 6) + 0.0 AS pos_r,
+               rank::bigint AS rank
+        FROM ({neg})
+        ORDER BY anchor_id, rank
+    """
     from leann_rs_spark.operators.pq import duckdb_ivf_pq_search_batch
 
     _ORACLES["x_ivfpq_batch"] = f"""
@@ -2883,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bq_topk": x_bq_topk,
         "x_rrf_hybrid": x_rrf_hybrid,
         "x_concat_chunk": x_concat_chunk,
+        "x_hard_negatives": x_hard_negatives,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
