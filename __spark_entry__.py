@@ -1128,6 +1128,23 @@ def x_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+_TMIX_ALPHA = 0.3
+_TMIX_TARGET = 200
+
+
+def x_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixture (sampling.temperature_mix,
+    the XLM-R α-sampling rule): q_lang ∝ count^0.3 upweights rare
+    languages; per-group keep rates broadcast into a deterministic
+    hash-slot filter — corpus never shuffled."""
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(
+        _docs(spark, sf_dir), "lang", _TMIX_ALPHA, _TMIX_TARGET, "doc_id"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def x_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan over decoded (fake-engine) metadata —
     one row per sampled frame timestamp, every 1000 ms, capped at 32."""
@@ -2709,6 +2726,14 @@ def _register_sampling_oracles() -> None:
     _ORACLES["x_concat_chunk"] = (
         f"SELECT * FROM ({duckdb_concat_chunk(_CHUNK_BLOCK)}) ORDER BY block_id"
     )
+    from leann_rs_spark.operators.sampling import duckdb_temperature_mix
+
+    tmix = duckdb_temperature_mix(
+        "documents", "lang", _TMIX_ALPHA, _TMIX_TARGET, "doc_id"
+    )
+    _ORACLES["x_temperature_mix"] = (
+        f"SELECT doc_id, lang FROM ({tmix}) ORDER BY doc_id"
+    )
     mix = duckdb_weighted_mix(
         [
             ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
@@ -2933,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rrf_hybrid": x_rrf_hybrid,
         "x_concat_chunk": x_concat_chunk,
         "x_hard_negatives": x_hard_negatives,
+        "x_temperature_mix": x_temperature_mix,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -541,3 +541,93 @@ def duckdb_concat_chunk(
                    AS tokens_hash
         FROM pieces GROUP BY 1
     """
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    target_n: int,
+    key: Column | str,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the XLM-R / mBERT
+    multilingual α-sampling rule, arXiv:1911.02116 §3.1): sample
+    groups with probability q_g ∝ c_g^α — α < 1 upweights rare
+    groups (languages, domains) relative to their natural frequency;
+    α = 1 is proportional (a plain uniform subsample); α = 0 is
+    uniform across groups. Per-group keep rate
+
+        r_g = min(1, target_n · q_g / c_g)
+
+    applied as the deterministic hash-slot filter, so the draw is
+    stable across runs, partitionings, and appends (the
+    deterministic_sample contract) and the result is always a subset.
+
+    Scale shape: one map-side-combined count per group (G rows), the
+    G-row rate table broadcast back into a filter — the corpus is
+    never shuffled. Rates are computed in-plan and rounded to the
+    slot resolution (round(r·1e6), the selection-key rounding recipe)
+    so the SQL twin's pow/sum last-ulp differences cannot move the
+    threshold."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha!r}")
+    if target_n < 0:
+        raise ValueError(f"target_n must be >= 0, got {target_n!r}")
+    key = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_c"))
+    counts = counts.withColumn(
+        "_pw", F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))
+    )
+    tot = counts.agg(F.sum("_pw").alias("_tot"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_n))
+                * F.col("_pw")
+                / F.col("_tot")
+                / F.col("_c").cast("double"),
+            )
+            * F.lit(_SLOTS),
+            0,
+        )
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_slot(key, salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def duckdb_temperature_mix(
+    table: str,
+    group_sql: str,
+    alpha: float,
+    target_n: int,
+    key_sql: str,
+    salt: str = "tmix",
+) -> str:
+    """Oracle twin: identical rate formula, identical slot rounding.
+    `group_sql` is an expression over `{table}`'s columns (e.g. a
+    column name); `key_sql` likewise, evaluated on the outer row."""
+    a = float(alpha)
+    return f"""
+        SELECT t.* FROM {table} t
+        JOIN (
+            WITH counts AS (
+                SELECT {group_sql} AS _g, count(*)::double AS _c
+                FROM {table} GROUP BY 1
+            ),
+            tot AS (SELECT sum(pow(_c, {a!r})) AS _tot FROM counts)
+            SELECT _g,
+                   CAST(round(least(1.0,
+                       {float(target_n)!r} * pow(_c, {a!r}) / tot._tot / _c
+                   ) * {_SLOTS}, 0) AS BIGINT) AS _thr
+            FROM counts, tot
+        ) r ON t.{group_sql} = r._g
+        WHERE {duckdb_slot("t." + key_sql, salt)} < r._thr
+    """

@@ -311,3 +311,77 @@ def test_concat_chunk_empty_text_is_eod_only(spark):
     assert len(rows) == 1
     assert list(rows[0]["tokens"]) == ["<e>", "aa", "bb", "<e>"]
     assert rows[0]["n_docs"] == 2
+
+
+# ------------------------------------------------------------ temperature
+
+
+def test_temperature_alpha1_is_proportional(docs):
+    """α = 1 → q_g ∝ c_g → every group keeps rate target/N: group
+    shares in the sample track the corpus shares."""
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    out = temperature_mix(docs, "lang", 1.0, 200, "doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    n = sum(tot.values())
+    for lang, c in tot.items():
+        # expected c * 200/N with Bernoulli noise; loose band
+        exp = c * 200 / n
+        assert abs(got.get(lang, 0) - exp) <= max(6, 0.6 * exp), (lang, exp, got)
+
+
+def test_temperature_alpha0_upweights_rare_groups(spark):
+    """α = 0 → uniform across groups: a 10-row group and a 1000-row
+    group get the same expected sample size; the rare group's KEEP
+    RATE must be much higher (here rate 1.0: fully kept)."""
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "rare") for i in range(10)] + [
+        (100 + i, "common") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_mix(df, "lang", 0.0, 40, "doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    # rare group: target share 20 > group size 10 → rate 1 → all kept
+    assert got["rare"] == 10
+    # common group: rate 20/1000 = 2% → ~20 rows
+    assert 5 <= got["common"] <= 45
+
+
+def test_temperature_rate_caps_at_one(spark):
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(50)], "doc_id bigint, lang string"
+    )
+    out = temperature_mix(df, "lang", 0.5, 10_000, "doc_id")
+    assert out.count() == 50  # rate clamps at 1.0 — never upsamples
+
+
+def test_temperature_partition_invariant(docs):
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    a = sorted(
+        r["doc_id"]
+        for r in temperature_mix(docs, "lang", 0.3, 150, "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            docs.repartition(13), "lang", 0.3, 150, "doc_id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_validation(docs):
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "lang", -0.1, 100, "doc_id")
+    with pytest.raises(ValueError):
+        temperature_mix(docs, "lang", 0.3, -5, "doc_id")
