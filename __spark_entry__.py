@@ -343,6 +343,19 @@ def x_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bq_search(codes, thr, qv, k=10, refine=4, vectors=emb)
 
 
+_MRL_D = 16
+
+
+def x_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka adaptive retrieval (search.mrl_search): cosine over
+    the first 16 of 64 dims (4× less scan), full-dim exact rescore of
+    the 3·k shortlist — the MRL coarse-to-fine serving funnel."""
+    from leann_rs_spark.operators.search import mrl_search
+
+    qv = _query_vec(spark, sf_dir, 4)
+    return mrl_search(_fan(_emb(spark, sf_dir)), qv, d=_MRL_D, k=10, refine=3)
+
+
 _NEG_MARGIN = 0.5
 
 
@@ -2089,6 +2102,11 @@ def _register_bm25_oracles() -> None:
     from leann_rs_spark.operators.bq import duckdb_bq_search
 
     _ORACLES["x_bq_topk"] = duckdb_bq_search(query_vec_id=4, k=10, refine=4)
+    from leann_rs_spark.operators.search import duckdb_mrl_search
+
+    _ORACLES["x_mrl_topk"] = duckdb_mrl_search(
+        query_vec_id=4, d=_MRL_D, k=10, refine=3
+    )
     from leann_rs_spark.operators.negatives import duckdb_mine_hard_negatives
 
     neg = duckdb_mine_hard_negatives(
@@ -2959,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_concat_chunk": x_concat_chunk,
         "x_hard_negatives": x_hard_negatives,
         "x_temperature_mix": x_temperature_mix,
+        "x_mrl_topk": x_mrl_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -138,3 +138,75 @@ def assemble_results(
     return F.broadcast(hits).join(
         passages, hits[id_col] == passages[passage_id_col], "inner"
     )
+
+
+def mrl_search(
+    vectors: DataFrame,
+    query_vector: list[float],
+    d: int,
+    k: int = 10,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncated-dimension search (MRL, Kusupati et al.,
+    arXiv:2205.13147 — "adaptive retrieval"): rank by COSINE over the
+    first `d` dimensions only (MRL embeddings front-load information,
+    so a d-dim prefix is a valid low-cost embedding), then optionally
+    exact-rescore the top refine·k with the full vector — the
+    coarse-to-fine funnel the paper serves with. Scan cost of the
+    first pass is d/D of the full scan; the funnel shape is the same
+    broadcast-shortlist refine as SQ8/PQ/BQ.
+
+    Cosine (not IP) on the prefix: truncation changes norms, so
+    prefix scores are only comparable normalized. All float math
+    stays in the verified dot/l2 folds — deterministic cross-engine.
+    """
+    qd = F.array(*[F.lit(float(x)) for x in query_vector[:d]])
+    pref = F.slice(F.col(vec_col), 1, d)
+    ranked = vectors.select(
+        id_col, cosine(pref, qd).alias("score")
+    ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    if refine <= 0:
+        return ranked.limit(k)
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    shortlist = ranked.limit(refine * k).select(id_col)
+    return (
+        vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(id_col, dot(F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def duckdb_mrl_search(
+    query_vec_id: int,
+    d: int,
+    k: int = 10,
+    refine: int = 0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of mrl_search, query = embedding of `query_vec_id`."""
+    from leann_rs_spark.functions.vector import duckdb_cosine, duckdb_dot
+
+    trunc_score = duckdb_cosine(
+        f"list_slice(e.{vec_col}, 1, {d})", f"list_slice(q.{vec_col}, 1, {d})"
+    )
+    base = f"""
+        SELECT e.{id_col}, {trunc_score} AS score
+        FROM {table} e, {table} q
+        WHERE q.{id_col} = {query_vec_id}
+        ORDER BY score DESC, e.{id_col} ASC
+    """
+    if refine <= 0:
+        return base + f" LIMIT {k}"
+    return f"""
+        WITH shortlist AS ({base} LIMIT {refine * k})
+        SELECT e.{id_col}, {duckdb_dot(f"e.{vec_col}", f"q.{vec_col}")} AS score
+        FROM {table} e JOIN shortlist USING ({id_col}), {table} q
+        WHERE q.{id_col} = {query_vec_id}
+        ORDER BY score DESC, e.{id_col} ASC
+        LIMIT {k}
+    """

@@ -130,3 +130,56 @@ def test_shortlist_plan_is_take_ordered(emb, thr):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- MRL
+
+
+def test_mrl_full_d_refine0_equals_exact_cosine(emb):
+    """d = D with no refine ≡ exact cosine search bit-for-bit."""
+    from leann_rs_spark.operators.search import mrl_search
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    got = mrl_search(emb, qv, d=DIMS, k=10).collect()
+    exact = exact_search(emb, qv, k=10, metric="cosine").collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_mrl_full_refine_equals_exact_ip(emb):
+    """refine·k ≥ N → full-dim rescore sees everything → exact IP."""
+    from leann_rs_spark.operators.search import mrl_search
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    n = emb.count()
+    got = mrl_search(emb, qv, d=8, k=10, refine=(n // 10) + 1).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_mrl_recall_grows_with_refine(emb):
+    """These synthetic embeddings spread information uniformly across
+    dims (they are not MRL-trained), so a 16-dim prefix keeps only
+    1/4 of the signal — absolute recall is low by construction
+    (measured 3/10 at refine=3). What the funnel must still deliver:
+    monotone recall in the refine factor, closing at 10/10 when the
+    shortlist covers the corpus."""
+    from leann_rs_spark.operators.search import mrl_search
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    exact = {r["vec_id"] for r in exact_search(emb, qv, k=10, metric="ip").collect()}
+    n = emb.count()
+
+    def recall(refine):
+        got = {
+            r["vec_id"]
+            for r in mrl_search(emb, qv, d=16, k=10, refine=refine).collect()
+        }
+        return len(got & exact)
+
+    r3, r10, rall = recall(3), recall(10), recall((n // 10) + 1)
+    assert r3 >= 2
+    assert r3 <= r10 <= rall == 10
