@@ -356,6 +356,28 @@ def x_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrl_search(_fan(_emb(spark, sf_dir)), qv, d=_MRL_D, k=10, refine=3)
 
 
+_MMR_LAM = 0.7
+
+
+def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (search.mmr_search): greedy
+    λ·rel − (1−λ)·max-sim-to-chosen over the top-25 pool — the RAG
+    context-assembly diversifier. Distributed candidate cut; k tiny
+    in-plan greedy steps with literal chosen vectors; the oracle
+    unrolls the same greedy as chained CTEs."""
+    from leann_rs_spark.operators.search import mmr_search
+
+    qv = _query_vec(spark, sf_dir, 4)
+    out = mmr_search(
+        _fan(_emb(spark, sf_dir)), qv, k=5, fetch_k=25, lam=_MMR_LAM
+    )
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        (F.round("rel", 6) + F.lit(0.0)).alias("rel_r"),
+    ).orderBy("rank")
+
+
 _NEG_MARGIN = 0.5
 
 
@@ -1663,6 +1685,16 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail assignment (textstats.lm_buckets): the
+    corpus cut at xent terciles — head = most-fluent third. One tiny
+    percentile aggregate broadcast over the lm_score frame; thresholds
+    computed on rounded keys (the selection-key recipe)."""
+    from leann_rs_spark.functions.textstats import lm_buckets
+
+    return lm_buckets(_fan(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
 _C4_LINE_W = 7
 
 
@@ -2107,6 +2139,14 @@ def _register_bm25_oracles() -> None:
     _ORACLES["x_mrl_topk"] = duckdb_mrl_search(
         query_vec_id=4, d=_MRL_D, k=10, refine=3
     )
+    from leann_rs_spark.operators.search import duckdb_mmr_search
+
+    mmr = duckdb_mmr_search(query_vec_id=4, k=5, fetch_k=25, lam=_MMR_LAM)
+    _ORACLES["x_mmr_rerank"] = f"""
+        SELECT rank::bigint AS rank, vec_id,
+               round(rel, 6) + 0.0 AS rel_r
+        FROM ({mmr}) ORDER BY rank
+    """
     from leann_rs_spark.operators.negatives import duckdb_mine_hard_negatives
 
     neg = duckdb_mine_hard_negatives(
@@ -2554,6 +2594,11 @@ def _register_lsh_corpus_oracles() -> None:
         SELECT doc_id, n_bigrams, round(xent, 6) + 0.0 AS xent_r
         FROM ({duckdb_lm_score()}) ORDER BY doc_id
     """
+    from leann_rs_spark.functions.textstats import duckdb_lm_buckets
+
+    _ORACLES["x_ccnet_buckets"] = (
+        f"SELECT * FROM ({duckdb_lm_buckets()}) ORDER BY doc_id"
+    )
     _ORACLES["x_corpus_stats"] = f"""
         SELECT lang,
                count(*) AS n_docs,
@@ -2978,6 +3023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hard_negatives": x_hard_negatives,
         "x_temperature_mix": x_temperature_mix,
         "x_mrl_topk": x_mrl_topk,
+        "x_ccnet_buckets": x_ccnet_buckets,
+        "x_mmr_rerank": x_mmr_rerank,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

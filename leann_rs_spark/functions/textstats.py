@@ -953,3 +953,83 @@ def duckdb_c4_signals(
         "page_bad": bad,
         "keep": keep,
     }
+
+
+def lm_buckets(
+    docs,
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+    intermediates: list | None = None,
+):
+    """CCNet head/middle/tail bucketing (arXiv:1911.00359 §4.3): rank
+    documents by their LM cross-entropy (lm_score) and cut the corpus
+    at the given quantile fractions — `head` = most-fluent third,
+    `middle`, `tail` = least-fluent; CCNet trains on head+middle and
+    drops tail. Documents with < 2 tokens have no bigram evidence and
+    land in a separate `short` bucket rather than polluting head.
+
+    → (id_col, n_bigrams, xent_r, bucket) with xent_r = round(xent, 6).
+
+    Cross-engine determinism: thresholds are exact percentiles of the
+    ROUNDED xent (the selection-key rounding recipe — raw xent is an
+    order-sensitive float sum), so bucket comparisons see identical
+    doubles on both engines. At 100 TB swap `percentile` →
+    `percentile_approx` (the documented knob); buckets become
+    approximate at the boundary only.
+
+    Scale shape: lm_score's two count shuffles + ONE tiny percentile
+    aggregate (2 doubles) broadcast into a projection — no extra
+    corpus shuffle."""
+    f1, f2 = fractions
+    if not (0.0 < f1 < f2 < 1.0):
+        raise ValueError(f"need 0 < f1 < f2 < 1, got {fractions!r}")
+    scored = lm_score(
+        docs, id_col=id_col, text_col=text_col, k=k,
+        intermediates=intermediates,
+    ).withColumn("__xr", F.round(F.col("xent"), 6))
+    thr = scored.filter(F.col("__xr").isNotNull()).agg(
+        F.expr(f"percentile(__xr, array({f1!r}, {f2!r}))").alias("__t")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        id_col,
+        "n_bigrams",
+        (F.col("__xr") + F.lit(0.0)).alias("xent_r"),
+        F.when(F.col("__xr").isNull(), F.lit("short"))
+        .when(F.col("__xr") <= F.element_at("__t", 1), F.lit("head"))
+        .when(F.col("__xr") <= F.element_at("__t", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def duckdb_lm_buckets(
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> str:
+    """Oracle twin of lm_buckets: identical rounded-xent keys,
+    quantile_cont thresholds (== Spark's exact percentile), identical
+    comparison chain."""
+    f1, f2 = fractions
+    inner = duckdb_lm_score(table=table, id_col=id_col, text_col=text_col, k=k)
+    return f"""
+        WITH scored AS (
+            SELECT {id_col}, n_bigrams, round(xent, 6) AS xr
+            FROM ({inner})
+        ),
+        thr AS (
+            SELECT quantile_cont(xr, {f1!r}) AS t1,
+                   quantile_cont(xr, {f2!r}) AS t2
+            FROM scored WHERE xr IS NOT NULL
+        )
+        SELECT s.{id_col}, s.n_bigrams, s.xr + 0.0 AS xent_r,
+               CASE WHEN s.xr IS NULL THEN 'short'
+                    WHEN s.xr <= thr.t1 THEN 'head'
+                    WHEN s.xr <= thr.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s, thr
+    """

@@ -210,3 +210,134 @@ def duckdb_mrl_search(
         ORDER BY score DESC, e.{id_col} ASC
         LIMIT {k}
     """
+
+
+def mmr_search(
+    vectors: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    fetch_k: int = 25,
+    lam: float = 0.7,
+    metric: str = "ip",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick k results maximizing
+    λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d, s) over a top-fetch_k
+    candidate pool — the standard diversity rerank for RAG context
+    assembly (near-duplicate passages crowd out coverage at λ=1).
+
+    Scale shape: the DISTRIBUTED work is the top-fetch_k candidate cut
+    (TakeOrderedAndProject over the full corpus); the greedy is
+    inherently sequential in k, so each of the k steps is one tiny job
+    over the persisted ≤fetch_k candidate frame, with the chosen
+    vectors folded in as literals. All score arithmetic stays in the
+    verified dot() fold + F.round (HALF_UP, the DuckDB-matching
+    selection-key recipe) — the unrolled SQL twin reproduces every
+    pick exactly.
+
+    → (rank, id_col, rel DOUBLE) — rank 1..k in pick order; rel is the
+    candidate's original relevance score.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    cand = (
+        vectors.select(
+            id_col, vec_col, _score(metric, F.col(vec_col), q).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(fetch_k)
+        .persist()
+    )
+    cand.count()
+    sel: list[tuple] = []  # (id, vec, rel)
+    for _ in range(k):
+        rem = cand
+        if sel:
+            rem = cand.filter(
+                ~F.col(id_col).isin([s[0] for s in sel])
+            )
+            dots = [
+                dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                )
+                for _, vec, _ in sel
+            ]
+            sim = dots[0] if len(dots) == 1 else F.greatest(*dots)
+            key = F.round(
+                F.lit(float(lam)) * F.col("score")
+                - F.lit(1.0 - float(lam)) * sim,
+                6,
+            )
+        else:
+            key = F.round(F.col("score"), 6)
+        row = (
+            rem.orderBy(key.desc(), F.col(id_col).asc())
+            .select(id_col, vec_col, "score")
+            .head()
+        )
+        if row is None:
+            break
+        sel.append((row[id_col], list(row[vec_col]), row["score"]))
+    cand.unpersist()
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, s[0], float(s[2])) for i, s in enumerate(sel)],
+        f"rank int, {id_col} bigint, rel double",
+    )
+
+
+def duckdb_mmr_search(
+    query_vec_id: int,
+    k: int = 5,
+    fetch_k: int = 25,
+    lam: float = 0.7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of mmr_search (metric='ip'): the greedy unrolled as
+    k chained CTEs — step n picks argmax of the identical rounded MMR
+    key over candidates not yet chosen, ties by id."""
+    from leann_rs_spark.functions.vector import duckdb_dot
+
+    rel = duckdb_dot(f"e.{vec_col}", f"q.{vec_col}")
+    ctes = [
+        f"""cand AS (
+            SELECT e.{id_col} AS id, {rel} AS rel, e.{vec_col} AS v
+            FROM {table} e, {table} q
+            WHERE q.{id_col} = {query_vec_id}
+            ORDER BY rel DESC, e.{id_col} ASC
+            LIMIT {fetch_k}
+        )""",
+        """s1 AS (
+            SELECT c.id, c.rel, c.v FROM cand c
+            ORDER BY round(c.rel, 6) DESC, c.id ASC LIMIT 1
+        )""",
+    ]
+    for n in range(2, k + 1):
+        prev = ", ".join(f"s{m}" for m in range(1, n))
+        not_in = " AND ".join(
+            f"c.id <> (SELECT id FROM s{m})" for m in range(1, n)
+        )
+        sims = [
+            f"(SELECT {duckdb_dot('c.v', f's{m}.v')} FROM s{m})"
+            for m in range(1, n)
+        ]
+        sim = sims[0] if len(sims) == 1 else "greatest(" + ", ".join(sims) + ")"
+        ctes.append(
+            f"""s{n} AS (
+                SELECT c.id, c.rel, c.v FROM cand c
+                WHERE {not_in}
+                ORDER BY round({float(lam)!r} * c.rel
+                              - {1.0 - float(lam)!r} * {sim}, 6) DESC,
+                         c.id ASC
+                LIMIT 1
+            )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {n} AS rank, id AS {id_col}, rel FROM s{n}"
+        for n in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY rank"

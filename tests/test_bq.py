@@ -183,3 +183,55 @@ def test_mrl_recall_grows_with_refine(emb):
     r3, r10, rall = recall(3), recall(10), recall((n // 10) + 1)
     assert r3 >= 2
     assert r3 <= r10 <= rall == 10
+
+
+# ---------------------------------------------------------------- MMR
+
+
+def _mmr_corpus(spark):
+    # 2-d: query [1, 0.3] (NOT equal to any candidate — with IP and
+    # query == first pick, step-2 MMR keys collapse to a multiple of
+    # rel and the test shows nothing). ids 0,1 near-identical
+    # high-rel; id 2 diverse but relevant; id 3 low-rel.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.02]),
+        (2, [0.6, 0.8]),
+        (3, [0.1, 0.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_mmr_first_pick_is_top_rel(spark):
+    from leann_rs_spark.operators.search import mmr_search
+
+    out = mmr_search(_mmr_corpus(spark), [1.0, 0.3], k=1, fetch_k=4).collect()
+    assert [(r["rank"], r["vec_id"]) for r in out] == [(1, 0)]
+
+
+def test_mmr_diversifies_away_from_near_dup(spark):
+    """With λ=0.5 the near-duplicate of the first pick (id 1,
+    sim≈0.99) loses to the diverse id 2 at rank 2."""
+    from leann_rs_spark.operators.search import mmr_search
+
+    out = mmr_search(
+        _mmr_corpus(spark), [1.0, 0.3], k=3, fetch_k=4, lam=0.5
+    ).collect()
+    assert [r["vec_id"] for r in out] == [0, 2, 1]
+
+
+def test_mmr_lambda1_is_plain_topk(spark):
+    from leann_rs_spark.operators.search import mmr_search
+
+    out = mmr_search(
+        _mmr_corpus(spark), [1.0, 0.3], k=3, fetch_k=4, lam=1.0
+    ).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+
+
+def test_mmr_k_exceeding_pool_returns_pool(spark):
+    from leann_rs_spark.operators.search import mmr_search
+
+    out = mmr_search(_mmr_corpus(spark), [1.0, 0.3], k=10, fetch_k=4).collect()
+    assert len(out) == 4
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]

@@ -467,3 +467,33 @@ def test_c4_duckdb_parity_random(spark):
             FROM documents ORDER BY doc_id"""
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_lm_buckets_terciles_and_short(spark):
+    from leann_rs_spark.functions.textstats import lm_buckets
+
+    rows = (
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(6)]
+        + [(10 + i, "zz qq vv xx ww yy kk jj") for i in range(3)]
+        + [(20, "one"), (21, "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in lm_buckets(df).collect()}
+    # <2-token docs are 'short'
+    assert out[20]["bucket"] == "short" and out[21]["bucket"] == "short"
+    assert out[20]["xent_r"] is None
+    # the repeated fluent sentence is corpus-typical → head;
+    # the garble docs land in the tail
+    assert out[0]["bucket"] == "head"
+    assert out[10]["bucket"] == "tail"
+    # head xent strictly below tail xent
+    assert out[0]["xent_r"] < out[10]["xent_r"]
+
+
+def test_lm_buckets_fraction_validation(spark):
+    from leann_rs_spark.functions.textstats import lm_buckets
+
+    df = spark.createDataFrame([(0, "aa bb")], "doc_id bigint, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lm_buckets(df, fractions=(0.7, 0.3))

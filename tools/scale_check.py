@@ -77,6 +77,16 @@ def main() -> None:
         # scoring; the recall sweep is the Q×N diagnostic shape)
         "x_pq_topk", "x_ivfpq_topk", "x_pq_recall", "x_dsir_select",
         "x_stream_dedup",
+        # late-round-4 families: BQ is a pack projection + Hamming
+        # TakeOrdered (flat expected); concat_chunk is the two-pass
+        # prefix sum + bounded reassembly (token-proportional);
+        # paragraph dedup is two bounded shuffles (dup-proportional);
+        # hard negatives broadcast Q anchors over the corpus scan
+        # (corpus-proportional, never shuffled); temperature mix is a
+        # count + broadcast filter (flat)
+        "x_bq_topk", "x_concat_chunk", "x_paragraph_dedup",
+        "x_hard_negatives", "x_temperature_mix", "x_rrf_hybrid",
+        "x_mrl_topk",
     ]
     results: dict[str, dict] = {}
     for name in names:
