@@ -1461,6 +1461,70 @@ def _stream_run_dirs() -> tuple[str, str]:
     return f"{d}/out", f"{d}/ckpt"
 
 
+def _stream_cv_input(spark: SparkSession, sf_dir: str) -> str:
+    """Click/view split of the events table as two one-file parquet
+    stream sources (clicks → left, views → right) — the stream-stream
+    join gate's fixture, cached per corpus like _stream_events_input."""
+    import tempfile
+
+    key = (sf_dir, "cv")
+    path = _STREAM_INPUTS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="leann-stream-cv-in-")
+        ev = read_events(spark, sf_dir)
+        (
+            ev.filter(F.col("event_type") == "click")
+            .select(F.col("event_id").alias("left_id"), "user_id", "ts")
+            .coalesce(1)
+            .write.parquet(f"{path}/clicks")
+        )
+        (
+            ev.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("right_id"),
+                "user_id",
+                F.col("ts").alias("rts"),
+                "value",
+            )
+            .coalesce(1)
+            .write.parquet(f"{path}/views")
+        )
+        _STREAM_INPUTS[key] = path
+    return path
+
+
+_SSJOIN_GAP = "1 day"
+
+
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM event-time interval join
+    (streaming/ingest.stream_stream_interval_join): clicks join the
+    same user's views from the preceding 10 minutes, both sides
+    watermarked — the time bound is what makes state evictable. The
+    fifth streaming form to leave pytest; inner-join matches emit as
+    both sides arrive, so the single-batch sink equals the batch
+    interval join and the oracle is that plain SQL join."""
+    from leann_rs_spark.streaming.ingest import stream_stream_interval_join
+
+    d = _stream_cv_input(spark, sf_dir)
+    outp, ckpt = _stream_run_dirs()
+    q = stream_stream_interval_join(
+        spark, f"{d}/clicks", f"{d}/views", outp, ckpt, gap=_SSJOIN_GAP
+    )
+    drained = q.awaitTermination(600)  # hoisted: not stripped under -O
+    if not drained:
+        raise RuntimeError("stream did not drain")
+    out = spark.read.parquet(outp)
+    return out.select(
+        "left_id",
+        "user_id",
+        "ts",
+        "right_id",
+        "rts",
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+    ).orderBy("left_id", "right_id")
+
+
 def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING sessionizer itself (applyInPandasWithState,
     streaming/sessionize.py:169), oracle-gated: run the file-source
@@ -2612,6 +2676,16 @@ def _register_lsh_corpus_oracles() -> None:
     _register_c4_oracle()
     _register_report_oracle()
     _register_paragraph_dedup_oracle()
+    _ORACLES["x_stream_stream_join"] = f"""
+        SELECT c.event_id AS left_id, c.user_id, c.ts,
+               v.event_id AS right_id, v.ts AS rts,
+               round(v.value, 6) + 0.0 AS value_r
+        FROM events c JOIN events v ON c.user_id = v.user_id
+        WHERE c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts >= c.ts - INTERVAL '{_SSJOIN_GAP}'
+          AND v.ts <= c.ts
+        ORDER BY left_id, right_id
+    """
     _ORACLES["x_stream_enrich"] = """
         SELECT e.event_id, e.user_id, e.event_type,
                round(e.value, 6) + 0.0 AS value_r,
@@ -3025,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mrl_topk": x_mrl_topk,
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_mmr_rerank": x_mmr_rerank,
+        "x_stream_stream_join": x_stream_stream_join,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -229,3 +229,61 @@ def stream_enrich_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    *,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_schema: str = "left_id bigint, user_id bigint, ts timestamp",
+    right_schema: str = (
+        "right_id bigint, user_id bigint, rts timestamp, value double"
+    ),
+):
+    """Stream-STREAM inner join with an event-time interval: each left
+    row (e.g. a click) joins every right row (e.g. a view) of the same
+    user whose time falls in [left.ts − gap, left.ts] — the streaming
+    twin of the batch interval join (operators/joins.py). Both sides
+    carry watermarks and the join condition bounds event-time distance,
+    which is exactly what lets Spark EVICT state: a buffered right row
+    can be dropped once the left watermark passes rts + gap (and vice
+    versa), so state is O(rows inside the watermark horizon), never
+    O(stream). Without the time bound Spark rejects the stream-stream
+    inner join outright — unbounded state.
+
+    Output: (left_id, user_id, ts, right_id, rts, value), append mode;
+    inner-join rows emit as soon as both sides have arrived.
+    """
+    left = (
+        spark.readStream.schema(left_schema)
+        .parquet(left_path)
+        .withWatermark("ts", watermark)
+    )
+    right = (
+        spark.readStream.schema(right_schema)
+        .parquet(right_path)
+        .withWatermark("rts", watermark)
+    )
+    joined = left.join(
+        right,
+        (left["user_id"] == right["user_id"])
+        & (F.col("rts") >= F.col("ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("rts") <= F.col("ts")),
+        "inner",
+    ).select(
+        "left_id", left["user_id"].alias("user_id"), "ts",
+        "right_id", "rts", "value",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -199,3 +199,64 @@ def test_stream_enrich_missing_dim_row_flows_null(spark, tmp_path):
     rows = {r["event_id"]: r for r in spark.read.parquet(outp).collect()}
     assert rows[1]["c_mktsegment"] == "SEG"
     assert rows[2]["c_mktsegment"] is None  # left join: fact never dropped
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+    from leann_rs_spark.streaming.ingest import stream_stream_interval_join
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("left_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("right_id"), "user_id",
+        F.col("ts").alias("rts"), "value",
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    clicks.write.parquet(lp)
+    views.write.parquet(rp)
+    _drain(
+        stream_stream_interval_join(spark, lp, rp, outp, ckpt, gap="10 minutes")
+    )
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    want = {
+        (r["left_id"], r["right_id"])
+        for r in clicks.join(
+            views,
+            (clicks["user_id"] == views["user_id"])
+            & (F.col("rts") >= F.col("ts") - F.expr("INTERVAL 10 minutes"))
+            & (F.col("rts") <= F.col("ts")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_respects_interval_bounds(spark, tmp_path):
+    """Hand vectors: view 11 min before the click is out; 5 min before
+    is in; 1 min after is out."""
+    from leann_rs_spark.streaming.ingest import stream_stream_interval_join
+
+    clicks = spark.createDataFrame(
+        [(1, 10, "2024-01-01 01:00:00")],
+        "left_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    views = spark.createDataFrame(
+        [
+            (100, 10, "2024-01-01 00:49:00", 1.0),  # 11 min before: out
+            (101, 10, "2024-01-01 00:55:00", 2.0),  # 5 min before: in
+            (102, 10, "2024-01-01 01:01:00", 3.0),  # after: out
+            (103, 99, "2024-01-01 00:55:00", 4.0),  # other user: out
+        ],
+        "right_id bigint, user_id bigint, rts string, value double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    clicks.write.parquet(lp)
+    views.write.parquet(rp)
+    _drain(stream_stream_interval_join(spark, lp, rp, outp, ckpt))
+    rows = spark.read.parquet(outp).collect()
+    assert [(r["left_id"], r["right_id"]) for r in rows] == [(1, 101)]
