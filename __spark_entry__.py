@@ -2051,6 +2051,39 @@ def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (lang, source): per-pair, per-language,
+    and grand-total rows from ONE pass — the multi-granularity audit
+    query SURVEY §2.5 notes the reference has no surface for. Spark
+    plans rollup as a single Expand + hash aggregate (no extra scans);
+    rollup-generated NULLs are disambiguated from data NULLs via
+    grouping() and labeled 'ALL', so the gate is exact even on a
+    corpus with NULL dims."""
+    docs = _fan(_docs(spark, sf_dir))
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.grouping("lang").alias("__gl"),
+            F.grouping("source").alias("__gs"),
+        )
+        .select(
+            F.when(F.col("__gl") == 1, F.lit("ALL"))
+            .otherwise(F.col("lang"))
+            .alias("lang_g"),
+            F.when(F.col("__gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("source"))
+            .alias("source_g"),
+            "n_docs",
+            "total_chars",
+            "max_chars",
+        )
+        .orderBy("lang_g", "source_g")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -2663,6 +2696,18 @@ def _register_lsh_corpus_oracles() -> None:
     _ORACLES["x_ccnet_buckets"] = (
         f"SELECT * FROM ({duckdb_lm_buckets()}) ORDER BY doc_id"
     )
+    _ORACLES["x_rollup_stats"] = """
+        SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
+                   AS lang_g,
+               CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+                   AS source_g,
+               count(*) AS n_docs,
+               sum(n_chars)::bigint AS total_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY ROLLUP(lang, source)
+        ORDER BY lang_g, source_g
+    """
     _ORACLES["x_corpus_stats"] = f"""
         SELECT lang,
                count(*) AS n_docs,
@@ -3100,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_mmr_rerank": x_mmr_rerank,
         "x_stream_stream_join": x_stream_stream_join,
+        "x_rollup_stats": x_rollup_stats,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -283,19 +283,25 @@ def append_to_index(
     # passages but before save_meta leaves rows with idx >=
     # meta.passage_count. This batch's dense ids would COLLIDE with
     # them, and the read-back-by-range below would sweep them in and
-    # double-embed. One max() over a min/max-prunable column; refuse
-    # with a recovery hint rather than silently corrupting ids.
-    max_idx = (
+    # double-embed. Probe as a pushed-down existence check, not an
+    # aggregate: parquet row-group min/max stats skip every healthy
+    # file (their idx max < passage_count) and limit(1) short-circuits
+    # — near-free at any index size, vs the full idx-column max this
+    # replaced (measured +2.5 s on the sf0.1 append gate).
+    orphan = (
         spark.read.parquet(f"{base}/passages")
-        .agg(F.max("idx").alias("m"))
-        .head()["m"]
+        .filter(F.col("idx") >= meta.passage_count)
+        .select("idx")
+        .limit(1)
+        .collect()
     )
-    if max_idx is not None and max_idx >= meta.passage_count:
+    if orphan:
         raise ValueError(
-            f"index {name!r} has orphaned passages (max idx {max_idx} >= "
-            f"meta.passage_count {meta.passage_count}) — a prior append "
-            "crashed mid-write; rebuild the index or delete rows with "
-            f"idx >= {meta.passage_count} before appending"
+            f"index {name!r} has orphaned passages (found idx "
+            f"{orphan[0]['idx']} >= meta.passage_count "
+            f"{meta.passage_count}) — a prior append crashed mid-write; "
+            "rebuild the index or delete rows with idx >= "
+            f"{meta.passage_count} before appending"
         )
     chunks = chunk_documents(
         new_docs,
