@@ -544,6 +544,66 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_mix(args) -> int:
+    """Temperature-based mixture sampling from the command line
+    (sampling.temperature_mix, the XLM-R α-sampling rule): rebalance a
+    corpus across a group column (language, source/domain) with
+    q_g ∝ count^α — α < 1 upweights rare groups."""
+    from leann_rs_spark.operators.sampling import temperature_mix
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    out = temperature_mix(
+        docs, args.group_col, args.alpha, args.target_n, args.key_col
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    kept = spark.read.parquet(args.output)
+    n_out = kept.count()
+    mix = {
+        r[args.group_col]: r["n"]
+        for r in kept.groupBy(args.group_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(
+        f"Kept {n_out}/{n_in} docs at alpha={args.alpha} "
+        f"(target {args.target_n}) -> {args.output}"
+    )
+    for g in sorted(mix):
+        print(f"  {g}: {mix[g]}")
+    return 0
+
+
+def cmd_blocks(args) -> int:
+    """GPT-style concat-and-chunk from the command line
+    (sampling.concat_chunk): the corpus token stream with EOD markers
+    cut into fixed-size training blocks, documents split at block
+    boundaries."""
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cached: list = []
+    out = concat_chunk(
+        docs, args.block_size, id_col=args.id_col, text_col=args.text_col,
+        eod=args.eod, intermediates=cached,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    for df in cached:
+        df.unpersist()
+    res = spark.read.parquet(args.output)
+    n_blocks = res.count()
+    full = res.filter(F.col("n_tokens") == args.block_size).count()
+    print(
+        f"Wrote {n_blocks} blocks of {args.block_size} tokens "
+        f"({full} full) -> {args.output}"
+    )
+    return 0
+
+
 def cmd_tune(args) -> int:
     """Accuracy/cost curves for a built ivf/ivfpq index: recall@k of
     probe-pruned search per nprobe (ann.ivf_recall_curve) and, when the
@@ -845,6 +905,31 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--id-col", default="doc_id", dest="id_col")
     se.add_argument("--text-col", default="text", dest="text_col")
     se.set_defaults(fn=cmd_select)
+
+    mx = sub.add_parser(
+        "mix",
+        help="Temperature (alpha) mixture sampling across a group column",
+    )
+    mx.add_argument("--input", required=True, help="documents parquet path")
+    mx.add_argument("--output", required=True, help="output parquet path")
+    mx.add_argument("--group-col", default="lang", dest="group_col")
+    mx.add_argument("--alpha", type=float, default=0.3)
+    mx.add_argument("--target-n", type=int, required=True, dest="target_n",
+                    help="target sample size across all groups")
+    mx.add_argument("--key-col", default="doc_id", dest="key_col")
+    mx.set_defaults(fn=cmd_mix)
+
+    bl = sub.add_parser(
+        "blocks",
+        help="Concat-and-chunk the corpus into fixed token blocks",
+    )
+    bl.add_argument("--input", required=True, help="documents parquet path")
+    bl.add_argument("--output", required=True, help="output parquet path")
+    bl.add_argument("--block-size", type=int, default=2048, dest="block_size")
+    bl.add_argument("--eod", default="<|endofdoc|>")
+    bl.add_argument("--id-col", default="doc_id", dest="id_col")
+    bl.add_argument("--text-col", default="text", dest="text_col")
+    bl.set_defaults(fn=cmd_blocks)
 
     tu = sub.add_parser(
         "tune",

@@ -420,3 +420,36 @@ def test_cli_tune_requires_ivf(tmp_path_factory, capsys):
     assert rc == 0
     capsys.readouterr()
     assert main(["tune", "flat", "--warehouse", wh]) == 1
+
+
+def test_cli_mix_temperature(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("cli_mix") / "mix.parquet")
+    rc = main([
+        "mix", "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", out, "--alpha", "0.3", "--target-n", "100",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "docs at alpha=0.3" in text
+    kept = spark.read.parquet(out)
+    n = kept.count()
+    assert 40 <= n <= 180  # Bernoulli around the 100-doc target
+    # subset of the input, schema preserved
+    assert set(kept.columns) == set(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").columns
+    )
+
+
+def test_cli_blocks_concat_chunk(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("cli_blocks") / "blocks.parquet")
+    rc = main([
+        "blocks", "--input", f"{SF_SMOKE}/documents.parquet",
+        "--output", out, "--block-size", "128",
+    ])
+    assert rc == 0
+    assert "blocks of 128 tokens" in capsys.readouterr().out
+    res = spark.read.parquet(out)
+    n = res.count()
+    assert n > 0
+    # every block but one (the tail) is exactly full
+    assert res.filter("n_tokens = 128").count() == n - 1
