@@ -1742,11 +1742,19 @@ def x_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row vocab frame broadcasts."""
     from leann_rs_spark.functions.textstats import lm_score
 
-    out = lm_score(_fan(_docs(spark, sf_dir)))
-    return out.select(
+    inter: list = []
+    out = lm_score(_fan(_docs(spark, sf_dir)), intermediates=inter)
+    res = out.select(
         "doc_id", "n_bigrams",
         (F.round("xent", 6) + F.lit(0.0)).alias("xent_r"),
     ).orderBy("doc_id")
+    # release lm_score's internal bigram persist: selfcheck runs every
+    # gate in ONE session (the _materialize_curve lesson)
+    res = res.persist()
+    res.count()
+    for df in inter:
+        df.unpersist()
+    return res
 
 
 def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1756,7 +1764,15 @@ def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on rounded keys (the selection-key recipe)."""
     from leann_rs_spark.functions.textstats import lm_buckets
 
-    return lm_buckets(_fan(_docs(spark, sf_dir))).orderBy("doc_id")
+    inter: list = []
+    res = lm_buckets(
+        _fan(_docs(spark, sf_dir)), intermediates=inter
+    ).orderBy("doc_id")
+    res = res.persist()
+    res.count()
+    for df in inter:
+        df.unpersist()
+    return res
 
 
 _C4_LINE_W = 7
