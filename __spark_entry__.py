@@ -356,6 +356,25 @@ def x_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrl_search(_fan(_emb(spark, sf_dir)), qv, d=_MRL_D, k=10, refine=3)
 
 
+_BPE_MERGES = 8
+
+
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators/bpe.py,
+    arXiv:1508.07909): one corpus pass for word counts, then 8
+    vocabulary-sized merge iterations — pair counts are integer
+    aggregates and merge application is a greedy string replace
+    identical in both engines, so the whole ITERATIVE trainer is
+    exact-matched by an unrolled SQL oracle."""
+    from leann_rs_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(_fan(_docs(spark, sf_dir)), _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "step bigint, lsym string, rsym string, pair_freq bigint",
+    ).orderBy("step")
+
+
 _MMR_LAM = 0.7
 
 
@@ -2252,6 +2271,9 @@ def _register_bm25_oracles() -> None:
     _ORACLES["x_mrl_topk"] = duckdb_mrl_search(
         query_vec_id=4, d=_MRL_D, k=10, refine=3
     )
+    from leann_rs_spark.operators.bpe import duckdb_bpe_merges
+
+    _ORACLES["x_bpe_merges"] = duckdb_bpe_merges(_BPE_MERGES)
     from leann_rs_spark.operators.search import duckdb_mmr_search
 
     mmr = duckdb_mmr_search(query_vec_id=4, k=5, fetch_k=25, lam=_MMR_LAM)
@@ -3162,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mmr_rerank": x_mmr_rerank,
         "x_stream_stream_join": x_stream_stream_join,
         "x_rollup_stats": x_rollup_stats,
+        "x_bpe_merges": x_bpe_merges,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
