@@ -375,6 +375,23 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer pipeline: train 8 BPE merges, then encode
+    every document with them (a chained-replace projection — no
+    shuffle beyond the per-doc reassembly). The oracle re-derives the
+    merges AND the encoding in one unrolled statement."""
+    from leann_rs_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _fan(_docs(spark, sf_dir))
+    merges = bpe_train(docs, _BPE_MERGES)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_hash"),
+    ).orderBy("doc_id")
+
+
 _MMR_LAM = 0.7
 
 
@@ -2274,6 +2291,11 @@ def _register_bm25_oracles() -> None:
     from leann_rs_spark.operators.bpe import duckdb_bpe_merges
 
     _ORACLES["x_bpe_merges"] = duckdb_bpe_merges(_BPE_MERGES)
+    from leann_rs_spark.operators.bpe import duckdb_bpe_encode
+
+    _ORACLES["x_bpe_encode"] = (
+        f"SELECT * FROM ({duckdb_bpe_encode(_BPE_MERGES)}) ORDER BY doc_id"
+    )
     from leann_rs_spark.operators.search import duckdb_mmr_search
 
     mmr = duckdb_mmr_search(query_vec_id=4, k=5, fetch_k=25, lam=_MMR_LAM)
@@ -3185,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_stream_join": x_stream_stream_join,
         "x_rollup_stats": x_rollup_stats,
         "x_bpe_merges": x_bpe_merges,
+        "x_bpe_encode": x_bpe_encode,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

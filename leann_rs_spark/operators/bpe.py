@@ -122,19 +122,26 @@ def bpe_encode(
     """→ (id_col, tokens array<string>, n_tokens) — each document's
     words encoded with the learned merges, applied in merge order as a
     chained replace projection (shuffle-free; one expression per
-    merge)."""
-    word = F.explode(tokenize(text_col))
-    enc = docs.select(F.col(id_col), word.alias("word")).withColumn(
-        "ws", word_bracket_string("word")
-    )
+    merge). Word order is carried explicitly (posexplode + sorted
+    reassembly) — collect_list order is not contractual across a
+    shuffle."""
+    enc = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(text_col)).alias("__pos", "word"),
+    ).withColumn("ws", word_bracket_string("word"))
     ws = F.col("ws")
     for l, r, _ in merges:
         ws = F.replace(ws, F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]"))
     return (
-        enc.select(id_col, _syms(ws).alias("toks"))
+        enc.select(id_col, "__pos", _syms(ws).alias("toks"))
         .groupBy(id_col)
         .agg(
-            F.flatten(F.collect_list("toks")).alias("tokens"),
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens"),
             F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
         )
     )
@@ -207,3 +214,48 @@ def duckdb_bpe_merges(
         for n in range(1, num_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY step"
+
+
+def duckdb_bpe_encode(
+    num_merges: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of bpe_train → bpe_encode as one statement:
+    (id_col, n_tokens, tokens_hash) with tokens_hash =
+    md5 of the space-joined symbol stream (every word emits ≥ 1
+    symbol, so per-word join + ordered string_agg ≡ the Spark side's
+    flatten + array_join)."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    merges_sql = duckdb_bpe_merges(num_merges, table=table, text_col=text_col)
+    head, _tail = merges_sql.split("\nSELECT 1::bigint AS step", 1)
+    ws = "w.ws"
+    for n in range(1, num_merges + 1):
+        ws = (
+            f"replace({ws}, (SELECT '[' || l || '][' || r || ']' FROM b{n}),"
+            f" (SELECT '[' || l || r || ']' FROM b{n}))"
+        )
+    return f"""{head},
+    words AS MATERIALIZED (
+        SELECT {id_col}, i AS pos,
+               '[' || array_to_string(
+                   list_append(
+                       list_transform(generate_series(1, len(t[i])),
+                                      j -> substr(t[i], j, 1)),
+                       '{EOW}'), '][') || ']' AS ws
+        FROM (SELECT {id_col}, {duckdb_tokenize(text_col)} AS t FROM {table}),
+             unnest(generate_series(1, len(t))) s(i)
+    ),
+    encd AS MATERIALIZED (
+        SELECT {id_col}, pos,
+               str_split(substr(enc, 2, len(enc) - 2), '][') AS syms
+        FROM (SELECT {id_col}, pos, {ws} AS enc FROM words w)
+    )
+    SELECT {id_col},
+           sum(len(syms))::bigint AS n_tokens,
+           md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+               AS tokens_hash
+    FROM encd GROUP BY 1
+    """
