@@ -392,6 +392,39 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_curriculum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline capstone: CCNet quality gate (keep
+    head+middle, drop the tail third) → GPT-style concat-and-chunk of
+    the survivors — the "filter by perplexity, then tokenize into
+    training blocks" shape a real pretraining build runs. The oracle
+    nests the lm_buckets twin inside the concat_chunk twin."""
+    from leann_rs_spark.functions.textstats import lm_buckets
+    from leann_rs_spark.operators.sampling import concat_chunk
+
+    docs = _fan(_docs(spark, sf_dir))
+    inter: list = []
+    keep = (
+        lm_buckets(docs, intermediates=inter)
+        .filter(F.col("bucket").isin("head", "middle"))
+        .select("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id")
+    out = concat_chunk(
+        survivors, _CHUNK_BLOCK, shard_width=1000, intermediates=inter
+    )
+    res = out.select(
+        "block_id",
+        "n_tokens",
+        "n_docs",
+        F.md5(F.array_join("tokens", " ")).alias("tokens_hash"),
+    ).orderBy("block_id")
+    res = res.persist()
+    res.count()
+    for df in inter:
+        df.unpersist()
+    return res
+
+
 _MMR_LAM = 0.7
 
 
@@ -2756,6 +2789,17 @@ def _register_lsh_corpus_oracles() -> None:
     _ORACLES["x_ccnet_buckets"] = (
         f"SELECT * FROM ({duckdb_lm_buckets()}) ORDER BY doc_id"
     )
+    from leann_rs_spark.operators.sampling import duckdb_concat_chunk as _dcc
+
+    _survivors = f"""(
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN ({duckdb_lm_buckets()}) b USING (doc_id)
+        WHERE b.bucket IN ('head', 'middle')
+    )"""
+    _ORACLES["x_curriculum_blocks"] = (
+        f"SELECT * FROM ({_dcc(_CHUNK_BLOCK, table=_survivors)})"
+        " ORDER BY block_id"
+    )
     _ORACLES["x_rollup_stats"] = """
         SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
                    AS lang_g,
@@ -3208,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rollup_stats": x_rollup_stats,
         "x_bpe_merges": x_bpe_merges,
         "x_bpe_encode": x_bpe_encode,
+        "x_curriculum_blocks": x_curriculum_blocks,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

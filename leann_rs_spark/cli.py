@@ -604,6 +604,35 @@ def cmd_blocks(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Train a BPE vocabulary on the corpus and (optionally) encode it
+    (operators/bpe.py): one corpus pass for word counts, then
+    vocabulary-sized merge iterations. Merges print as JSON lines;
+    --encode-to writes (doc_id, tokens, n_tokens) parquet."""
+    import json as _json
+
+    from leann_rs_spark.operators.bpe import bpe_encode, bpe_train
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    merges = bpe_train(docs, args.merges, text_col=args.text_col)
+    for i, (l, r, f) in enumerate(merges):
+        print(_json.dumps(
+            {"step": i + 1, "left": l, "right": r, "pair_freq": f}
+        ))
+    if args.encode_to:
+        out = bpe_encode(
+            docs, merges, id_col=args.id_col, text_col=args.text_col
+        )
+        out.write.mode("overwrite").parquet(args.encode_to)
+        n = spark.read.parquet(args.encode_to).count()
+        print(f"Encoded {n} docs with {len(merges)} merges "
+              f"-> {args.encode_to}")
+    return 0
+
+
 def cmd_tune(args) -> int:
     """Accuracy/cost curves for a built ivf/ivfpq index: recall@k of
     probe-pruned search per nprobe (ann.ivf_recall_curve) and, when the
@@ -930,6 +959,18 @@ def build_parser() -> argparse.ArgumentParser:
     bl.add_argument("--id-col", default="doc_id", dest="id_col")
     bl.add_argument("--text-col", default="text", dest="text_col")
     bl.set_defaults(fn=cmd_blocks)
+
+    bp = sub.add_parser(
+        "bpe",
+        help="Train a BPE vocabulary (and optionally encode the corpus)",
+    )
+    bp.add_argument("--input", required=True, help="documents parquet path")
+    bp.add_argument("--merges", type=int, default=1000)
+    bp.add_argument("--encode-to", default=None, dest="encode_to",
+                    help="also encode the corpus to this parquet path")
+    bp.add_argument("--id-col", default="doc_id", dest="id_col")
+    bp.add_argument("--text-col", default="text", dest="text_col")
+    bp.set_defaults(fn=cmd_bpe)
 
     tu = sub.add_parser(
         "tune",

@@ -453,3 +453,21 @@ def test_cli_blocks_concat_chunk(spark, tmp_path_factory, capsys):
     assert n > 0
     # every block but one (the tail) is exactly full
     assert res.filter("n_tokens = 128").count() == n - 1
+
+
+def test_cli_bpe_train_and_encode(spark, tmp_path_factory, capsys):
+    out = str(tmp_path_factory.mktemp("cli_bpe") / "enc.parquet")
+    rc = main([
+        "bpe", "--input", f"{SF_SMOKE}/documents.parquet",
+        "--merges", "5", "--encode-to", out,
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    import json as _json
+    merges = [_json.loads(x) for x in lines[:-1]]
+    assert [m["step"] for m in merges] == [1, 2, 3, 4, 5]
+    assert all(m["pair_freq"] >= 2 for m in merges)
+    assert "Encoded 500 docs with 5 merges" in lines[-1]
+    enc = spark.read.parquet(out)
+    assert enc.count() == 500
+    assert {"doc_id", "tokens", "n_tokens"} <= set(enc.columns)

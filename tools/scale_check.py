@@ -87,6 +87,10 @@ def main() -> None:
         "x_bq_topk", "x_concat_chunk", "x_paragraph_dedup",
         "x_hard_negatives", "x_temperature_mix", "x_rrf_hybrid",
         "x_mrl_topk",
+        # BPE: corpus pass once, then vocab-sized iterations — 10×
+        # grows the corpus pass only (the dup suffixes add few new
+        # words); ccnet adds the lm_score count shuffles
+        "x_bpe_merges", "x_ccnet_buckets",
     ]
     results: dict[str, dict] = {}
     for name in names:
