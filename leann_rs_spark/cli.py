@@ -604,6 +604,41 @@ def cmd_blocks(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc Spark SQL over the corpus tables (every *.parquet in
+    --tables becomes a temp view named after the file) and, with
+    --index, over a warehouse index's passages/embeddings
+    (<name>_passages / <name>_embeddings) — the full ANSI-SQL surface
+    the reference lacks (SURVEY §2.5), for free from Catalyst.
+    Prints TSV with a header, capped at --max-rows."""
+    import glob
+    import os as _os
+
+    spark = _spark(args)
+    if args.tables:
+        for p in sorted(glob.glob(f"{args.tables}/*.parquet")):
+            name = _os.path.splitext(_os.path.basename(p))[0]
+            spark.read.parquet(p).createOrReplaceTempView(name)
+    if args.index:
+        from leann_rs_spark.catalog import _index_dir
+
+        base = _index_dir(args.warehouse, args.index)
+        spark.read.parquet(f"{base}/passages").createOrReplaceTempView(
+            f"{args.index}_passages"
+        )
+        emb_path = f"{base}/embeddings"
+        if _os.path.isdir(emb_path):
+            spark.read.parquet(emb_path).createOrReplaceTempView(
+                f"{args.index}_embeddings"
+            )
+    df = spark.sql(args.query)
+    rows = df.limit(args.max_rows).collect()
+    print("\t".join(df.columns))
+    for r in rows:
+        print("\t".join("" if v is None else str(v) for v in r))
+    return 0
+
+
 def cmd_bpe(args) -> int:
     """Train a BPE vocabulary on the corpus and (optionally) encode it
     (operators/bpe.py): one corpus pass for word counts, then
@@ -959,6 +994,20 @@ def build_parser() -> argparse.ArgumentParser:
     bl.add_argument("--id-col", default="doc_id", dest="id_col")
     bl.add_argument("--text-col", default="text", dest="text_col")
     bl.set_defaults(fn=cmd_blocks)
+
+    sq = sub.add_parser(
+        "sql",
+        help="Run ad-hoc Spark SQL over corpus tables / a warehouse index",
+    )
+    sq.add_argument("query", help="SQL to run")
+    sq.add_argument("--tables", default=None,
+                    help="dir whose *.parquet files become temp views")
+    sq.add_argument("--index", default=None,
+                    help="warehouse index to expose as <name>_passages/"
+                         "<name>_embeddings views")
+    sq.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
+    sq.add_argument("--max-rows", type=int, default=100, dest="max_rows")
+    sq.set_defaults(fn=cmd_sql)
 
     bp = sub.add_parser(
         "bpe",

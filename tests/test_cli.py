@@ -471,3 +471,31 @@ def test_cli_bpe_train_and_encode(spark, tmp_path_factory, capsys):
     enc = spark.read.parquet(out)
     assert enc.count() == 500
     assert {"doc_id", "tokens", "n_tokens"} <= set(enc.columns)
+
+
+def test_cli_sql_over_tables(spark, capsys):
+    rc = main([
+        "sql",
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "--tables", SF_SMOKE.rstrip("/"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "lang\tn"
+    got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in out[1:]}
+    want = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+
+
+def test_cli_sql_max_rows_cap(capsys):
+    rc = main([
+        "sql", "SELECT doc_id FROM documents ORDER BY doc_id",
+        "--tables", SF_SMOKE.rstrip("/"), "--max-rows", "7",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 8  # header + 7 rows
