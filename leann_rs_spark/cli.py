@@ -1014,7 +1014,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Train a BPE vocabulary (and optionally encode the corpus)",
     )
     bp.add_argument("--input", required=True, help="documents parquet path")
-    bp.add_argument("--merges", type=int, default=1000)
+    bp.add_argument("--merges", type=int, default=200,
+                    help="merge count; each merge is one vocab-sized "
+                         "Spark round (~0.5 s driver latency locally), "
+                         "so wall time is linear in this knob")
     bp.add_argument("--encode-to", default=None, dest="encode_to",
                     help="also encode the corpus to this parquet path")
     bp.add_argument("--id-col", default="doc_id", dest="id_col")
