@@ -1221,6 +1221,23 @@ def x_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def x_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment (sampling.length_bucket_batches)
+    — dynamic batching: batches form within 64-token length buckets so
+    per-row padding waste is bounded by the bucket width; one window
+    shuffle over (bucket, shard), partitioning-independent."""
+    from leann_rs_spark.operators.sampling import length_bucket_batches
+
+    docs = _fan(_docs(spark, sf_dir)).withColumn(
+        "n_tokens", token_count("text")
+    )
+    out = length_bucket_batches(docs, batch_size=16, n_shards=4)
+    return out.select(
+        "doc_id", "n_tokens", "length_bucket", "shard", "batch_id",
+        "batch_max_tokens", "pad_waste",
+    ).orderBy("doc_id")
+
+
 def x_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain reweighting: keep all English, half German, a quarter of
     everything else — deterministic per-source subsampling + union."""
@@ -3020,6 +3037,16 @@ def _register_sampling_oracles() -> None:
     _ORACLES["x_temperature_mix"] = (
         f"SELECT doc_id, lang FROM ({tmix}) ORDER BY doc_id"
     )
+    from leann_rs_spark.operators.sampling import duckdb_length_bucket_batches
+
+    lbb = duckdb_length_bucket_batches(
+        "documents",
+        batch_size=16,
+        token_sql=duckdb_token_count("text"),
+        token_alias="n_tokens",
+        n_shards=4,
+    )
+    _ORACLES["x_length_batches"] = f"SELECT * FROM ({lbb}) ORDER BY doc_id"
     mix = duckdb_weighted_mix(
         [
             ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
@@ -3253,6 +3280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_merges": x_bpe_merges,
         "x_bpe_encode": x_bpe_encode,
         "x_curriculum_blocks": x_curriculum_blocks,
+        "x_length_batches": x_length_batches,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -631,3 +631,104 @@ def duckdb_temperature_mix(
         ) r ON t.{group_sql} = r._g
         WHERE {duckdb_slot("t." + key_sql, salt)} < r._thr
     """
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_width: int = 64,
+    n_shards: int = 16,
+    salt: str = "lbatch",
+) -> DataFrame:
+    """Length-grouped batch assignment — the dynamic-batching trick
+    that minimizes padding waste: rows are grouped into
+    `bucket_width`-sized length buckets, and batches are formed WITHIN
+    a (bucket, shard), so every batch's lengths differ by less than
+    bucket_width (padding waste per row < bucket_width tokens,
+    regardless of corpus length distribution).
+
+    → input id/token cols + (length_bucket, shard, batch_id,
+    batch_max_tokens, pad_waste) where pad_waste = batch max − row
+    tokens (what padding to the batch max costs this row).
+
+    Scale shape: a true global sort-by-length would serialize on one
+    partition (and its rank is partitioning-dependent) — instead the
+    bucket is pure column math and the batch assignment is a window
+    over (bucket, shard) with a deterministic hash order, the
+    pack_sequences layout: ONE shuffle, shards bound task size, and
+    the result is partitioning-independent."""
+    from pyspark.sql.window import Window
+
+    tok = F.col(token_col)
+    bucket = F.floor(tok / F.lit(int(bucket_width))).cast("int")
+    shard = (_slot(F.col(id_col), salt) % F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("length_bucket", "shard").orderBy(
+        F.col("_ok"), F.col(id_col)
+    )
+    staged = df.select(
+        id_col,
+        token_col,
+        bucket.alias("length_bucket"),
+        shard.alias("shard"),
+        hash64(F.concat(F.lit(salt + "#:"), F.col(id_col).cast("string"))).alias(
+            "_ok"
+        ),
+    )
+    assigned = staged.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / F.lit(int(batch_size))).cast(
+            "bigint"
+        ),
+    ).drop("_ok")
+    wb = Window.partitionBy("length_bucket", "shard", "batch_id")
+    return assigned.withColumn(
+        "batch_max_tokens", F.max(token_col).over(wb)
+    ).withColumn(
+        "pad_waste", (F.col("batch_max_tokens") - F.col(token_col)).cast("bigint")
+    )
+
+
+def duckdb_length_bucket_batches(
+    table: str,
+    batch_size: int,
+    token_sql: str = "n_tokens",
+    token_alias: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_width: int = 64,
+    n_shards: int = 16,
+    salt: str = "lbatch",
+) -> str:
+    """Oracle twin: identical bucket math, hash order, batch cut and
+    per-batch max. `token_alias` must equal the Spark side's token
+    column name."""
+    slot = duckdb_slot(id_col, salt)
+    okey = duckdb_hash64(f"'{salt}#:' || ({id_col})::varchar")
+    return f"""
+        WITH staged AS (
+            SELECT {id_col}, {token_sql} AS __tok,
+                   floor(({token_sql}) / {int(bucket_width)})::int
+                       AS length_bucket,
+                   ({slot} % {int(n_shards)})::int AS shard,
+                   {okey} AS ok
+            FROM {table}
+        ),
+        assigned AS (
+            SELECT {id_col}, __tok, length_bucket, shard,
+                   ((row_number() OVER (
+                        PARTITION BY length_bucket, shard
+                        ORDER BY ok, {id_col}) - 1)
+                    // {int(batch_size)})::bigint AS batch_id
+            FROM staged
+        )
+        SELECT {id_col}, __tok AS {token_alias},
+               length_bucket, shard, batch_id,
+               max(__tok) OVER (
+                   PARTITION BY length_bucket, shard, batch_id)
+                   AS batch_max_tokens,
+               (max(__tok) OVER (
+                   PARTITION BY length_bucket, shard, batch_id) - __tok)::bigint
+                   AS pad_waste
+        FROM assigned
+    """

@@ -385,3 +385,55 @@ def test_temperature_validation(docs):
         temperature_mix(docs, "lang", -0.1, 100, "doc_id")
     with pytest.raises(ValueError):
         temperature_mix(docs, "lang", 0.3, -5, "doc_id")
+
+
+# ------------------------------------------------------------ length batch
+
+
+def test_length_batches_waste_bounded_by_bucket(docs):
+    from leann_rs_spark.functions.textstats import token_count
+    from leann_rs_spark.operators.sampling import length_bucket_batches
+
+    d = docs.withColumn("n_tokens", token_count("text"))
+    out = length_bucket_batches(d, batch_size=8, bucket_width=32).collect()
+    assert len(out) == d.count()
+    for r in out:
+        assert 0 <= r["pad_waste"] < 32
+        assert r["batch_max_tokens"] >= r["n_tokens"]
+        assert r["length_bucket"] == r["n_tokens"] // 32
+
+
+def test_length_batches_full_except_tail(docs):
+    """Within every (bucket, shard), each batch_id except the highest
+    holds exactly batch_size rows."""
+    from collections import Counter
+
+    from leann_rs_spark.functions.textstats import token_count
+    from leann_rs_spark.operators.sampling import length_bucket_batches
+
+    d = docs.withColumn("n_tokens", token_count("text"))
+    rows = length_bucket_batches(d, batch_size=8, n_shards=2).collect()
+    sizes = Counter((r["length_bucket"], r["shard"], r["batch_id"]) for r in rows)
+    last = {}
+    for (b, s, i), _n in sizes.items():
+        last[(b, s)] = max(last.get((b, s), -1), i)
+    for (b, s, i), n in sizes.items():
+        if i < last[(b, s)]:
+            assert n == 8, (b, s, i, n)
+        else:
+            assert 1 <= n <= 8
+
+
+def test_length_batches_partition_invariant(docs):
+    from leann_rs_spark.functions.textstats import token_count
+    from leann_rs_spark.operators.sampling import length_bucket_batches
+
+    d = docs.withColumn("n_tokens", token_count("text"))
+
+    def run(df):
+        return sorted(
+            (r["doc_id"], r["batch_id"], r["batch_max_tokens"])
+            for r in length_bucket_batches(df, batch_size=8).collect()
+        )
+
+    assert run(d) == run(d.repartition(17))
