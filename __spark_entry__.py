@@ -1221,6 +1221,17 @@ def x_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (clustering.kcenter_sample,
+    Gonzalez 1985) — diversity-driven data pruning: k=8 farthest-point
+    picks with a running min-distance column (one map + one
+    TakeOrdered per step, localCheckpoint lineage truncation); the
+    oracle unrolls the greedy."""
+    from leann_rs_spark.operators.clustering import kcenter_sample
+
+    return kcenter_sample(_fan(_emb(spark, sf_dir)), k=8).orderBy("rank")
+
+
 def x_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-grouped batch assignment (sampling.length_bucket_batches)
     — dynamic batching: batches form within 64-token length buckets so
@@ -3047,6 +3058,12 @@ def _register_sampling_oracles() -> None:
         n_shards=4,
     )
     _ORACLES["x_length_batches"] = f"SELECT * FROM ({lbb}) ORDER BY doc_id"
+    from leann_rs_spark.operators.clustering import duckdb_kcenter_sample
+
+    _ORACLES["x_kcenter_sample"] = (
+        f"SELECT rank::bigint AS rank, vec_id, radius_r "
+        f"FROM ({duckdb_kcenter_sample(8)}) ORDER BY rank"
+    )
     mix = duckdb_weighted_mix(
         [
             ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
@@ -3281,6 +3298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bpe_encode": x_bpe_encode,
         "x_curriculum_blocks": x_curriculum_blocks,
         "x_length_batches": x_length_batches,
+        "x_kcenter_sample": x_kcenter_sample,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

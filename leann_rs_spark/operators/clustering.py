@@ -361,3 +361,133 @@ def duckdb_semantic_near_dups(
         FROM assigned a JOIN assigned b ON a.cluster_id = b.cluster_id
         WHERE a.{id_col} < b.{id_col} AND {cos_ab} >= {threshold}
     """
+
+
+def kcenter_sample(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    classic 2-approximation (Gonzalez 1985) used for diversity-driven
+    data pruning / coreset construction (e.g. herding-free coverage
+    sampling in data-selection literature): start from the smallest
+    id (deterministic seed), then repeatedly pick the point FARTHEST
+    from every center chosen so far. → (rank, id_col, radius_r) where
+    radius_r is the picked point's distance² to the nearest earlier
+    center (6-dp) — the non-increasing coverage radius curve.
+
+    Scale shape: a running min-distance² COLUMN is maintained on the
+    corpus frame — each of the k steps is ONE map (update the min
+    against the single new center, folded in as literals) + one
+    TakeOrderedAndProject(1), never a recompute against all chosen
+    centers; lineage is truncated per step with localCheckpoint (the
+    iterative-driver-loop rule). k corpus passes total — the honest
+    cost of exact greedy k-center; for k beyond ~10³ switch to
+    cluster-sketch variants.
+
+    Distances: squared L2 via the verified dot() fold
+    (‖x−c‖² = x·x − 2·x·c + c·c), argmax on round(d², 6) with id
+    tie-break — the selection-key recipe, exactly reproduced by the
+    unrolled SQL twin."""
+    first = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .head()
+    )
+    if first is None:
+        return vectors.sparkSession.createDataFrame(
+            [], f"rank int, {id_col} bigint, radius_r double"
+        )
+
+    def _lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def _d2(vec, center):
+        c = _lit_vec(center)
+        return (
+            dot(vec, vec)
+            - F.lit(2.0) * dot(vec, c)
+            + dot(c, c)
+        )
+
+    picks = [(first[id_col], list(first[vec_col]), 0.0)]
+    frame = vectors.select(
+        id_col,
+        F.col(vec_col).alias("__v"),
+        _d2(F.col(vec_col), picks[0][1]).alias("__d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(1, k):
+        nxt = (
+            frame.filter(~F.col(id_col).isin([p[0] for p in picks]))
+            .orderBy(F.round(F.col("__d"), 6).desc(), F.col(id_col).asc())
+            .head()
+        )
+        if nxt is None:
+            break
+        picks.append((nxt[id_col], list(nxt["__v"]), float(nxt["__d"])))
+        frame = frame.select(
+            id_col,
+            "__v",
+            F.least(F.col("__d"), _d2(F.col("__v"), picks[-1][1])).alias("__d"),
+        ).localCheckpoint(eager=True)
+    spark = vectors.sparkSession
+    # round through Spark's HALF_UP (== DuckDB round), not Python's
+    # banker's round — the picked raw doubles are engine-identical,
+    # the rounding must be too
+    return spark.createDataFrame(
+        [(i + 1, p[0], abs(p[2])) for i, p in enumerate(picks)],
+        f"rank int, {id_col} bigint, __raw double",
+    ).select(
+        "rank",
+        id_col,
+        (F.round(F.col("__raw"), 6) + F.lit(0.0)).alias("radius_r"),
+    )
+
+
+def duckdb_kcenter_sample(
+    k: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin: the greedy unrolled — cN picks argmax of
+    least(d² to c1..c_{N-1}) on the identical rounded key."""
+    def d2(vec, cvec):
+        return (
+            f"({duckdb_dot(vec, vec)} - 2.0 * {duckdb_dot(vec, cvec)}"
+            f" + {duckdb_dot(cvec, cvec)})"
+        )
+
+    ctes = [
+        f"""c1 AS MATERIALIZED (
+            SELECT {id_col} AS id, {vec_col} AS v, 0.0 AS d
+            FROM {table} ORDER BY {id_col} ASC LIMIT 1
+        )"""
+    ]
+    for n in range(2, k + 1):
+        prev = ", ".join(f"s{m}" for m in range(1, n))
+        not_in = " AND ".join(
+            f"e.{id_col} <> (SELECT id FROM c{m})" for m in range(1, n)
+        )
+        dists = [
+            f"(SELECT {d2(f'e.{vec_col}', f'c{m}.v')} FROM c{m})"
+            for m in range(1, n)
+        ]
+        mind = dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+        ctes.append(
+            f"""c{n} AS MATERIALIZED (
+                SELECT e.{id_col} AS id, e.{vec_col} AS v, {mind} AS d
+                FROM {table} e
+                WHERE {not_in}
+                ORDER BY round({mind}, 6) DESC, e.{id_col} ASC
+                LIMIT 1
+            )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {n} AS rank, id AS {id_col}, round(abs(d), 6) + 0.0 AS radius_r"
+        f" FROM c{n}"
+        for n in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY rank"

@@ -200,3 +200,59 @@ def test_empty_codebook_rejected(spark):
     empty = take_centroids(emb, 8).filter("centroid_id < 0")
     with pytest.raises(ValueError):
         cluster_assign(emb, empty)
+
+
+# ------------------------------------------------------------- k-center
+
+
+def test_kcenter_hand_vectors(spark):
+    """2-d square + center point: picks cover the corners before the
+    middle, radius curve non-increasing."""
+    from leann_rs_spark.operators.clustering import kcenter_sample
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0]),
+        (3, [10.0, 10.0]), (4, [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kcenter_sample(df, k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[0]["vec_id"] == 0  # deterministic seed: min id
+    # the farthest point from (0,0) is the opposite corner
+    assert out[1]["vec_id"] == 3
+    # middle point is covered last
+    assert out[-1]["vec_id"] == 4
+    radii = [r["radius_r"] for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_k_exceeds_corpus(spark):
+    from leann_rs_spark.operators.clustering import kcenter_sample
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = kcenter_sample(df, k=10).collect()
+    assert len(out) == 2
+
+
+def test_kcenter_empty_corpus(spark):
+    from leann_rs_spark.operators.clustering import kcenter_sample
+
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert kcenter_sample(df, k=3).collect() == []
+
+
+def test_kcenter_covers_clusters_on_real_embeddings(spark):
+    """On the labeled corpus, 8 picks should touch several distinct
+    label clusters — diversity is the operator's purpose."""
+    from tests.conftest import SF_SMOKE
+    from leann_rs_spark.operators.clustering import kcenter_sample
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    picks = [r["vec_id"] for r in kcenter_sample(emb, k=8).collect()]
+    labels = {
+        r["label"]
+        for r in emb.filter(F.col("vec_id").isin(picks)).collect()
+    }
+    assert len(labels) >= 3
