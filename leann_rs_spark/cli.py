@@ -652,7 +652,9 @@ def cmd_bpe(args) -> int:
     docs = spark.read.parquet(args.input).repartition(
         spark.sparkContext.defaultParallelism
     )
-    merges = bpe_train(docs, args.merges, text_col=args.text_col)
+    merges = bpe_train(
+        docs, args.merges, text_col=args.text_col, batch_k=args.batch_k
+    )
     for i, (l, r, f) in enumerate(merges):
         print(_json.dumps(
             {"step": i + 1, "left": l, "right": r, "pair_freq": f}
@@ -1015,9 +1017,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bp.add_argument("--input", required=True, help="documents parquet path")
     bp.add_argument("--merges", type=int, default=200,
-                    help="merge count; each merge is one vocab-sized "
-                         "Spark round (~0.5 s driver latency locally), "
-                         "so wall time is linear in this knob")
+                    help="merge count; wall time is ~merges/batch-k "
+                         "vocab-sized Spark rounds")
+    bp.add_argument("--batch-k", type=int, default=1, dest="batch_k",
+                    help="disjoint merges applied per round (1 = classic "
+                         "BPE order; raise for large vocabs — counts stay "
+                         "exact, only interleaving order differs)")
     bp.add_argument("--encode-to", default=None, dest="encode_to",
                     help="also encode the corpus to this parquet path")
     bp.add_argument("--id-col", default="doc_id", dest="id_col")

@@ -73,17 +73,33 @@ def bpe_train(
     num_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    batch_k: int = 1,
 ) -> list[tuple[str, str, int]]:
     """Learn `num_merges` BPE merges → [(left, right, pair_freq)] in
     merge order. Stops early if no pair occurs twice (nothing left to
-    compress). Each iteration: one vocab-sized pair count + argmax
-    (TakeOrdered of 1 row) + one projection; the vocab frame is
+    compress). Each round: one vocab-sized pair count + a tiny
+    TakeOrdered collect + one projection; the vocab frame is
     localCheckpoint'ed every `checkpoint_every` rounds so Catalyst
-    never re-analyzes the growing replace chain."""
+    never re-analyzes the growing replace chain.
+
+    batch_k > 1 is the SCALABLE variant: each round applies up to
+    batch_k merges whose symbols are pairwise DISJOINT (a pair sharing
+    a symbol with an already-selected pair is deferred to the next
+    round). Disjoint-symbol replaces commute and cannot create or
+    destroy each other's occurrences, so every applied pair's recorded
+    frequency is still its true corpus frequency at application time —
+    the counts are exact, only the interleaving ORDER differs from
+    classic BPE (batch_k=1 is bit-for-bit the classic sequence, the
+    oracle-gated mode). Driver rounds drop from num_merges to
+    ~num_merges/batch_k: a 32k-merge vocab at batch_k=256 is ~125
+    rounds instead of 32k."""
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k!r}")
     vocab = bpe_word_counts(docs, text_col=text_col).select("freq", "ws")
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for step in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
         syms = _syms(F.col("ws"))
         n1 = F.greatest(F.size(syms) - 1, F.lit(0))
         pairs = F.zip_with(
@@ -91,24 +107,36 @@ def bpe_train(
             F.slice(syms, F.lit(2), n1),
             lambda a, b: F.struct(a.alias("l"), b.alias("r")),
         )
-        best = (
+        want = min(batch_k, num_merges - len(merges))
+        # over-fetch: conflicts defer candidates, 4× covers heavy overlap
+        top = (
             vocab.select("freq", F.explode(pairs).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("pf"))
+            .filter(F.col("pf") >= 2)
             .orderBy(F.col("pf").desc(), F.col("l").asc(), F.col("r").asc())
-            .head()
+            .limit(4 * want)
+            .collect()
         )
-        if best is None or best["pf"] < 2:
+        if not top:
             break
-        l, r = best["l"], best["r"]
-        merges.append((l, r, int(best["pf"])))
-        vocab = vocab.select(
-            "freq",
-            F.replace(
-                F.col("ws"), F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]")
-            ).alias("ws"),
-        )
-        if (step + 1) % checkpoint_every == 0:
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for row in top:
+            l, r = row["l"], row["r"]
+            if l in used or r in used:
+                continue
+            used.update((l, r, l + r))
+            batch.append((l, r, int(row["pf"])))
+            if len(batch) >= want:
+                break
+        merges.extend(batch)
+        ws = F.col("ws")
+        for l, r, _ in batch:
+            ws = F.replace(ws, F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]"))
+        vocab = vocab.select("freq", ws.alias("ws"))
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
 

@@ -116,3 +116,75 @@ def test_bpe_merged_symbols_chain(spark):
     merges = bpe_train(docs, 8)
     syms = {l + r for l, r, _ in merges}
     assert any(l in syms or r in syms for l, r, _ in merges[1:])
+
+
+def _ref_bpe_batched(texts: list[str], num_merges: int, batch_k: int):
+    """Reference for the batched variant: per round, greedily select up
+    to batch_k pairs with pairwise-disjoint symbols (including the new
+    merged symbol) from the (-pf, l, r)-sorted counts, apply all."""
+    vocab = Counter()
+    for t in texts:
+        for w in _ref_tokenize(t):
+            vocab[w] += 1
+    words = {w: list(w) + [EOW] for w in vocab}
+    merges = []
+    while len(merges) < num_merges:
+        pairs = Counter()
+        for w, syms in words.items():
+            f = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        cands = sorted(
+            ((p, f) for p, f in pairs.items() if f >= 2),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        if not cands:
+            break
+        used, batch = set(), []
+        want = min(batch_k, num_merges - len(merges))
+        for (l, r), f in cands[: 4 * want]:
+            if l in used or r in used:
+                continue
+            used.update((l, r, l + r))
+            batch.append((l, r, f))
+            if len(batch) >= want:
+                break
+        merges.extend(batch)
+        for l, r, _ in batch:
+            words = {w: _ref_merge_word(s, (l, r)) for w, s in words.items()}
+    return merges
+
+
+def test_bpe_batched_matches_reference(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = bpe_train(docs, 12, batch_k=4)
+    want = _ref_bpe_batched(texts, 12, 4)
+    assert got == want
+    assert len(got) == 12
+
+
+def test_bpe_batched_symbols_disjoint_within_round(spark):
+    """No symbol (or newly created symbol) repeats inside one batch —
+    the invariant that keeps batched counts exact."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    merges = bpe_train(docs, 12, batch_k=4)
+    for start in range(0, 12, 4):
+        batch = merges[start : start + 4]
+        seen: set = set()
+        for l, r, _ in batch:
+            assert l not in seen and r not in seen
+            seen.update((l, r, l + r))
+
+
+def test_bpe_batch1_equals_classic_reference(spark):
+    """batch_k=1 must remain bit-for-bit the classic sequence."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert bpe_train(docs, 6, batch_k=1) == _ref_bpe(texts, 6)[0]
+
+
+def test_bpe_batch_validation(spark):
+    docs = spark.createDataFrame([(0, "aa bb")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        bpe_train(docs, 3, batch_k=0)
