@@ -1221,6 +1221,36 @@ def x_concat_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def x_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-BQ composed serving (operators/bq.ivfbq_search): coarse
+    probe pruning × Hamming codes inside the probed clusters ×
+    broadcast exact rescore — per-query scan bytes (nprobe/C)·N·D/8,
+    the multiplicative IVF×BQ cut (the BQ-rung sibling of
+    x_ivfpq_topk)."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.bq import (
+        bq_encode_col,
+        bq_train,
+        ivfbq_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    thr = bq_train(emb, dims=64)
+    # one projection: assignment carries the vector, so the code packs
+    # in the same map pass — no join
+    assigned_codes = ivf_assign(_fan(emb), cents).select(
+        "vec_id",
+        "cluster_id",
+        bq_encode_col(F.col("embedding"), thr).alias("bcode"),
+    )
+    qv = _query_vec(spark, sf_dir, 4)
+    return ivfbq_search(
+        assigned_codes, cents, thr, qv, k=10, nprobe=_IVF_NPROBE,
+        refine=4, vectors=emb,
+    )
+
+
 def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection (clustering.kcenter_sample,
     Gonzalez 1985) — diversity-driven data pruning: k=8 farthest-point
@@ -3064,6 +3094,12 @@ def _register_sampling_oracles() -> None:
         f"SELECT rank::bigint AS rank, vec_id, radius_r "
         f"FROM ({duckdb_kcenter_sample(8)}) ORDER BY rank"
     )
+    from leann_rs_spark.operators.bq import duckdb_ivfbq_search
+
+    _ORACLES["x_ivfbq_topk"] = duckdb_ivfbq_search(
+        query_vec_id=4, k=10, nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_CENTROIDS, refine=4,
+    )
     mix = duckdb_weighted_mix(
         [
             ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
@@ -3299,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_curriculum_blocks": x_curriculum_blocks,
         "x_length_batches": x_length_batches,
         "x_kcenter_sample": x_kcenter_sample,
+        "x_ivfbq_topk": x_ivfbq_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

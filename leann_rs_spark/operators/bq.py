@@ -213,3 +213,140 @@ def duckdb_bq_search(
         ORDER BY score DESC, e.{id_col} ASC
         LIMIT {k}
     """
+
+
+def ivfbq_search(
+    assigned_codes: DataFrame,
+    centroids: DataFrame,
+    thresholds: list[float],
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-BQ — the composed serving shape: coarse probe pruning
+    (read only nprobe/C of the corpus) × binary codes inside the
+    probed clusters (1 bit/dim of what IS read) × broadcast exact
+    rescore. Per-query scan bytes ≈ (nprobe/C) · N · D/8 — the
+    multiplicative combination of the IVF and BQ cuts, the same
+    composition as IVF-PQ (operators/pq.py) at the cheaper rung.
+
+    `assigned_codes`: (id_col, cluster_id, bcode) — bq_encode output
+    joined with ivf_assign's cluster ids (or read from a
+    cluster-partitioned layout, where the probe filter is static
+    partition pruning at the file level)."""
+    from leann_rs_spark.functions.vector import dot as _dot
+
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe_rows = (
+        centroids.select(
+            "centroid_id", _dot(F.col("centroid_vec"), q).alias("__qs")
+        )
+        .orderBy(F.col("__qs").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe_ids = [r["centroid_id"] for r in probe_rows]
+    qwords = bq_query_words(query_vector, thresholds)
+    ranked = (
+        assigned_codes.filter(F.col("cluster_id").isin(probe_ids))
+        .select(id_col, bq_hamming_col(F.col("bcode"), qwords).alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+    )
+    if refine <= 0:
+        return ranked.limit(k)
+    if vectors is None:
+        raise ValueError("refine > 0 needs the full-vector table")
+    shortlist = ranked.limit(refine * k).select(id_col)
+    return (
+        vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(id_col, dot(F.col("embedding"), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def duckdb_ivfbq_search(
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+    n_centroids: int,
+    refine: int = 4,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin: IVF assignment + probe set (the duckdb_ivf_search
+    construction) intersected with the BQ code ranking, then the exact
+    rescore."""
+    n_words = _n_words(dims)
+
+    def pack(vec: str) -> str:
+        words = []
+        for w in range(n_words):
+            lo = w * _WORD_BITS + 1
+            hi = min((w + 1) * _WORD_BITS, dims)
+            words.append(
+                f"list_reduce(list_transform(generate_series({lo}, {hi}),"
+                f" j -> CASE WHEN {vec}[j]::double > s.thr[j]"
+                f" THEN (1::BIGINT << (j - {lo})) ELSE 0::BIGINT END),"
+                f" (a, x) -> a | x)"
+            )
+        return "[" + ", ".join(words) + "]"
+
+    d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+    d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+    hamming = " + ".join(
+        f"bit_count(xor(cd.bcode[{w + 1}], qw.w[{w + 1}]))"
+        for w in range(n_words)
+    )
+    return f"""
+        WITH cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_vec_id}),
+        probes AS (
+            SELECT centroid_id FROM (
+                SELECT c.centroid_id,
+                       row_number() OVER (ORDER BY {d_cq} DESC, c.centroid_id ASC) AS rn
+                FROM cent c, q
+            ) WHERE rn <= {nprobe}
+        ),
+        dims_t AS (SELECT jj.i AS j FROM unnest(generate_series(1, {dims})) jj(i)),
+        med AS (
+            SELECT d.j, quantile_cont(e.{vec_col}[d.j]::double, 0.5) AS m
+            FROM {table} e, dims_t d GROUP BY d.j
+        ),
+        s AS (SELECT list(m ORDER BY j) AS thr FROM med),
+        codes AS (
+            SELECT e.{id_col}, {pack(f"e.{vec_col}")} AS bcode
+            FROM {table} e, s
+        ),
+        qw AS (SELECT {pack("q.qv")} AS w FROM q, s),
+        shortlist AS (
+            SELECT cd.{id_col}
+            FROM codes cd
+            JOIN assigned a ON cd.{id_col} = a.{id_col}
+            JOIN probes p ON a.cluster_id = p.centroid_id, qw
+            ORDER BY {hamming} ASC, cd.{id_col} ASC
+            LIMIT {refine * k}
+        )
+        SELECT e.{id_col}, {duckdb_dot(f"e.{vec_col}", "q.qv")} AS score
+        FROM {table} e JOIN shortlist USING ({id_col}), q
+        ORDER BY score DESC, e.{id_col} ASC
+        LIMIT {k}
+    """

@@ -235,3 +235,50 @@ def test_mmr_k_exceeding_pool_returns_pool(spark):
     out = mmr_search(_mmr_corpus(spark), [1.0, 0.3], k=10, fetch_k=4).collect()
     assert len(out) == 4
     assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------- IVF-BQ
+
+
+def test_ivfbq_full_probe_full_refine_equals_exact(emb, thr):
+    """nprobe = C and refine·k >= N degrade the composition to exact."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.bq import bq_encode_col, ivfbq_search
+
+    cents = take_centroids(emb, 8)
+    codes = ivf_assign(emb, cents).select(
+        "vec_id", "cluster_id",
+        bq_encode_col(F.col("embedding"), thr).alias("bcode"),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    n = emb.count()
+    got = ivfbq_search(
+        codes, cents, thr, qv, k=10, nprobe=8, refine=(n // 10) + 1,
+        vectors=emb,
+    ).collect()
+    exact = exact_search(emb, qv, k=10, metric="ip").collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_ivfbq_nprobe1_stays_in_one_cluster(emb, thr):
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.bq import bq_encode_col, ivfbq_search
+
+    cents = take_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    codes = assigned.select(
+        "vec_id", "cluster_id",
+        bq_encode_col(F.col("embedding"), thr).alias("bcode"),
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head()["embedding"]]
+    hits = ivfbq_search(
+        codes, cents, thr, qv, k=10, nprobe=1, refine=0
+    ).collect()
+    ids = [r["vec_id"] for r in hits]
+    clusters = {
+        r["cluster_id"]
+        for r in assigned.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert len(clusters) == 1
