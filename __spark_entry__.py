@@ -1251,6 +1251,27 @@ def x_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_bq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-serving BQ (operators/bq.bq_search_batch, the q2 shape
+    over bits): query vectors packed in-plan, Q-row code table
+    broadcast into the corpus scan, Arrow local prune before the
+    per-query ranking shuffle, broadcast exact rescore."""
+    from leann_rs_spark.operators.bq import bq_encode, bq_search_batch, bq_train
+
+    emb = _emb(spark, sf_dir)
+    thr = bq_train(emb, dims=64)
+    codes = bq_encode(_fan(emb), thr)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return bq_search_batch(
+        codes, thr, queries, k=5, refine=4, vectors=emb
+    ).select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def x_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection (clustering.kcenter_sample,
     Gonzalez 1985) — diversity-driven data pruning: k=8 farthest-point
@@ -3100,6 +3121,13 @@ def _register_sampling_oracles() -> None:
         query_vec_id=4, k=10, nprobe=_IVF_NPROBE,
         n_centroids=_IVF_CENTROIDS, refine=4,
     )
+    from leann_rs_spark.operators.bq import duckdb_bq_search_batch
+
+    bqb = duckdb_bq_search_batch(n_queries=5, k=5, refine=4)
+    _ORACLES["x_bq_batch_topk"] = f"""
+        SELECT query_id, vec_id, score, rank::bigint AS rank
+        FROM ({bqb}) ORDER BY query_id, rank
+    """
     mix = duckdb_weighted_mix(
         [
             ("SELECT doc_id, lang FROM documents WHERE lang = 'en'", 1.0),
@@ -3336,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_length_batches": x_length_batches,
         "x_kcenter_sample": x_kcenter_sample,
         "x_ivfbq_topk": x_ivfbq_topk,
+        "x_bq_batch_topk": x_bq_batch_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -350,3 +350,157 @@ def duckdb_ivfbq_search(
         ORDER BY score DESC, e.{id_col} ASC
         LIMIT {k}
     """
+
+
+def bq_search_batch(
+    codes: DataFrame,
+    thresholds: list[float],
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    prune_partitions: bool = True,
+) -> DataFrame:
+    """Batch-serving BQ (the batch_search twin over bits): query
+    vectors are packed IN-PLAN with the same bq_encode_col (thresholds
+    are literals — no driver round), the Q-row code table broadcasts
+    into the corpus scan (Q×N Hamming pairs map-side, corpus never
+    shuffled), an Arrow local prune caps the per-query ranking shuffle
+    at P·(refine·k)·Q rows, and a broadcast candidate set drives the
+    exact rescore. → (query_id, id, score, rank)."""
+    from pyspark.sql import Window
+
+    n_words = _n_words(len(thresholds))
+    qcodes = queries.select(
+        query_id_col,
+        bq_encode_col(F.col(query_vec_col), thresholds).alias("__qc"),
+    )
+    ham = F.lit(0)
+    for w in range(n_words):
+        ham = ham + F.bit_count(
+            F.element_at(F.col("bcode"), w + 1).bitwiseXOR(
+                F.element_at(F.col("__qc"), w + 1)
+            )
+        )
+    scored = codes.join(F.broadcast(qcodes)).select(
+        query_id_col, id_col, ham.alias("hamming")
+    )
+    shortlist_k = k if refine <= 0 else refine * k
+    if prune_partitions:
+        # selection only — integer Hamming, no float math in Python
+        schema = scored.schema
+
+        def local_topk(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values(
+                            ["hamming", id_col], ascending=[True, True]
+                        ).groupby(query_id_col, sort=False).head(shortlist_k)
+                    )
+
+        scored = scored.mapInPandas(local_topk, schema=schema)
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    shortlist = scored.withColumn("rank", F.row_number().over(w_rank)).filter(
+        F.col("rank") <= shortlist_k
+    )
+    if refine <= 0:
+        return shortlist.select(query_id_col, id_col, "hamming", "rank")
+    if vectors is None:
+        raise ValueError("refine > 0 needs the full-vector table")
+    cand = shortlist.select(query_id_col, id_col).join(
+        F.broadcast(queries.select(query_id_col, query_vec_col)),
+        query_id_col,
+    )
+    rescored = vectors.join(F.broadcast(cand), id_col).select(
+        query_id_col,
+        id_col,
+        dot(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w_score = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_score))
+        .filter(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def duckdb_bq_search_batch(
+    n_queries: int,
+    k: int,
+    refine: int = 4,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of bq_search_batch, queries = the first `n_queries`
+    embeddings (the q2 convention)."""
+    n_words = _n_words(dims)
+
+    def pack(vec: str) -> str:
+        words = []
+        for w in range(n_words):
+            lo = w * _WORD_BITS + 1
+            hi = min((w + 1) * _WORD_BITS, dims)
+            words.append(
+                f"list_reduce(list_transform(generate_series({lo}, {hi}),"
+                f" j -> CASE WHEN {vec}[j]::double > s.thr[j]"
+                f" THEN (1::BIGINT << (j - {lo})) ELSE 0::BIGINT END),"
+                f" (a, x) -> a | x)"
+            )
+        return "[" + ", ".join(words) + "]"
+
+    hamming = " + ".join(
+        f"bit_count(xor(c.bcode[{w + 1}], qc.qcode[{w + 1}]))"
+        for w in range(n_words)
+    )
+    return f"""
+        WITH dims_t AS (SELECT jj.i AS j FROM unnest(generate_series(1, {dims})) jj(i)),
+        med AS (
+            SELECT d.j, quantile_cont(e.{vec_col}[d.j]::double, 0.5) AS m
+            FROM {table} e, dims_t d GROUP BY d.j
+        ),
+        s AS (SELECT list(m ORDER BY j) AS thr FROM med),
+        codes AS (
+            SELECT e.{id_col}, {pack(f"e.{vec_col}")} AS bcode
+            FROM {table} e, s
+        ),
+        qs AS (
+            SELECT {id_col} AS query_id, {vec_col} AS qv
+            FROM {table} WHERE {id_col} < {n_queries}
+        ),
+        qcodes AS (
+            SELECT q.query_id, q.qv, {pack("q.qv")} AS qcode FROM qs q, s
+        ),
+        shortlist AS (
+            SELECT query_id, {id_col} FROM (
+                SELECT qc.query_id, c.{id_col},
+                       row_number() OVER (
+                           PARTITION BY qc.query_id
+                           ORDER BY {hamming} ASC, c.{id_col} ASC
+                       ) AS hrank
+                FROM codes c, qcodes qc
+            ) WHERE hrank <= {refine * k}
+        )
+        SELECT sl.query_id, e.{id_col},
+               {duckdb_dot(f"e.{vec_col}", "qc.qv")} AS score,
+               row_number() OVER (
+                   PARTITION BY sl.query_id
+                   ORDER BY {duckdb_dot(f"e.{vec_col}", "qc.qv")} DESC,
+                            e.{id_col} ASC
+               ) AS rank
+        FROM shortlist sl
+        JOIN {table} e USING ({id_col})
+        JOIN qcodes qc ON qc.query_id = sl.query_id
+        QUALIFY rank <= {k}
+        ORDER BY sl.query_id, rank
+    """

@@ -282,3 +282,43 @@ def test_ivfbq_nprobe1_stays_in_one_cluster(emb, thr):
         for r in assigned.filter(F.col("vec_id").isin(ids)).collect()
     }
     assert len(clusters) == 1
+
+
+def test_bq_batch_full_refine_equals_exact_per_query(emb, thr):
+    """Batch form, refine·k >= N → exact per-query top-k."""
+    from leann_rs_spark.operators.bq import bq_search_batch
+    from leann_rs_spark.operators.search import batch_search
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    n = emb.count()
+    got = bq_search_batch(
+        bq_encode(emb, thr), thr, queries, k=5, refine=(n // 5) + 1,
+        vectors=emb,
+    ).collect()
+    want = batch_search(emb, queries, k=5, metric="ip").collect()
+    assert [(r["query_id"], r["vec_id"], r["score"], r["rank"]) for r in got] == [
+        (r["query_id"], r["vec_id"], r["score"], r["rank"]) for r in want
+    ]
+
+
+def test_bq_batch_prune_invariance(emb, thr):
+    from leann_rs_spark.operators.bq import bq_search_batch
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def run(prune):
+        return [
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in bq_search_batch(
+                bq_encode(emb.repartition(8), thr), thr, queries,
+                k=5, refine=3, vectors=emb, prune_partitions=prune,
+            ).collect()
+        ]
+
+    assert run(True) == run(False)
