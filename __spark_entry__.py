@@ -327,6 +327,19 @@ def x_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_search(codes, mins, rngs, qv, k=10)
 
 
+def x_sq8_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 production serving form: quantized ranking shortlist
+    (3·k) + broadcast exact rescore — the refine path the plain
+    x_sq8_topk gate leaves unexercised."""
+    from leann_rs_spark.operators.sq import sq8_encode, sq8_search, sq8_train
+
+    emb = _emb(spark, sf_dir)
+    mins, rngs = sq8_train(emb, dims=64)
+    codes = sq8_encode(_fan(emb), mins, rngs)
+    qv = _query_vec(spark, sf_dir, 4)
+    return sq8_search(codes, mins, rngs, qv, k=10, refine=3, vectors=emb)
+
+
 def x_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized search (operators/bq.py) — the extreme rung of
     the storage ladder (f32 → SQ8 → PQ → BQ D bits): per-dim median
@@ -2392,6 +2405,9 @@ def _register_bm25_oracles() -> None:
     from leann_rs_spark.operators.sq import duckdb_sq8_search
 
     _ORACLES["x_sq8_topk"] = duckdb_sq8_search(query_vec_id=4, k=10)
+    _ORACLES["x_sq8_refined"] = duckdb_sq8_search(
+        query_vec_id=4, k=10, refine=3
+    )
     from leann_rs_spark.operators.bq import duckdb_bq_search
 
     _ORACLES["x_bq_topk"] = duckdb_bq_search(query_vec_id=4, k=10, refine=4)
@@ -3365,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_kcenter_sample": x_kcenter_sample,
         "x_ivfbq_topk": x_ivfbq_topk,
         "x_bq_batch_topk": x_bq_batch_topk,
+        "x_sq8_refined": x_sq8_refined,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

@@ -149,9 +149,27 @@ def duckdb_sq8_search(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine: int = 0,
 ) -> str:
-    """Oracle twin of sq8_train → sq8_encode → sq8_search(refine=0),
-    query = the embedding of `query_vec_id` (the q1 convention)."""
+    """Oracle twin of sq8_train → sq8_encode → sq8_search, query = the
+    embedding of `query_vec_id` (the q1 convention). refine > 0 wraps
+    the quantized ranking in a shortlist CTE and exact-rescores it —
+    the production serving form."""
+    if refine > 0:
+        base = duckdb_sq8_search(
+            query_vec_id, refine * k, dims=dims, table=table,
+            id_col=id_col, vec_col=vec_col, refine=0,
+        )
+        return f"""
+            WITH shortlist AS ({base})
+            SELECT e.{id_col}, {duckdb_dot(f"e.{vec_col}", f"q2.{vec_col}")} AS score
+            FROM {table} e
+            JOIN shortlist USING ({id_col}),
+                 (SELECT {vec_col} FROM {table}
+                  WHERE {id_col} = {query_vec_id}) q2
+            ORDER BY score DESC, e.{id_col} ASC
+            LIMIT {k}
+        """
     score = duckdb_dot("q.qv", "r.rv")
     return f"""
         WITH dims AS (SELECT jj.i AS j FROM unnest(generate_series(1, {dims})) jj(i)),
