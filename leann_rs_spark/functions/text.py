@@ -136,3 +136,66 @@ def duckdb_word_ngrams(tokens: str, n: int) -> str:
         f" i -> array_to_string(list_slice({tokens}, i, i + {n} - 1), ' ')) "
         f"else [] end)"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + canonicalization (crawl-dedup first pass)
+# ---------------------------------------------------------------------------
+#
+# RefinedWeb / Common-Crawl pipelines dedup by URL BEFORE any content
+# hashing (arXiv:2306.01116 §3.1): canonicalize, keep one fetch per
+# canonical URL. Pure regexp_replace chain → whole-stage codegen, zero
+# shuffle; the dedup itself is one groupBy on the canonical string.
+# Backreference syntax differs ($1 Java / \1 RE2) and DuckDB replaces
+# only the first match without the 'g' flag — the twins account for
+# both. No lookaround anywhere (RE2 has none).
+
+# scheme matched case-insensitively ((?i:) — Java and RE2 agree);
+# same trailing class as textstats redact
+URL_RE = r"(?i:https?)://[^\s]*[^\s.,)\]>]"
+
+
+def extract_urls(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(text, F.lit(URL_RE), 0)
+
+
+def duckdb_extract_urls(text: str) -> str:
+    return f"regexp_extract_all({text}, '(?i:https?)://[^\\s]*[^\\s.,)\\]>]')"
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL: fragment stripped; scheme+host lowercased;
+    default ports dropped; utm_* tracking params dropped (separators
+    repaired); trailing '/' and dangling '?'/'&' stripped."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^((?i:https?)://[^/?]*)", 1)),
+        F.regexp_extract(u, r"^(?i:https?)://[^/?]*(.*)", 1),
+    )
+    u = F.regexp_replace(u, r"^(http://[^/:?]*):80($|[/?].*)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]*):443($|[/?].*)", r"$1$2")
+    u = F.regexp_replace(u, r"([?&])utm_[a-zA-Z0-9_]+=[^&]*", r"$1")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def duckdb_normalize_url(url: str) -> str:
+    """DuckDB twin: identical rule chain (\\1 backrefs, 'g' flag)."""
+    u = f"regexp_replace({url}, '#.*$', '', 'g')"
+    u = (
+        f"(lower(regexp_extract({u}, '^((?i:https?)://[^/?]*)', 1)) || "
+        f"regexp_extract({u}, '^(?i:https?)://[^/?]*(.*)', 1))"
+    )
+    u = f"regexp_replace({u}, '^(http://[^/:?]*):80($|[/?].*)', '\\1\\2', 'g')"
+    u = f"regexp_replace({u}, '^(https://[^/:?]*):443($|[/?].*)', '\\1\\2', 'g')"
+    u = f"regexp_replace({u}, '([?&])utm_[a-zA-Z0-9_]+=[^&]*', '\\1', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
+    u = f"regexp_replace({u}, '/$', '', 'g')"
+    return u

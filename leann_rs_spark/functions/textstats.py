@@ -1033,3 +1033,77 @@ def duckdb_lm_buckets(
                     ELSE 'tail' END AS bucket
         FROM scored s, thr
     """
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (FineWeb-Edu / fastText inference shape)
+# ---------------------------------------------------------------------------
+#
+# Production corpora are filtered by a learned quality classifier
+# (fastText in CCNet/RedPajama, a linear head in FineWeb-Edu,
+# arXiv:2406.17557) whose inference is: hash tokens into D buckets,
+# average the bucket weights, threshold the logit. The weights come
+# from training elsewhere; what the ENGINE must provide is the
+# inference pass over 100 TB — which is a pure map-side projection:
+# the model is a D-vector folded into the expression (or a broadcast
+# array for large D), tokens are hashed and looked up inline, and NO
+# shuffle or Python ever runs. This implements that pass with a
+# deterministic pseudo-trained weight table (w[slot] derived from
+# md5(seed:slot), uniform in [-1, 1]) so the gate is reproducible in
+# both engines; swapping in real trained weights is a literal-array
+# substitution.
+
+QC_DIMS = 256
+QC_SEED = "qc-v1"
+
+
+def _qc_weight(tok: Column, dims: int, seed: str) -> Column:
+    """w(token) = weight of the token's hash bucket, in [-1, 1] with
+    1e-3 resolution — exactly representable arithmetic in both engines
+    (integer hash → integer in [-1000, 1000] → /1000.0)."""
+    slot = hash64(tok) % dims
+    bucket_key = F.concat(F.lit(seed + ":"), slot.cast("string"))
+    return (hash64(bucket_key) % 2001 - 1000) / F.lit(1000.0)
+
+
+def quality_classifier_logit(
+    text: Column | str,
+    dims: int = QC_DIMS,
+    seed: str = QC_SEED,
+) -> Column:
+    """Mean hashed-bucket weight over the document's tokens (the linear
+    model's logit). NULL for token-less documents. Sequential fold —
+    same accumulation order as the DuckDB twin."""
+    text = F.col(text) if isinstance(text, str) else text
+    # Let-binding (CLAUDE.md CSE rule): evaluate tokenize() once, bind
+    # as the lambda variable, then the three references are free.
+    return F.transform(
+        F.array(tokenize(text)),
+        lambda ts: F.when(
+            F.size(ts) > 0,
+            F.aggregate(
+                ts, F.lit(0.0), lambda acc, t: acc + _qc_weight(t, dims, seed)
+            )
+            / F.size(ts),
+        ),
+    )[0]
+
+
+def duckdb_quality_classifier_logit(
+    text: str,
+    dims: int = QC_DIMS,
+    seed: str = QC_SEED,
+) -> str:
+    """DuckDB twin: identical hash chain, identical sequential fold."""
+    from leann_rs_spark.functions.text import duckdb_hash64, duckdb_tokenize
+
+    toks = duckdb_tokenize(text)
+    slot = f"({duckdb_hash64('t')} % {dims})"
+    bucket_key = f"'{seed}:' || {slot}::varchar"
+    w = f"(({duckdb_hash64(bucket_key)} % 2001 - 1000) / 1000.0)"
+    return (
+        f"(case when len({toks}) > 0 then "
+        f"list_reduce(list_prepend(0.0, list_transform({toks},"
+        f" t -> {w})), (a, x) -> a + x) / len({toks})"
+        f" else NULL end)"
+    )

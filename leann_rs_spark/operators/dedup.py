@@ -1414,3 +1414,203 @@ def duckdb_paragraph_dedup(
                coalesce(agg.clean_text, '') AS clean_text
         FROM pages t LEFT JOIN agg USING ({id_col})
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental membership (ingest-time pre-filter)
+# ---------------------------------------------------------------------------
+#
+# `exact_dedup_incremental` anti-joins every batch against the corpus —
+# correct, but at 100 TB that is a corpus-wide hash scan PER BATCH (the
+# runtime Bloom prunes the shuffle, not the scan). The production
+# ingest shape keeps a PRE-BUILT Bloom sketch of the corpus text
+# hashes: megabytes broadcast to every executor, each new document
+# probes it map-side, and only the maybe-duplicate survivors touch the
+# corpus at all (a left-semi join on a now-tiny probe side). False
+# positives are resolved by that exact verify; false negatives are
+# impossible — so the composition is exact while the corpus scan cost
+# drops from every-batch to once (plus incremental bit updates, which
+# are a union of (word, mask) rows OR-folded on the next rebuild).
+#
+# Determinism: bit positions come from the md5-derived universal hash
+# family in functions/text.py (hash_pair/derived_hash), so the sketch
+# — and every false positive — is bit-identical in Spark and DuckDB.
+# Words pack 63 bits (positions 0..62): 1::BIGINT << 62 is the largest
+# shift both engines agree on without signed overflow (same bound as
+# operators/bq.py code packing).
+
+BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_positions(text_col: str, m_bits: int, k: int) -> Column:
+    """Array of the k derived bit positions for a row's text. The
+    hash_pair (one md5) is let-bound via the single-element-array
+    transform (CLAUDE.md CSE rule) so it evaluates ONCE per row, not
+    once per position."""
+    pair = hash_pair(F.md5(F.col(text_col)))
+    return F.transform(
+        F.array(pair),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: derived_hash(p, i) % m_bits,
+        ),
+    )[0]
+
+
+def bloom_corpus_filter(
+    corpus: DataFrame,
+    text_col: str = "text",
+    m_words: int = 1024,
+    k: int = 5,
+) -> DataFrame:
+    """Build the corpus Bloom sketch: ≤ `m_words` rows of
+    (word BIGINT, mask BIGINT) — only words with ≥1 bit set appear.
+
+    One pass over the corpus (k derived positions per row, exploded)
+    + one tiny groupBy on word (≤ m_words groups, partial-aggregated
+    map-side to at most m_words rows per task before the shuffle)."""
+    m_bits = m_words * BLOOM_BITS_PER_WORD
+    pos = _bloom_positions(text_col, m_bits, k)
+    return (
+        corpus.select(F.explode(pos).alias("p"))
+        .select(
+            (F.col("p") / BLOOM_BITS_PER_WORD).cast("bigint").alias("word"),
+            (F.col("p") % BLOOM_BITS_PER_WORD).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+            .alias("mask")
+        )
+    )
+
+
+def bloom_dedup_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_words: int = 1024,
+    k: int = 5,
+) -> DataFrame:
+    """Probe `new_docs` against the corpus Bloom sketch, then exact-
+    verify only the maybe-duplicates.
+
+    → (id, maybe_dup, true_dup): maybe_dup = all k bits present
+    (Bloom positive, includes false positives), true_dup = the exact
+    text-hash verify of the positives. maybe_dup ∧ ¬true_dup rows are
+    the sketch's false positives — surfaced, not hidden, because the
+    FP rate is the knob (m, k) must be sized by at scale.
+
+    Plan: sketch is broadcast (≤ m_words rows); the probe is a
+    broadcast left join per (doc, position) + one count-k groupBy on
+    the batch; the corpus is touched only by the left-semi verify of
+    Bloom positives."""
+    from pyspark.sql.functions import broadcast
+
+    m_bits = m_words * BLOOM_BITS_PER_WORD
+    bloom = bloom_corpus_filter(corpus, text_col, m_words, k)
+    pos = _bloom_positions(text_col, m_bits, k)
+    probe = (
+        new_docs.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("__h"),
+            F.explode(pos).alias("p"),
+        )
+        .select(
+            id_col,
+            "__h",
+            (F.col("p") / BLOOM_BITS_PER_WORD).cast("bigint").alias("word"),
+            (F.col("p") % BLOOM_BITS_PER_WORD).alias("bit"),
+        )
+        .join(broadcast(bloom), "word", "left")
+        .select(
+            id_col,
+            "__h",
+            F.when(
+                F.col("mask").isNotNull()
+                & (
+                    F.expr(
+                        "mask & shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"
+                    )
+                    != 0
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy(id_col, "__h")
+        .agg((F.sum("hit") == k).alias("maybe_dup"))
+    )
+    corpus_h = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    verified = (
+        probe.filter("maybe_dup")
+        .join(corpus_h, "__h", "left_semi")
+        .select(F.col(id_col).alias("__vid"))
+    )
+    return (
+        probe.join(
+            broadcast(verified),
+            probe[id_col] == F.col("__vid"),
+            "left",
+        )
+        .select(
+            id_col,
+            "maybe_dup",
+            F.col("__vid").isNotNull().alias("true_dup"),
+        )
+    )
+
+
+def duckdb_bloom_dedup_incremental(
+    corpus_sql: str,
+    batch_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_words: int = 1024,
+    k: int = 5,
+) -> str:
+    """Oracle twin: identical md5-derived positions, identical 63-bit
+    word packing, identical bit_or sketch and all-k-hits probe."""
+    m_bits = m_words * BLOOM_BITS_PER_WORD
+    pair = duckdb_hash_pair(f"md5({text_col})")
+    pos = (
+        f"list_transform(generate_series(0, {k - 1}),"
+        f" i -> {duckdb_derived_hash('pr', 'i')} % {m_bits})"
+    )
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        batch AS ({batch_sql}),
+        cpos AS (
+            SELECT unnest({pos}) AS p
+            FROM (SELECT {pair} AS pr FROM corpus)
+        ),
+        bloom AS (
+            SELECT p // {BLOOM_BITS_PER_WORD} AS word,
+                   bit_or(1::BIGINT << (p % {BLOOM_BITS_PER_WORD})::int) AS mask
+            FROM cpos GROUP BY 1
+        ),
+        bpos AS (
+            SELECT {id_col}, h,
+                   p // {BLOOM_BITS_PER_WORD} AS word,
+                   (p % {BLOOM_BITS_PER_WORD})::int AS bit
+            FROM (
+                SELECT {id_col}, md5({text_col}) AS h,
+                       unnest({pos}) AS p
+                FROM (SELECT {id_col}, {text_col}, {pair} AS pr FROM batch)
+            )
+        ),
+        probed AS (
+            SELECT b.{id_col}, b.h,
+                   count(*) FILTER (
+                       WHERE bl.mask IS NOT NULL
+                         AND (bl.mask & (1::BIGINT << b.bit)) != 0
+                   ) = {k} AS maybe_dup
+            FROM bpos b LEFT JOIN bloom bl USING (word)
+            GROUP BY b.{id_col}, b.h
+        )
+        SELECT p.{id_col}, p.maybe_dup,
+               p.maybe_dup AND p.h IN (SELECT md5({text_col}) FROM corpus)
+                   AS true_dup
+        FROM probed p
+    """

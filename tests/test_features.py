@@ -1,0 +1,190 @@
+"""Round-4c operators: rolling event features, hashed quality
+classifier, Bloom incremental dedup, URL canonicalization — hand
+vectors + independent-model parity + plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from leann_rs_spark.operators.features import rolling_event_features
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 7, 1.0),
+            (2, _ts("2024-01-01 10:00:02"), 7, 3.0),
+            (3, _ts("2024-01-01 10:00:02"), 7, 5.0),   # ts tie → id order
+            (4, _ts("2024-01-01 10:01:00"), 7, 7.0),
+            (5, _ts("2024-01-01 09:00:00"), 8, 10.0),  # other entity
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+class TestRollingFeatures:
+    def test_hand_vector(self, ev):
+        rows = {
+            r["event_id"]: r
+            for r in rolling_event_features(ev, n_last=2).collect()
+        }
+        assert rows[1]["prev_value"] is None
+        assert rows[1]["gap_us"] is None
+        assert rows[1]["cum_events"] == 1
+        assert rows[2]["prev_value"] == 1.0
+        assert rows[2]["gap_us"] == 2_000_000
+        # ts tie: event 3 follows event 2 (id tie-break), gap 0
+        assert rows[3]["prev_value"] == 3.0
+        assert rows[3]["gap_us"] == 0
+        assert rows[3]["roll_mean"] == pytest.approx((3.0 + 5.0) / 2)
+        assert rows[4]["roll_mean"] == pytest.approx((5.0 + 7.0) / 2)
+        assert rows[4]["cum_events"] == 4
+        # entities are independent
+        assert rows[5]["prev_value"] is None and rows[5]["cum_events"] == 1
+
+    def test_single_exchange(self, ev):
+        plan = (
+            rolling_event_features(ev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1
+
+
+class TestQualityClassifier:
+    def test_bounds_null_and_determinism(self, spark):
+        from leann_rs_spark.functions.textstats import (
+            quality_classifier_logit,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps"), (1, ""), (2, "a b c"),
+             (3, "the quick brown fox jumps")],
+            "doc_id long, text string",
+        ).select("doc_id", quality_classifier_logit("text").alias("z"))
+        rows = {r["doc_id"]: r["z"] for r in df.collect()}
+        assert -1.0 <= rows[0] <= 1.0
+        assert rows[1] is None          # no tokens
+        assert rows[2] is None          # all tokens length <= 1
+        assert rows[3] == rows[0]       # deterministic
+
+    def test_mean_of_bucket_weights(self, spark):
+        """Logit of a doc == mean of single-token logits (linearity)."""
+        from leann_rs_spark.functions.textstats import (
+            quality_classifier_logit,
+        )
+
+        toks = ["alpha", "beta", "gamma"]
+        single = {
+            r["t"]: r["z"]
+            for r in spark.createDataFrame([(t,) for t in toks], "t string")
+            .select("t", quality_classifier_logit("t").alias("z"))
+            .collect()
+        }
+        combined = (
+            spark.createDataFrame([(" ".join(toks),)], "text string")
+            .select(quality_classifier_logit("text").alias("z"))
+            .collect()[0]["z"]
+        )
+        assert combined == pytest.approx(sum(single.values()) / 3, abs=1e-12)
+
+
+class TestBloomDedup:
+    def test_no_false_negatives_and_fp_surface(self, spark):
+        """Every exact dup is maybe_dup ∧ true_dup (Bloom FNs are
+        impossible); with a DELIBERATELY tiny sketch (m_words=1) false
+        positives appear and are true_dup=false."""
+        from leann_rs_spark.operators.dedup import bloom_dedup_incremental
+
+        corpus = spark.createDataFrame(
+            [(i, f"corpus document number {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "corpus document number 7"),   # exact dup
+             (101, "corpus document number 13"),  # exact dup
+             (102, "a genuinely new document")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in bloom_dedup_incremental(corpus, batch).collect()
+        }
+        assert rows[100]["maybe_dup"] and rows[100]["true_dup"]
+        assert rows[101]["maybe_dup"] and rows[101]["true_dup"]
+        assert not rows[102]["true_dup"]
+
+        # tiny sketch: 63 bits for 50 docs × 5 positions → saturated,
+        # the new doc false-positives but exact verify rescues it
+        tiny = {
+            r["doc_id"]: r
+            for r in bloom_dedup_incremental(
+                corpus, batch, m_words=1
+            ).collect()
+        }
+        assert tiny[102]["maybe_dup"] and not tiny[102]["true_dup"]
+        assert tiny[100]["true_dup"]  # exactness survives saturation
+
+    def test_sketch_size_bounded(self, spark):
+        from leann_rs_spark.operators.dedup import bloom_corpus_filter
+
+        corpus = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+        )
+        bloom = bloom_corpus_filter(corpus, m_words=16).collect()
+        assert len(bloom) <= 16
+        assert all(0 <= r["word"] < 16 for r in bloom)
+
+
+class TestNormalizeUrl:
+    CASES = [
+        ("HTTPS://WWW.Example.COM/Path/", "https://www.example.com/Path"),
+        ("http://site.com:80/a", "http://site.com/a"),
+        ("https://site.com:443/a", "https://site.com/a"),
+        ("https://site.com:8080/a", "https://site.com:8080/a"),  # kept
+        ("http://s.com/p?utm_source=x&q=1", "http://s.com/p?q=1"),
+        ("http://s.com/p?q=1&utm_medium=m", "http://s.com/p?q=1"),
+        ("http://s.com/p?utm_a=1&utm_b=2", "http://s.com/p"),
+        ("http://s.com/p#frag", "http://s.com/p"),
+        ("http://s.com/p?x=UPPER", "http://s.com/p?x=UPPER"),  # path case kept
+        ("http://s.com", "http://s.com"),
+    ]
+
+    def test_cases_and_duckdb_parity(self, spark, duck):
+        from leann_rs_spark.functions.text import (
+            duckdb_normalize_url,
+            normalize_url,
+        )
+
+        df = spark.createDataFrame(
+            [(u,) for u, _ in self.CASES], "u string"
+        ).select("u", normalize_url("u").alias("n"))
+        got = {r["u"]: r["n"] for r in df.collect()}
+        for u, want in self.CASES:
+            assert got[u] == want, u
+        for u, want in self.CASES:
+            (d,) = duck.sql(
+                f"SELECT {duckdb_normalize_url('u')} FROM "
+                f"(SELECT '{u}' AS u)"
+            ).fetchone()
+            assert d == want, f"duckdb {u}"
+
+    def test_extract_urls(self, spark):
+        from leann_rs_spark.functions.text import extract_urls
+
+        out = (
+            spark.createDataFrame(
+                [("see https://a.com/x, then http://b.org/y) end",)],
+                "text string",
+            )
+            .select(extract_urls("text").alias("us"))
+            .collect()[0]["us"]
+        )
+        assert out == ["https://a.com/x", "http://b.org/y"]
