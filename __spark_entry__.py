@@ -2400,6 +2400,84 @@ def x_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_REF_SOURCES = ("src0", "src1", "src2")  # the trusted "wiki" slice
+_BUDGET_TOKENS = 6000
+
+
+def x_lm_ref_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-trained LM scoring — the REAL CCNet shape
+    (arXiv:1911.00359): the bigram LM trains on a trusted slice (3 of
+    20 sources standing in for Wikipedia) and scores the WHOLE corpus;
+    OOV/unseen bigrams coalesce to count-0 (add-k mass only) so text
+    far from the reference distribution scores high. Count tables are
+    vocabulary-sized → AQE broadcasts them; the scored corpus never
+    shuffles for the join."""
+    from leann_rs_spark.functions.textstats import lm_score_ref
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source").isin(*_LM_REF_SOURCES))
+    out = lm_score_ref(train, _fan(docs))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        (F.round("xent", 6) + F.lit(0.0)).alias("xent_r"),
+    ).orderBy("doc_id")
+
+
+def x_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level eval decontamination (the GPT-3/PaLM appendix cut):
+    token positions covered by an eval 8-gram are REMOVED, the rest of
+    the document survives — the surgical alternative to
+    x_decontaminate's whole-doc flag. Eval grams (distinct, tiny)
+    broadcast into a left-semi membership join; the corpus side never
+    shuffles for membership. Probes = the same mid-document snippets
+    as x_decontaminate, so the cut provably fires."""
+    from leann_rs_spark.operators.dedup import decontaminate_spans
+
+    probes = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id").isin(3, 17, 42))
+        .select(F.substring("text", 20, 160).alias("probe_text"))
+    )
+    out = decontaminate_spans(_fan(_docs(spark, sf_dir)), probes, n=_SPAN_N)
+    return out.select(
+        "doc_id", "n_tokens", "contam_tokens",
+        (F.round("contam_frac", 6) + F.lit(0.0)).alias("contam_frac_r"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset assembly: rank by the hashed quality
+    classifier's ROUNDED logit (selection-key recipe, ties → doc_id),
+    take the maximal prefix whose cumulative token count fits the
+    budget. The cumulative sum is the distributed two-pass prefix sum
+    sharded on the SORT KEY (never a single-partition window);
+    composes the round's classifier with sampling.budget_select."""
+    from leann_rs_spark.functions.textstats import (
+        quality_classifier_logit,
+        token_count,
+    )
+    from leann_rs_spark.operators.sampling import budget_select
+
+    scored = _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        (F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)).alias(
+            "logit_r"
+        ),
+        token_count("text").alias("n_toks"),
+    ).filter(F.col("logit_r").isNotNull())
+    out = budget_select(
+        scored,
+        budget=_BUDGET_TOKENS,
+        order_col="logit_r",
+        weight_col="n_toks",
+    )
+    return out.select(
+        "doc_id", "logit_r", "n_toks", "cum_weight"
+    ).orderBy("cum_weight")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -3499,6 +3577,57 @@ def _register_r4c_oracles() -> None:
 _register_r4c_oracles()
 
 
+def _register_r4d_oracles() -> None:
+    from leann_rs_spark.functions.textstats import (
+        duckdb_quality_classifier_logit,
+        duckdb_lm_score_ref,
+        duckdb_token_count,
+    )
+    from leann_rs_spark.operators.dedup import duckdb_decontaminate_spans
+    from leann_rs_spark.operators.sampling import duckdb_budget_select
+
+    srcs = ", ".join(f"'{s}'" for s in _LM_REF_SOURCES)
+    _ORACLES["x_lm_ref_score"] = f"""
+        SELECT doc_id, n_bigrams, round(xent, 6) + 0.0 AS xent_r
+        FROM ({duckdb_lm_score_ref(
+            f"SELECT doc_id, text FROM documents WHERE source IN ({srcs})",
+            "SELECT doc_id, text FROM documents",
+        )})
+        ORDER BY doc_id
+    """
+    eval_sql = (
+        "SELECT substr(text, 20, 160) AS probe_text FROM documents "
+        "WHERE doc_id IN (3, 17, 42)"
+    )
+    _ORACLES["x_decontaminate_spans"] = f"""
+        SELECT doc_id, n_tokens, contam_tokens,
+               round(contam_frac, 6) + 0.0 AS contam_frac_r,
+               clean_text
+        FROM ({duckdb_decontaminate_spans(eval_sql, n=_SPAN_N)})
+        ORDER BY doc_id
+    """
+    scored_sql = f"""
+        SELECT doc_id,
+               round({duckdb_quality_classifier_logit('text')}, 6) + 0.0
+                   AS logit_r,
+               {duckdb_token_count('text')} AS n_toks
+        FROM documents
+    """
+    _ORACLES["x_budget_select"] = f"""
+        SELECT doc_id, logit_r, n_toks, cum_weight
+        FROM ({duckdb_budget_select(
+            f"SELECT * FROM ({scored_sql}) WHERE logit_r IS NOT NULL",
+            budget=_BUDGET_TOKENS,
+            order_col="logit_r",
+            weight_col="n_toks",
+        )})
+        ORDER BY cum_weight
+    """
+
+
+_register_r4d_oracles()
+
+
 def prewarm(spark: SparkSession, sf_dir: str) -> None:
     """Optional bench hook: build the persisted index fixtures OUTSIDE
     the timed region. An index is a durable artifact — the q15 gate
@@ -3535,7 +3664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 gates follow, and the 40 gates green in CORRECTNESS_r03
     # close the dict.
     return {
-        # round-4c gates (never driver-checked yet → first)
+        # round-4c/4d gates (never driver-checked yet → first)
+        "x_lm_ref_score": x_lm_ref_score,
+        "x_decontaminate_spans": x_decontaminate_spans,
+        "x_budget_select": x_budget_select,
         "x_rolling_features": x_rolling_features,
         "x_quality_classifier": x_quality_classifier,
         "x_bloom_dedup": x_bloom_dedup,

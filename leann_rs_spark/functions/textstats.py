@@ -1107,3 +1107,141 @@ def duckdb_quality_classifier_logit(
         f" t -> {w})), (a, x) -> a + x) / len({toks})"
         f" else NULL end)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-trained LM scoring (the REAL CCNet shape, arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+#
+# `lm_score` trains on the corpus itself; CCNet's actual design trains
+# the LM on a TRUSTED reference corpus (Wikipedia) and scores the
+# crawl with it — distance from *reference* prose, not from the
+# crawl's own (possibly garbage) distribution. Same add-k bigram
+# machinery, but counts and vocabulary come from `train_docs`, unseen
+# bigrams/contexts coalesce to 0 (p = k / (c1 + k·V), a proper add-k
+# distribution over the train vocabulary), and every score-side bigram
+# is scored (LEFT joins — OOV text scores HIGH, which is the point).
+#
+# Scale shape: train-side counts are one groupBy over the (much
+# smaller) reference corpus; the crawl is exploded once and joined to
+# the count tables — vocabulary-sized, so AQE broadcasts them and the
+# 100 TB crawl never shuffles for the join.
+
+
+def lm_score_ref(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+    intermediates: list | None = None,
+) -> DataFrame:
+    """→ (id_col, n_bigrams, xent) of `score_docs` under the bigram LM
+    trained on `train_docs`. Docs with <2 tokens: n_bigrams=0, NULL
+    xent."""
+
+    def _pairs(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            F.col(id_col).alias("__id"), tokenize(text_col).alias("__t")
+        )
+        n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+        bg = F.zip_with(
+            F.slice("__t", F.lit(1), n1),
+            F.slice("__t", F.lit(2), n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return toks.select("__id", F.explode(bg).alias("__bg")).select(
+            "__id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+        )
+
+    c2 = (
+        _pairs(train_docs)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("__c2"))
+        .persist()
+    )
+    c2.count()  # two consumers (c1 derivation + scoring join)
+    if intermediates is not None:
+        intermediates.append(c2)
+    c1 = c2.groupBy("w1").agg(F.sum("__c2").alias("__c1"))
+    vocab = (
+        train_docs.select(F.explode(tokenize(text_col)).alias("__w"))
+        .agg(F.count_distinct("__w").alias("__v"))
+    )
+    pairs = _pairs(score_docs)
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id",
+            (
+                -F.log(
+                    (F.coalesce("__c2", F.lit(0)) + F.lit(k))
+                    / (F.coalesce("__c1", F.lit(0)) + F.lit(k) * F.col("__v"))
+                )
+            ).alias("__nll"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("__nll") / F.count("*")).alias("xent"),
+    )
+    return (
+        score_docs.select(id_col)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
+    )
+
+
+def duckdb_lm_score_ref(
+    train_sql: str,
+    score_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> str:
+    """Oracle twin of `lm_score_ref`: identical tokenize/bigrams/add-k,
+    LEFT joins with coalesce-0 for unseen, train-side vocabulary."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    toks = duckdb_tokenize(text_col)
+    return f"""
+        WITH train AS ({train_sql}),
+        score AS ({score_sql}),
+        ttoks AS (SELECT {id_col} AS id, {toks} AS t FROM train),
+        stoks AS (SELECT {id_col} AS id, {toks} AS t FROM score),
+        tpairs AS (
+            SELECT list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+            FROM ttoks,
+                 unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+        ),
+        spairs AS (
+            SELECT id, list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+            FROM stoks,
+                 unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM tpairs GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v FROM (
+            SELECT unnest(t) AS w FROM ttoks
+        )),
+        scored AS (
+            SELECT p.id,
+                   -ln((coalesce(c2.c2, 0) + {k})
+                       / (coalesce(c1.c1, 0) + {k} * v.v)) AS nll
+            FROM spairs p
+            LEFT JOIN c2 USING (w1, w2)
+            LEFT JOIN c1 USING (w1), v
+        ),
+        per_doc AS (
+            SELECT id, count(*) AS n_bigrams, sum(nll) / count(*) AS xent
+            FROM scored GROUP BY id
+        )
+        SELECT d.{id_col}, coalesce(p.n_bigrams, 0) AS n_bigrams, p.xent
+        FROM score d LEFT JOIN per_doc p ON d.{id_col} = p.id
+    """

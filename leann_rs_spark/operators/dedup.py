@@ -1614,3 +1614,147 @@ def duckdb_bloom_dedup_incremental(
                    AS true_dup
         FROM probed p
     """
+
+
+# ---------------------------------------------------------------------------
+# Span-level eval decontamination (surgical cut, not doc drop)
+# ---------------------------------------------------------------------------
+#
+# `contamination_overlap` FLAGS docs sharing eval n-grams; dropping a
+# whole 50k-token document over one leaked benchmark sentence wastes
+# data. The span form (the GPT-3/PaLM appendix-style cut) removes only
+# the token positions covered by an eval n-gram and keeps the rest.
+# Same three-bounded-shuffle shape as `duplicate_spans`, except the
+# "is this gram bad" set comes from the (small) eval suite — distinct
+# eval grams broadcast into a left-semi join against the corpus gram
+# stream, so the 100 TB side is never shuffled for membership.
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "probe_text",
+) -> DataFrame:
+    """→ (id_col, n_tokens, contam_tokens, contam_frac, clean_text):
+    every corpus token position covered by ANY whitespace n-gram that
+    occurs in `eval_docs` is removed from clean_text."""
+    toks = docs.select(
+        F.col(id_col), _ws_tokens(F.col(text_col)).alias("__t")
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("__t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__p0", "gram"),
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "gram")
+    etoks = eval_docs.select(_ws_tokens(F.col(eval_text_col)).alias("__e"))
+    eval_grams = (
+        etoks.select(
+            F.explode(
+                F.when(
+                    F.size("__e") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__e") - n + 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("__e"), i, n)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    cov = (
+        grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("ti"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("ti")).alias("__cov"))
+    )
+    covered = F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    keep_tok = lambda x, i: ~F.array_contains(covered, (i + 1).cast("int"))  # noqa: E731
+    return toks.join(cov, id_col, "left").select(
+        id_col,
+        F.size("__t").alias("n_tokens"),
+        F.size(covered).alias("contam_tokens"),
+        F.when(
+            F.size("__t") > 0,
+            F.size(covered).cast("double") / F.size("__t").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contam_frac"),
+        F.concat_ws(" ", F.filter(F.col("__t"), keep_tok)).alias("clean_text"),
+    )
+
+
+def duckdb_decontaminate_spans(
+    eval_sql: str,
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "probe_text",
+) -> str:
+    """Oracle twin — identical whitespace grams; `clean` built with a
+    LEFT JOIN from toks so empty/short docs survive (r3-ADVICE empty-doc
+    rule)."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col},
+                   list_filter(string_split({text_col}, ' '), t -> t <> '') AS t
+            FROM {table}
+        ),
+        grams AS (
+            SELECT {id_col}, i AS pos,
+                   array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS gram
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t) - {n} + 1, 0))) s(i)
+        ),
+        etoks AS (
+            SELECT list_filter(string_split({eval_text_col}, ' '),
+                               t -> t <> '') AS e
+            FROM ({eval_sql})
+        ),
+        egrams AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(e, i, i + {n} - 1), ' ') AS gram
+            FROM etoks,
+                 unnest(generate_series(1, greatest(len(e) - {n} + 1, 0))) s(i)
+        ),
+        cov AS (
+            SELECT {id_col}, list_sort(list(DISTINCT ti)) AS cv
+            FROM (
+                SELECT g.{id_col}, u.ti
+                FROM grams g, unnest(generate_series(g.pos, g.pos + {n} - 1)) u(ti)
+                WHERE g.gram IN (SELECT gram FROM egrams)
+            )
+            GROUP BY {id_col}
+        ),
+        clean AS (
+            SELECT t.{id_col},
+                   len(t.t) AS n_tokens,
+                   coalesce(len(c.cv), 0) AS contam_tokens,
+                   CASE WHEN len(t.t) > 0
+                        THEN coalesce(len(c.cv), 0)::double / len(t.t)
+                        ELSE 0.0 END AS contam_frac,
+                   array_to_string(
+                       [t.t[i] FOR i IN generate_series(1, len(t.t))
+                        IF c.cv IS NULL OR NOT list_contains(c.cv, i)],
+                       ' ') AS clean_text
+            FROM toks t LEFT JOIN cov c USING ({id_col})
+        )
+        SELECT * FROM clean
+    """

@@ -732,3 +732,96 @@ def duckdb_length_bucket_batches(
                    AS pad_waste
         FROM assigned
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (greedy prefix under a budget)
+# ---------------------------------------------------------------------------
+
+def budget_select(
+    docs: DataFrame,
+    budget: int,
+    order_col: str = "priority",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_granularity: float = 64.0,
+    intermediates: list | None = None,
+) -> DataFrame:
+    """Dataset assembly's "take the best docs until the token budget":
+    the maximal PREFIX of the (order_col DESC, id_col ASC) ordering
+    whose cumulative weight stays ≤ `budget`. Weights must be ≥ 0, so
+    the cumulative sum is monotone and the prefix rule is exact.
+
+    → input columns + `cum_weight` (cumulative weight through this
+    row, selection order).
+
+    Scale shape — the global cumulative sum is the same DISTRIBUTED
+    two-pass prefix sum as `concat_chunk`, but sharded on the SORT KEY
+    (deterministic fixed-width buckets of order_col, processed high →
+    low) instead of the id range:
+      1. intra-shard cumsum: window partitioned by the bucket,
+      2. shard bases: one tiny groupBy accumulated driver-side in
+         descending-bucket order and broadcast back,
+      3. one filter `base + cum <= budget`.
+    Never a single-partition window; shard_granularity spreads a
+    narrow score range over more buckets."""
+    from pyspark.sql.window import Window
+
+    shard = F.floor(F.col(order_col) * F.lit(shard_granularity)).cast("bigint")
+    # persisted: feeds the shard-total pass AND the main pass (the
+    # collect below materializes it); `intermediates` receives it for
+    # caller unpersist in long-lived drivers (curate_corpus convention)
+    staged = docs.withColumn("__shard", shard).persist()
+    if intermediates is not None:
+        intermediates.append(staged)
+    subs = (
+        staged.groupBy("__shard")
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__tot"))
+        .orderBy(F.col("__shard").desc())
+        .collect()
+    )
+    bases, acc = [], 0
+    for r in subs:
+        bases.append((r["__shard"], acc))
+        acc += r["__tot"]
+    base_df = docs.sparkSession.createDataFrame(
+        bases or [(0, 0)], "__shard bigint, __base bigint"
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        staged.withColumn(
+            "__cum", F.sum(F.col(weight_col).cast("bigint")).over(w)
+        )
+        .join(F.broadcast(base_df), "__shard")
+        .withColumn("cum_weight", F.col("__base") + F.col("__cum"))
+        .filter(F.col("cum_weight") <= budget)
+        .drop("__shard", "__cum", "__base")
+    )
+    return out
+
+
+def duckdb_budget_select(
+    inner_sql: str,
+    budget: int,
+    order_col: str = "priority",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin: ONE global window (the oracle doesn't need the
+    two-pass form), identical prefix rule."""
+    return f"""
+        SELECT *
+        FROM (
+            SELECT i.*,
+                   sum({weight_col}) OVER (
+                       ORDER BY {order_col} DESC, {id_col} ASC
+                       ROWS UNBOUNDED PRECEDING
+                   )::bigint AS cum_weight
+            FROM ({inner_sql}) i
+        )
+        WHERE cum_weight <= {budget}
+    """

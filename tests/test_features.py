@@ -188,3 +188,94 @@ class TestNormalizeUrl:
             .collect()[0]["us"]
         )
         assert out == ["https://a.com/x", "http://b.org/y"]
+
+
+class TestLmScoreRef:
+    def test_reduces_to_self_trained_and_oov_scores_high(self, spark):
+        """train==score ≡ lm_score (every bigram seen → identical
+        add-k terms); an OOV doc scores strictly higher than an
+        in-distribution one."""
+        from leann_rs_spark.functions.textstats import lm_score, lm_score_ref
+
+        docs = spark.createDataFrame(
+            [(0, "the cat sat on the mat"), (1, "the cat sat on the hat"),
+             (2, "the mat sat on the cat")],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r for r in lm_score(docs).collect()}
+        b = {r["doc_id"]: r for r in lm_score_ref(docs, docs).collect()}
+        for i in a:
+            assert a[i]["n_bigrams"] == b[i]["n_bigrams"]
+            assert a[i]["xent"] == pytest.approx(b[i]["xent"], abs=1e-12)
+
+        score = spark.createDataFrame(
+            [(10, "the cat sat on the mat"),
+             (11, "zebra quagga wombat axolotl numbat dugong")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in lm_score_ref(docs, score).collect()}
+        assert out[11]["xent"] > out[10]["xent"]
+        assert out[11]["n_bigrams"] == 5  # OOV bigrams still scored
+
+
+class TestDecontaminateSpans:
+    def test_cut_and_survivors(self, spark):
+        from leann_rs_spark.operators.dedup import decontaminate_spans
+
+        leak = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+        docs = spark.createDataFrame(
+            [(0, f"intro words {leak} trailing tail"),
+             (1, "completely unrelated text with several plain words here"),
+             (2, "short doc")],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(f"xx {leak} yy",)], "probe_text string"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in decontaminate_spans(docs, evals, n=8).collect()
+        }
+        assert rows[0]["contam_tokens"] == 8
+        assert rows[0]["clean_text"] == "intro words trailing tail"
+        assert rows[1]["contam_tokens"] == 0
+        assert rows[1]["clean_text"].startswith("completely unrelated")
+        assert rows[2]["n_tokens"] == 2 and rows[2]["contam_tokens"] == 0
+
+
+class TestBudgetSelect:
+    def _mk(self, spark):
+        # (id, priority, weight)
+        return spark.createDataFrame(
+            [(1, 0.9, 10), (2, 0.9, 10), (3, 0.8, 15), (4, 0.7, 100),
+             (5, 0.6, 5)],
+            "doc_id long, priority double, n_tokens long",
+        )
+
+    def test_prefix_rule_and_overflow_blocks_tail(self, spark):
+        from leann_rs_spark.operators.sampling import budget_select
+
+        # order: 1,2,3,4,5 → cums 10,20,35,135,140; budget 40 keeps 1-3
+        # (doc 5 would "fit" the remainder but the PREFIX rule stops at
+        # the first overflow — pinned semantics)
+        out = budget_select(self._mk(spark), budget=40).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+        assert {r["doc_id"]: r["cum_weight"] for r in out} == {
+            1: 10, 2: 20, 3: 35,
+        }
+
+    def test_exact_fit_and_granularity_invariance(self, spark):
+        from leann_rs_spark.operators.sampling import budget_select
+
+        df = self._mk(spark)
+        assert sorted(
+            r["doc_id"] for r in budget_select(df, budget=35).collect()
+        ) == [1, 2, 3]  # boundary inclusive
+        for g in (1.0, 1000.0):
+            got = sorted(
+                (r["doc_id"], r["cum_weight"])
+                for r in budget_select(
+                    df, budget=135, shard_granularity=g
+                ).collect()
+            )
+            assert got == [(1, 10), (2, 20), (3, 35), (4, 135)]

@@ -91,6 +91,14 @@ def main() -> None:
         # grows the corpus pass only (the dup suffixes add few new
         # words); ccnet adds the lm_score count shuffles
         "x_bpe_merges", "x_ccnet_buckets",
+        # round-4c families: rolling features is one shared-window
+        # Exchange (event-proportional); the classifier is a pure
+        # projection (flat per-row); Bloom probe is a broadcast join +
+        # batch-sized groupBy (batch-proportional — the corpus cost is
+        # the once-built sketch); URL dedup is a projection + one
+        # groupBy on the canonical string
+        "x_rolling_features", "x_quality_classifier", "x_bloom_dedup",
+        "x_url_dedup",
     ]
     results: dict[str, dict] = {}
     for name in names:
