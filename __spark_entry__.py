@@ -2478,6 +2478,73 @@ def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cum_weight")
 
 
+_DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
+
+
+def x_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token budgets — a mixture spec ("≤ N tokens per
+    domain, best-first") enforced during assembly: within each source,
+    rank by the ROUNDED classifier logit and keep the maximal prefix
+    under that source's budget; unlisted sources get 0 (explicit spec,
+    not unlimited). ONE window shuffle on the group key — per-group
+    prefix sums need no two-pass trick because groups already
+    partition."""
+    from leann_rs_spark.functions.textstats import (
+        quality_classifier_logit,
+        token_count,
+    )
+    from leann_rs_spark.operators.sampling import group_budget_select
+
+    scored = _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "source",
+        (F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)).alias(
+            "logit_r"
+        ),
+        token_count("text").alias("n_toks"),
+    ).filter(F.col("logit_r").isNotNull())
+    out = group_budget_select(
+        scored,
+        budget=_DOMAIN_BUDGETS,
+        group_col="source",
+        order_col="logit_r",
+        weight_col="n_toks",
+    )
+    return out.select(
+        "doc_id", "source", "logit_r", "n_toks", "cum_weight"
+    ).orderBy("source", "cum_weight")
+
+
+def x_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (aHash): the image third of the media
+    corpus plus planted one-char-perturbed re-encodes; 63-cell
+    locality-preserving fake decode → exact-integer mean threshold →
+    packed-long aHash → banded pigeonhole self-join →
+    bit_count(XOR) ≤ 6 verify. The pair space is candidate-
+    proportional (never O(n²)); the decode is the stub tier, everything
+    from the pixel vector on is the real operator."""
+    from leann_rs_spark.operators.multimodal import media_ahash_near_dups
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 20000).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.expr("substr(text, 1, 9)"),
+                F.lit("Z"),
+                F.expr("substr(text, 11)"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    out = media_ahash_near_dups(_fan(base.unionByName(variants)))
+    return out.orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -3623,9 +3690,50 @@ def _register_r4d_oracles() -> None:
         )})
         ORDER BY cum_weight
     """
+    from leann_rs_spark.operators.sampling import duckdb_group_budget_select
+
+    scored_src_sql = f"""
+        SELECT doc_id, source,
+               round({duckdb_quality_classifier_logit('text')}, 6) + 0.0
+                   AS logit_r,
+               {duckdb_token_count('text')} AS n_toks
+        FROM documents
+    """
+    _ORACLES["x_domain_budget"] = f"""
+        SELECT doc_id, source, logit_r, n_toks, cum_weight
+        FROM ({duckdb_group_budget_select(
+            f"SELECT * FROM ({scored_src_sql}) WHERE logit_r IS NOT NULL",
+            budget=_DOMAIN_BUDGETS,
+            group_col="source",
+            order_col="logit_r",
+            weight_col="n_toks",
+        )})
+        ORDER BY source, cum_weight
+    """
 
 
 _register_r4d_oracles()
+
+
+def _register_media_phash_oracle() -> None:
+    from leann_rs_spark.operators.multimodal import (
+        duckdb_media_ahash_near_dups,
+    )
+
+    media_sql = """
+        SELECT doc_id AS id, text AS t FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS id,
+               substr(text, 1, 9) || 'Z' || substr(text, 11) AS t
+        FROM documents WHERE doc_id % 3 = 0
+    """
+    _ORACLES["x_media_phash_dups"] = f"""
+        SELECT * FROM ({duckdb_media_ahash_near_dups(media_sql)})
+        ORDER BY id_a, id_b
+    """
+
+
+_register_media_phash_oracle()
 
 
 def prewarm(spark: SparkSession, sf_dir: str) -> None:
@@ -3665,6 +3773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # close the dict.
     return {
         # round-4c/4d gates (never driver-checked yet → first)
+        "x_media_phash_dups": x_media_phash_dups,
+        "x_domain_budget": x_domain_budget,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,

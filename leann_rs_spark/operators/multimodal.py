@@ -411,3 +411,219 @@ def duckdb_media_features(table: str = "documents") -> str:
                CASE WHEN {modality} IN ('audio','video') THEN {dur} END AS duration_ms
         FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) + near-dup pairs
+# ---------------------------------------------------------------------------
+#
+# Image dedup at corpus scale is PERCEPTUAL (pHash/aHash over decoded
+# pixels — re-encoded/resized copies share no bytes but share pixels),
+# never byte-exact. The aHash recipe: downsample to a tiny grayscale
+# grid, threshold each cell against the grid mean, pack the bits, and
+# compare by Hamming distance; near-dups come from the same banded
+# pigeonhole join as SimHash (bands > max_hamming ⇒ some band equal),
+# so the pair space is never O(n²).
+#
+# The DECODE is the stub tier (same contract as decode_media):
+# - engine="real": the PIL downsample call site raises
+#   NotImplementedError (marked below).
+# - engine="fake": 63 evenly-spaced byte samples of the content stand
+#   in for the grayscale cells. Unlike the md5-derived fake used for
+#   decode metadata, this fake is LOCALITY-PRESERVING — near-identical
+#   content yields near-identical samples and therefore close Hamming
+#   distance, which is the property perceptual dedup exists to
+#   exploit (an avalanching fake would make every near-dup invisible).
+# Everything downstream of the pixel vector — mean threshold in exact
+# integer arithmetic (63·p > Σp avoids any float mean), MSB-first
+# packing into ONE long (63-bit shift-overflow bound, operators/bq.py),
+# band extraction by shift+mask, bit_count(XOR) verify — is the real
+# operator and runs identically over real pixels.
+
+AHASH_BITS = 63
+
+
+def media_ahash(
+    media: DataFrame,
+    engine: str = "fake",
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ (id_col, ahash BIGINT): perceptual average-hash per row."""
+    if engine == "real":
+        # STUB: real decode path (PIL.Image.open(bytes).convert("L")
+        # .resize((8, 8)) → pixel grid) — image libs absent here.
+        raise NotImplementedError(
+            "real image decode requires PIL; use engine='fake' for the "
+            "deterministic locality-preserving stand-in"
+        )
+    n = AHASH_BITS
+    t = media.select(
+        F.col(id_col), F.decode(F.col(content_col), "UTF-8").alias("__t")
+    )
+    # sample position i: 1 + floor(i·(L-1)/(n-1)) ∈ [1, L] — exact for
+    # these magnitudes (quotients are never within an ulp of an integer
+    # unless the division is exact), matching DuckDB's integer //
+    pix = t.select(
+        id_col,
+        F.when(
+            F.length("__t") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.ascii(
+                    F.col("__t").substr(
+                        (
+                            F.lit(1)
+                            + F.floor(
+                                i * (F.length("__t") - 1) / F.lit(n - 1)
+                            )
+                        ).cast("int"),
+                        F.lit(1),
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array_repeat(F.lit(0), n))
+        .alias("__pix"),
+    )
+    stats = pix.select(
+        id_col,
+        "__pix",
+        F.aggregate(
+            "__pix", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("__sum"),
+    )
+    return stats.select(
+        id_col,
+        F.aggregate(
+            F.transform(
+                "__pix",
+                lambda p: F.when(
+                    p * n > F.col("__sum"), F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        ).alias("ahash"),
+    )
+
+
+def media_ahash_near_dups(
+    media: DataFrame,
+    engine: str = "fake",
+    bands: int = 7,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    cache: bool = True,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming): perceptual near-dup pairs with
+    Hamming(aHash) ≤ max_hamming. Banded pigeonhole candidates
+    (bands > max_hamming ⇒ a whole band agrees) → equi-join on
+    (band, band_bits) → exact bit_count(XOR) verify BEFORE any
+    dedup shuffle (the simhash lesson: verify is map-side
+    arithmetic, filtering first shrinks the shuffle to true pairs)."""
+    assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    width = AHASH_BITS // bands
+    sh = media_ahash(media, engine, id_col, content_col)
+    if cache:
+        sh = sh.persist()
+        sh.count()  # both self-join sides read it
+    mask = (1 << width) - 1
+    banded = sh.select(
+        F.col(id_col),
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("ahash"), AHASH_BITS - (b + 1) * width
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "ahash", F.col("e.band"), F.col("e.bb"))
+    a = banded.select(
+        "band", "bb", F.col(id_col).alias("id_a"), F.col("ahash").alias("ha")
+    )
+    b = banded.select(
+        "band", "bb", F.col(id_col).alias("id_b"), F.col("ahash").alias("hb")
+    )
+    return (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates()
+    )
+
+
+def duckdb_media_ahash(media_sql: str, id_sql: str = "id") -> str:
+    """Twin of media_ahash(engine='fake') over (id, t TEXT) rows —
+    identical sample positions (integer //), exact integer mean
+    threshold, identical MSB-first packing."""
+    n = AHASH_BITS
+    return f"""
+        WITH m AS ({media_sql}),
+        pix AS (
+            SELECT {id_sql} AS id,
+                   CASE WHEN length(t) > 0 THEN
+                       list_transform(generate_series(0, {n - 1}),
+                           i -> ascii(substr(t,
+                               (1 + (i * (length(t) - 1)) // {n - 1})::int,
+                               1)))
+                   ELSE list_transform(generate_series(0, {n - 1}), i -> 0)
+                   END AS px
+            FROM m
+        ),
+        stats AS (
+            SELECT id, px,
+                   list_reduce(list_prepend(0::bigint,
+                       list_transform(px, p -> p::bigint)),
+                       (a, x) -> a + x) AS s
+            FROM pix
+        )
+        SELECT id,
+               list_reduce(list_prepend(0::bigint,
+                   list_transform(px,
+                       p -> CASE WHEN p * {n} > s THEN 1::bigint
+                            ELSE 0::bigint END)),
+                   (acc, x) -> acc * 2 + x) AS ahash
+        FROM stats
+    """
+
+
+def duckdb_media_ahash_near_dups(
+    media_sql: str,
+    bands: int = 7,
+    max_hamming: int = 6,
+) -> str:
+    """Twin of media_ahash_near_dups over the same (id, t) rows."""
+    width = AHASH_BITS // bands
+    mask = (1 << width) - 1
+    return f"""
+        WITH sh AS ({duckdb_media_ahash(media_sql)}),
+        banded AS (
+            SELECT id, ahash, b,
+                   (ahash >> ({AHASH_BITS} - (b + 1) * {width})) & {mask} AS bb
+            FROM sh, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                   a.ahash AS ha, b2.ahash AS hb
+            FROM banded a JOIN banded b2
+              ON a.b = b2.b AND a.bb = b2.bb AND a.id < b2.id
+        )
+        SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """

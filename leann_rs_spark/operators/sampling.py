@@ -825,3 +825,76 @@ def duckdb_budget_select(
         )
         WHERE cum_weight <= {budget}
     """
+
+
+def group_budget_select(
+    docs: DataFrame,
+    budget: int | dict,
+    group_col: str = "source",
+    order_col: str = "priority",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain budget_select: within each group, the maximal
+    (order_col DESC, id_col ASC) prefix whose cumulative weight stays
+    ≤ the group's budget — how a mixture spec ("≤ N tokens per
+    domain") is enforced during assembly. `budget` is a scalar or a
+    {group: budget} dict (missing groups get 0 — explicit is safer
+    than unlimited).
+
+    ONE shuffle (window on the group key) — the per-group prefix sum
+    needs no two-pass trick because groups, unlike a global order,
+    already partition."""
+    from pyspark.sql.window import Window
+
+    if isinstance(budget, dict):
+        mapping = F.create_map(
+            *[F.lit(x) for kv in budget.items() for x in kv]
+        )
+        limit = F.coalesce(
+            mapping[F.col(group_col)], F.lit(0).cast("bigint")
+        )
+    else:
+        limit = F.lit(int(budget))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn(
+            "cum_weight", F.sum(F.col(weight_col).cast("bigint")).over(w)
+        )
+        .filter(F.col("cum_weight") <= limit)
+    )
+
+
+def duckdb_group_budget_select(
+    inner_sql: str,
+    budget: int | dict,
+    group_col: str = "source",
+    order_col: str = "priority",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of group_budget_select."""
+    if isinstance(budget, dict):
+        cases = " ".join(
+            f"WHEN '{g}' THEN {b}" for g, b in budget.items()
+        )
+        limit = f"(CASE {group_col} {cases} ELSE 0 END)"
+    else:
+        limit = str(int(budget))
+    return f"""
+        SELECT *
+        FROM (
+            SELECT i.*,
+                   sum({weight_col}) OVER (
+                       PARTITION BY {group_col}
+                       ORDER BY {order_col} DESC, {id_col} ASC
+                       ROWS UNBOUNDED PRECEDING
+                   )::bigint AS cum_weight
+            FROM ({inner_sql}) i
+        )
+        WHERE cum_weight <= {limit}
+    """

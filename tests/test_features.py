@@ -279,3 +279,80 @@ class TestBudgetSelect:
                 ).collect()
             )
             assert got == [(1, 10), (2, 20), (3, 35), (4, 135)]
+
+
+class TestMediaAhash:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t.encode()) for i, t in rows],
+            "media_id long, content binary",
+        )
+
+    def test_locality_and_near_dup_pairs(self, spark):
+        from leann_rs_spark.operators.multimodal import (
+            media_ahash,
+            media_ahash_near_dups,
+        )
+
+        base = (
+            "a moderately long synthetic document body used as fake "
+            "pixel source for the perceptual hash operator test"
+        )
+        perturbed = base[:20] + "X" + base[21:]  # same length, 1 char
+        media = self._media(
+            spark, [(1, base), (2, perturbed), (3, "completely different "
+                    "content with other words and layout entirely")]
+        )
+        h = {r["media_id"]: r["ahash"] for r in media_ahash(media).collect()}
+        assert h[1] != h[3]
+        assert bin(h[1] ^ h[2]).count("1") <= 6  # locality preserved
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in media_ahash_near_dups(media).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs
+
+    def test_identical_content_hamming_zero(self, spark):
+        from leann_rs_spark.operators.multimodal import media_ahash_near_dups
+
+        media = self._media(spark, [(1, "same bytes"), (2, "same bytes")])
+        rows = media_ahash_near_dups(media).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [
+            (1, 2, 0)
+        ]
+
+    def test_real_engine_is_marked_stub(self, spark):
+        from leann_rs_spark.operators.multimodal import media_ahash
+
+        media = self._media(spark, [(1, "x")])
+        with pytest.raises(NotImplementedError):
+            media_ahash(media, engine="real")
+
+
+class TestGroupBudgetSelect:
+    def test_dict_budgets_and_group_independence(self, spark):
+        from leann_rs_spark.operators.sampling import group_budget_select
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.9, 10), (2, "a", 0.8, 10), (3, "a", 0.7, 10),
+             (4, "b", 0.9, 10), (5, "b", 0.5, 10),
+             (6, "c", 0.9, 10)],
+            "doc_id long, source string, priority double, n_tokens long",
+        )
+        out = group_budget_select(
+            df, {"a": 20, "b": 100}, group_col="source"
+        ).collect()
+        got = sorted((r["doc_id"], r["cum_weight"]) for r in out)
+        # a: top-2 fit 20; b: both fit; c: unlisted → budget 0 → dropped
+        assert got == [(1, 10), (2, 20), (4, 10), (5, 20)]
+
+    def test_scalar_budget(self, spark):
+        from leann_rs_spark.operators.sampling import group_budget_select
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.9, 10), (2, "a", 0.8, 10), (3, "b", 0.9, 10)],
+            "doc_id long, source string, priority double, n_tokens long",
+        )
+        out = group_budget_select(df, 10, group_col="source").collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 3]
