@@ -2478,6 +2478,32 @@ def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cum_weight")
 
 
+def x_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING rolling-feature extractor itself
+    (applyInPandasWithState, streaming/features.py): per-entity tail
+    state emits one feature row per arriving event. Single-batch
+    input ⇒ the emitted rows equal the batch window operator exactly,
+    so the oracle is the SAME SQL that gates x_rolling_features —
+    the batch-equivalence claim leaves pytest and becomes
+    CORRECTNESS-visible."""
+    from leann_rs_spark.streaming.features import stream_rolling_features
+
+    d = _stream_events_input(spark, sf_dir)
+    outp, ckpt = _stream_run_dirs()
+    q = stream_rolling_features(spark, f"{d}/in", outp, ckpt)
+    if not q.awaitTermination(600):
+        raise RuntimeError("stream did not drain")
+    out = spark.read.parquet(outp)
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.round("prev_value", 6) + F.lit(0.0)).alias("prev_value_r"),
+        "gap_us",
+        (F.round("roll_mean", 6) + F.lit(0.0)).alias("roll_mean_r"),
+        "cum_events",
+    ).orderBy("event_id")
+
+
 _DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
 
 
@@ -3601,6 +3627,8 @@ def _register_r4c_oracles() -> None:
         FROM ({duckdb_rolling_event_features('events')})
         ORDER BY event_id
     """
+    # the streaming form is pinned against the SAME batch-twin SQL
+    _ORACLES["x_stream_rolling"] = _ORACLES["x_rolling_features"]
     _ORACLES["x_quality_classifier"] = f"""
         WITH scored AS (
             SELECT doc_id,
@@ -3775,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4c/4d gates (never driver-checked yet → first)
         "x_media_phash_dups": x_media_phash_dups,
         "x_domain_budget": x_domain_budget,
+        "x_stream_rolling": x_stream_rolling,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,

@@ -356,3 +356,47 @@ class TestGroupBudgetSelect:
         )
         out = group_budget_select(df, 10, group_col="source").collect()
         assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+class TestStreamRollingKernel:
+    def test_state_carries_across_batches(self):
+        """Two micro-batches ≡ one batch: the tail state (prev value,
+        last_us, window values, count) survives the batch boundary."""
+        import pandas as pd
+
+        from leann_rs_spark.streaming.features import _rolling_with_state
+
+        class FakeState:
+            _v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        fn = _rolling_with_state(3)
+        st = FakeState()
+        b1 = pd.DataFrame(
+            {"event_id": [1, 2],
+             "ts": pd.to_datetime(["2024-01-01 10:00:00",
+                                   "2024-01-01 10:00:02"]),
+             "value": [1.0, 3.0]}
+        )
+        pd.concat(list(fn((7,), iter([b1]), st)))
+        b2 = pd.DataFrame(
+            {"event_id": [3],
+             "ts": pd.to_datetime(["2024-01-01 10:00:05"]),
+             "value": [5.0]}
+        )
+        out2 = pd.concat(list(fn((7,), iter([b2]), st)))
+        row = out2.iloc[0]
+        assert row["prev_value"] == 3.0
+        assert row["gap_us"] == 3_000_000
+        assert row["roll_mean"] == (1.0 + 3.0 + 5.0) / 3
+        assert row["cum_events"] == 3
