@@ -2504,6 +2504,56 @@ def x_stream_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (corpus tagging / audit):
+    the ranking key is the INTEGER tf·idf_q weight the TF-IDF
+    embedding model already quantizes, so ordering is exact in both
+    engines with no float recipe at all. One tf shuffle +
+    vocabulary-keyed df join + a doc-partitioned window."""
+    from leann_rs_spark.operators.embedder import tfidf_keywords
+
+    out = tfidf_keywords(_fan(_docs(spark, sf_dir)), k=5)
+    return out.orderBy("doc_id", "rank")
+
+
+def x_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three independent quality families COMPOSED into one keep
+    decision with per-family reason flags — what a production corpus
+    gate actually ships (heuristics ∧ learned classifier ∧ LM
+    fluency): Gopher rules (projection), hashed-classifier logit
+    (projection), CCNet bucket (corpus percentile thresholds). A doc
+    is kept only when all three agree; the flags make every drop
+    attributable. Plan: two projections + lm_buckets' count shuffles +
+    one doc-keyed join."""
+    from leann_rs_spark.functions.textstats import (
+        gopher_keep,
+        lm_buckets,
+        quality_classifier_logit,
+    )
+
+    docs = _docs(spark, sf_dir)
+    flags = _fan(docs).select(
+        "doc_id",
+        gopher_keep("text", **_CURATION_GOPHER).alias("gopher_ok"),
+        F.coalesce(
+            F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)
+            >= F.lit(0.0),
+            F.lit(False),
+        ).alias("clf_ok"),
+    )
+    lm = lm_buckets(_fan(docs)).select(
+        "doc_id", F.col("bucket").isin("head", "middle").alias("lm_ok")
+    )
+    out = flags.join(lm, "doc_id")
+    return out.select(
+        "doc_id",
+        "gopher_ok",
+        "clf_ok",
+        "lm_ok",
+        (F.col("gopher_ok") & F.col("clf_ok") & F.col("lm_ok")).alias("keep"),
+    ).orderBy("doc_id")
+
+
 _DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
 
 
@@ -3629,6 +3679,35 @@ def _register_r4c_oracles() -> None:
     """
     # the streaming form is pinned against the SAME batch-twin SQL
     _ORACLES["x_stream_rolling"] = _ORACLES["x_rolling_features"]
+
+    from leann_rs_spark.functions.textstats import (
+        duckdb_gopher_keep,
+        duckdb_lm_buckets,
+    )
+    from leann_rs_spark.operators.embedder import duckdb_tfidf_keywords
+
+    _ORACLES["x_tfidf_keywords"] = f"""
+        SELECT * FROM ({duckdb_tfidf_keywords(k=5)})
+        ORDER BY doc_id, rank
+    """
+    gk = duckdb_gopher_keep("text", **_CURATION_GOPHER)
+    clf = duckdb_quality_classifier_logit("text")
+    _ORACLES["x_quality_ensemble"] = f"""
+        WITH flags AS (
+            SELECT doc_id,
+                   {gk} AS gopher_ok,
+                   coalesce(round({clf}, 6) + 0.0 >= 0.0, FALSE) AS clf_ok
+            FROM documents
+        ),
+        lm AS (
+            SELECT doc_id, bucket IN ('head', 'middle') AS lm_ok
+            FROM ({duckdb_lm_buckets()})
+        )
+        SELECT f.doc_id, f.gopher_ok, f.clf_ok, l.lm_ok,
+               (f.gopher_ok AND f.clf_ok AND l.lm_ok) AS keep
+        FROM flags f JOIN lm l USING (doc_id)
+        ORDER BY f.doc_id
+    """
     _ORACLES["x_quality_classifier"] = f"""
         WITH scored AS (
             SELECT doc_id,
@@ -3804,6 +3883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_phash_dups": x_media_phash_dups,
         "x_domain_budget": x_domain_budget,
         "x_stream_rolling": x_stream_rolling,
+        "x_tfidf_keywords": x_tfidf_keywords,
+        "x_quality_ensemble": x_quality_ensemble,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,

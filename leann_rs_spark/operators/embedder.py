@@ -603,3 +603,75 @@ class TfidfEmbedder:
             norm = max(math.sqrt(norm), 1e-12)
             out.append([x / norm for x in raw])
         return out
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords → (id_col, term, score_q,
+    rank) — the corpus-audit / tagging query (and the classical
+    query-expansion signal) over the SAME integer-quantized tf·idf_q
+    weights as the embedding model, so the ranking key is an INTEGER
+    (score_q = tf · idf_q): no float ordering anywhere, ties broken
+    term ASC.
+
+    Scale: one tf shuffle + the vocabulary-keyed df join (AQE
+    broadcasts it when the vocab fits) + one per-doc window — and the
+    window's partition is the document, so partitions are doc-sized,
+    never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    w = _tfidf_weighted_terms(docs, id_col, text_col)
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("_wq").desc(), F.col("_tok").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("_tok").alias("term"),
+            F.col("_wq").alias("score_q"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def duckdb_tfidf_keywords(
+    k: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of tfidf_keywords — identical integer tf·idf_q key."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS tid, unnest({duckdb_tokenize(text_col)}) AS tok
+            FROM {table}
+        ),
+        tf AS (SELECT tid, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM {table}),
+        w AS (
+            SELECT tf.tid, tf.tok,
+                   tf.tf * CAST(round((ln((n.n + 1.0)
+                        / (coalesce(dfq.df, 0) + 1.0)) + 1.0) * 1e6)
+                        AS BIGINT) AS wq
+            FROM tf LEFT JOIN dfq USING (tok), n
+        ),
+        ranked AS (
+            SELECT tid, tok, wq,
+                   row_number() OVER (
+                       PARTITION BY tid ORDER BY wq DESC, tok ASC
+                   ) AS rank
+            FROM w
+        )
+        SELECT tid AS {id_col}, tok AS term, wq AS score_q,
+               rank::int AS rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -400,3 +400,21 @@ class TestStreamRollingKernel:
         assert row["gap_us"] == 3_000_000
         assert row["roll_mean"] == (1.0 + 3.0 + 5.0) / 3
         assert row["cum_events"] == 3
+
+
+class TestTfidfKeywords:
+    def test_rare_term_outranks_common(self, spark):
+        from leann_rs_spark.operators.embedder import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(0, "common words plus zyzzyva common words"),
+             (1, "common words again and again common words"),
+             (2, "common words third document common words")],
+            "doc_id long, text string",
+        )
+        rows = tfidf_keywords(docs, k=2).collect()
+        top = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
+        # doc 0's rarest term wins despite tf("common") being higher
+        assert top[0] == "zyzzyva"
+        for r in rows:
+            assert isinstance(r["score_q"], int)  # integer key, no floats
