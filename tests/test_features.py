@@ -407,14 +407,17 @@ class TestTfidfKeywords:
         from leann_rs_spark.operators.embedder import tfidf_keywords
 
         docs = spark.createDataFrame(
-            [(0, "common words plus zyzzyva common words"),
-             (1, "common words again and again common words"),
-             (2, "common words third document common words")],
+            [(0, "common zyzzyva common"),
+             (1, "common alpha common"),
+             (2, "common beta common"),
+             (3, "common gamma common"),
+             (4, "common delta common")],
             "doc_id long, text string",
         )
         rows = tfidf_keywords(docs, k=2).collect()
         top = {r["doc_id"]: r["term"] for r in rows if r["rank"] == 1}
-        # doc 0's rarest term wins despite tf("common") being higher
+        # tf(common)=2 but idf_q=1e6 (every doc) → 2.0e6; the unique
+        # term scores ln(6/2)+1 ≈ 2.1e6 — rarity wins
         assert top[0] == "zyzzyva"
         for r in rows:
             assert isinstance(r["score_q"], int)  # integer key, no floats
