@@ -2554,6 +2554,33 @@ def x_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online per-event anomaly flags against the entity's OWN causal
+    history (8 events strictly before, min 4): mean/variance as
+    SEQUENTIAL FOLDS over the collected history window — identical
+    accumulation order in both engines, so the sqrt-free predicate
+    (value−mean)² > z²·var needs no float recipe beyond output
+    rounding. One Exchange, O(n_hist) frame memory."""
+    from leann_rs_spark.operators.features import rolling_anomaly
+
+    out = rolling_anomaly(read_events(spark, sf_dir))
+    # multiply-first rounding: round(x·1e6)/1e6, NOT round(x, 6) —
+    # variance magnitudes (~1e3) put ulp-adjacent values astride the
+    # 6-dp half boundary, where Spark (BigDecimal on the shortest
+    # decimal repr) and DuckDB disagree; the multiply collapses both
+    # onto the same double first (measured: 9/10000 rows flipped)
+    r6 = lambda c: (F.round(F.col(c) * 1e6) / F.lit(1e6) + F.lit(0.0))  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+        "n_hist_rows",
+        r6("hist_mean").alias("hist_mean_r"),
+        r6("hist_var").alias("hist_var_r"),
+        "is_anomaly",
+    ).orderBy("event_id")
+
+
 _DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
 
 
@@ -3680,6 +3707,19 @@ def _register_r4c_oracles() -> None:
     # the streaming form is pinned against the SAME batch-twin SQL
     _ORACLES["x_stream_rolling"] = _ORACLES["x_rolling_features"]
 
+    from leann_rs_spark.operators.features import duckdb_rolling_anomaly
+
+    _ORACLES["x_rolling_anomaly"] = f"""
+        SELECT event_id, user_id,
+               round(value, 6) + 0.0 AS value_r,
+               n_hist_rows,
+               round(hist_mean * 1e6) / 1e6 + 0.0 AS hist_mean_r,
+               round(hist_var * 1e6) / 1e6 + 0.0 AS hist_var_r,
+               is_anomaly
+        FROM ({duckdb_rolling_anomaly('events')})
+        ORDER BY event_id
+    """
+
     from leann_rs_spark.functions.textstats import (
         duckdb_gopher_keep,
         duckdb_lm_buckets,
@@ -3885,6 +3925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_rolling": x_stream_rolling,
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
+        "x_rolling_anomaly": x_rolling_anomaly,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,

@@ -93,3 +93,136 @@ def duckdb_rolling_event_features(
                ) AS cum_events
         FROM {events}
     """
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_hist: int = 8,
+    min_hist: int = 4,
+    z: float = 3.0,
+) -> DataFrame:
+    """Online anomaly flag per event: compare the value against the
+    entity's OWN recent history (the `n_hist` events STRICTLY BEFORE
+    this one — the causal window a monitoring pipeline uses; including
+    the current value would let the outlier mask itself).
+
+    → id, entity, value, n_hist_rows, hist_mean, hist_var (sample),
+    is_anomaly = (value − mean)² > z²·var — the sqrt-free form of
+    |value − mean| > z·σ (fewer float ops, same predicate). Rows with
+    fewer than `min_hist` history events get NULL stats and a FALSE
+    flag (non-nullable: "not enough history" IS "not flagged").
+
+    Cross-engine exactness: mean and M2 are SEQUENTIAL FOLDS over the
+    collected history array (collect_list over the same ROWS frame both
+    engines evaluate in window order) — identical accumulation order,
+    bit-identical doubles, no reliance on the engines' stddev
+    implementations agreeing. Var == 0 (constant history): any
+    deviation flags, equality does not — deterministic.
+
+    One Exchange (shares the (entity, ts, id) window family of
+    rolling_event_features); history arrays are n_hist-bounded, so the
+    ROWS frame streams in O(n_hist) memory."""
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-n_hist, -1)
+    )
+    vals = F.collect_list(F.col(value_col)).over(w)
+    staged = events.select(
+        id_col,
+        entity_col,
+        value_col,
+        vals.alias("__h"),
+    )
+    n = F.size("__h")
+    mean = F.aggregate(
+        "__h", F.lit(0.0), lambda a, x: a + x
+    ) / n
+    out = staged.select(
+        id_col,
+        entity_col,
+        value_col,
+        n.alias("n_hist_rows"),
+        F.when(n >= min_hist, mean).alias("hist_mean"),
+        F.col("__h").alias("__h"),
+    ).withColumn(
+        "hist_var",
+        F.when(
+            F.col("n_hist_rows") >= min_hist,
+            F.aggregate(
+                F.col("__h"),
+                F.lit(0.0),
+                lambda a, x: a
+                + (x - F.col("hist_mean")) * (x - F.col("hist_mean")),
+            )
+            / (F.col("n_hist_rows") - 1),
+        ),
+    )
+    dev = F.col(value_col) - F.col("hist_mean")
+    # flag is non-nullable (FALSE below min_hist): NULL booleans
+    # stringify engine-dependently, and "not enough history" IS
+    # "not flagged" for an alerting consumer
+    return out.withColumn(
+        "is_anomaly",
+        F.when(
+            F.col("n_hist_rows") >= min_hist,
+            dev * dev > F.lit(z * z) * F.col("hist_var"),
+        ).otherwise(F.lit(False)),
+    ).drop("__h")
+
+
+def duckdb_rolling_anomaly(
+    events: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_hist: int = 8,
+    min_hist: int = 4,
+    z: float = 3.0,
+) -> str:
+    """DuckDB twin — identical preceding-only frame, identical
+    sequential folds."""
+    over = (
+        f"PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col} "
+        f"ROWS BETWEEN {n_hist} PRECEDING AND 1 PRECEDING"
+    )
+    fold_sum = (
+        "list_reduce(list_prepend(0.0, h), (a, x) -> a + x)"
+    )
+    return f"""
+        WITH hist AS (
+            SELECT {id_col}, {entity_col}, {value_col},
+                   coalesce(list({value_col}) OVER ({over}), []) AS h
+            FROM {events}
+        ),
+        m AS (
+            SELECT *, len(h) AS n_hist_rows,
+                   CASE WHEN len(h) >= {min_hist}
+                        THEN {fold_sum} / len(h) END AS hist_mean
+            FROM hist
+        ),
+        v AS (
+            SELECT {id_col}, {entity_col}, {value_col}, n_hist_rows,
+                   hist_mean,
+                   CASE WHEN n_hist_rows >= {min_hist}
+                        THEN list_reduce(list_prepend(0.0,
+                                 list_transform(h,
+                                     x -> (x - hist_mean) * (x - hist_mean))),
+                                 (a, x) -> a + x) / (n_hist_rows - 1)
+                   END AS hist_var
+            FROM m
+        )
+        SELECT {id_col}, {entity_col}, {value_col}, n_hist_rows, hist_mean,
+               hist_var,
+               CASE WHEN n_hist_rows >= {min_hist}
+                    THEN ({value_col} - hist_mean) * ({value_col} - hist_mean)
+                         > {z * z} * hist_var
+                    ELSE FALSE
+               END AS is_anomaly
+        FROM v
+    """

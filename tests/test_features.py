@@ -421,3 +421,29 @@ class TestTfidfKeywords:
         assert top[0] == "zyzzyva"
         for r in rows:
             assert isinstance(r["score_q"], int)  # integer key, no floats
+
+
+class TestRollingAnomaly:
+    def test_causal_window_and_flags(self, spark):
+        from leann_rs_spark.operators.features import rolling_anomaly
+
+        rows = [(i, _ts(f"2024-01-01 10:00:{i:02d}"), 1, 10.0)
+                for i in range(8)]
+        rows.append((8, _ts("2024-01-01 10:00:08"), 1, 10.0))   # normal
+        rows.append((9, _ts("2024-01-01 10:00:09"), 1, 500.0))  # spike
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        out = {
+            r["event_id"]: r
+            for r in rolling_anomaly(ev, n_hist=8, min_hist=4).collect()
+        }
+        # first rows: not enough history → NULL stats, FALSE flag
+        assert out[0]["hist_mean"] is None
+        assert out[0]["is_anomaly"] is False
+        # constant history, equal value → var 0, no flag
+        assert out[8]["hist_var"] == 0.0 and out[8]["is_anomaly"] is False
+        # spike vs constant history → var 0, any deviation flags
+        assert out[9]["is_anomaly"] is True
+        # causal: the spike's own value is NOT in its history
+        assert out[9]["hist_mean"] == 10.0

@@ -99,6 +99,14 @@ def main() -> None:
         # groupBy on the canonical string
         "x_rolling_features", "x_quality_classifier", "x_bloom_dedup",
         "x_url_dedup",
+        # round-4d/e families: lm_ref is two count shuffles over the
+        # train slice + broadcastable count joins; budget_select is the
+        # sort-key-sharded prefix sum; media phash is a banded
+        # self-join (candidate-proportional — planted near-dups
+        # multiply pairs at 10×); span decontam is a broadcast
+        # semi-join; keywords is one tf shuffle + doc-sized windows
+        "x_lm_ref_score", "x_budget_select", "x_media_phash_dups",
+        "x_decontaminate_spans", "x_tfidf_keywords",
     ]
     results: dict[str, dict] = {}
     for name in names:
