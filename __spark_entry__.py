@@ -2581,6 +2581,40 @@ def x_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def x_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery (word2phrase/gensim-Phrases prep): top-50
+    adjacent-word pairs by PMI with min-support 5. One corpus bigram
+    pass persisted vocab-sized; marginals/total derive from it (zero
+    re-explodes); integer count products, one double division,
+    multiply-first rounding."""
+    from leann_rs_spark.functions.textstats import pmi_phrases
+
+    return pmi_phrases(_fan(_docs(spark, sf_dir)), min_count=5, k=50)
+
+
+def x_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON property analytics over the events table's
+    `props` column (the semi-structured surface every event pipeline
+    has): extract a typed field in-plan (get_json_object ≡
+    json_extract_string, no parse UDF), then one aggregation per
+    event_type — count, sum/min/max of the extracted int, and how many
+    rows carried the key at all (JSON nulls don't silently vanish)."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
 
 
@@ -3707,6 +3741,25 @@ def _register_r4c_oracles() -> None:
     # the streaming form is pinned against the SAME batch-twin SQL
     _ORACLES["x_stream_rolling"] = _ORACLES["x_rolling_features"]
 
+    from leann_rs_spark.functions.textstats import duckdb_pmi_phrases
+
+    _ORACLES["x_pmi_phrases"] = duckdb_pmi_phrases(min_count=5, k=50)
+    _ORACLES["x_json_props"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(k) AS n_with_k,
+               sum(k)::bigint AS sum_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   json_extract_string(props, '$.k')::bigint AS k
+            FROM events
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
     from leann_rs_spark.operators.features import duckdb_rolling_anomaly
 
     _ORACLES["x_rolling_anomaly"] = f"""
@@ -3926,6 +3979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
         "x_rolling_anomaly": x_rolling_anomaly,
+        "x_pmi_phrases": x_pmi_phrases,
+        "x_json_props": x_json_props,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,

@@ -1245,3 +1245,111 @@ def duckdb_lm_score_ref(
         SELECT d.{id_col}, coalesce(p.n_bigrams, 0) AS n_bigrams, p.xent
         FROM score d LEFT JOIN per_doc p ON d.{id_col} = p.id
     """
+
+
+# ---------------------------------------------------------------------------
+# PMI phrase mining (collocation discovery)
+# ---------------------------------------------------------------------------
+
+def pmi_phrases(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    — the word2phrase / gensim-Phrases preprocessing step that decides
+    which token pairs ("new york") should fuse before tokenizer or
+    embedding training. PMI = ln(c₂·T / (c₁(w1)·c₁(w2))) over corpus
+    bigram/unigram counts (T = total bigram occurrences); `min_count`
+    cuts the low-support noise PMI is notorious for.
+
+    → (w1, w2, n_pair, pmi_r) ranked pmi_r DESC (ties w1, w2 ASC).
+
+    Scale: bigram explode → ONE map-side-combined count shuffle;
+    unigram counts reduce FROM the bigram table (vocab-sized, no second
+    corpus pass — the lm_score trick); the two count joins are
+    vocab-keyed (AQE broadcasts); TakeOrdered(k) finishes. The ratio is
+    computed as exact-integer products divided once in double
+    (everything < 2^53), and pmi_r uses the multiply-first rounding
+    rule (CLAUDE.md)."""
+    toks = docs.select(tokenize(text_col).alias("__t"))
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("__t", F.lit(1), n1),
+        F.slice("__t", F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = toks.select(F.explode(bg).alias("__bg")).select(
+        F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+    # ONE corpus pass: the vocab-sized full count table is persisted
+    # and everything else (the min_count cut, both marginals, the
+    # total) derives from it — four consumers, zero re-explodes
+    full = (
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c")).persist()
+    )
+    full.count()
+    # marginals over the FULL bigram stream (not the min_count cut):
+    # PMI's probability space is all bigram occurrences
+    c2 = full.filter(F.col("__c") >= min_count).select(
+        "w1", "w2", F.col("__c").alias("n_pair")
+    )
+    left = full.groupBy("w1").agg(F.sum("__c").alias("__cl"))
+    right = full.groupBy("w2").agg(F.sum("__c").alias("__cr"))
+    total = full.agg(F.sum("__c").alias("__t"))
+    scored = (
+        c2.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_pair") * F.col("__t")).cast("double")
+                        / (F.col("__cl") * F.col("__cr")).cast("double")
+                    )
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+                + F.lit(0.0)
+            ).alias("pmi_r"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_r").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def duckdb_pmi_phrases(
+    min_count: int = 5,
+    k: int = 50,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin — identical counts, integer products, one double
+    division, multiply-first rounding."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    toks = duckdb_tokenize(text_col)
+    return f"""
+        WITH t AS (SELECT {toks} AS t FROM {table}),
+        pairs AS (
+            SELECT list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+            FROM t, unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+        ),
+        full_c AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+        c2 AS (SELECT * FROM full_c WHERE c >= {min_count}),
+        l AS (SELECT w1, sum(c)::bigint AS cl FROM full_c GROUP BY 1),
+        r AS (SELECT w2, sum(c)::bigint AS cr FROM full_c GROUP BY 1),
+        tot AS (SELECT sum(c)::bigint AS tt FROM full_c)
+        SELECT c2.w1, c2.w2, c2.c AS n_pair,
+               round(ln((c2.c * tot.tt)::double
+                        / (l.cl * r.cr)::double) * 1e6) / 1e6 + 0.0 AS pmi_r
+        FROM c2 JOIN l USING (w1) JOIN r USING (w2), tot
+        ORDER BY pmi_r DESC, w1 ASC, w2 ASC
+        LIMIT {k}
+    """

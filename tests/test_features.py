@@ -447,3 +447,29 @@ class TestRollingAnomaly:
         assert out[9]["is_anomaly"] is True
         # causal: the spike's own value is NOT in its history
         assert out[9]["hist_mean"] == 10.0
+
+
+class TestPmiPhrases:
+    def test_collocation_beats_chance_pair(self, spark):
+        from leann_rs_spark.functions.textstats import pmi_phrases
+
+        # "alpha beta" always adjacent (perfect collocation); "xx yy"
+        # co-occur but xx/yy also pair with everything else
+        docs = spark.createDataFrame(
+            [(i, "alpha beta xx yy xx zz yy ww") for i in range(5)],
+            "doc_id long, text string",
+        )
+        rows = pmi_phrases(docs, min_count=5, k=10).collect()
+        by_pair = {(r["w1"], r["w2"]): r["pmi_r"] for r in rows}
+        assert ("alpha", "beta") in by_pair
+        assert by_pair[("alpha", "beta")] == max(by_pair.values())
+
+    def test_min_count_cut(self, spark):
+        from leann_rs_spark.functions.textstats import pmi_phrases
+
+        docs = spark.createDataFrame(
+            [(0, "rare pair rare pair"), (1, "other words here")],
+            "doc_id long, text string",
+        )
+        rows = pmi_phrases(docs, min_count=10, k=10).collect()
+        assert rows == []  # nothing reaches min support
