@@ -2615,6 +2615,41 @@ def x_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (the product-analytics staple): per user
+    the earliest STRICTLY ordered signup → view → click → purchase
+    completion; each step is one per-user min-aggregation joined back
+    on the co-partitioned user key (AQE reuses the exchange), never a
+    per-user collect. steps_completed counts the deepest reached."""
+    from leann_rs_spark.operators.events import funnel_steps
+
+    out = funnel_steps(read_events(spark, sf_dir), _FUNNEL_STEPS)
+    return out.orderBy("user_id")
+
+
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = first-activity week, counted
+    in every active week. One distinct projection + one min-agg + one
+    (cohort, week) distinct-count."""
+    from leann_rs_spark.operators.events import retention_cohorts
+
+    out = retention_cohorts(read_events(spark, sf_dir))
+    return out.orderBy("cohort_period", "activity_period")
+
+
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over each user's time-ordered event
+    stream ('<start>' marks stream entry) — session-path mining's
+    input matrix. ONE window Exchange + a types² groupBy."""
+    from leann_rs_spark.operators.events import event_transitions
+
+    out = event_transitions(read_events(spark, sf_dir))
+    return out.orderBy("prev_type", "next_type")
+
+
 _DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
 
 
@@ -3760,6 +3795,25 @@ def _register_r4c_oracles() -> None:
         ORDER BY event_type
     """
 
+    from leann_rs_spark.operators.events import (
+        duckdb_event_transitions,
+        duckdb_funnel_steps,
+        duckdb_retention_cohorts,
+    )
+
+    _ORACLES["x_funnel"] = f"""
+        SELECT * FROM ({duckdb_funnel_steps(_FUNNEL_STEPS)})
+        ORDER BY user_id
+    """
+    _ORACLES["x_retention_cohorts"] = f"""
+        SELECT * FROM ({duckdb_retention_cohorts()})
+        ORDER BY cohort_period, activity_period
+    """
+    _ORACLES["x_event_transitions"] = f"""
+        SELECT * FROM ({duckdb_event_transitions()})
+        ORDER BY prev_type, next_type
+    """
+
     from leann_rs_spark.operators.features import duckdb_rolling_anomaly
 
     _ORACLES["x_rolling_anomaly"] = f"""
@@ -3981,6 +4035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rolling_anomaly": x_rolling_anomaly,
         "x_pmi_phrases": x_pmi_phrases,
         "x_json_props": x_json_props,
+        "x_funnel": x_funnel,
+        "x_retention_cohorts": x_retention_cohorts,
+        "x_event_transitions": x_event_transitions,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,
