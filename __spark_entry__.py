@@ -2650,6 +2650,58 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("prev_type", "next_type")
 
 
+def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill onto a 6-hour grid: last
+    observation per bucket (pure value selection — exact cross-engine
+    parity), carried through empty buckets with a running
+    last(ignorenulls) window; per-entity sequence() spine, no global
+    calendar cross join. The raw log is touched by ONE (entity, bucket)
+    hash aggregation; everything downstream is bucket-sized."""
+    from leann_rs_spark.operators.features import resample_ffill
+
+    out = resample_ffill(read_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        (F.round("value", 6) + F.lit(0.0)).alias("value_r"),
+        "n_obs",
+        "filled",
+    ).orderBy("user_id", "bucket_ts")
+
+
+_EVAL_K = 10
+_EVAL_NQ = 20
+
+
+def x_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed retrieval evaluation: exact-IP top-10 runs for 20
+    query vectors scored against label-match judgments — per-query MRR,
+    nDCG@10, recall@10. DCG/IDCG are sequential folds of the IDENTICAL
+    1/log2(r+1) term over sorted rank lists (perfect ranking ⇒ nDCG
+    exactly 1.0 bitwise); engine-log2 ulps collapsed by multiply-first
+    6-dp rounding."""
+    from leann_rs_spark.operators.retrieval_eval import eval_rankings
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _EVAL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("__qlabel"),
+    )
+    rankings = batch_search(
+        emb,
+        queries.select("query_id", "query_vec"),
+        k=_EVAL_K,
+        metric="ip",
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    qrels = queries.select("query_id", "__qlabel").join(
+        emb.select("vec_id", "label"),
+        F.col("label") == F.col("__qlabel"),
+    ).select("query_id", F.col("vec_id").alias("doc_id"))
+    out = eval_rankings(rankings, qrels, k=_EVAL_K)
+    return out.orderBy("query_id")
+
+
 _DOMAIN_BUDGETS = {"src0": 500, "src1": 300, "src2": 300, "src3": 100}
 
 
@@ -3827,6 +3879,40 @@ def _register_r4c_oracles() -> None:
         ORDER BY event_id
     """
 
+    from leann_rs_spark.operators.features import duckdb_resample_ffill
+
+    _ORACLES["x_resample_ffill"] = f"""
+        SELECT user_id, bucket_ts,
+               round(value, 6) + 0.0 AS value_r,
+               n_obs, filled
+        FROM ({duckdb_resample_ffill('events')})
+        ORDER BY user_id, bucket_ts
+    """
+
+    from leann_rs_spark.operators.retrieval_eval import duckdb_eval_rankings
+
+    _eval_rankings_sql = f"""
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {duckdb_dot('e.embedding', 'q.embedding')} DESC,
+                            e.vec_id ASC
+               ) AS rank
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < {_EVAL_NQ}
+    """
+    _eval_qrels_sql = f"""
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id
+        FROM embeddings q JOIN embeddings e ON e.label = q.label
+        WHERE q.vec_id < {_EVAL_NQ}
+    """
+    _ORACLES["x_retrieval_eval"] = f"""
+        SELECT * FROM ({duckdb_eval_rankings(
+            _eval_rankings_sql, _eval_qrels_sql, k=_EVAL_K
+        )})
+        ORDER BY query_id
+    """
+
     from leann_rs_spark.functions.textstats import (
         duckdb_gopher_keep,
         duckdb_lm_buckets,
@@ -4038,6 +4124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_funnel": x_funnel,
         "x_retention_cohorts": x_retention_cohorts,
         "x_event_transitions": x_event_transitions,
+        "x_resample_ffill": x_resample_ffill,
+        "x_retrieval_eval": x_retrieval_eval,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,

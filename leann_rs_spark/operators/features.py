@@ -175,6 +175,121 @@ def rolling_anomaly(
     ).drop("__h")
 
 
+def resample_ffill(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Time-series resample + forward-fill (pandas `resample().ffill()`
+    distributed): regularize each entity's irregular event stream onto a
+    fixed grid, carrying the last observation through empty buckets —
+    the gauge-metric normalization every monitoring / feature-backfill
+    pipeline runs before windowed models.
+
+    → (entity, bucket_ts, value, n_obs, filled): one row per
+    `bucket_seconds` bucket from the entity's first observed bucket to
+    its last; `value` = the LAST observation in the bucket (by
+    (ts, id) — pure value selection, no float arithmetic, so
+    cross-engine parity is exact), forward-filled where the bucket is
+    empty; `filled` marks carried rows (non-nullable — see CLAUDE.md
+    boolean-gate rule); `n_obs` = raw events in the bucket (0 when
+    filled).
+
+    Scale shape: the ONLY pass over the raw event log is the first
+    (entity, bucket) hash aggregation — everything after operates on
+    bucket-level data (entities × horizon rows, orders of magnitude
+    smaller at 100 TB). The spine is generated per entity with
+    `sequence()` (no driver loop, no cross join against a global
+    calendar — an entity active for a week never materializes the full
+    corpus horizon). Spine→obs join and the ffill window both key on
+    the entity, and the window's `last(ignorenulls)` over a running
+    ROWS frame streams in O(1) memory per partition. Dense-grid guard:
+    horizon/bucket_seconds buckets per entity appear even for an
+    entity with 2 events at the range ends — pick bucket_seconds so
+    entities×horizon stays shuffle-sized, or pre-filter the horizon."""
+    step = int(bucket_seconds)
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast(
+        "bigint"
+    )
+    obs = (
+        events.withColumn("__b", b)
+        .groupBy(entity_col, "__b")
+        .agg(
+            F.max_by(
+                value_col, F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("__v_obs"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    rng = obs.groupBy(entity_col).agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    spine = rng.select(
+        entity_col,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.lit(step))
+        ).alias("__b"),
+    )
+    joined = spine.join(obs, [entity_col, "__b"], "left")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        entity_col,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_ts"),
+        F.last("__v_obs", ignorenulls=True).over(w).alias(value_col),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        F.col("__v_obs").isNull().alias("filled"),
+    )
+
+
+def duckdb_resample_ffill(
+    events: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 21600,
+) -> str:
+    """DuckDB twin — same epoch-floor bucketing, same last-by-(ts,id)
+    selection (ordered aggregate), same running last_value IGNORE NULLS."""
+    step = int(bucket_seconds)
+    return f"""
+        WITH obs AS (
+            SELECT {entity_col},
+                   CAST(floor(epoch({ts_col}) / {step}) * {step} AS BIGINT) AS b,
+                   last({value_col} ORDER BY {ts_col}, {id_col}) AS v_obs,
+                   count(*) AS n_obs
+            FROM {events}
+            GROUP BY 1, 2
+        ),
+        rng AS (
+            SELECT {entity_col}, min(b) AS b0, max(b) AS b1
+            FROM obs GROUP BY 1
+        ),
+        spine AS (
+            SELECT {entity_col},
+                   unnest(generate_series(b0, b1, {step})) AS b
+            FROM rng
+        )
+        SELECT s.{entity_col},
+               CAST(to_timestamp(s.b) AS TIMESTAMP) AS bucket_ts,
+               last_value(o.v_obs IGNORE NULLS) OVER (
+                   PARTITION BY s.{entity_col} ORDER BY s.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS {value_col},
+               coalesce(o.n_obs, 0) AS n_obs,
+               (o.v_obs IS NULL) AS filled
+        FROM spine s
+        LEFT JOIN obs o ON s.{entity_col} = o.{entity_col} AND s.b = o.b
+    """
+
+
 def duckdb_rolling_anomaly(
     events: str = "events",
     entity_col: str = "user_id",
