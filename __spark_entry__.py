@@ -861,6 +861,43 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def x_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: MinHash near-dup pairs rolled
+    up to (source, source) counts — which crawls/dumps copy from each
+    other, the first report a curation run produces when deciding which
+    source to keep. Pairs are candidate-sized (≪ corpus); the two
+    doc_id→source joins hash-partition on doc_id; the final matrix is
+    sources² rows. Canonical unordered pair via least/greatest."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dups(_fan(docs), threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    src = docs.select("doc_id", "source")
+    out = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("__sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("__sb"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_lo"),
+            F.greatest("__sa", "__sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return out.orderBy("source_lo", "source_hi")
+
+
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs(_fan(_docs(spark, sf_dir)), n=3, threshold=0.3)
     return out.select(
@@ -1192,6 +1229,54 @@ def x_append_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text",
         (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
     )
+
+
+_IVFAPP_C = 8
+_IVFAPP_NPROBE = 3
+_IVFAPP_K = 10
+
+
+def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 at ANN scale: build an IVF index on the even-doc half, then
+    append the odd half INCREMENTALLY — new rows assigned to the FROZEN
+    centroids and appended into the partitioned layout (O(batch), the
+    only append that works on a 100 TB index) — then probe-search. The
+    oracle is the from-scratch twin: golden chunk table with the
+    append's dense-id numbering reproduced as row_number over
+    (doc parity, doc_id, chunk_index), take-centroids = first C ids,
+    same assignment/probe/top-k SQL as duckdb_ivf_search. idx is
+    INCLUDED in the compare — incremental append must continue the
+    dense numbering exactly."""
+    import tempfile
+
+    from leann_rs_spark.catalog import (
+        append_to_index,
+        build_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    wh = tempfile.mkdtemp(prefix="leann-ivfappend-gate-")
+    docs = _docs(spark, sf_dir)
+    build_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
+        strategy="simple", chunk_size=16, chunk_overlap=4,
+        dims=_EMBED_DIMS, with_bm25=False,
+    )
+    build_ivf_index(
+        spark, wh, "g", n_centroids=_IVFAPP_C, centroids="take"
+    )
+    append_to_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 1),
+        ivf_append="incremental",
+    )
+    out = search_ivf_index(
+        spark, wh, "g", _APPEND_QUERY, k=_IVFAPP_K, nprobe=_IVFAPP_NPROBE
+    )
+    return out.select(
+        "idx", "doc_id", "source", "text",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
 
 
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3083,6 +3168,17 @@ def _register_dedup_oracles() -> None:
     from leann_rs_spark.operators.dedup import duckdb_dedup_clusters
 
     pairs_sql = f"SELECT id_a, id_b FROM ({duckdb_minhash_near_dups(threshold=0.5)})"
+    _ORACLES["x_dup_source_matrix"] = f"""
+        WITH pairs AS ({pairs_sql})
+        SELECT least(a.source, b.source) AS source_lo,
+               greatest(a.source, b.source) AS source_hi,
+               count(*) AS n_pairs
+        FROM pairs p
+        JOIN documents a ON a.doc_id = p.id_a
+        JOIN documents b ON b.doc_id = p.id_b
+        GROUP BY 1, 2
+        ORDER BY source_lo, source_hi
+    """
     _ORACLES["x_dedup_clusters"] = f"""
         WITH clusters AS ({duckdb_dedup_clusters(pairs_sql)})
         SELECT d.doc_id,
@@ -4126,6 +4222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_event_transitions": x_event_transitions,
         "x_resample_ffill": x_resample_ffill,
         "x_retrieval_eval": x_retrieval_eval,
+        "x_ivf_append": x_ivf_append,
+        "x_dup_source_matrix": x_dup_source_matrix,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,
@@ -4288,6 +4386,65 @@ def _register_chunker_golden_oracles() -> None:
             SELECT h.doc_id, d.source, h.text,
                    round(h.score, 6) + 0.0 AS score_r
             FROM hits h JOIN documents d USING (doc_id)
+        """
+
+        # x_ivf_append oracle = the from-scratch IVF twin over the
+        # golden chunk table, with the append's dense-id numbering
+        # reproduced (even-half ids first, then the appended odd half —
+        # row_number over (parity, doc_id, chunk_index)); centroids =
+        # first C ids (take policy, append-invariant), then the same
+        # assignment / probe / top-k SQL as ann.duckdb_ivf_search.
+        _d_ec = duckdb_dot("e.v", "c.centroid_vec")
+        _d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+        _d_aq = duckdb_dot("a.v", "q.qv")
+        _ORACLES["x_ivf_append"] = f"""
+            WITH p AS (
+                SELECT doc_id, text,
+                       row_number() OVER (
+                           ORDER BY (doc_id % 2), doc_id, chunk_index
+                       ) - 1 AS cid,
+                       {raw} AS raw
+                FROM read_parquet('{t1}')
+            ),
+            emb AS (
+                SELECT doc_id, text, cid, {DUCKDB_NORMALIZE} AS v FROM p
+            ),
+            cent AS (
+                SELECT cid AS centroid_id, v AS centroid_vec FROM emb
+                WHERE cid < {_IVFAPP_C}
+            ),
+            assigned AS (
+                SELECT cid, doc_id, text, v, centroid_id AS cluster_id
+                FROM (
+                    SELECT e.cid, e.doc_id, e.text, e.v, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.cid
+                               ORDER BY {_d_ec} DESC, c.centroid_id ASC
+                           ) AS rn
+                    FROM emb e, cent c
+                ) WHERE rn = 1
+            ),
+            qq AS (SELECT {qv} AS qv),
+            probes AS (
+                SELECT centroid_id FROM (
+                    SELECT c.centroid_id,
+                           row_number() OVER (
+                               ORDER BY {_d_cq} DESC, c.centroid_id ASC
+                           ) AS rn
+                    FROM cent c, qq q
+                ) WHERE rn <= {_IVFAPP_NPROBE}
+            ),
+            hits AS (
+                SELECT a.cid, a.doc_id, a.text, {_d_aq} AS score
+                FROM assigned a
+                JOIN probes pr ON a.cluster_id = pr.centroid_id, qq q
+                ORDER BY score DESC, a.cid ASC
+                LIMIT {_IVFAPP_K}
+            )
+            SELECT h.cid AS idx, h.doc_id, d.source, h.text,
+                   round(h.score, 6) + 0.0 AS score_r
+            FROM hits h JOIN documents d USING (doc_id)
+            ORDER BY score_r DESC, idx ASC
         """
 
         # q15 oracle = the whole §3.1 step-5 pipeline in SQL over the

@@ -265,12 +265,27 @@ def append_to_index(
     name: str,
     new_docs: DataFrame,
     provider=None,
+    ivf_append: str = "incremental",
 ) -> IndexMeta:
     """T10/S12: `leann update` — re-chunk, re-embed, ids offset from
     meta.passage_count (src/cli/update.rs:174-181). The reference's
     DiskANN refuses appends (src/backend/mod.rs:81-100); exact search
     has no index artifact to invalidate, so append is always legal.
-    Provider-built indexes must append with the same provider."""
+    Provider-built indexes must append with the same provider.
+
+    `ivf_append` (indexes with an IVF layout): "incremental" (default)
+    assigns only the new batch to the frozen centroids/codebook and
+    appends into the partitioned layout — O(batch); "rebuild"
+    re-derives the whole layout (re-learning a kmeans codebook) —
+    O(corpus)."""
+    if ivf_append not in ("incremental", "rebuild"):
+        # validate BEFORE any write — failing in the ivf block at the
+        # end would leave passages/embeddings appended with a stale
+        # ANN layout
+        raise ValueError(
+            f"unknown ivf_append mode {ivf_append!r} "
+            "(expected 'incremental' or 'rebuild')"
+        )
     meta = load_meta(warehouse, name)
     if meta.embedding_mode != "hash" and provider is None and not meta.is_pruned:
         raise ValueError(
@@ -343,26 +358,70 @@ def append_to_index(
     if meta.extra.get("bm25"):
         _write_bm25(passages, base, mode="append")
 
+    old_count = meta.passage_count
     meta.passage_count += added
     save_meta(warehouse, name, meta)
     if meta.backend == "ivf" and not meta.is_pruned:
         # keep the ANN artifact coherent with the appended rows — the
-        # IVF layout is a derived table, so re-derive it (the reference
-        # has the same obligation, src/backend/hnsw.rs:142-191 add path;
-        # DiskANN simply refuses updates, src/backend/mod.rs:81-100)
+        # IVF layout is a derived table (the reference has the same
+        # obligation, src/backend/hnsw.rs:142-191 add path; DiskANN
+        # simply refuses updates, src/backend/mod.rs:81-100)
         pq_m = meta.extra.get("pq_m")
-        meta = build_ivf_index(
-            spark, warehouse, name,
-            n_centroids=int(meta.extra.get("ivf_centroids", 16)),
-            # legacy metas (pre-policy) were built with take_centroids;
-            # defaulting them to kmeans would silently swap the codebook
-            # (and newly require MLlib) on the first append
-            centroids=meta.extra.get("ivf_policy", "take"),
-            seed=int(meta.extra.get("ivf_seed", 42)),
-            # a pq-enabled index re-derives its codes too (same m/k)
-            pq_m=int(pq_m) if pq_m is not None else None,
-            pq_k=int(meta.extra.get("pq_k", 16)),
-        )
+        if ivf_append == "incremental":
+            # frozen-codebook fast path (FAISS add_with_ids semantics):
+            # assign ONLY the appended rows to the EXISTING centroids
+            # and append into the partitioned layout — cost ∝ batch
+            # size, not corpus size, which is the only append that
+            # works on a 100 TB index. Centroids and PQ codebook are
+            # frozen at build time; for policy="take" this is exactly
+            # the rebuild result (first-n rows are append-invariant),
+            # for "kmeans" the codebook simply does not drift with the
+            # batch — pass ivf_append="rebuild" to re-learn it.
+            from leann_rs_spark.operators.ann import ivf_assign
+
+            cents = spark.read.parquet(f"{base}/ivf_centroids")
+            new_emb = spark.read.parquet(f"{base}/embeddings").filter(
+                F.col("idx") >= old_count
+            )
+            assigned = ivf_assign(new_emb, cents, id_col="idx")
+            if pq_m is not None:
+                from leann_rs_spark.operators.pq import (
+                    codebook_from_rows,
+                    pq_bits,
+                    pq_encode_col,
+                    pq_pack_col,
+                )
+
+                cb = codebook_from_rows(
+                    spark.read.parquet(f"{base}/pq_codebook").collect()
+                )
+                bits = pq_bits(int(meta.extra.get("pq_k", 16)))
+                assigned = assigned.withColumn(
+                    "code",
+                    pq_pack_col(
+                        pq_encode_col(F.col("embedding"), cb),
+                        int(pq_m),
+                        bits,
+                    ),
+                )
+            n_centroids = int(meta.extra.get("ivf_centroids", 16))
+            assigned.repartition(n_centroids, "cluster_id").write.mode(
+                "append"
+            ).partitionBy("cluster_id").parquet(f"{base}/ivf")
+        else:
+            meta = build_ivf_index(
+                spark, warehouse, name,
+                n_centroids=int(meta.extra.get("ivf_centroids", 16)),
+                # legacy metas (pre-policy) were built with
+                # take_centroids; defaulting them to kmeans would
+                # silently swap the codebook (and newly require MLlib)
+                # on the first append
+                centroids=meta.extra.get("ivf_policy", "take"),
+                seed=int(meta.extra.get("ivf_seed", 42)),
+                # a pq-enabled index re-derives its codes too (same m/k)
+                pq_m=int(pq_m) if pq_m is not None else None,
+                pq_k=int(meta.extra.get("pq_k", 16)),
+            )
     return meta
 
 

@@ -596,3 +596,55 @@ def test_prune_clears_pq_artifacts(spark, docs, warehouse):
         catalog.search_ivf_index(
             spark, warehouse, "prunepq", "alpha", k=2, use_pq=True
         )
+
+
+def test_ivf_incremental_append_equals_rebuild(spark, docs, warehouse):
+    """Frozen-codebook incremental append must reproduce the rebuild
+    result EXACTLY under the take policy (first-n centroids and
+    deterministic PQ slices are append-invariant): same rows, same
+    cluster assignments, same packed codes — and O(batch) instead of
+    O(corpus)."""
+    first = docs.filter(F.col("doc_id") < 20)
+    more = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    for name in ("ivfinc", "ivfreb"):
+        catalog.build_index(
+            spark, warehouse, name, first, chunk_size=16,
+            chunk_overlap=4, dims=32, with_bm25=False,
+        )
+        catalog.build_ivf_index(
+            spark, warehouse, name, n_centroids=4, centroids="take",
+            pq_m=8, pq_k=4,
+        )
+    catalog.append_to_index(
+        spark, warehouse, "ivfinc", more, ivf_append="incremental"
+    )
+    catalog.append_to_index(
+        spark, warehouse, "ivfreb", more, ivf_append="rebuild"
+    )
+    cols = ["idx", "cluster_id", "code"]
+    inc = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{warehouse}/ivfinc/ivf").select(cols).collect()
+    )
+    reb = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{warehouse}/ivfreb/ivf").select(cols).collect()
+    )
+    assert inc == reb and len(inc) > 0
+    # the searches agree too (same artifact ⇒ same plan inputs)
+    a = catalog.search_ivf_index(
+        spark, warehouse, "ivfinc", "alpha beta", k=5, nprobe=2
+    ).collect()
+    b = catalog.search_ivf_index(
+        spark, warehouse, "ivfreb", "alpha beta", k=5, nprobe=2
+    ).collect()
+    assert [(r["idx"], r["score"]) for r in a] == [
+        (r["idx"], r["score"]) for r in b
+    ]
+
+
+def test_ivf_append_unknown_mode_refused(spark, docs, warehouse, ivf_built):
+    with pytest.raises(ValueError, match="ivf_append"):
+        catalog.append_to_index(
+            spark, warehouse, "ivfidx", docs.limit(1), ivf_append="nope"
+        )
