@@ -826,6 +826,49 @@ def build_ivf_index(
     return meta
 
 
+def compact_ivf_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+) -> int:
+    """Rewrite the IVF layout so each cluster directory holds one file
+    — the maintenance pass that pairs with incremental append (every
+    `append_to_index` adds up to one file per touched cluster, and
+    after N appends a probe reads N small files per cluster instead of
+    one row-group-pruned scan; the Delta OPTIMIZE / FAISS index-merge
+    analog). Row set, schema, and search results are unchanged —
+    pinned by tests.
+
+    Writes to a sibling directory and swaps, so a crash mid-compact
+    leaves the live layout intact. Returns the number of files before
+    compaction."""
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    if meta.backend != "ivf":
+        raise ValueError(
+            f"index {name!r} has no IVF layout (backend={meta.backend})"
+        )
+    ivf_dir = f"{base}/ivf"
+    n_files = sum(
+        1
+        for root, _, files in os.walk(ivf_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_centroids = int(meta.extra.get("ivf_centroids", 16))
+    tmp = f"{base}/ivf__compacting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed compact
+    spark.read.parquet(ivf_dir).repartition(
+        n_centroids, "cluster_id"
+    ).write.partitionBy("cluster_id").parquet(tmp)
+    old = f"{base}/ivf__old"
+    os.rename(ivf_dir, old)
+    os.rename(tmp, ivf_dir)
+    shutil.rmtree(old)
+    return n_files
+
+
 def search_ivf_index(
     spark: SparkSession,
     warehouse: str,

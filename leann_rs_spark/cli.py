@@ -146,6 +146,8 @@ def cmd_update(args) -> int:
     meta = append_to_index(
         spark, args.warehouse, args.name, _load_docs(spark, args.docs),
         provider=provider,
+        ivf_append="rebuild" if getattr(args, "ivf_rebuild", False)
+        else "incremental",
     )
     print(f"Updated index '{args.name}': {meta.passage_count} passages")
     return 0
@@ -399,6 +401,22 @@ def cmd_prune(args) -> int:
     meta = prune_index(args.warehouse, args.name)
     print(f"Pruned index '{args.name}' (search now recomputes embeddings); "
           f"passages kept: {meta.passage_count}")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from leann_rs_spark.catalog import compact_ivf_index
+
+    spark = _spark(args)
+    try:
+        n = compact_ivf_index(spark, args.warehouse, args.name)
+    except ValueError as exc:
+        print(f"compact: {exc}", file=sys.stderr)
+        return 1
+    print(
+        f"Compacted IVF layout of '{args.name}' "
+        f"({n} files before, one per cluster now)"
+    )
     return 0
 
 
@@ -845,6 +863,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(u, docs=True)
     u.add_argument("--embedding-base-url", default=None, dest="embedding_base_url")
     u.add_argument("--api-key", default=None, dest="api_key")
+    u.add_argument(
+        "--ivf-rebuild", action="store_true", dest="ivf_rebuild",
+        help="re-derive the whole IVF layout (re-learns a kmeans "
+             "codebook) instead of the O(batch) frozen-codebook append",
+    )
     u.set_defaults(fn=cmd_update)
 
     s = sub.add_parser("search", help="Search documents in an index")
@@ -911,6 +934,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("prune", help="Prune embeddings (recompute mode)")
     common(pr)
     pr.set_defaults(fn=cmd_prune)
+
+    cpx = sub.add_parser(
+        "compact",
+        help="Compact the IVF layout to one file per cluster "
+             "(after incremental updates)",
+    )
+    common(cpx)
+    cpx.set_defaults(fn=cmd_compact)
 
     cf = sub.add_parser("config", help="Manage configuration")
     cf.add_argument("action", choices=["show", "init", "path"])

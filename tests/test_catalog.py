@@ -648,3 +648,57 @@ def test_ivf_append_unknown_mode_refused(spark, docs, warehouse, ivf_built):
         catalog.append_to_index(
             spark, warehouse, "ivfidx", docs.limit(1), ivf_append="nope"
         )
+
+
+def test_compact_ivf_after_appends(spark, docs, warehouse):
+    """Incremental appends accumulate one file per touched cluster per
+    batch; compact rewrites to one file per cluster with the row set,
+    codes, and search results unchanged."""
+    import os
+
+    catalog.build_index(
+        spark, warehouse, "cmp", docs.filter(F.col("doc_id") < 10),
+        chunk_size=16, chunk_overlap=4, dims=32, with_bm25=False,
+    )
+    catalog.build_ivf_index(
+        spark, warehouse, "cmp", n_centroids=2, centroids="take",
+        pq_m=8, pq_k=4,
+    )
+    for lo, hi in ((10, 20), (20, 30)):
+        catalog.append_to_index(
+            spark, warehouse, "cmp",
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+        )
+    ivf_dir = f"{warehouse}/cmp/ivf"
+    rows_before = sorted(
+        tuple(r) for r in spark.read.parquet(ivf_dir)
+        .select("idx", "cluster_id", "code").collect()
+    )
+    hits_before = [
+        (r["idx"], r["score"]) for r in catalog.search_ivf_index(
+            spark, warehouse, "cmp", "alpha beta", k=5, nprobe=2
+        ).collect()
+    ]
+    n_before = catalog.compact_ivf_index(spark, warehouse, "cmp")
+    assert n_before > 2  # the appends really did fragment the layout
+    for d in os.listdir(ivf_dir):
+        if d.startswith("cluster_id="):
+            files = [f for f in os.listdir(f"{ivf_dir}/{d}")
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    rows_after = sorted(
+        tuple(r) for r in spark.read.parquet(ivf_dir)
+        .select("idx", "cluster_id", "code").collect()
+    )
+    assert rows_after == rows_before
+    hits_after = [
+        (r["idx"], r["score"]) for r in catalog.search_ivf_index(
+            spark, warehouse, "cmp", "alpha beta", k=5, nprobe=2
+        ).collect()
+    ]
+    assert hits_after == hits_before
+
+
+def test_compact_refuses_non_ivf(spark, docs, warehouse, built):
+    with pytest.raises(ValueError, match="no IVF layout"):
+        catalog.compact_ivf_index(spark, warehouse, "main")

@@ -73,6 +73,10 @@ def test_cli_list_update_prune_remove(warehouse, capsys):
                  "--docs", f"{SF_SMOKE}/documents.parquet"]) == 0
     assert "passages" in capsys.readouterr().out
 
+    # compact refuses on a non-IVF index (error surfaced, not a crash)
+    assert main(["compact", "idx", "--warehouse", warehouse]) != 0
+    capsys.readouterr()
+
     assert main(["prune", "idx", "--warehouse", warehouse]) == 0
     capsys.readouterr()
     # search still works after prune (recompute plan, S14/Q3)
