@@ -107,6 +107,14 @@ def main() -> None:
         # semi-join; keywords is one tf shuffle + doc-sized windows
         "x_lm_ref_score", "x_budget_select", "x_media_phash_dups",
         "x_decontaminate_spans", "x_tfidf_keywords",
+        # session-6 families: resample spine grows with entities (10×
+        # users, same per-user horizon — flat per entity); funnel is k
+        # co-partitioned aggregations (event-proportional); retrieval
+        # eval joins run×qrels (corpus-proportional via the ranking
+        # scan); the source matrix rides the minhash candidate set
+        # (pair-proportional, like x_dedup_minhash)
+        "x_resample_ffill", "x_funnel", "x_retrieval_eval",
+        "x_dup_source_matrix",
     ]
     results: dict[str, dict] = {}
     for name in names:
@@ -129,12 +137,48 @@ def main() -> None:
     results["asof_skew"] = asof_skew_check(spark, args)
     spark.catalog.clearCache()
     results["ivf_codebook_balance"] = ivf_balance_check(spark, args)
+    spark.catalog.clearCache()
+    results["ivf_append_modes"] = ivf_append_modes_check(spark, args)
     # measurement conditions: shared-host load keeps masquerading as
     # plan regressions (bench.py records the same field)
     results["load_avg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
     results["ncpus"] = os.cpu_count()
     print(json.dumps(results))
     spark.stop()
+
+
+def ivf_append_modes_check(spark, args) -> dict:
+    """Incremental IVF append must cost O(batch), rebuild O(corpus):
+    append the same 1/10 batch to identical 9/10-corpus IVF-PQ indexes
+    in both modes and record wall time. Both runs pay the batch's
+    chunk+embed; only the layout derivation differs — the gap IS the
+    frozen-codebook saving."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark import catalog
+
+    docs = spark.read.parquet(f"{args.base}/documents.parquet")
+    first = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    out: dict[str, float] = {}
+    for mode in ("incremental", "rebuild"):
+        wh = tempfile.mkdtemp(prefix=f"leann-scale-ivfapp-{mode}-")
+        catalog.build_index(
+            spark, wh, "s", first, chunk_size=64, chunk_overlap=8,
+            dims=32, with_bm25=False,
+        )
+        catalog.build_ivf_index(
+            spark, wh, "s", n_centroids=32, centroids="take",
+            pq_m=8, pq_k=16,
+        )
+        t0 = _time.perf_counter()
+        catalog.append_to_index(spark, wh, "s", batch, ivf_append=mode)
+        out[mode] = round(_time.perf_counter() - t0, 2)
+        print(f"# ivf_append {mode}: {out[mode]}s", file=sys.stderr)
+    return out
 
 
 def curation_stage_timings(spark, args) -> dict:
