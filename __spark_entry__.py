@@ -1231,6 +1231,64 @@ def x_append_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25APP_K = 10
+
+
+def x_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 for the LEXICAL artifact: build a BM25-enabled index on the
+    even-doc half, append the odd half (postings/docstats written with
+    mode=append; term df counts are NOT incrementally mergeable so
+    they are rebuilt from the bucket-pruned postings at read time —
+    catalog._write_bm25's documented invariant), then score the
+    persisted postings through the same bucket-pruned read path the
+    hybrid searcher uses. Oracle = BM25 over the golden chunk table
+    from scratch, with the append's dense-id numbering reproduced.
+    Closes the write-path consistency matrix: exact
+    (x_append_consistency) ✓ IVF (x_ivf_append) ✓ BM25 ✓."""
+    import tempfile
+
+    from leann_rs_spark.catalog import (
+        append_to_index,
+        build_index,
+        py_term_bucket,
+    )
+    from leann_rs_spark.operators.bm25 import score_query, tokenize_py
+
+    wh = tempfile.mkdtemp(prefix="leann-bm25append-gate-")
+    docs = _docs(spark, sf_dir)
+    build_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
+        strategy="simple", chunk_size=16, chunk_overlap=4,
+        dims=_EMBED_DIMS, with_bm25=True,
+    )
+    append_to_index(spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 1))
+    base = f"{wh}/g"
+    qbuckets = sorted({py_term_bucket(t) for t in tokenize_py(_APPEND_QUERY)})
+    postings = spark.read.parquet(f"{base}/bm25_postings").filter(
+        F.col("term_bucket").isin(qbuckets)
+    )
+    docstats = spark.read.parquet(f"{base}/bm25_docstats")
+    termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = score_query(
+        postings, docstats, termstats, _APPEND_QUERY, id_col="idx"
+    )
+    top = (
+        scored.filter(F.col("score") > 0.0)
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("idx").asc())
+        .limit(_BM25APP_K)
+    )
+    passages = spark.read.parquet(f"{base}/passages")
+    return (
+        F.broadcast(top)
+        .join(passages, "idx")
+        .select(
+            "idx", "doc_id", "text",
+            (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+        )
+        .orderBy(F.col("score_r").desc(), F.col("idx").asc())
+    )
+
+
 _IVFAPP_C = 8
 _IVFAPP_NPROBE = 3
 _IVFAPP_K = 10
@@ -4223,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_resample_ffill": x_resample_ffill,
         "x_retrieval_eval": x_retrieval_eval,
         "x_ivf_append": x_ivf_append,
+        "x_bm25_append": x_bm25_append,
         "x_dup_source_matrix": x_dup_source_matrix,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
@@ -4445,6 +4504,29 @@ def _register_chunker_golden_oracles() -> None:
                    round(h.score, 6) + 0.0 AS score_r
             FROM hits h JOIN documents d USING (doc_id)
             ORDER BY score_r DESC, idx ASC
+        """
+
+        # x_bm25_append oracle = from-scratch BM25 over the golden
+        # chunk table with the same append dense-id numbering
+        from leann_rs_spark.operators.bm25 import (
+            duckdb_bm25_scored as _dbs,
+        )
+
+        _ORACLES["x_bm25_append"] = f"""
+            WITH gnum AS (
+                SELECT row_number() OVER (
+                           ORDER BY (doc_id % 2), doc_id, chunk_index
+                       ) - 1 AS cid,
+                       doc_id, text
+                FROM read_parquet('{t1}')
+            ),
+            sc AS ({_dbs(_APPEND_QUERY, table="gnum", id_col="cid")})
+            SELECT s.cid AS idx, g.doc_id, g.text,
+                   round(s.score, 6) + 0.0 AS score_r
+            FROM sc s JOIN gnum g USING (cid)
+            WHERE s.score > 0.0
+            ORDER BY score_r DESC, idx ASC
+            LIMIT {_BM25APP_K}
         """
 
         # q15 oracle = the whole §3.1 step-5 pipeline in SQL over the
