@@ -1337,6 +1337,62 @@ def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
 
 
+def x_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingestion driving the catalog write path: the odd-doc
+    half arrives as a file-source STREAM and lands in the even-half IVF
+    index via foreachBatch → append_to_index(ivf_append="incremental")
+    — each micro-batch pays O(batch) (frozen centroids, partitioned
+    append), which is what makes a standing ingest query viable against
+    a 100 TB index. Input is one file + Trigger.AvailableNow ⇒ exactly
+    one batch, so the dense-id numbering matches the one-shot append
+    and this gate shares x_ivf_append's oracle verbatim: stream-ingest
+    ≡ batch-append ≡ from-scratch rebuild."""
+    import tempfile
+
+    from leann_rs_spark.catalog import (
+        append_to_index,
+        build_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    wh = tempfile.mkdtemp(prefix="leann-streamivf-gate-")
+    docs = _docs(spark, sf_dir)
+    build_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
+        strategy="simple", chunk_size=16, chunk_overlap=4,
+        dims=_EMBED_DIMS, with_bm25=False,
+    )
+    build_ivf_index(
+        spark, wh, "g", n_centroids=_IVFAPP_C, centroids="take"
+    )
+    d = tempfile.mkdtemp(prefix="leann-streamivf-in-")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        f"{d}/in"
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(f"{d}/in")
+
+    def _ingest(batch_df, batch_id) -> None:
+        append_to_index(spark, wh, "g", batch_df, ivf_append="incremental")
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{d}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drained = q.awaitTermination(600)
+    if not drained:
+        raise RuntimeError("ingest stream did not drain")
+    out = search_ivf_index(
+        spark, wh, "g", _APPEND_QUERY, k=_IVFAPP_K, nprobe=_IVFAPP_NPROBE
+    )
+    return out.select(
+        "idx", "doc_id", "source", "text",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
+
+
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (training-batch assembly): sharded
     deterministic order + windowed cumulative tokens → pack ids. One
@@ -4282,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_retrieval_eval": x_retrieval_eval,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
+        "x_stream_ivf_ingest": x_stream_ivf_ingest,
         "x_dup_source_matrix": x_dup_source_matrix,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
@@ -4505,6 +4562,10 @@ def _register_chunker_golden_oracles() -> None:
             FROM hits h JOIN documents d USING (doc_id)
             ORDER BY score_r DESC, idx ASC
         """
+        # stream-ingest ≡ batch-append ≡ rebuild: single-batch
+        # AvailableNow preserves the dense-id numbering, so the
+        # streaming gate shares the oracle verbatim
+        _ORACLES["x_stream_ivf_ingest"] = _ORACLES["x_ivf_append"]
 
         # x_bm25_append oracle = from-scratch BM25 over the golden
         # chunk table with the same append dense-id numbering
