@@ -822,8 +822,67 @@ def build_ivf_index(
     meta.extra["ivf_centroids"] = n_centroids
     meta.extra["ivf_policy"] = centroids
     meta.extra["ivf_seed"] = seed
+    # the layout's birth size: ivf_drift_report splits occupancy into
+    # built-mass (idx < this) vs appended-mass (idx >= this)
+    meta.extra["ivf_built_count"] = meta.passage_count
     save_meta(warehouse, name, meta)
     return meta
+
+
+def ivf_drift_report(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+) -> DataFrame:
+    """Monitoring for the frozen-codebook append path: per-cluster
+    occupancy split into rows present when the layout was derived
+    (idx < ivf_built_count) vs rows appended since. `drift_ratio` =
+    appended_share / built_share per cluster — a cluster absorbing
+    far more than its built share means the incoming distribution has
+    moved off the frozen centroids, probe recall degrades there, and
+    the index is due an `ivf_append="rebuild"` (which re-learns a
+    kmeans codebook). One groupBy over the layout; the report is
+    C rows — read it with `.collect()`, it is tiny by construction.
+
+    → (cluster_id, n_built, n_appended, built_share, appended_share,
+    drift_ratio) — shares are of their own era's total; drift_ratio is
+    NULL for clusters with no built mass (new-territory clusters, the
+    strongest rebuild signal of all)."""
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    if meta.backend != "ivf":
+        raise ValueError(
+            f"index {name!r} has no IVF layout (backend={meta.backend})"
+        )
+    built = int(meta.extra.get("ivf_built_count", meta.passage_count))
+    ivf = spark.read.parquet(f"{base}/ivf")
+    per = ivf.groupBy("cluster_id").agg(
+        F.count(F.when(F.col("idx") < built, 1)).alias("n_built"),
+        F.count(F.when(F.col("idx") >= built, 1)).alias("n_appended"),
+    )
+    tot = per.agg(
+        F.sum("n_built").alias("__tb"), F.sum("n_appended").alias("__ta")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            "n_built",
+            "n_appended",
+            (F.col("n_built") / F.greatest("__tb", F.lit(1))).alias(
+                "built_share"
+            ),
+            (F.col("n_appended") / F.greatest("__ta", F.lit(1))).alias(
+                "appended_share"
+            ),
+            F.when(
+                F.col("n_built") > 0,
+                (F.col("n_appended") / F.greatest("__ta", F.lit(1)))
+                / (F.col("n_built") / F.greatest("__tb", F.lit(1))),
+            ).alias("drift_ratio"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 def compact_ivf_index(

@@ -702,3 +702,37 @@ def test_compact_ivf_after_appends(spark, docs, warehouse):
 def test_compact_refuses_non_ivf(spark, docs, warehouse, built):
     with pytest.raises(ValueError, match="no IVF layout"):
         catalog.compact_ivf_index(spark, warehouse, "main")
+
+
+def test_ivf_drift_report(spark, docs, warehouse):
+    """After an incremental append, the drift report splits occupancy
+    into built vs appended mass; shares sum to 1 within each era and
+    the totals reconcile with the layout."""
+    catalog.build_index(
+        spark, warehouse, "drift", docs.filter(F.col("doc_id") < 15),
+        chunk_size=16, chunk_overlap=4, dims=32, with_bm25=False,
+    )
+    catalog.build_ivf_index(
+        spark, warehouse, "drift", n_centroids=4, centroids="take"
+    )
+    catalog.append_to_index(
+        spark, warehouse, "drift",
+        docs.filter((F.col("doc_id") >= 15) & (F.col("doc_id") < 30)),
+        ivf_append="incremental",
+    )
+    rep = catalog.ivf_drift_report(spark, warehouse, "drift").collect()
+    meta = catalog.load_meta(warehouse, "drift")
+    built = meta.extra["ivf_built_count"]
+    assert sum(r["n_built"] for r in rep) == built
+    assert sum(r["n_appended"] for r in rep) == meta.passage_count - built
+    assert meta.passage_count > built > 0
+    assert abs(sum(r["built_share"] for r in rep) - 1.0) < 1e-9
+    assert abs(sum(r["appended_share"] for r in rep) - 1.0) < 1e-9
+    for r in rep:
+        if r["n_built"] > 0:
+            assert r["drift_ratio"] is not None and r["drift_ratio"] >= 0
+
+
+def test_ivf_drift_report_refuses_non_ivf(spark, docs, warehouse, built):
+    with pytest.raises(ValueError, match="no IVF layout"):
+        catalog.ivf_drift_report(spark, warehouse, "main")

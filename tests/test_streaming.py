@@ -260,3 +260,70 @@ def test_stream_stream_join_respects_interval_bounds(spark, tmp_path):
     _drain(stream_stream_interval_join(spark, lp, rp, outp, ckpt))
     rows = spark.read.parquet(outp).collect()
     assert [(r["left_id"], r["right_id"]) for r in rows] == [(1, 101)]
+
+
+def test_multibatch_ivf_ingest_matches_batch_append(spark, tmp_path):
+    """Incremental IVF append composes across micro-batches: 3 files
+    fed one-per-trigger through foreachBatch append must yield the
+    same SEARCH results (doc_id, text, score) as one batch append of
+    all docs — ids may be assigned in a different order across
+    batches, scores and hit sets may not differ."""
+    from leann_rs_spark import catalog
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    first = docs.filter(F.col("doc_id") < 10)
+    rest = docs.filter(F.col("doc_id") >= 10)
+
+    whs = {m: str(tmp_path / f"wh_{m}") for m in ("stream", "batch")}
+    for wh in whs.values():
+        catalog.build_index(
+            spark, wh, "g", first, chunk_size=16, chunk_overlap=4,
+            dims=32, with_bm25=False,
+        )
+        catalog.build_ivf_index(
+            spark, wh, "g", n_centroids=4, centroids="take"
+        )
+    catalog.append_to_index(
+        spark, whs["batch"], "g", rest, ivf_append="incremental"
+    )
+
+    ind = str(tmp_path / "in")
+    for lo, hi in ((10, 20), (20, 30), (30, 40)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ind)
+    )
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.count() > 0:
+            catalog.append_to_index(
+                spark, whs["stream"], "g", batch_df,
+                ivf_append="incremental",
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    def hits(wh):
+        return sorted(
+            (r["doc_id"], r["text"], round(r["score"], 9))
+            for r in catalog.search_ivf_index(
+                spark, wh, "g", "alpha beta", k=5, nprobe=4
+            ).collect()
+        )
+
+    assert hits(whs["stream"]) == hits(whs["batch"])
+    m_s = catalog.load_meta(whs["stream"], "g")
+    m_b = catalog.load_meta(whs["batch"], "g")
+    assert m_s.passage_count == m_b.passage_count
