@@ -1337,6 +1337,47 @@ def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
 
 
+def x_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction invariance through the driver: build even half,
+    incremental-append the odd half (fragmenting the layout — one file
+    per touched cluster per batch), COMPACT to one file per cluster,
+    then search. Shares x_ivf_append's from-scratch oracle verbatim:
+    the maintenance pass must be invisible to results while collapsing
+    the small-file read amplification incremental appends accumulate."""
+    import tempfile
+
+    from leann_rs_spark.catalog import (
+        append_to_index,
+        build_index,
+        build_ivf_index,
+        compact_ivf_index,
+        search_ivf_index,
+    )
+
+    wh = tempfile.mkdtemp(prefix="leann-ivfcompact-gate-")
+    docs = _docs(spark, sf_dir)
+    build_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
+        strategy="simple", chunk_size=16, chunk_overlap=4,
+        dims=_EMBED_DIMS, with_bm25=False,
+    )
+    build_ivf_index(
+        spark, wh, "g", n_centroids=_IVFAPP_C, centroids="take"
+    )
+    append_to_index(
+        spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 1),
+        ivf_append="incremental",
+    )
+    compact_ivf_index(spark, wh, "g")
+    out = search_ivf_index(
+        spark, wh, "g", _APPEND_QUERY, k=_IVFAPP_K, nprobe=_IVFAPP_NPROBE
+    )
+    return out.select(
+        "idx", "doc_id", "source", "text",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
+
+
 def x_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous ingestion driving the catalog write path: the odd-doc
     half arrives as a file-source STREAM and lands in the even-half IVF
@@ -2868,6 +2909,27 @@ def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "bucket_ts")
 
 
+def x_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resample with LINEAR interpolation: empty buckets
+    between two observations get the straight-line value, trailing
+    buckets carry forward. Same one-raw-log-aggregation shape as the
+    ffill form; the backward/forward window pair shares one Exchange +
+    one Sort. Interpolated values are arithmetic → multiply-first 6-dp
+    rounding (observed buckets are raw selections)."""
+    from leann_rs_spark.operators.features import resample_interpolate
+
+    out = resample_interpolate(read_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        (F.round(F.col("value") * 1e6) / F.lit(1e6) + F.lit(0.0)).alias(
+            "value_r"
+        ),
+        "n_obs",
+        "filled",
+    ).orderBy("user_id", "bucket_ts")
+
+
 _EVAL_K = 10
 _EVAL_NQ = 20
 
@@ -4099,6 +4161,16 @@ def _register_r4c_oracles() -> None:
         ORDER BY user_id, bucket_ts
     """
 
+    from leann_rs_spark.operators.features import duckdb_resample_interpolate
+
+    _ORACLES["x_resample_interp"] = f"""
+        SELECT user_id, bucket_ts,
+               round(value * 1e6) / 1e6 + 0.0 AS value_r,
+               n_obs, filled
+        FROM ({duckdb_resample_interpolate('events')})
+        ORDER BY user_id, bucket_ts
+    """
+
     from leann_rs_spark.operators.retrieval_eval import duckdb_eval_rankings
 
     _eval_rankings_sql = f"""
@@ -4335,10 +4407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_retention_cohorts": x_retention_cohorts,
         "x_event_transitions": x_event_transitions,
         "x_resample_ffill": x_resample_ffill,
+        "x_resample_interp": x_resample_interp,
         "x_retrieval_eval": x_retrieval_eval,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,
+        "x_ivf_compact": x_ivf_compact,
         "x_dup_source_matrix": x_dup_source_matrix,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
@@ -4566,6 +4640,8 @@ def _register_chunker_golden_oracles() -> None:
         # AvailableNow preserves the dense-id numbering, so the
         # streaming gate shares the oracle verbatim
         _ORACLES["x_stream_ivf_ingest"] = _ORACLES["x_ivf_append"]
+        # compaction must be invisible to results — same oracle again
+        _ORACLES["x_ivf_compact"] = _ORACLES["x_ivf_append"]
 
         # x_bm25_append oracle = from-scratch BM25 over the golden
         # chunk table with the same append dense-id numbering

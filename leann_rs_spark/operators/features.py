@@ -248,6 +248,150 @@ def resample_ffill(
     )
 
 
+def resample_interpolate(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Fixed-grid resample with LINEAR interpolation (pandas
+    `resample().interpolate()`): empty buckets between two
+    observations get the straight-line value
+    prev + (next − prev) · (b − prev_b)/(next_b − prev_b); buckets
+    after the last observation carry it forward. Same single
+    raw-log aggregation + per-entity sequence() spine as
+    `resample_ffill`; the gap bridging adds one backward-looking
+    window pair over the SAME (entity, bucket) spec — Catalyst plans
+    the forward and backward frames over one Exchange + one Sort.
+
+    Cross-engine exactness: the interpolation formula is evaluated
+    with the IDENTICAL expression shape in the DuckDB twin — equal
+    operands, equal parenthesization, bit-identical doubles; observed
+    buckets return the raw value unchanged (selection, no
+    arithmetic). → (entity, bucket_ts, value, n_obs, filled)."""
+    step = int(bucket_seconds)
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast(
+        "bigint"
+    )
+    obs = (
+        events.withColumn("__b", b)
+        .groupBy(entity_col, "__b")
+        .agg(
+            F.max_by(
+                value_col, F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("__v_obs"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    rng = obs.groupBy(entity_col).agg(
+        F.min("__b").alias("__b0"), F.max("__b").alias("__b1")
+    )
+    spine = rng.select(
+        entity_col,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"), F.lit(step))
+        ).alias("__b"),
+    )
+    joined = spine.join(obs, [entity_col, "__b"], "left")
+    back = (
+        Window.partitionBy(entity_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(entity_col)
+        .orderBy("__b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("__v_obs").isNotNull(), F.col("__b"))
+    staged = joined.select(
+        entity_col,
+        "__b",
+        "__v_obs",
+        "n_obs",
+        F.last("__v_obs", ignorenulls=True).over(back).alias("__pv"),
+        F.last(ob, ignorenulls=True).over(back).alias("__pb"),
+        F.first("__v_obs", ignorenulls=True).over(fwd).alias("__nv"),
+        F.first(ob, ignorenulls=True).over(fwd).alias("__nb"),
+    )
+    interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+        (F.col("__b") - F.col("__pb"))
+        / (F.col("__nb") - F.col("__pb"))
+    )
+    return staged.select(
+        entity_col,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_ts"),
+        F.when(F.col("__v_obs").isNotNull(), F.col("__v_obs"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .otherwise(interp)
+        .alias(value_col),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        F.col("__v_obs").isNull().alias("filled"),
+    )
+
+
+def duckdb_resample_interpolate(
+    events: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket_seconds: int = 21600,
+) -> str:
+    """DuckDB twin — identical spine, identical forward/backward
+    windows, the IDENTICAL interpolation expression shape."""
+    step = int(bucket_seconds)
+    over_b = (
+        f"PARTITION BY s.{entity_col} ORDER BY s.b "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    over_f = (
+        f"PARTITION BY s.{entity_col} ORDER BY s.b "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    )
+    return f"""
+        WITH obs AS (
+            SELECT {entity_col},
+                   CAST(floor(epoch({ts_col}) / {step}) * {step} AS BIGINT) AS b,
+                   last({value_col} ORDER BY {ts_col}, {id_col}) AS v_obs,
+                   count(*) AS n_obs
+            FROM {events}
+            GROUP BY 1, 2
+        ),
+        rng AS (
+            SELECT {entity_col}, min(b) AS b0, max(b) AS b1
+            FROM obs GROUP BY 1
+        ),
+        spine AS (
+            SELECT {entity_col},
+                   unnest(generate_series(b0, b1, {step})) AS b
+            FROM rng
+        ),
+        staged AS (
+            SELECT s.{entity_col}, s.b, o.v_obs, o.n_obs,
+                   last_value(o.v_obs IGNORE NULLS) OVER ({over_b}) AS pv,
+                   last_value(CASE WHEN o.v_obs IS NOT NULL THEN s.b END
+                              IGNORE NULLS) OVER ({over_b}) AS pb,
+                   first_value(o.v_obs IGNORE NULLS) OVER ({over_f}) AS nv,
+                   first_value(CASE WHEN o.v_obs IS NOT NULL THEN s.b END
+                               IGNORE NULLS) OVER ({over_f}) AS nb
+            FROM spine s
+            LEFT JOIN obs o ON s.{entity_col} = o.{entity_col} AND s.b = o.b
+        )
+        SELECT {entity_col},
+               CAST(to_timestamp(b) AS TIMESTAMP) AS bucket_ts,
+               CASE WHEN v_obs IS NOT NULL THEN v_obs
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * ((b - pb) / (nb - pb))
+               END AS {value_col},
+               coalesce(n_obs, 0) AS n_obs,
+               (v_obs IS NULL) AS filled
+        FROM staged
+    """
+
+
 def duckdb_resample_ffill(
     events: str = "events",
     entity_col: str = "user_id",

@@ -94,3 +94,39 @@ class TestResampleFfill:
         counts = {r["user_id"]: r["n"] for r in out.groupBy("user_id")
                   .agg(F.count("*").alias("n")).collect()}
         assert counts == {1: 5, 2: 1}  # user 1: 00:00→24:00 = 5 buckets
+
+
+class TestResampleInterpolate:
+    def test_linear_bridge_and_trailing_carry(self, spark):
+        from leann_rs_spark.operators.features import resample_interpolate
+
+        ev = _ev(spark, [
+            (1, "2024-01-01 00:00:00", 1, 10.0),
+            # two empty buckets then an observation at 18:00
+            (2, "2024-01-01 18:00:00", 1, 40.0),
+        ])
+        out = resample_interpolate(ev, bucket_seconds=21600).orderBy(
+            "bucket_ts"
+        ).collect()
+        assert [r["value"] for r in out] == [10.0, 20.0, 30.0, 40.0]
+        assert [r["filled"] for r in out] == [False, True, True, False]
+
+    def test_observed_values_untouched_and_carry_after_last(self, spark):
+        from leann_rs_spark.operators.features import resample_interpolate
+
+        ev = _ev(spark, [
+            (1, "2024-01-01 00:00:00", 1, 7.25),
+            (2, "2024-01-01 06:30:00", 1, 9.5),
+            # one empty bucket, then two events in the 18:00 bucket
+            (3, "2024-01-01 18:01:00", 1, 1.0),
+            (4, "2024-01-01 18:02:00", 1, 2.0),
+        ])
+        out = {r["bucket_ts"].hour: r for r in resample_interpolate(
+            ev, bucket_seconds=21600
+        ).collect()}
+        assert out[0]["value"] == 7.25 and not out[0]["filled"]
+        assert out[6]["value"] == 9.5 and out[6]["n_obs"] == 1
+        # 12:00 bridges 9.5 -> 2.0 (last obs in the 18:00 bucket):
+        # fraction (12-6)/(18-6) = 0.5
+        assert abs(out[12]["value"] - (9.5 + (2.0 - 9.5) * 0.5)) < 1e-12
+        assert out[18]["value"] == 2.0  # last-in-bucket selection
