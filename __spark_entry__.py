@@ -1337,6 +1337,41 @@ def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
 
 
+def x_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over plain parquet (sources/warehouse.upsert_parquet):
+    re-crawled docs (doc_id % 4 == 0, '[v2] ' texts) replace their base
+    rows, brand-new docs (% 4 == 1) insert, untouched rows (% 4 == 2)
+    survive byte-identical. One left-anti hash join + union +
+    atomic sibling-swap write; the oracle is the three-way UNION the
+    merge semantics define."""
+    import tempfile
+
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    d = tempfile.mkdtemp(prefix="leann-upsert-gate-") + "/t"
+    docs = _docs(spark, sf_dir)
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(d)
+    updates = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("[v2] "), F.col("text")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            )
+        )
+    )
+    upsert_parquet(spark, d, updates, "doc_id")
+    return (
+        spark.read.parquet(d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def x_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction invariance through the driver: build even half,
     incremental-append the odd half (fragmenting the layout — one file
@@ -4161,6 +4196,20 @@ def _register_r4c_oracles() -> None:
         ORDER BY user_id, bucket_ts
     """
 
+    _ORACLES["x_upsert"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM (
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 4 = 2
+            UNION ALL
+            SELECT doc_id, '[v2] ' || text, lang, source, n_chars
+            FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 4 = 1
+        )
+        ORDER BY doc_id
+    """
+
     from leann_rs_spark.operators.features import duckdb_resample_interpolate
 
     _ORACLES["x_resample_interp"] = f"""
@@ -4413,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,
         "x_ivf_compact": x_ivf_compact,
+        "x_upsert": x_upsert,
         "x_dup_source_matrix": x_dup_source_matrix,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,

@@ -94,3 +94,62 @@ def bucket_spec(spark: SparkSession, name: str) -> dict:
         "bucket_cols": _cols(info.get("Bucket Columns", "")),
         "sort_cols": _cols(info.get("Sort Columns", "")),
     }
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str] | str,
+) -> dict:
+    """MERGE INTO over a plain parquet directory: rows in `updates`
+    REPLACE base rows sharing their key, new keys are inserted — the
+    Delta/Iceberg MERGE shape for parquet-only environments (document
+    re-crawls, metadata corrections, label fixes feeding the dedup
+    and curation operators).
+
+    Physical shape: ONE left-anti hash join of base against the
+    distinct update keys (drops superseded rows) + union, written to
+    a sibling directory and atomically swapped — a crash mid-write
+    leaves the live table intact (same recipe as
+    catalog.compact_ivf_index). At 100 TB, partition the table and
+    prune the base scan to the partitions present in `updates` so
+    untouched partitions are never rewritten; the join itself
+    broadcast-hashes when the update batch is small.
+
+    `updates` must be key-unique (one winner per key is ill-defined
+    otherwise) — validated, ValueError if violated. Returns
+    {"updated": n, "inserted": n, "total": n}.
+    """
+    import os
+    import shutil
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    n_updates = updates.count()
+    n_distinct = updates.select(keys).distinct().count()
+    if n_distinct != n_updates:
+        raise ValueError(
+            f"updates must be key-unique on {keys}: "
+            f"{n_updates} rows, {n_distinct} distinct keys"
+        )
+    base = spark.read.parquet(path)
+    kept = base.join(
+        updates.select(keys).distinct(), keys, "left_anti"
+    )
+    n_base = base.count()
+    out = kept.unionByName(updates)
+    tmp = path.rstrip("/") + "__upserting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed upsert
+    out.write.parquet(tmp)
+    n_kept = spark.read.parquet(tmp).count() - n_updates
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    updated = n_base - n_kept
+    return {
+        "updated": updated,
+        "inserted": n_updates - updated,
+        "total": n_kept + n_updates,
+    }

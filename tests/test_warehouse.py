@@ -72,3 +72,39 @@ def test_unbucketed_table_has_empty_spec(spark, tmp_path):
         assert bucket_spec(spark, "tw_plain") == {}
     finally:
         drop_bucketed(spark, "tw_plain")
+
+
+def test_upsert_parquet_semantics(spark, tmp_path):
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(p)
+    res = upsert_parquet(
+        spark, p,
+        spark.createDataFrame([(2, "B"), (9, "z")], "id long, v string"),
+        "id",
+    )
+    assert res == {"updated": 1, "inserted": 1, "total": 4}
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 9: "z"}
+
+
+def test_upsert_parquet_refuses_duplicate_keys(spark, tmp_path):
+    import pytest
+
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    p = str(tmp_path / "t2")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(p)
+    with pytest.raises(ValueError, match="key-unique"):
+        upsert_parquet(
+            spark, p,
+            spark.createDataFrame(
+                [(1, "x"), (1, "y")], "id long, v string"
+            ),
+            "id",
+        )
+    # table untouched by the refused upsert
+    assert spark.read.parquet(p).count() == 1
