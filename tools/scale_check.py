@@ -115,6 +115,11 @@ def main() -> None:
         # (pair-proportional, like x_dedup_minhash)
         "x_resample_ffill", "x_funnel", "x_retrieval_eval",
         "x_dup_source_matrix",
+        # interpolation shares the ffill shape (one extra window pair
+        # over the same Exchange); upsert is one left-anti join + a
+        # full rewrite — rewrite-proportional by design, the
+        # partition-pruning knob is the 100 TB lever
+        "x_resample_interp", "x_upsert",
     ]
     results: dict[str, dict] = {}
     for name in names:
