@@ -898,6 +898,32 @@ def x_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source_lo", "source_hi")
 
 
+def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over 48-char prefixes (the short-key
+    family member: titles/URLs) — PassJoin pigeonhole blocking
+    (max_dist+1 segments, substitution edits always collide on one) +
+    native levenshtein verify (integer DP, exact parity). Planted
+    variants: every doc_id % 3 == 1 doc gains a copy with one char
+    substituted INSIDE segment 0 — the pair must be recovered through
+    the segments the edit did not touch."""
+    from leann_rs_spark.operators.dedup import editdist_near_dups
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 1)
+    base = docs.select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(
+            F.expr("substr(text, 1, 9)"),
+            F.lit("Z"),
+            F.expr("substr(text, 11)"),
+        ).alias("text"),
+    )
+    out = editdist_near_dups(
+        _fan(base.unionByName(variants)), max_seg_df=50
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ngram_jaccard_pairs(_fan(_docs(spark, sf_dir)), n=3, threshold=0.3)
     return out.select(
@@ -3376,6 +3402,21 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_minhash_near_dups(threshold=0.5)})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.dedup import duckdb_editdist_near_dups
+
+    _ORACLES["x_dedup_editdist"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id + 30000,
+                   substr(text, 1, 9) || 'Z' || substr(text, 11)
+            FROM documents WHERE doc_id % 3 = 1
+        )
+        SELECT id_a, id_b, dist
+        FROM ({duckdb_editdist_near_dups(table="corpus", max_seg_df=50)})
+        ORDER BY id_a, id_b
+    """
+
     from leann_rs_spark.operators.dedup import duckdb_dedup_clusters
 
     pairs_sql = f"SELECT id_a, id_b FROM ({duckdb_minhash_near_dups(threshold=0.5)})"
@@ -4543,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_editdist": x_dedup_editdist,
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_incremental": x_dedup_incremental,

@@ -1758,3 +1758,136 @@ def duckdb_decontaminate_spans(
         )
         SELECT * FROM clean
     """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs (PassJoin-flavored pigeonhole blocking)
+# ---------------------------------------------------------------------------
+
+def editdist_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 48,
+    max_dist: int = 2,
+    max_seg_df: int | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b, dist): pairs whose lowercased `prefix_len`-char
+    prefixes are within `max_dist` edits — the near-dup family member
+    for SHORT keys (titles, URLs, product names) where token shingles
+    are too coarse and embeddings overkill.
+
+    Blocking is the PassJoin pigeonhole (Li et al., ICDE'11 flavor):
+    the prefix splits into (max_dist+1) contiguous length-balanced
+    segments, and ≤max_dist edits can touch at most max_dist of them,
+    so for equal-length substitution edits at least one
+    (segment_index, segment) key ALWAYS collides. Insertions/deletions
+    shift later boundaries and can escape the blocking — the same
+    candidates-then-verify contract as the MinHash/SimHash/LSH
+    operators (twin generates IDENTICAL candidates; the completeness
+    property for substitution edits is pinned in tests). Verify is the
+    engines' native levenshtein — integer DP, exact cross-engine
+    parity, no float recipe.
+
+    Scale shape: one explode to (max_dist+1)·N segment rows, one
+    equi-join on (segment_index, segment), candidate-pair distinct,
+    then two co-hashed joins back to the prefix table for the bounded
+    verify — shuffle ∝ candidates, like every blocking dedup here.
+    `max_seg_df` drops segments shared by more than that many docs
+    (the boilerplate-prefix cut that bounds worst-case fan-out at
+    100 TB, same knob as ngram_jaccard's max_ngram_df)."""
+    k = max_dist + 1
+    pref = F.lower(F.substring(F.col(text_col), 1, prefix_len))
+    base = docs.select(F.col(id_col).alias("id"), pref.alias("p")).filter(
+        F.length("p") >= k
+    )
+    ln = F.length("p")
+    i = F.col("i")
+    start = F.floor(i * ln / F.lit(k)).cast("int")
+    end = F.floor((i + F.lit(1)) * ln / F.lit(k)).cast("int")
+    segs = base.select(
+        "id",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    ).select(
+        "id",
+        "i",
+        F.col("p").substr(start + F.lit(1), end - start).alias("seg"),
+    )
+    if max_seg_df is not None:
+        keep = (
+            segs.groupBy("i", "seg")
+            .count()
+            .filter(F.col("count") <= max_seg_df)
+            .select("i", "seg")
+        )
+        segs = segs.join(keep, ["i", "seg"])
+    cand = (
+        segs.alias("x")
+        .join(segs.alias("y"), ["i", "seg"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    pa = base.select(F.col("id").alias("id_a"), F.col("p").alias("__pa"))
+    pb = base.select(F.col("id").alias("id_b"), F.col("p").alias("__pb"))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn(
+            "dist", F.levenshtein("__pa", "__pb").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def duckdb_editdist_near_dups(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    prefix_len: int = 48,
+    max_dist: int = 2,
+    max_seg_df: int | None = None,
+) -> str:
+    """Oracle twin — identical segmentation arithmetic (floor of the
+    same double division), identical candidate join, native
+    levenshtein verify."""
+    k = max_dist + 1
+    seg_df_cte = (
+        f""",
+        kept AS (
+            SELECT i, seg FROM segs
+            GROUP BY i, seg HAVING count(*) <= {max_seg_df}
+        ),
+        fsegs AS (SELECT s.* FROM segs s JOIN kept USING (i, seg))"""
+        if max_seg_df is not None
+        else ",\n        fsegs AS (SELECT * FROM segs)"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   lower(substr({text_col}, 1, {prefix_len})) AS p
+            FROM {table}
+            WHERE length(lower(substr({text_col}, 1, {prefix_len}))) >= {k}
+        ),
+        segs AS (
+            SELECT id, i,
+                   substr(p,
+                          CAST(floor(i * length(p) / {k}) AS INT) + 1,
+                          CAST(floor((i + 1) * length(p) / {k}) AS INT)
+                          - CAST(floor(i * length(p) / {k}) AS INT)) AS seg
+            FROM base, unnest(generate_series(0, {k - 1})) t(i)
+        ){seg_df_cte},
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM fsegs a JOIN fsegs b ON a.i = b.i AND a.seg = b.seg
+            WHERE a.id < b.id
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(levenshtein(x.p, y.p) AS INT) AS dist
+        FROM cand c
+        JOIN base x ON x.id = c.id_a
+        JOIN base y ON y.id = c.id_b
+        WHERE levenshtein(x.p, y.p) <= {max_dist}
+    """

@@ -581,3 +581,59 @@ def test_paragraph_dedup_duckdb_parity(spark):
         1 for (_, _, _, t) in got if "follow us on social media" in t
     )
     assert kept_boiler == 1 and n_pages > 1
+
+
+class TestEditDistNearDups:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_substitution_pairs_always_blocked(self, spark):
+        """Pigeonhole completeness for equal-length substitution edits:
+        any ≤max_dist substitutions leave ≥1 of the max_dist+1 segments
+        untouched, so the pair MUST surface regardless of edit
+        position."""
+        from leann_rs_spark.operators.dedup import editdist_near_dups
+
+        base = "the quick brown fox jumps over the lazy dog once"
+        rows = [(0, base)]
+        # one- and two-substitution variants at assorted positions,
+        # including edits inside different segments
+        for j, positions in enumerate([(0,), (20,), (47,), (5, 40), (15, 30)]):
+            t = list(base)
+            for p in positions:
+                t[p] = "Z"
+            rows.append((j + 1, "".join(t)))
+        out = editdist_near_dups(
+            self._docs(spark, rows), prefix_len=48, max_dist=2
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in out}
+        for j in range(1, 6):
+            assert (0, j) in found, f"variant {j} escaped blocking"
+        dists = {(r["id_a"], r["id_b"]): r["dist"] for r in out}
+        assert dists[(0, 1)] == 1 and dists[(0, 4)] == 2
+
+    def test_verify_rejects_far_pairs_sharing_a_segment(self, spark):
+        from leann_rs_spark.operators.dedup import editdist_near_dups
+
+        # same first third (= shared segment 0), rest entirely different
+        a = "aaaaaaaaaaaaaaaa" + "b" * 32
+        b = "aaaaaaaaaaaaaaaa" + "c" * 32
+        out = editdist_near_dups(
+            self._docs(spark, [(0, a), (1, b)]), prefix_len=48, max_dist=2
+        ).collect()
+        assert out == []  # candidate generated, verify kills it
+
+    def test_max_seg_df_cuts_boilerplate(self, spark):
+        from leann_rs_spark.operators.dedup import editdist_near_dups
+
+        # 6 docs sharing a boilerplate prefix, pairwise dist 0 on it
+        rows = [(i, "common boilerplate prefix here!! " + "x" * 15)
+                for i in range(6)]
+        full = editdist_near_dups(
+            self._docs(spark, rows), prefix_len=48, max_dist=2
+        ).count()
+        cut = editdist_near_dups(
+            self._docs(spark, rows), prefix_len=48, max_dist=2,
+            max_seg_df=5,
+        ).count()
+        assert full == 15 and cut == 0  # all 6-doc segments exceed df 5

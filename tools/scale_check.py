@@ -120,6 +120,9 @@ def main() -> None:
         # full rewrite — rewrite-proportional by design, the
         # partition-pruning knob is the 100 TB lever
         "x_resample_interp", "x_upsert",
+        # edit-distance dedup: candidate-proportional (segment collisions
+        # multiply with planted dups, like every blocking dedup)
+        "x_dedup_editdist",
     ]
     results: dict[str, dict] = {}
     for name in names:
