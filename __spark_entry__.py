@@ -2951,6 +2951,26 @@ def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("prev_type", "next_type")
 
 
+_WSAMPLE_N = 100
+
+
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential race, n_chars as the weight): the missing member of
+    the sampling family between rate-based weighted_mix and
+    with-replacement upsample. Quantized integer race key (multiply-
+    first) + key tie-break make the top-n cut bit-deterministic; the
+    plan is one projection + TakeOrdered(n)."""
+    from leann_rs_spark.operators.sampling import weighted_sample_n
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample_n(
+        docs.select("doc_id", "n_chars"), _WSAMPLE_N,
+        weight="n_chars", key="doc_id",
+    )
+    return out.orderBy("race_key", "doc_id")
+
+
 def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward-fill onto a 6-hour grid: last
     observation per bucket (pure value selection — exact cross-engine
@@ -4237,6 +4257,18 @@ def _register_r4c_oracles() -> None:
         ORDER BY user_id, bucket_ts
     """
 
+    from leann_rs_spark.operators.sampling import duckdb_weighted_sample_n
+
+    _ORACLES["x_weighted_sample"] = f"""
+        SELECT * FROM ({duckdb_weighted_sample_n(
+            "SELECT doc_id, n_chars FROM documents",
+            _WSAMPLE_N,
+            weight_sql="n_chars",
+            key_sql="doc_id",
+        )})
+        ORDER BY race_key, doc_id
+    """
+
     _ORACLES["x_upsert"] = """
         SELECT doc_id, text, lang, source, n_chars FROM (
             SELECT doc_id, text, lang, source, n_chars
@@ -4496,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_funnel": x_funnel,
         "x_retention_cohorts": x_retention_cohorts,
         "x_event_transitions": x_event_transitions,
+        "x_weighted_sample": x_weighted_sample,
         "x_resample_ffill": x_resample_ffill,
         "x_resample_interp": x_resample_interp,
         "x_retrieval_eval": x_retrieval_eval,

@@ -276,6 +276,71 @@ def duckdb_stratified_sample(
 # Deterministic upsampling (epoch-style repeats, rate may exceed 1)
 # ---------------------------------------------------------------------------
 
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight: Column | str,
+    key: Column | str,
+    salt: str = "wsample",
+    key_col: str = "race_key",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis exponential race — every row draws
+    k = −ln(u)/w with u from the seeded md5 slot of its key, and the
+    n SMALLEST k win. Selection probability tracks weight mass; no row
+    repeats (the with-replacement shape is `upsample`); reruns,
+    repartitions, and incremental loads agree because u depends only
+    on (salt, key).
+
+    Cross-engine exactness: the race key is QUANTIZED to an integer —
+    CAST(round(k·1e6) AS BIGINT), multiply-first per CLAUDE.md — and
+    the cut orders by (key_r, key), so an engine-ln ulp can never flip
+    the selection; quantization ties break by key in both engines (a
+    measured-rule trade: bit-exact determinism over exactness to the
+    un-quantized race). Scale shape: one projection + one global
+    TakeOrdered(n) — no shuffle beyond the top-n reduction; weights
+    must be strictly positive (validated in-plan: nonpositive-weight
+    rows would win the race with key −inf silently, so they raise)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n!r}")
+    key = F.col(key) if isinstance(key, str) else key
+    weight = F.col(weight) if isinstance(weight, str) else weight
+    u = (
+        _slot(key, salt).cast("double") + F.lit(0.5)
+    ) / F.lit(float(_SLOTS))
+    guarded_w = F.when(weight > 0, weight).otherwise(
+        F.raise_error(F.lit("weighted_sample_n: weight must be > 0"))
+    )
+    k = -F.log(u) / guarded_w
+    key_r = F.round(k * F.lit(1e6)).cast("bigint")
+    return (
+        df.withColumn(key_col, key_r)
+        .orderBy(F.col(key_col).asc(), key.cast("string").asc())
+        .limit(n)
+    )
+
+
+def duckdb_weighted_sample_n(
+    select_sql: str,
+    n: int,
+    weight_sql: str,
+    key_sql: str,
+    salt: str = "wsample",
+    key_col: str = "race_key",
+) -> str:
+    """Oracle twin — identical slot → u → −ln(u)/w → quantized key →
+    (key_r, key) cut. `select_sql` is a complete SELECT producing the
+    rows to sample."""
+    u = f"(({duckdb_slot(key_sql, salt)})::double + 0.5) / {float(_SLOTS)}"
+    k = f"(-ln({u}) / ({weight_sql}))"
+    return f"""
+        SELECT *, CAST(round({k} * 1e6) AS BIGINT) AS {key_col}
+        FROM ({select_sql})
+        ORDER BY {key_col} ASC, ({key_sql})::varchar ASC
+        LIMIT {n}
+    """
+
+
 def upsample(
     df: DataFrame,
     rate: float,

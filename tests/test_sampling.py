@@ -437,3 +437,48 @@ def test_length_batches_partition_invariant(docs):
         )
 
     assert run(d) == run(d.repartition(17))
+
+
+class TestWeightedSampleN:
+    def test_without_replacement_and_deterministic(self, spark):
+        from leann_rs_spark.operators.sampling import weighted_sample_n
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7 + 1)) for i in range(200)], "id long, w double"
+        )
+        a = [r["id"] for r in weighted_sample_n(df, 50, "w", "id").collect()]
+        assert len(a) == len(set(a)) == 50
+        b = [r["id"] for r in
+             weighted_sample_n(df.repartition(7), 50, "w", "id").collect()]
+        assert a == b  # partitioning-independent
+
+    def test_overwhelming_weight_always_selected(self, spark):
+        from leann_rs_spark.operators.sampling import weighted_sample_n
+
+        df = spark.createDataFrame(
+            [(0, 1e12)] + [(i, 1e-6) for i in range(1, 400)],
+            "id long, w double",
+        )
+        # -ln(u)/1e12 ~ 1e-12 quantizes to race_key 0; a 1e-6-weight
+        # row needs u > exp(-5e-13) — not a reachable slot value
+        got = {r["id"] for r in weighted_sample_n(df, 5, "w", "id").collect()}
+        assert 0 in got and len(got) == 5
+
+    def test_nonpositive_weight_raises(self, spark):
+        from leann_rs_spark.operators.sampling import weighted_sample_n
+
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 0.0)], "id long, w double"
+        )
+        with pytest.raises((PySparkException, Py4JJavaError)):
+            weighted_sample_n(df, 1, "w", "id").collect()
+
+    def test_n_larger_than_table_returns_all(self, spark):
+        from leann_rs_spark.operators.sampling import weighted_sample_n
+
+        df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "id long, w double")
+        assert weighted_sample_n(df, 10, "w", "id").count() == 2
