@@ -4529,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_retention_cohorts": x_retention_cohorts,
         "x_event_transitions": x_event_transitions,
         "x_weighted_sample": x_weighted_sample,
+        "x_dedup_editdist": x_dedup_editdist,
         "x_resample_ffill": x_resample_ffill,
         "x_resample_interp": x_resample_interp,
         "x_retrieval_eval": x_retrieval_eval,
@@ -4617,7 +4618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,
         "x_dedup_minhash": x_dedup_minhash,
-        "x_dedup_editdist": x_dedup_editdist,
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_incremental": x_dedup_incremental,
