@@ -4508,66 +4508,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's correctness run processed the
-    # FIRST 50 entries in round 3, so gates that have never (or least
-    # recently) appeared in a driver CORRECTNESS artifact come first —
-    # x_append_consistency / x_stratified_sample / x_upsample had no
-    # driver row through r3, the next 7 were last checked in r02, new
-    # round-4 gates follow, and the 40 gates green in CORRECTNESS_r03
-    # close the dict.
+    # Ordering is deliberate: the driver's capped correctness run processes
+    # entries FIRST-first, so gates that have never appeared in any driver
+    # CORRECTNESS artifact lead (29 as of r04 — x_ivfpq_topk ... x_sq8_refined,
+    # judge-verified via selfcheck but still owed a driver row), followed by
+    # the 50 gates last driver-checked in r03, then the 50 checked in r04.
+    # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        # round-4c/4d gates (never driver-checked yet → first)
-        "x_media_phash_dups": x_media_phash_dups,
-        "x_domain_budget": x_domain_budget,
-        "x_stream_rolling": x_stream_rolling,
-        "x_tfidf_keywords": x_tfidf_keywords,
-        "x_quality_ensemble": x_quality_ensemble,
-        "x_rolling_anomaly": x_rolling_anomaly,
-        "x_pmi_phrases": x_pmi_phrases,
-        "x_json_props": x_json_props,
-        "x_funnel": x_funnel,
-        "x_retention_cohorts": x_retention_cohorts,
-        "x_event_transitions": x_event_transitions,
-        "x_weighted_sample": x_weighted_sample,
-        "x_dedup_editdist": x_dedup_editdist,
-        "x_resample_ffill": x_resample_ffill,
-        "x_resample_interp": x_resample_interp,
-        "x_retrieval_eval": x_retrieval_eval,
-        "x_ivf_append": x_ivf_append,
-        "x_bm25_append": x_bm25_append,
-        "x_stream_ivf_ingest": x_stream_ivf_ingest,
-        "x_ivf_compact": x_ivf_compact,
-        "x_upsert": x_upsert,
-        "x_dup_source_matrix": x_dup_source_matrix,
-        "x_lm_ref_score": x_lm_ref_score,
-        "x_decontaminate_spans": x_decontaminate_spans,
-        "x_budget_select": x_budget_select,
-        "x_rolling_features": x_rolling_features,
-        "x_quality_classifier": x_quality_classifier,
-        "x_bloom_dedup": x_bloom_dedup,
-        "x_url_dedup": x_url_dedup,
-        "x_append_consistency": x_append_consistency,
-        "x_stratified_sample": x_stratified_sample,
-        "x_upsample": x_upsample,
-        "x_weighted_mix": x_weighted_mix,
-        "x_quality_expectations": x_quality_expectations,
-        "x_text_redact": x_text_redact,
-        "x_decontaminate": x_decontaminate,
-        "x_sample_det": x_sample_det,
-        "x_split_assign": x_split_assign,
-        "x_shuffle_det": x_shuffle_det,
-        # new round-4 gates
-        "x_stream_sessionize": x_stream_sessionize,
-        "x_stream_window_stats": x_stream_window_stats,
-        "x_stream_dedup": x_stream_dedup,
-        "x_ivf_recall": x_ivf_recall,
-        "x_lm_score": x_lm_score,
-        "x_asof_join_salted": x_asof_join_salted,
-        "x_asof_nearest": x_asof_nearest,
-        "x_tfidf_embed": x_tfidf_embed,
-        "x_tfidf_topk": x_tfidf_topk,
-        "x_pq_topk": x_pq_topk,
-        "x_pq_recall": x_pq_recall,
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_ivfpq_batch": x_ivfpq_batch,
         "x_sq8_topk": x_sq8_topk,
@@ -4647,6 +4594,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
         "x_pack_sequences": x_pack_sequences,
+        "x_media_phash_dups": x_media_phash_dups,
+        "x_domain_budget": x_domain_budget,
+        "x_stream_rolling": x_stream_rolling,
+        "x_tfidf_keywords": x_tfidf_keywords,
+        "x_quality_ensemble": x_quality_ensemble,
+        "x_rolling_anomaly": x_rolling_anomaly,
+        "x_pmi_phrases": x_pmi_phrases,
+        "x_json_props": x_json_props,
+        "x_funnel": x_funnel,
+        "x_retention_cohorts": x_retention_cohorts,
+        "x_event_transitions": x_event_transitions,
+        "x_weighted_sample": x_weighted_sample,
+        "x_dedup_editdist": x_dedup_editdist,
+        "x_resample_ffill": x_resample_ffill,
+        "x_resample_interp": x_resample_interp,
+        "x_retrieval_eval": x_retrieval_eval,
+        "x_ivf_append": x_ivf_append,
+        "x_bm25_append": x_bm25_append,
+        "x_stream_ivf_ingest": x_stream_ivf_ingest,
+        "x_ivf_compact": x_ivf_compact,
+        "x_upsert": x_upsert,
+        "x_dup_source_matrix": x_dup_source_matrix,
+        "x_lm_ref_score": x_lm_ref_score,
+        "x_decontaminate_spans": x_decontaminate_spans,
+        "x_budget_select": x_budget_select,
+        "x_rolling_features": x_rolling_features,
+        "x_quality_classifier": x_quality_classifier,
+        "x_bloom_dedup": x_bloom_dedup,
+        "x_url_dedup": x_url_dedup,
+        "x_append_consistency": x_append_consistency,
+        "x_stratified_sample": x_stratified_sample,
+        "x_upsample": x_upsample,
+        "x_weighted_mix": x_weighted_mix,
+        "x_quality_expectations": x_quality_expectations,
+        "x_text_redact": x_text_redact,
+        "x_decontaminate": x_decontaminate,
+        "x_sample_det": x_sample_det,
+        "x_split_assign": x_split_assign,
+        "x_shuffle_det": x_shuffle_det,
+        "x_stream_sessionize": x_stream_sessionize,
+        "x_stream_window_stats": x_stream_window_stats,
+        "x_stream_dedup": x_stream_dedup,
+        "x_ivf_recall": x_ivf_recall,
+        "x_lm_score": x_lm_score,
+        "x_asof_join_salted": x_asof_join_salted,
+        "x_asof_nearest": x_asof_nearest,
+        "x_tfidf_embed": x_tfidf_embed,
+        "x_tfidf_topk": x_tfidf_topk,
+        "x_pq_topk": x_pq_topk,
+        "x_pq_recall": x_pq_recall,
     }
 
 
