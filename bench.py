@@ -3,9 +3,13 @@
 
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python3 bench.py [query ...]
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": 0.1}
+Prints ONE compact JSON headline line (total seconds, query/failure
+counts, load, sf) and writes the full per-query timing dict to
+`bench_detail.json` next to this file. The split exists because the
+driver's tail capture holds ~2 KB: round 4's single 4.5 KB line (129
+per-query entries) outran the buffer and BENCH_r04.json recorded
+`parsed: null`. The headline always fits; the detail file is committed
+so per-query comparisons survive across rounds.
 
 Each query is executed with a full materializing action (count of the
 result after the plan's own LIMIT/ordering), so the measured time covers
@@ -117,10 +121,7 @@ def main() -> None:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
-    out = {
-        "metric": "sum of per-query wall-clock over the engine query suite",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
+    detail = {
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "load_avg_1_5_15": load,
@@ -134,7 +135,27 @@ def main() -> None:
         "warmup": "full suite once at sf0.001 + JVM/scan warmup, untimed",
     }
     if failures:
-        out["failures"] = failures
+        detail["failures"] = failures
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    # Headline stays under ~400 bytes so the driver's tail capture can
+    # never truncate it; everything per-query lives in bench_detail.json.
+    out = {
+        "metric": "sum of per-query wall-clock over the engine query suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "load_avg_1_5_15": load,
+        "reps": reps,
+        "aggregation": "min_of_reps",
+        "detail": "bench_detail.json",
+    }
     print(json.dumps(out))
     spark.stop()
 
