@@ -12,6 +12,7 @@ so the judge can tick the inventory line by line.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -130,6 +131,37 @@ from leann_rs_spark.streaming.sessionize import duckdb_sessionize, sessionize_ev
 from leann_rs_spark.utils import with_dense_index
 
 SMOKE_SF = "/root/testdata/sf0.001"
+
+_GATE_TMP_ROOT: list[str] = []
+
+
+def _gate_tmpdir(prefix: str) -> str:
+    """Temp directory for a write-path gate (index builds, upserts,
+    stream runs). All gate dirs live under ONE per-process root that is
+    removed at interpreter exit, so repeated selfcheck/bench runs
+    (min-of-reps re-executes every gate) no longer accumulate
+    corpus-scale parquet copies in /tmp. Roots abandoned by crashed
+    runs (>2 h old) are swept opportunistically at first use."""
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    if not _GATE_TMP_ROOT:
+        base = tempfile.gettempdir()
+        cutoff = time.time() - 2 * 3600
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            if d.startswith("leann-gate-tmp-") and os.path.isdir(p):
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+        root = tempfile.mkdtemp(prefix="leann-gate-tmp-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _GATE_TMP_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_GATE_TMP_ROOT[0])
 
 
 def _fan(df: DataFrame) -> DataFrame:
@@ -678,7 +710,7 @@ def _q15_index(spark: SparkSession, sf_dir: str) -> str:
 
         from leann_rs_spark.catalog import build_index
 
-        wh = tempfile.mkdtemp(prefix="leann-q15-gate-")
+        wh = _gate_tmpdir("leann-q15-gate-")
         build_index(
             spark, wh, "g", _docs(spark, sf_dir),
             strategy="simple", chunk_size=16, chunk_overlap=4,
@@ -1242,7 +1274,7 @@ def x_append_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from leann_rs_spark.catalog import append_to_index, build_index, search_index
 
-    wh = tempfile.mkdtemp(prefix="leann-append-gate-")
+    wh = _gate_tmpdir("leann-append-gate-")
     docs = _docs(spark, sf_dir)
     build_index(
         spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
@@ -1280,7 +1312,7 @@ def x_bm25_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from leann_rs_spark.operators.bm25 import score_query, tokenize_py
 
-    wh = tempfile.mkdtemp(prefix="leann-bm25append-gate-")
+    wh = _gate_tmpdir("leann-bm25append-gate-")
     docs = _docs(spark, sf_dir)
     build_index(
         spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
@@ -1340,7 +1372,7 @@ def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_ivf_index,
     )
 
-    wh = tempfile.mkdtemp(prefix="leann-ivfappend-gate-")
+    wh = _gate_tmpdir("leann-ivfappend-gate-")
     docs = _docs(spark, sf_dir)
     build_index(
         spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
@@ -1367,16 +1399,17 @@ def x_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO over plain parquet (sources/warehouse.upsert_parquet):
     re-crawled docs (doc_id % 4 == 0, '[v2] ' texts) replace their base
     rows, brand-new docs (% 4 == 1) insert, untouched rows (% 4 == 2)
-    survive byte-identical. One left-anti hash join + union +
-    atomic sibling-swap write; the oracle is the three-way UNION the
-    merge semantics define."""
-    import tempfile
-
+    survive byte-identical. One left-anti hash join + union; the base
+    is hive-partitioned on `lang` and the merge runs the 100 TB
+    partition-pruned path (only lang partitions present in the update
+    batch are scanned/rewritten/swapped — the rest never move, pinned
+    by test_upsert_parquet_partition_pruned's inode check). The oracle
+    is the three-way UNION the merge semantics define."""
     from leann_rs_spark.sources.warehouse import upsert_parquet
 
-    d = tempfile.mkdtemp(prefix="leann-upsert-gate-") + "/t"
+    d = _gate_tmpdir("leann-upsert-gate-") + "/t"
     docs = _docs(spark, sf_dir)
-    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 0).write.partitionBy("lang").parquet(d)
     updates = (
         docs.filter(F.col("doc_id") % 4 == 0)
         .select(
@@ -1390,7 +1423,7 @@ def x_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    upsert_parquet(spark, d, updates, "doc_id")
+    upsert_parquet(spark, d, updates, "doc_id", partition_cols="lang")
     return (
         spark.read.parquet(d)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -1415,7 +1448,7 @@ def x_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_ivf_index,
     )
 
-    wh = tempfile.mkdtemp(prefix="leann-ivfcompact-gate-")
+    wh = _gate_tmpdir("leann-ivfcompact-gate-")
     docs = _docs(spark, sf_dir)
     build_index(
         spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
@@ -1458,7 +1491,7 @@ def x_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_ivf_index,
     )
 
-    wh = tempfile.mkdtemp(prefix="leann-streamivf-gate-")
+    wh = _gate_tmpdir("leann-streamivf-gate-")
     docs = _docs(spark, sf_dir)
     build_index(
         spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 0),
@@ -1468,7 +1501,7 @@ def x_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(
         spark, wh, "g", n_centroids=_IVFAPP_C, centroids="take"
     )
-    d = tempfile.mkdtemp(prefix="leann-streamivf-in-")
+    d = _gate_tmpdir("leann-streamivf-in-")
     docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
         f"{d}/in"
     )
@@ -1903,7 +1936,7 @@ def _stream_events_input(
     key = (sf_dir, with_dups)
     path = _STREAM_INPUTS.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="leann-stream-gate-in-")
+        path = _gate_tmpdir("leann-stream-gate-in-")
         ev = (
             read_events(spark, sf_dir)
             .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -1919,7 +1952,7 @@ def _stream_events_input(
 def _stream_run_dirs() -> tuple[str, str]:
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="leann-stream-gate-run-")
+    d = _gate_tmpdir("leann-stream-gate-run-")
     return f"{d}/out", f"{d}/ckpt"
 
 
@@ -1932,7 +1965,7 @@ def _stream_cv_input(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir, "cv")
     path = _STREAM_INPUTS.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="leann-stream-cv-in-")
+        path = _gate_tmpdir("leann-stream-cv-in-")
         ev = read_events(spark, sf_dir)
         (
             ev.filter(F.col("event_type") == "click")
@@ -2453,7 +2486,7 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    d = tempfile.mkdtemp(prefix="leann-wh-gate-")
+    d = _gate_tmpdir("leann-wh-gate-")
     write_bucketed(
         li, "leann_gate_li", f"{d}/li", "l_orderkey", 8,
         sort_cols="l_orderkey",

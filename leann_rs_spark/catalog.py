@@ -907,7 +907,10 @@ def compact_ivf_index(
         raise ValueError(
             f"index {name!r} has no IVF layout (backend={meta.backend})"
         )
+    from leann_rs_spark.sources.warehouse import _recover_swap, _swap_in
+
     ivf_dir = f"{base}/ivf"
+    _recover_swap(ivf_dir)  # heal a crash window from a previous compact
     n_files = sum(
         1
         for root, _, files in os.walk(ivf_dir)
@@ -921,10 +924,7 @@ def compact_ivf_index(
     spark.read.parquet(ivf_dir).repartition(
         n_centroids, "cluster_id"
     ).write.partitionBy("cluster_id").parquet(tmp)
-    old = f"{base}/ivf__old"
-    os.rename(ivf_dir, old)
-    os.rename(tmp, ivf_dir)
-    shutil.rmtree(old)
+    _swap_in(ivf_dir, tmp)
     return n_files
 
 

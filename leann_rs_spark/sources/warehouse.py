@@ -96,11 +96,44 @@ def bucket_spec(spark: SparkSession, name: str) -> dict:
     }
 
 
+def _recover_swap(live: str) -> None:
+    """Crash recovery for the two-rename sibling swap (`live` ↔
+    `live__old`): a crash between `rename(live, old)` and
+    `rename(tmp, live)` leaves no live directory — restore the backup;
+    a crash after the second rename but before `rmtree(old)` leaves a
+    stale backup beside a healthy live — discard it. Idempotent, run
+    on entry by every operator that uses the swap."""
+    import os
+    import shutil
+
+    old = live.rstrip("/") + "__old"
+    if os.path.isdir(old):
+        if os.path.exists(live):
+            shutil.rmtree(old)  # swap completed, cleanup didn't
+        else:
+            os.rename(old, live)  # swap died mid-window; restore
+
+
+def _swap_in(live: str, tmp: str) -> None:
+    """Replace `live` with `tmp` via the recoverable two-rename swap."""
+    import os
+    import shutil
+
+    old = live.rstrip("/") + "__old"
+    if os.path.exists(live):
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, live)  # brand-new partition directory
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key_cols: list[str] | str,
+    partition_cols: list[str] | str | None = None,
 ) -> dict:
     """MERGE INTO over a plain parquet directory: rows in `updates`
     REPLACE base rows sharing their key, new keys are inserted — the
@@ -110,46 +143,134 @@ def upsert_parquet(
 
     Physical shape: ONE left-anti hash join of base against the
     distinct update keys (drops superseded rows) + union, written to
-    a sibling directory and atomically swapped — a crash mid-write
-    leaves the live table intact (same recipe as
-    catalog.compact_ivf_index). At 100 TB, partition the table and
-    prune the base scan to the partitions present in `updates` so
-    untouched partitions are never rewritten; the join itself
-    broadcast-hashes when the update batch is small.
+    a sibling directory and swapped in via a recoverable two-rename
+    (a crash at any point either leaves the live table intact or is
+    repaired by the next call's `_recover_swap`).
+
+    100 TB path — `partition_cols`: when the base table is laid out
+    hive-partitioned on these columns (written with
+    `df.write.partitionBy(*cols)`), only the partitions PRESENT IN THE
+    UPDATE BATCH are scanned, anti-joined, rewritten, and swapped;
+    every other partition directory is untouched (rewrite bytes ∝
+    touched partitions, not table size). Constraint: the partition
+    value of a key must be stable — a base row's key must not exist
+    under a partition value the update batch doesn't carry for that
+    key, otherwise the pruned scan cannot see (and so cannot replace)
+    it. In practice: include the partition columns in the key, or
+    derive them deterministically from it.
 
     `updates` must be key-unique (one winner per key is ill-defined
-    otherwise) — validated, ValueError if violated. Returns
-    {"updated": n, "inserted": n, "total": n}.
+    otherwise) and key-non-null (a NULL key never matches an anti-join
+    and would duplicate instead of replace) — both validated in ONE
+    aggregation job, ValueError if violated. Returns
+    {"updated": n, "inserted": n, "total": n} (`total` counts via
+    parquet footer metadata, no data scan).
     """
     import os
     import shutil
 
+    from pyspark.sql import functions as F
+
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    n_updates = updates.count()
-    n_distinct = updates.select(keys).distinct().count()
-    if n_distinct != n_updates:
+    parts = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols or [])
+    )
+    _recover_swap(path.rstrip("/"))
+
+    # All update-batch validation in one aggregation job: row count,
+    # distinct-key count, NULL-key count (NULL partition values are
+    # rejected too — hive's __HIVE_DEFAULT_PARTITION__ escape hatch is
+    # not a merge target).
+    null_cond = None
+    for c in dict.fromkeys(keys + parts):
+        cond = F.col(c).isNull()
+        null_cond = cond if null_cond is None else (null_cond | cond)
+    stats = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        F.sum(F.when(null_cond, 1).otherwise(0)).alias("nnull"),
+    ).collect()[0]
+    n_updates = stats["n"]
+    if stats["nnull"]:
+        raise ValueError(
+            f"updates must be key-non-null on {keys + parts}: "
+            f"{stats['nnull']} of {n_updates} rows carry a NULL"
+        )
+    if stats["nd"] != n_updates:
         raise ValueError(
             f"updates must be key-unique on {keys}: "
-            f"{n_updates} rows, {n_distinct} distinct keys"
+            f"{n_updates} rows, {stats['nd']} distinct keys"
         )
+
+    if parts:
+        # Sweep partition-level swap leftovers BEFORE reading: a crash
+        # mid-loop can leave `col=v__old` directories that hive
+        # partition discovery would otherwise surface as bogus
+        # partitions (value "v__old") with duplicate rows.
+        root = path.rstrip("/")
+        for dirpath, dirnames, _ in os.walk(root):
+            for d in list(dirnames):
+                if d.endswith("__old"):
+                    _recover_swap(os.path.join(dirpath, d[: -len("__old")]))
+                    dirnames.remove(d)
+
     base = spark.read.parquet(path)
-    kept = base.join(
-        updates.select(keys).distinct(), keys, "left_anti"
-    )
-    n_base = base.count()
+    touched_dirs: list[str] = []
+    if parts:
+        # Prune the base scan to the update batch's partitions: an OR
+        # of per-tuple conjunctions over the (collected, batch-bounded)
+        # distinct partition tuples reaches the scan as partition
+        # filters, so untouched directories are never read, let alone
+        # rewritten.
+        touched = [
+            tuple(r[c] for c in parts)
+            for r in updates.select(parts).distinct().collect()
+        ]
+        pred = None
+        for t in touched:
+            conj = None
+            for c, v in zip(parts, t):
+                cl = F.col(c) == F.lit(v)
+                conj = cl if conj is None else (conj & cl)
+            pred = conj if pred is None else (pred | conj)
+        base = base.filter(pred)
+        touched_dirs = [
+            "/".join(f"{c}={v}" for c, v in zip(parts, t)) for t in touched
+        ]
+    kept = base.join(updates.select(keys).distinct(), keys, "left_anti")
+    n_base = base.count()  # parquet footer count over the PRUNED scan
     out = kept.unionByName(updates)
+
     tmp = path.rstrip("/") + "__upserting"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)  # leftover from a crashed upsert
-    out.write.parquet(tmp)
+    w = out.write
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(tmp)
     n_kept = spark.read.parquet(tmp).count() - n_updates
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+
+    if parts:
+        # Swap only the touched partition directories; the rest of the
+        # table is never moved. Each directory swap is individually
+        # recoverable; sweep for leftovers of the non-atomic loop on
+        # the next call via _recover_swap on the table root's children.
+        for rel in touched_dirs:
+            src = os.path.join(tmp, rel)
+            dst = os.path.join(path.rstrip("/"), rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _recover_swap(dst)
+            if os.path.isdir(src):
+                _swap_in(dst, src)
+        shutil.rmtree(tmp)
+    else:
+        _swap_in(path.rstrip("/"), tmp)
     updated = n_base - n_kept
+    total = spark.read.parquet(path).count()
     return {
         "updated": updated,
         "inserted": n_updates - updated,
-        "total": n_kept + n_updates,
+        "total": total,
     }
