@@ -300,7 +300,16 @@ def weighted_sample_n(
     un-quantized race). Scale shape: one projection + one global
     TakeOrdered(n) — no shuffle beyond the top-n reduction; weights
     must be strictly positive (validated in-plan: nonpositive-weight
-    rows would win the race with key −inf silently, so they raise)."""
+    rows would win the race with key −inf silently, so they raise —
+    the DuckDB twin carries the same in-plan guard).
+
+    Overflow bound: the quantized key is clamped to 9e18 (just under
+    Long.MaxValue) with least() in BOTH engines — k = −ln(u)/w grows
+    as 1/w, and for weights below ~2e-12 the unclamped CAST would
+    saturate in Spark's non-ANSI cast but RAISE in DuckDB. Clamped
+    rows (weights that microscopic lose the race against any sane
+    weight anyway) tie at the cap and fall to the deterministic key
+    tie-break, identically cross-engine."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n!r}")
     key = F.col(key) if isinstance(key, str) else key
@@ -312,7 +321,7 @@ def weighted_sample_n(
         F.raise_error(F.lit("weighted_sample_n: weight must be > 0"))
     )
     k = -F.log(u) / guarded_w
-    key_r = F.round(k * F.lit(1e6)).cast("bigint")
+    key_r = F.round(F.least(k * F.lit(1e6), F.lit(9e18))).cast("bigint")
     return (
         df.withColumn(key_col, key_r)
         .orderBy(F.col(key_col).asc(), key.cast("string").asc())
@@ -329,12 +338,18 @@ def duckdb_weighted_sample_n(
     key_col: str = "race_key",
 ) -> str:
     """Oracle twin — identical slot → u → −ln(u)/w → quantized key →
-    (key_r, key) cut. `select_sql` is a complete SELECT producing the
-    rows to sample."""
+    clamp → (key_r, key) cut, with the SAME in-plan nonpositive-weight
+    guard as the operator (error() fires on invalid input instead of
+    silently racing with a −inf/negative key). `select_sql` is a
+    complete SELECT producing the rows to sample."""
     u = f"(({duckdb_slot(key_sql, salt)})::double + 0.5) / {float(_SLOTS)}"
-    k = f"(-ln({u}) / ({weight_sql}))"
+    w = (
+        f"(CASE WHEN ({weight_sql}) > 0 THEN ({weight_sql}) "
+        f"ELSE CAST(error('weighted_sample_n: weight must be > 0') AS DOUBLE) END)"
+    )
+    k = f"(-ln({u}) / {w})"
     return f"""
-        SELECT *, CAST(round({k} * 1e6) AS BIGINT) AS {key_col}
+        SELECT *, CAST(round(least({k} * 1e6, 9e18)) AS BIGINT) AS {key_col}
         FROM ({select_sql})
         ORDER BY {key_col} ASC, ({key_sql})::varchar ASC
         LIMIT {n}

@@ -482,3 +482,42 @@ class TestWeightedSampleN:
 
         df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "id long, w double")
         assert weighted_sample_n(df, 10, "w", "id").count() == 2
+
+    def test_tiny_weight_clamps_identically_cross_engine(self, spark):
+        """w below ~2e-12 drives k·1e6 past Long.MaxValue: Spark's
+        non-ANSI cast would saturate while DuckDB's raises. The shared
+        least(·, 9e18) clamp makes both engines agree — same winners,
+        same race keys — with clamped rows falling to the key
+        tie-break."""
+        import duckdb
+
+        from leann_rs_spark.operators.sampling import (
+            duckdb_weighted_sample_n,
+            weighted_sample_n,
+        )
+
+        rows = [(i, 1e-15 if i % 3 == 0 else float(i % 7 + 1))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = [(r["id"], r["race_key"])
+               for r in weighted_sample_n(df, 25, "w", "id").collect()]
+        assert all(k <= 9_000_000_000_000_000_000 for _, k in got)
+        vals = ", ".join(f"({i}, {w!r})" for i, w in rows)
+        sql = duckdb_weighted_sample_n(
+            f"SELECT * FROM (VALUES {vals}) t(id, w)", 25, "w", "id"
+        )
+        want = duckdb.sql(sql).fetchall()
+        assert got == [(r[0], r[2]) for r in want]
+
+    def test_twin_guards_nonpositive_weights_too(self, spark):
+        import duckdb
+        import pytest
+
+        from leann_rs_spark.operators.sampling import duckdb_weighted_sample_n
+
+        sql = duckdb_weighted_sample_n(
+            "SELECT * FROM (VALUES (0, 1.0), (1, -1.0)) t(id, w)",
+            1, "w", "id",
+        )
+        with pytest.raises(Exception, match="weight must be > 0"):
+            duckdb.sql(sql).fetchall()
