@@ -298,6 +298,83 @@ def _materialize_curve(spark: SparkSession, curve: DataFrame, inter: list) -> Da
     return spark.createDataFrame(rows, curve.schema)
 
 
+def x_ivf_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What codebook staleness COSTS — the number that justifies
+    ivf_drift_report's rebuild trigger (catalog.py ivf_drift_report
+    tells an operator when the frozen codebook is stale; this gate
+    measures the recall it loses). Corpus = the embeddings table
+    interleaved with a deterministically DRIFTED copy (odd ids carry
+    the negated vector — a distribution shift no base-trained centroid
+    covers). Per nprobe: recall@k of search under the STALE codebook
+    (centroids drawn from built-era rows only — the incremental-append
+    state) vs the FRESH one (centroids drawn from the full corpus —
+    what `ivf_append="rebuild"` recovers), against exact ground truth
+    over a mixed query set; drift_max_r carries the drift report's
+    worst per-cluster ratio computed over the stale assignment, pairing
+    the monitoring signal with its recall consequence."""
+    from leann_rs_spark.operators.ann import ivf_recall_curve
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.select(
+        (F.col("vec_id") * 2).alias("vec_id"), "embedding"
+    )
+    drifted = emb.select(
+        (F.col("vec_id") * 2 + 1).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    corpus = _fan(base.unionByName(drifted))
+    stale_c = corpus.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    fresh_c = corpus.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 2 * _RECALL_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    assigned_stale = ivf_assign(corpus, stale_c)
+    inter: list = []
+    stale = ivf_recall_curve(
+        assigned_stale, stale_c, queries, k=_RECALL_K,
+        nprobes=_RECALL_SWEEP, intermediates=inter,
+    ).withColumnRenamed("recall_r", "recall_stale_r")
+    fresh = ivf_recall_curve(
+        ivf_assign(corpus, fresh_c), fresh_c, queries, k=_RECALL_K,
+        nprobes=_RECALL_SWEEP, intermediates=inter,
+    ).withColumnRenamed("recall_r", "recall_fresh_r")
+    # drift report over the stale assignment: built era = even ids,
+    # appended era = odd ids — the catalog.ivf_drift_report formula
+    per = assigned_stale.groupBy("cluster_id").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_built"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_appended"),
+    )
+    tot = per.agg(
+        F.sum("n_built").alias("__tb"), F.sum("n_appended").alias("__ta")
+    )
+    drift_max = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(
+                F.col("n_built") > 0,
+                (F.col("n_appended") / F.greatest("__ta", F.lit(1)))
+                / (F.col("n_built") / F.greatest("__tb", F.lit(1))),
+            ).alias("dr")
+        )
+        .agg((F.round(F.max("dr"), 6) + F.lit(0.0)).alias("drift_max_r"))
+    )
+    out = (
+        stale.join(fresh, "nprobe")
+        .crossJoin(F.broadcast(drift_max))
+        .orderBy("nprobe")
+    )
+    return _materialize_curve(spark, out, inter)
+
+
 _PQ_M = 8
 _PQ_K = 16
 _PQ_REFINES = [1, 2, 4, 8, 64]
@@ -3266,6 +3343,12 @@ def _register_bm25_oracles() -> None:
         n_queries=_RECALL_Q, k=_RECALL_K, nprobes=_RECALL_SWEEP,
         n_centroids=_IVF_CENTROIDS,
     )
+    from leann_rs_spark.operators.ann import duckdb_ivf_drift_recall
+
+    _ORACLES["x_ivf_drift_recall"] = duckdb_ivf_drift_recall(
+        n_queries=_RECALL_Q, k=_RECALL_K, nprobes=_RECALL_SWEEP,
+        n_centroids=_IVF_CENTROIDS,
+    )
     from leann_rs_spark.operators.pq import (
         duckdb_pq_refine_recall_curve,
         duckdb_pq_search,
@@ -4577,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfbq_topk": x_ivfbq_topk,
         "x_bq_batch_topk": x_bq_batch_topk,
         "x_sq8_refined": x_sq8_refined,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

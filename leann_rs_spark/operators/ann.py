@@ -821,3 +821,130 @@ def duckdb_ivf_recall_curve(
         FROM sweep s LEFT JOIN hits h USING (nprobe)
         ORDER BY s.nprobe
     """
+
+
+def duckdb_ivf_drift_recall(
+    n_queries: int,
+    k: int,
+    nprobes: list[int],
+    n_centroids: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin of the drift-recall gate: corpus = `table`
+    interleaved with a negated copy (odd ids), STALE centroids = first
+    C built-era (even) ids, FRESH = first C corpus ids, recall@k per
+    nprobe under each codebook vs exact ground truth over the first
+    2·n_queries mixed queries, plus the drift report's max per-cluster
+    ratio over the stale assignment. Corpus and both candidate frames
+    are AS MATERIALIZED — each is consumed more than once and DuckDB
+    inlines CTEs (CLAUDE.md measured rule)."""
+
+    def pipeline(tag: str, cent: str) -> str:
+        d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+        d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+        d_aq = duckdb_dot(f"a.{vec_col}", "q.qv")
+        return f"""
+        a_{tag} AS MATERIALIZED (
+            SELECT {id_col}, {vec_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM corpus e, {cent} c
+            ) WHERE rn = 1
+        ),
+        pr_{tag} AS (
+            SELECT q.query_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {d_cq} DESC, c.centroid_id ASC
+                   ) AS probe_rank
+            FROM {cent} c, q
+        ),
+        cand_{tag} AS MATERIALIZED (
+            SELECT q.query_id, a.{id_col}, pr.probe_rank, {d_aq} AS score
+            FROM a_{tag} a
+            JOIN pr_{tag} pr ON a.cluster_id = pr.centroid_id
+            JOIN q ON q.query_id = pr.query_id
+        ),
+        exact_{tag} AS MATERIALIZED (
+            SELECT query_id, {id_col} FROM (
+                SELECT query_id, {id_col}, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+                ) AS rnk FROM cand_{tag}
+            ) WHERE rnk <= {k}
+        ),
+        topk_{tag} AS (
+            SELECT nprobe, query_id, {id_col} FROM (
+                SELECT s.nprobe, c.query_id, c.{id_col},
+                       row_number() OVER (
+                           PARTITION BY s.nprobe, c.query_id
+                           ORDER BY c.score DESC, c.{id_col} ASC
+                       ) AS rnk
+                FROM sweep s JOIN cand_{tag} c ON c.probe_rank <= s.nprobe
+            ) WHERE rnk <= {k}
+        ),
+        recall_{tag} AS (
+            SELECT s.nprobe,
+                   round(coalesce(h.n, 0)::double
+                         / (SELECT count(*) FROM exact_{tag}), 6) + 0.0
+                       AS recall_{tag}_r
+            FROM sweep s LEFT JOIN (
+                SELECT t.nprobe, count(*) AS n
+                FROM topk_{tag} t JOIN exact_{tag} e
+                  ON t.query_id = e.query_id AND t.{id_col} = e.{id_col}
+                GROUP BY t.nprobe
+            ) h USING (nprobe)
+        )"""
+
+    sweep = ", ".join(str(p) for p in nprobes)
+    return f"""
+        WITH corpus AS MATERIALIZED (
+            SELECT {id_col} * 2 AS {id_col}, {vec_col} FROM {table}
+            UNION ALL
+            SELECT {id_col} * 2 + 1 AS {id_col},
+                   list_transform({vec_col}, x -> -x) AS {vec_col}
+            FROM {table}
+        ),
+        stale_cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM corpus
+            WHERE {id_col} % 2 = 0 AND {id_col} < {2 * n_centroids}
+        ),
+        fresh_cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM corpus WHERE {id_col} < {n_centroids}
+        ),
+        q AS (
+            SELECT {id_col} AS query_id, {vec_col} AS qv
+            FROM corpus WHERE {id_col} < {2 * n_queries}
+        ),
+        sweep AS (SELECT unnest([{sweep}]) AS nprobe),
+        {pipeline("stale", "stale_cent")},
+        {pipeline("fresh", "fresh_cent")},
+        drift AS (
+            SELECT round(max(
+                       CASE WHEN n_built > 0 THEN
+                           (n_appended / greatest(
+                               (SELECT sum(b.n_appended) FROM per b), 1))
+                           / (n_built / greatest(
+                               (SELECT sum(b.n_built) FROM per b), 1))
+                       END), 6) + 0.0 AS drift_max_r
+            FROM per
+        ),
+        per AS MATERIALIZED (
+            SELECT cluster_id,
+                   count(*) FILTER ({id_col} % 2 = 0)::double AS n_built,
+                   count(*) FILTER ({id_col} % 2 = 1)::double AS n_appended
+            FROM a_stale GROUP BY cluster_id
+        )
+        SELECT s.nprobe, rs.recall_stale_r, rf.recall_fresh_r, d.drift_max_r
+        FROM sweep s
+        JOIN recall_stale rs USING (nprobe)
+        JOIN recall_fresh rf USING (nprobe)
+        CROSS JOIN drift d
+        ORDER BY s.nprobe
+    """
