@@ -189,6 +189,13 @@ def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
                     # those libs are present
                     if r["modality"] in ("image", "video"):
                         w, h = sniff_image_dims(content)
+                        if w is None:
+                            # PIL tier: formats the header sniffer
+                            # doesn't know (WebP, TIFF, …) when the
+                            # lib is importable
+                            arr = decode_image(content)
+                            if arr is not None:
+                                h, w = int(arr.shape[0]), int(arr.shape[1])
                     if r["modality"] in ("audio", "video"):
                         dur = wav_duration_ms(content)
                 elif r["modality"] in ("image", "video"):
@@ -264,6 +271,42 @@ def resize_plan(
 # re-encode) is exactly what a real multi-format decoder runs.
 # ---------------------------------------------------------------------------
 
+def pil_image():
+    """`PIL.Image` when importable, else None — the pypdf pattern
+    (sources/pdf.py): an optional library widens the format set behind
+    the same function, and its absence degrades to the pure-Python
+    tier instead of failing."""
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:
+        return None
+
+
+def decode_image(content: bytes):
+    """bytes → HxWx3 uint8 RGB array, or None on undecodable input.
+
+    Tiered: PIL when importable (PNG/JPEG/GIF/WebP/… — whatever its
+    codecs cover), falling back to the pure-numpy BMP kernel either
+    when PIL is absent or when PIL itself cannot parse the bytes. All
+    PIXEL MATH downstream (nn_resize, ahash) stays in our own
+    deterministic kernels, so results for a format both tiers decode
+    (BMP) are identical with and without PIL — pinned by tests."""
+    import numpy as np
+
+    Image = pil_image()
+    if Image is not None and content:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(content)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception:
+            pass  # fall through: PIL lacks the codec or bytes are dirty
+    return bmp_decode(content)
+
+
 def bmp_decode(content: bytes):
     """Uncompressed BGR888 BMP → HxWx3 uint8 (RGB, top-down); None on
     anything else (other formats, compressed BMPs, truncated bytes)."""
@@ -335,11 +378,14 @@ def nn_resize(arr, out_w: int, out_h: int):
 def resize_images(
     media: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """The REAL pixel stage: decode BMP blobs, aspect-preserving-fit
-    nearest-neighbor resize, re-encode — Arrow-batched mapInPandas,
-    bytes never leave the executor. Undecodable blobs keep their row
-    with NULL output (total over dirty corpora). → (media_id, width,
-    height, out_w, out_h, content<BINARY resized BMP>).
+    """The REAL pixel stage: decode image blobs (PIL-widened when
+    importable, pure-numpy BMP kernel otherwise — `decode_image`),
+    aspect-preserving-fit nearest-neighbor resize in OUR deterministic
+    kernel (identical output with/without PIL), re-encode as BMP —
+    Arrow-batched mapInPandas, bytes never leave the executor.
+    Undecodable blobs keep their row with NULL output (total over
+    dirty corpora). → (media_id, width, height, out_w, out_h,
+    content<BINARY resized BMP>).
 
     No SQL-oracle gate: binary codecs are outside DuckDB's expressible
     surface (the serving/filesystem operator class) — pinned instead by
@@ -362,7 +408,7 @@ def resize_images(
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r["content"]) if r["content"] is not None else b""
-                arr = bmp_decode(content)
+                arr = decode_image(content)
                 if arr is None:
                     rows.append(
                         {"media_id": r["media_id"], "width": None,
@@ -443,19 +489,71 @@ def duckdb_media_features(table: str = "documents") -> str:
 AHASH_BITS = 63
 
 
+def real_ahash_py(content: bytes) -> int | None:
+    """Pixel average-hash kernel: decode_image → 8×8 nn_resize →
+    integer grayscale ((r+g+b)//3) → bit i set iff cell i exceeds the
+    grid mean, over the first AHASH_BITS raster-order cells (63 keeps
+    the value sign-safe in a BIGINT, matching the fake engine's
+    width). None when the bytes don't decode."""
+    arr = decode_image(content)
+    if arr is None:
+        return None
+    import numpy as np
+
+    small = nn_resize(arr, 8, 8)
+    gray = small.astype(np.uint32).sum(axis=2) // 3
+    cells = gray.reshape(-1)[:AHASH_BITS]
+    mean = float(cells.mean())
+    bits = 0
+    for i, v in enumerate(cells):
+        if float(v) > mean:
+            bits |= 1 << i
+    return bits
+
+
 def media_ahash(
     media: DataFrame,
     engine: str = "fake",
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """→ (id_col, ahash BIGINT): perceptual average-hash per row."""
+    """→ (id_col, ahash BIGINT): perceptual average-hash per row.
+
+    engine="fake": deterministic text-derived stand-in with a DuckDB
+    oracle twin (the gated path). engine="real": actual pixels —
+    decode_image (PIL-widened when importable, pure-numpy BMP kernel
+    otherwise) → 8×8 nn_resize → integer grayscale → mean threshold
+    over the first AHASH_BITS cells. All pixel math is our own kernel,
+    so the hash is identical with and without PIL for formats both
+    tiers decode; undecodable rows get NULL (total over dirty
+    corpora). No SQL oracle for the real engine (binary codecs are
+    outside DuckDB's surface) — pinned by kernel round-trip tests."""
     if engine == "real":
-        # STUB: real decode path (PIL.Image.open(bytes).convert("L")
-        # .resize((8, 8)) → pixel grid) — image libs absent here.
-        raise NotImplementedError(
-            "real image decode requires PIL; use engine='fake' for the "
-            "deterministic locality-preserving stand-in"
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, T.LongType(), False),
+                T.StructField("ahash", T.LongType(), True),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    content = (
+                        bytes(r[content_col])
+                        if r[content_col] is not None
+                        else b""
+                    )
+                    rows.append(
+                        {id_col: r[id_col], "ahash": real_ahash_py(content)}
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in out_schema.fields]
+                )
+
+        return media.select(id_col, content_col).mapInPandas(
+            run, schema=out_schema
         )
     n = AHASH_BITS
     t = media.select(

@@ -256,3 +256,129 @@ def test_bmp_corrupt_headers_rejected():
     bad_off = bytearray(blob)
     bad_off[10:14] = (2).to_bytes(4, "little")  # pixel data inside header
     assert bmp_decode(bytes(bad_off)) is None
+
+
+# --- PIL-widened decode tier (pypdf pattern) --------------------------------
+
+class _FakePILImage:
+    """Minimal PIL.Image shim: open() parses BMP via our own kernel,
+    so the PIL code path executes for real in a container without
+    Pillow. Tests pin that (a) decode_image routes through PIL when
+    importable and (b) results equal the no-PIL tier — the determinism
+    contract that lets the two tiers coexist in one fleet."""
+
+    calls = 0
+
+    class _Im:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            import numpy as np
+
+            return np.asarray(self._arr, dtype=dtype)
+
+    @classmethod
+    def open(cls, fh):
+        from leann_rs_spark.operators.multimodal import bmp_decode
+
+        cls.calls += 1
+        arr = bmp_decode(fh.read())
+        if arr is None:
+            raise OSError("cannot identify image file")
+        return cls._Im(arr)
+
+
+def _with_fake_pil(monkeypatch):
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _FakePILImage
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _FakePILImage)
+
+
+def test_decode_image_without_pil_is_bmp_kernel():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        bmp_decode,
+        decode_image,
+        pil_image,
+    )
+
+    assert pil_image() is None  # this container has no Pillow
+    arr, blob = _gradient_bmp(13, 9)
+    assert np.array_equal(decode_image(blob), bmp_decode(blob))
+    assert decode_image(b"not an image") is None
+
+
+def test_decode_image_with_pil_routes_and_matches(monkeypatch):
+    import numpy as np
+
+    from leann_rs_spark.operators import multimodal
+
+    arr, blob = _gradient_bmp(13, 9)
+    without = multimodal.decode_image(blob)
+    _with_fake_pil(monkeypatch)
+    assert multimodal.pil_image() is _FakePILImage
+    before = _FakePILImage.calls
+    with_pil = multimodal.decode_image(blob)
+    assert _FakePILImage.calls == before + 1  # PIL tier actually ran
+    assert np.array_equal(with_pil, without) and np.array_equal(with_pil, arr)
+
+
+def test_decode_image_pil_failure_falls_back(monkeypatch):
+    import numpy as np
+
+    from leann_rs_spark.operators import multimodal
+
+    _with_fake_pil(monkeypatch)
+    arr, blob = _gradient_bmp(8, 8)
+
+    def boom(fh):
+        raise OSError("no codec")
+
+    monkeypatch.setattr(_FakePILImage, "open", boom)
+    assert np.array_equal(multimodal.decode_image(blob), arr)
+
+
+def test_real_ahash_kernel_both_tiers(monkeypatch):
+    from leann_rs_spark.operators import multimodal
+
+    arr, blob = _gradient_bmp(32, 24)
+    h_no_pil = multimodal.real_ahash_py(blob)
+    assert isinstance(h_no_pil, int) and 0 < h_no_pil < 2**63
+    assert multimodal.real_ahash_py(b"junk") is None
+    _with_fake_pil(monkeypatch)
+    assert multimodal.real_ahash_py(blob) == h_no_pil  # tier-invariant
+
+
+def test_media_ahash_real_engine(spark):
+    from leann_rs_spark.operators.multimodal import media_ahash, real_ahash_py
+
+    _, blob_a = _gradient_bmp(32, 24)
+    _, blob_b = _gradient_bmp(16, 12)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob_a)), (2, bytearray(blob_b)), (3, bytearray(b"x"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r["ahash"]
+            for r in media_ahash(media, engine="real").collect()}
+    assert rows[1] == real_ahash_py(blob_a)
+    assert rows[2] == real_ahash_py(blob_b)
+    assert rows[3] is None
+    # same gradient at two scales: nn-resize to the same 8x8 grid makes
+    # the perceptual hashes near-identical (that is the point of aHash)
+    assert bin(rows[1] ^ rows[2]).count("1") <= 8
