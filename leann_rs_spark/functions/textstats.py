@@ -200,18 +200,52 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_id(text: Column | str) -> Column:
     """argmax over lang_scores; ties break to the alphabetically first
-    language (deterministic CASE chain, identical in the oracle)."""
-    s = lang_scores(text)
-    pred = None
-    for lang in LANGS:
-        cond = None
-        for other in LANGS:
-            if other == lang:
-                continue
-            c = s[lang] >= s[other]
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
-    return pred.otherwise(F.lit("und"))
+    language (deterministic CASE chain, identical in the oracle).
+
+    Let-bound twice (the CLAUDE.md HOF rule): the naive CASE chain
+    references each score expression up to 8 times and Catalyst does
+    not CSE into the comparisons, so the text was re-tokenized ~40×
+    per row (measured 2.8 s of x_analyze_report's 8.5 s at sf0.1).
+    Here tokenize() runs ONCE (inner transform binds the token array
+    and emits the four stopword ratios), the CJK regex runs ONCE, and
+    the argmax compares elements of the bound 5-score array. Same
+    comparisons on the same values — bit-identical to the unbound
+    form, so every oracle stays untouched."""
+    text = F.col(text) if isinstance(text, str) else text
+    sw_langs = [l for l in LANGS if l != "zh"]
+
+    def ratios(toks: Column) -> Column:
+        n = F.size(toks)
+        out = []
+        for lang in sw_langs:
+            sw = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            out.append(_ratio(hits, n))
+        return F.array(*out)
+
+    sw_scores = F.transform(F.array(tokenize(text)), ratios)[0]
+    cjk = F.length(text) - F.length(F.regexp_replace(text, CJK_RE, ""))
+    scores5 = F.concat(sw_scores, F.array(_ratio(cjk, F.length(text))))
+    order = sw_langs + ["zh"]  # scores5 element order
+    idx = {l: order.index(l) for l in LANGS}
+
+    def argmax(s: Column) -> Column:
+        pred = None
+        for lang in LANGS:
+            cond = None
+            for other in LANGS:
+                if other == lang:
+                    continue
+                c = s[idx[lang]] >= s[idx[other]]
+                cond = c if cond is None else (cond & c)
+            pred = (
+                F.when(cond, F.lit(lang))
+                if pred is None
+                else pred.when(cond, F.lit(lang))
+            )
+        return pred.otherwise(F.lit("und"))
+
+    return F.transform(F.array(scores5), argmax)[0]
 
 
 def duckdb_lang_scores(text: str) -> dict[str, str]:
