@@ -311,8 +311,11 @@ def x_ivf_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what `ivf_append="rebuild"` recovers), against exact ground truth
     over a mixed query set; drift_max_r carries the drift report's
     worst per-cluster ratio computed over the stale assignment, pairing
-    the monitoring signal with its recall consequence."""
-    from leann_rs_spark.operators.ann import ivf_recall_curve
+    the monitoring signal with its recall consequence. Both codebooks
+    ride ONE scored Q×N table and ONE exact ground truth
+    (ann.ivf_recall_curves_multi) — the per-codebook loop would pay
+    the dot products and the exact window twice."""
+    from leann_rs_spark.operators.ann import ivf_recall_curves_multi
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     base = emb.select(
@@ -341,19 +344,26 @@ def x_ivf_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    assigned_stale = ivf_assign(corpus, stale_c)
+    # one pass attaches BOTH cluster assignments (narrow chained
+    # projections), so the scored table carries them for free
+    assigned_multi = ivf_assign(
+        ivf_assign(corpus, stale_c).withColumnRenamed(
+            "cluster_id", "cluster_id__stale"
+        ),
+        fresh_c,
+        extra_cols=["cluster_id__stale"],
+    ).withColumnRenamed("cluster_id", "cluster_id__fresh")
     inter: list = [corpus]
-    stale = ivf_recall_curve(
-        assigned_stale, stale_c, queries, k=_RECALL_K,
-        nprobes=_RECALL_SWEEP, intermediates=inter,
-    ).withColumnRenamed("recall_r", "recall_stale_r")
-    fresh = ivf_recall_curve(
-        ivf_assign(corpus, fresh_c), fresh_c, queries, k=_RECALL_K,
-        nprobes=_RECALL_SWEEP, intermediates=inter,
-    ).withColumnRenamed("recall_r", "recall_fresh_r")
+    curve = ivf_recall_curves_multi(
+        assigned_multi,
+        {"stale": stale_c, "fresh": fresh_c},
+        queries, k=_RECALL_K, nprobes=_RECALL_SWEEP, intermediates=inter,
+    )
     # drift report over the stale assignment: built era = even ids,
     # appended era = odd ids — the catalog.ivf_drift_report formula
-    per = assigned_stale.groupBy("cluster_id").agg(
+    per = assigned_multi.withColumnRenamed(
+        "cluster_id__stale", "cluster_id"
+    ).groupBy("cluster_id").agg(
         F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_built"),
         F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_appended"),
     )
@@ -371,11 +381,7 @@ def x_ivf_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.round(F.max("dr"), 6) + F.lit(0.0)).alias("drift_max_r"))
     )
-    out = (
-        stale.join(fresh, "nprobe")
-        .crossJoin(F.broadcast(drift_max))
-        .orderBy("nprobe")
-    )
+    out = curve.crossJoin(F.broadcast(drift_max)).orderBy("nprobe")
     return _materialize_curve(spark, out, inter)
 
 

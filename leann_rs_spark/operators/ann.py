@@ -70,6 +70,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     inline_max: int = IVF_INLINE_MAX_CENTROIDS,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each vector to its best (max inner product) centroid.
 
@@ -117,11 +118,14 @@ def ivf_assign(
             )
         )
         return vectors.select(
-            id_col, vec_col, (-best["neg_id"]).alias("cluster_id")
+            id_col, vec_col, *(extra_cols or []),
+            (-best["neg_id"]).alias("cluster_id"),
         )
+    extras = list(extra_cols or [])
     scored = vectors.crossJoin(F.broadcast(cent_df)).select(
         F.col(id_col),
         vec,
+        *extras,
         F.struct(
             dot(vec, F.col("centroid_vec")).alias("s"),
             (-F.col("centroid_id")).alias("neg_id"),
@@ -131,9 +135,13 @@ def ivf_assign(
         scored.groupBy(id_col)
         .agg(
             F.any_value(F.col(vec_col)).alias(vec_col),
+            *[F.any_value(F.col(c)).alias(c) for c in extras],
             F.max("__cand").alias("__best"),
         )
-        .select(id_col, vec_col, (-F.col("__best.neg_id")).alias("cluster_id"))
+        .select(
+            id_col, vec_col, *extras,
+            (-F.col("__best.neg_id")).alias("cluster_id"),
+        )
     )
 
 
@@ -948,3 +956,119 @@ def duckdb_ivf_drift_recall(
         CROSS JOIN drift d
         ORDER BY s.nprobe
     """
+
+
+def ivf_recall_curves_multi(
+    assigned_multi: DataFrame,
+    codebooks: dict[str, DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    intermediates: list | None = None,
+) -> DataFrame:
+    """Recall@k per nprobe for SEVERAL codebooks over ONE corpus — the
+    codebook-comparison diagnostic (stale-vs-rebuilt drift costing,
+    take-vs-kmeans policy choice). `assigned_multi` carries one
+    `cluster_id__<tag>` column per codebook (attach them all in one
+    assignment pass).
+
+    Physical shape (measured: the job-count, not the dot products, is
+    what the per-codebook ivf_recall_curve loop pays for — 14 window
+    jobs for 2 codebooks × 5 points): score every (query, vector) pair
+    ONCE into a persisted table; derive the exact ground truth ONCE
+    (Q·k rows — broadcastable); then ALL (codebook, nprobe, query)
+    top-k ranks come out of ONE window job — each candidate explodes
+    only to the sweep points that include it (probe_rank <= p), the
+    window partitions by (tag, nprobe, query), and the exact set
+    broadcast-semi-joins the survivors. |sweep| ≈ 5 bounds the blowup.
+
+    → (nprobe, recall_<tag>_r ...), micro-averaged like
+    ivf_recall_curve; nprobe = C still closes every curve at 1.0."""
+    from pyspark.sql import Window
+
+    nprobes = nprobes or [1, 2, 4, 8, 16]
+    tags = list(codebooks)
+    qv = F.col(query_vec_col)
+    scored = assigned_multi.join(
+        F.broadcast(queries), how="cross"
+    ).select(
+        query_id_col,
+        id_col,
+        *[f"cluster_id__{t}" for t in tags],
+        dot(F.col(vec_col), qv).alias("score"),
+    ).persist()
+    w_exact = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("__rnk", F.row_number().over(w_exact))
+        .filter(F.col("__rnk") <= k)
+        .select(query_id_col, id_col)
+        .persist()
+    )
+    n_exact = exact.count()
+    if intermediates is not None:
+        intermediates.extend([scored, exact])
+    sweep_arr = F.array(*[F.lit(p) for p in nprobes])
+    per_tag = []
+    for tag in tags:
+        probes = probe_ranks(
+            queries, codebooks[tag], query_id_col, query_vec_col
+        ).select(query_id_col, "cluster_id", "probe_rank")
+        per_tag.append(
+            scored.join(
+                F.broadcast(probes),
+                (F.col(f"cluster_id__{tag}") == probes["cluster_id"])
+                & (scored[query_id_col] == probes[query_id_col]),
+            ).select(
+                F.lit(tag).alias("__tag"),
+                scored[query_id_col],
+                scored[id_col],
+                "probe_rank",
+                "score",
+            )
+        )
+    cand = per_tag[0]
+    for c in per_tag[1:]:
+        cand = cand.unionByName(c)
+    expl = cand.select(
+        "__tag",
+        query_id_col,
+        id_col,
+        "score",
+        F.explode(
+            F.filter(sweep_arr, lambda p: p >= F.col("probe_rank"))
+        ).alias("nprobe"),
+    )
+    w_point = Window.partitionBy("__tag", "nprobe", query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    hits = (
+        expl.withColumn("__rnk", F.row_number().over(w_point))
+        .filter(F.col("__rnk") <= k)
+        .join(F.broadcast(exact), [query_id_col, id_col], "left_semi")
+        .groupBy("__tag", "nprobe")
+        .agg(F.count("*").alias("n"))
+        .groupBy("nprobe")
+        .pivot("__tag", tags)
+        .agg(F.first("n"))
+    )
+    out = hits.select(
+        "nprobe",
+        *[
+            (
+                F.round(
+                    F.coalesce(F.col(t), F.lit(0)).cast("double")
+                    / F.lit(float(n_exact)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(f"recall_{t}_r")
+            for t in tags
+        ],
+    )
+    return out.orderBy("nprobe")
