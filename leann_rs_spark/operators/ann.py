@@ -729,25 +729,47 @@ def ivf_recall_curve(
     n_exact = exact.count()  # materializes both persists
     if intermediates is not None:
         intermediates.extend([cand, exact])
-    curves = []
-    for p in nprobes:
-        topk = (
-            cand.filter(F.col("probe_rank") <= p)
-            .withColumn("__rnk", F.row_number().over(w_rank))
-            .filter(F.col("__rnk") <= k)
-            .select(query_id_col, id_col)
-        )
-        hits = topk.join(exact, [query_id_col, id_col], "left_semi").agg(
-            F.count("*").alias("n")
-        ).select(
-            F.lit(p).alias("nprobe"),
-            (F.round(F.col("n").cast("double") / F.lit(float(n_exact)), 6)
-             + F.lit(0.0)).alias("recall_r"),
-        )
-        curves.append(hits)
-    out = curves[0]
-    for c in curves[1:]:
-        out = out.unionByName(c)
+    # ONE window job for the whole sweep (the per-point loop paid a
+    # full window + semi-join + agg job per nprobe — job count, not
+    # scoring, dominated; same restructure as ivf_recall_curves_multi):
+    # each candidate explodes to the sweep points that include it
+    # (p >= probe_rank, |sweep| ≈ 5 bounds the blowup), the window
+    # partitions by (nprobe, query), the tiny exact set broadcasts.
+    expl = cand.select(
+        query_id_col,
+        id_col,
+        "score",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(p) for p in nprobes]),
+                lambda p: p >= F.col("probe_rank"),
+            )
+        ).alias("nprobe"),
+    )
+    w_point = Window.partitionBy("nprobe", query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    hits = (
+        expl.withColumn("__rnk", F.row_number().over(w_point))
+        .filter(F.col("__rnk") <= k)
+        .join(F.broadcast(exact), [query_id_col, id_col], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = assigned.sparkSession.createDataFrame(
+        [(p,) for p in nprobes], "nprobe int"
+    )
+    out = spine.join(hits, "nprobe", "left").select(
+        "nprobe",
+        (
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.lit(float(n_exact)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_r"),
+    )
     return out.orderBy("nprobe")
 
 
@@ -1057,6 +1079,12 @@ def ivf_recall_curves_multi(
         .pivot("__tag", tags)
         .agg(F.first("n"))
     )
+    # explicit sweep spine: a point where EVERY codebook scores zero
+    # hits would otherwise drop out of the grouped frame entirely
+    spine = assigned_multi.sparkSession.createDataFrame(
+        [(p,) for p in nprobes], "nprobe int"
+    )
+    hits = spine.join(hits, "nprobe", "left")
     out = hits.select(
         "nprobe",
         *[

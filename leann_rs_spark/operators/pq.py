@@ -563,32 +563,54 @@ def pq_refine_recall_curve(
         F.row_number().over(w_adc).alias("adc_rank"),
         F.row_number().over(w_exact).alias("exact_rank"),
     ).persist()
-    truth = ranked.filter(F.col("exact_rank") <= k).select(query_id_col, id_col)
+    truth = ranked.filter(F.col("exact_rank") <= k).select(
+        query_id_col, id_col
+    ).persist()
     n_truth = truth.count()  # materializes the persists
     if intermediates is not None:
-        intermediates.extend([cand, ranked])
-    curves = []
-    for r in refines:
-        got = (
-            ranked.filter(F.col("adc_rank") <= r * k)
-            .withColumn("__rr", F.row_number().over(w_exact))
-            .filter(F.col("__rr") <= k)
-            .select(query_id_col, id_col)
-        )
-        hits = got.join(truth, [query_id_col, id_col], "left_semi").agg(
-            F.count("*").alias("n")
-        ).select(
-            F.lit(r).alias("refine"),
-            (
-                F.round(F.col("n").cast("double") / F.lit(float(n_truth)), 6)
-                + F.lit(0.0)
-            ).alias("recall_r"),
-        )
-        curves.append(hits)
-    out = curves[0]
-    for c in curves[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("refine")
+        intermediates.extend([cand, ranked, truth])
+    # ONE window job for the whole sweep (the per-point loop paid a
+    # full re-rank window + semi-join + agg per refine point — job
+    # count dominated; same restructure as ann.ivf_recall_curve): a
+    # shortlisted row explodes to the refine points that cover it
+    # (r·k >= adc_rank, |sweep| ≈ 5 bounds the blowup), the exact
+    # re-rank window partitions by (refine, query), the tiny truth
+    # set broadcasts into the semi-join.
+    expl = ranked.filter(F.col("adc_rank") <= max(refines) * k).select(
+        query_id_col,
+        id_col,
+        "exact",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(r) for r in refines]),
+                lambda r: r * F.lit(k) >= F.col("adc_rank"),
+            )
+        ).alias("refine"),
+    )
+    w_point = Window.partitionBy("refine", query_id_col).orderBy(
+        F.col("exact").desc(), F.col(id_col).asc()
+    )
+    hits = (
+        expl.withColumn("__rr", F.row_number().over(w_point))
+        .filter(F.col("__rr") <= k)
+        .join(F.broadcast(truth), [query_id_col, id_col], "left_semi")
+        .groupBy("refine")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = vectors.sparkSession.createDataFrame(
+        [(r,) for r in refines], "refine int"
+    )
+    return spine.join(hits, "refine", "left").select(
+        "refine",
+        (
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.lit(float(n_truth)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall_r"),
+    ).orderBy("refine")
 
 
 # ---------------------------------------------------------------------------
