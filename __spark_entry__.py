@@ -480,6 +480,44 @@ def x_sq8_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed serving (operators/sq.ivfsq_search): coarse
+    probe pruning × byte codes inside the probed clusters × broadcast
+    exact rescore — per-query scan bytes (nprobe/C)·N·D, completing
+    the ladder's composition matrix (IVF×full = q1, IVF×PQ =
+    x_ivfpq_topk, IVF×BQ = x_ivfbq_topk; this is the middle rung
+    composed). The cluster-assigned code table is a persisted artifact
+    (once per process); quantizer params shared with the SQ8 gates."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.sq import (
+        ivfsq_search,
+        sq8_encode_col,
+        sq8_train,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _IVF_CENTROIDS)
+    mins, rngs = _fx_value(
+        ("sq8_train", sf_dir), lambda: sq8_train(emb, dims=64)
+    )
+    # one projection: assignment carries the vector, so the code packs
+    # in the same map pass — no join
+    assigned_codes = _fx_frame(
+        spark, ("ivfsq_codes", sf_dir),
+        lambda: ivf_assign(_fan(emb), cents).select(
+            "vec_id",
+            "cluster_id",
+            sq8_encode_col(F.col("embedding"), mins, rngs).alias("qcode"),
+        ),
+        "leann-fx-ivfsqcodes-",
+    )
+    qv = _query_vec(spark, sf_dir, 4)
+    return ivfsq_search(
+        assigned_codes, cents, mins, rngs, qv, k=10, nprobe=_IVF_NPROBE,
+        refine=3, vectors=emb,
+    )
+
+
 def x_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized search (operators/bq.py) — the extreme rung of
     the storage ladder (f32 → SQ8 → PQ → BQ D bits): per-dim median
@@ -3527,6 +3565,12 @@ def _register_bm25_oracles() -> None:
     _ORACLES["x_sq8_refined"] = duckdb_sq8_search(
         query_vec_id=4, k=10, refine=3
     )
+    from leann_rs_spark.operators.sq import duckdb_ivfsq_search
+
+    _ORACLES["x_ivfsq_topk"] = duckdb_ivfsq_search(
+        query_vec_id=4, k=10, nprobe=_IVF_NPROBE,
+        n_centroids=_IVF_CENTROIDS, refine=3,
+    )
     from leann_rs_spark.operators.bq import duckdb_bq_search
 
     _ORACLES["x_bq_topk"] = duckdb_bq_search(query_vec_id=4, k=10, refine=4)
@@ -4814,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bq_batch_topk": x_bq_batch_topk,
         "x_sq8_refined": x_sq8_refined,
         "x_ivf_drift_recall": x_ivf_drift_recall,
+        "x_ivfsq_topk": x_ivfsq_topk,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,

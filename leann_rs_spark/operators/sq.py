@@ -210,3 +210,152 @@ def duckdb_sq8_search(
         ORDER BY score DESC, r.{id_col} ASC
         LIMIT {k}
     """
+
+
+def ivfsq_search(
+    assigned_codes: DataFrame,
+    centroids: DataFrame,
+    mins: list[float],
+    rngs: list[float],
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 3,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 — the composed serving shape that completes the ladder's
+    composition matrix (IVF×full = q1, IVF×PQ = pq.ivf_pq_search,
+    IVF×BQ = bq.ivfbq_search): coarse probe pruning reads nprobe/C of
+    the corpus, SQ8 byte codes cut what IS read 4×, a broadcast exact
+    rescore touches refine·k rows. Per-query scan bytes ≈
+    (nprobe/C)·N·D — the middle-rung compression composed with
+    pruning; on a cluster-partitioned code layout the probe filter is
+    static partition pruning at the file level.
+
+    `assigned_codes`: (id_col, cluster_id, qcode) — sq8_encode output
+    carrying ivf_assign's cluster ids (pack the code in the same
+    assignment projection; no join)."""
+    from leann_rs_spark.functions.vector import dot as _dot
+
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe_rows = (
+        centroids.select(
+            "centroid_id", _dot(F.col("centroid_vec"), q).alias("__qs")
+        )
+        .orderBy(F.col("__qs").desc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe_ids = [r["centroid_id"] for r in probe_rows]
+    ranked = (
+        assigned_codes.filter(F.col("cluster_id").isin(probe_ids))
+        .select(
+            id_col,
+            dot(q, sq8_reconstruct_col(F.col("qcode"), mins, rngs)).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+    )
+    if refine <= 0:
+        return ranked.limit(k)
+    if vectors is None:
+        raise ValueError("refine > 0 needs the full-vector table")
+    shortlist = ranked.limit(refine * k).select(id_col)
+    return (
+        vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+        .select(id_col, dot(F.col(vec_col), q).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def duckdb_ivfsq_search(
+    query_vec_id: int,
+    k: int,
+    nprobe: int,
+    n_centroids: int,
+    refine: int = 3,
+    dims: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle twin: the duckdb_ivf_search probe construction
+    intersected with the SQ8 dequant-dot ranking, then the exact
+    rescore — cent/assigned/probes from the IVF twin, stats/codes/recon
+    from the SQ8 twin."""
+    d_ec = duckdb_dot(f"e.{vec_col}", "c.centroid_vec")
+    d_cq = duckdb_dot("c.centroid_vec", "q.qv")
+    return f"""
+        WITH cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),
+        assigned AS (
+            SELECT {id_col}, centroid_id AS cluster_id FROM (
+                SELECT e.{id_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {d_ec} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM {table} e, cent c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT {vec_col} AS qv FROM {table}
+            WHERE {id_col} = {query_vec_id}
+        ),
+        probes AS (
+            SELECT centroid_id FROM (
+                SELECT c.centroid_id,
+                       row_number() OVER (
+                           ORDER BY {d_cq} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM cent c, q
+            ) WHERE rn <= {nprobe}
+        ),
+        dims_t AS (
+            SELECT jj.i AS j FROM unnest(generate_series(1, {dims})) jj(i)
+        ),
+        mm AS (
+            SELECT d.j,
+                   min(e.{vec_col}[d.j]::double) AS mn,
+                   max(e.{vec_col}[d.j]::double) AS mx
+            FROM {table} e, dims_t d GROUP BY d.j
+        ),
+        stats AS (
+            SELECT list(mn ORDER BY j) AS mins,
+                   list(mx - mn ORDER BY j) AS rngs
+            FROM mm
+        ),
+        probed AS (
+            SELECT e.{id_col}, e.{vec_col}
+            FROM {table} e
+            JOIN assigned a ON e.{id_col} = a.{id_col}
+            JOIN probes p ON a.cluster_id = p.centroid_id
+        ),
+        recon AS (
+            SELECT e.{id_col},
+                   list_transform(generate_series(1, {dims}), j ->
+                       s.mins[j] + (CASE WHEN s.rngs[j] = 0 THEN 0
+                            ELSE floor(least(greatest(
+                                (e.{vec_col}[j]::double - s.mins[j])
+                                    / s.rngs[j], 0.0), 1.0) * 255.0)::int
+                       END::double * s.rngs[j]) / 255.0
+                   ) AS rv
+            FROM probed e, stats s
+        ),
+        shortlist AS (
+            SELECT r.{id_col}
+            FROM recon r, q
+            ORDER BY {duckdb_dot("q.qv", "r.rv")} DESC, r.{id_col} ASC
+            LIMIT {refine * k}
+        )
+        SELECT e.{id_col}, {duckdb_dot(f"e.{vec_col}", "q.qv")} AS score
+        FROM {table} e JOIN shortlist USING ({id_col}), q
+        ORDER BY score DESC, e.{id_col} ASC
+        LIMIT {k}
+    """

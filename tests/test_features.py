@@ -322,12 +322,29 @@ class TestMediaAhash:
             (1, 2, 0)
         ]
 
-    def test_real_engine_is_marked_stub(self, spark):
-        from leann_rs_spark.operators.multimodal import media_ahash
+    def test_real_engine_hashes_pixels(self, spark):
+        """Round 5 upgraded engine="real" from a NotImplementedError
+        stub to an actual pixel kernel (decode_image → 8×8 nn_resize →
+        grayscale mean threshold): decodable bytes hash, dirty bytes
+        stay NULL. Deeper pins live in test_multimodal.py."""
+        from leann_rs_spark.operators.multimodal import (
+            bmp_encode,
+            media_ahash,
+            real_ahash_py,
+        )
+        import numpy as np
 
-        media = self._media(spark, [(1, "x")])
-        with pytest.raises(NotImplementedError):
-            media_ahash(media, engine="real")
+        arr = np.zeros((8, 8, 3), dtype=np.uint8)
+        arr[:4] = 200  # top half bright -> deterministic bit pattern
+        blob = bmp_encode(arr)
+        media = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(b"not an image"))],
+            "media_id long, content binary",
+        )
+        rows = {r["media_id"]: r["ahash"]
+                for r in media_ahash(media, engine="real").collect()}
+        assert rows[1] == real_ahash_py(blob) and rows[1] is not None
+        assert rows[2] is None
 
 
 class TestGroupBudgetSelect:
