@@ -518,6 +518,54 @@ def x_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/textprep.html_to_text) — the
+    step BEFORE every quality/dedup operator in a crawl pipeline
+    (CCNet/C4 start here). Native regexp chain in the shared
+    Java∩RE2 dialect: script/style/comment content dropped, tags to
+    spaces, the six common entities unescaped (&amp; last), whitespace
+    collapsed. The gate wraps each document in a deterministic HTML
+    shell (head/style/script/entities) in BOTH engines and pins that
+    extraction recovers the text."""
+    from leann_rs_spark.operators.textprep import html_to_text
+
+    docs = _fan(_docs(spark, sf_dir))
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><style>p{color:red}</style>'
+            '</head><body><!-- crawl artifact --><h1>Doc</h1><p class="b">'
+        ),
+        F.replace(F.col("text"), F.lit(" and "), F.lit(" &amp; ")),
+        F.lit('</p><script>if(x&&y){z()}</script></body></html>'),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("text_clean")
+    ).orderBy("doc_id")
+
+
+def x_text_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textprep.nfc_normalize_text,
+    Arrow-batched mapInPandas — Spark has no NFC builtin) vs DuckDB's
+    native nfc_normalize: the same logical string in decomposed form
+    hashes differently and defeats exact dedup, so normalization
+    precedes every hash-keyed operator on multilingual corpora. The
+    gate appends a decomposed suffix (e + U+0301) in BOTH engines and
+    pins composition plus the codepoint-count drop."""
+    from leann_rs_spark.operators.textprep import nfc_normalize_text
+
+    docs = _fan(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("text"),
+    )
+    out = nfc_normalize_text(docs, "text", "text_nfc")
+    return out.select(
+        "doc_id",
+        "text_nfc",
+        F.length("text").cast("long").alias("n_before"),
+        F.length("text_nfc").cast("long").alias("n_after"),
+    ).orderBy("doc_id")
+
+
 def x_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantized search (operators/bq.py) — the extreme rung of
     the storage ladder (f32 → SQ8 → PQ → BQ D bits): per-dim median
@@ -3571,6 +3619,29 @@ def _register_bm25_oracles() -> None:
         query_vec_id=4, k=10, nprobe=_IVF_NPROBE,
         n_centroids=_IVF_CENTROIDS, refine=3,
     )
+    from leann_rs_spark.operators.textprep import duckdb_html_to_text
+
+    _html = (
+        "'<html><head><title>t</title><style>p{color:red}</style>"
+        "</head><body><!-- crawl artifact --><h1>Doc</h1><p class=\"b\">'"
+        " || replace(text, ' and ', ' &amp; ') || "
+        "'</p><script>if(x&&y){z()}</script></body></html>'"
+    )
+    _ORACLES["x_html_strip"] = f"""
+        SELECT doc_id, {duckdb_html_to_text(_html)} AS text_clean
+        FROM documents ORDER BY doc_id
+    """
+    _ORACLES["x_text_nfc"] = """
+        WITH t AS (
+            SELECT doc_id, text || ' cafe' || chr(769) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               nfc_normalize(text) AS text_nfc,
+               length(text) AS n_before,
+               length(nfc_normalize(text)) AS n_after
+        FROM t ORDER BY doc_id
+    """
     from leann_rs_spark.operators.bq import duckdb_bq_search
 
     _ORACLES["x_bq_topk"] = duckdb_bq_search(query_vec_id=4, k=10, refine=4)
@@ -4859,6 +4930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_sq8_refined": x_sq8_refined,
         "x_ivf_drift_recall": x_ivf_drift_recall,
         "x_ivfsq_topk": x_ivfsq_topk,
+        "x_html_strip": x_html_strip,
+        "x_text_nfc": x_text_nfc,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
