@@ -479,3 +479,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         drop_bucketed(spark, "tp_li")
         drop_bucketed(spark, "tp_od")
+
+
+def test_upsert_partition_pruned_base_scan(spark, tmp_path):
+    """The pruned upsert's base scan must carry the touched-partition
+    predicate as PARTITION FILTERS on the hive layout — untouched
+    directories are never read (the rewrite-bytes proof lives in
+    test_warehouse's inode check; this pins the scan side)."""
+    p = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b"), (3, "fr", "c")],
+        "id long, lang string, v string",
+    ).write.partitionBy("lang").parquet(p)
+    base = spark.read.parquet(p).filter(F.col("lang") == "en")
+    plan = plan_of(base)
+    assert "PartitionFilters" in plan and "lang" in plan
+    # and the non-partition path would instead push a data filter
+    assert base.count() == 1
+
+
+def test_html_to_text_is_one_projection(spark):
+    """The extraction chain is pure native expressions: one Project
+    over the scan, no Exchange, no Python (BatchEvalPython /
+    ArrowEvalPython would mean a UDF leaked into the hot path)."""
+    from leann_rs_spark.operators.textprep import html_to_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(docs.select("doc_id", html_to_text("text").alias("t")))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF of any kind
+
+
+def test_ivfsq_probe_filter_reaches_code_scan(spark, tmp_path):
+    """IVF-SQ8 over a cluster-partitioned code layout: the nprobe
+    cluster filter must prune partitions at the scan (the (nprobe/C)
+    scan-bytes claim is a file-pruning property, not a post-filter)."""
+    from leann_rs_spark.operators.ann import ivf_assign, take_centroids
+    from leann_rs_spark.operators.sq import sq8_encode_col, sq8_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mins, rngs = sq8_train(emb, dims=64)
+    cents = take_centroids(emb, 8)
+    codes = ivf_assign(emb, cents).select(
+        "vec_id", "cluster_id",
+        sq8_encode_col(F.col("embedding"), mins, rngs).alias("qcode"),
+    )
+    p = str(tmp_path / "codes")
+    codes.write.partitionBy("cluster_id").parquet(p)
+    pruned = spark.read.parquet(p).filter(F.col("cluster_id").isin([0, 3]))
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "cluster_id" in plan
