@@ -453,6 +453,36 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Raw-crawl text preparation over a documents parquet: HTML →
+    text extraction (native regexp chain) and/or Unicode NFC
+    normalization (Arrow-batched) — the step BEFORE `curate` when the
+    input is scraped markup rather than extracted text
+    (operators/textprep.py)."""
+    from leann_rs_spark.operators.textprep import (
+        html_to_text,
+        nfc_normalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.strip_html:
+        docs = docs.withColumn(
+            args.text_col, html_to_text(F.col(args.text_col))
+        )
+    if args.nfc:
+        docs = nfc_normalize_text(
+            docs, text_col=args.text_col, out_col="__nfc"
+        ).withColumn(args.text_col, F.col("__nfc")).drop("__nfc")
+    docs.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    steps = [s for s, on in (("html", args.strip_html), ("nfc", args.nfc)) if on]
+    print(f"Cleaned {args.input} ({'+'.join(steps) or 'no-op'}): "
+          f"{n} docs -> {args.output}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """One-shot corpus audit over a documents parquet: size, length
     percentiles, language mix, quality pass rate, exact-duplicate
@@ -970,6 +1000,25 @@ def build_parser() -> argparse.ArgumentParser:
              "N-token gram from the surviving docs",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    cl = sub.add_parser(
+        "clean",
+        help="Prepare raw-crawl text: strip HTML and/or NFC-normalize",
+    )
+    cl.add_argument("--input", required=True, help="documents parquet path")
+    cl.add_argument("--output", required=True, help="output parquet path")
+    cl.add_argument("--text-col", default="text", dest="text_col")
+    cl.add_argument(
+        "--strip-html", action="store_true", dest="strip_html",
+        help="drop script/style/comment content, strip tags, unescape "
+             "common entities, collapse whitespace",
+    )
+    cl.add_argument(
+        "--nfc", action="store_true",
+        help="Unicode NFC normalization (composed forms; makes "
+             "hash-keyed dedup see decomposed twins as equal)",
+    )
+    cl.set_defaults(fn=cmd_clean)
 
     an = sub.add_parser(
         "analyze",

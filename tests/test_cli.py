@@ -503,3 +503,23 @@ def test_cli_sql_max_rows_cap(capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 8  # header + 7 rows
+
+
+def test_cli_clean_strips_html_and_normalizes(spark, tmp_path_factory, capsys):
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("cli_clean")
+    inp, outp = str(d / "in"), str(d / "out")
+    spark.createDataFrame(
+        [(1, "<p>Hello <b>world</b></p><script>x()</script>"),
+         (2, "plain café text")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    rc = main(["clean", "--input", inp, "--output", outp,
+               "--strip-html", "--nfc"])
+    assert rc == 0
+    rows = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(outp).collect()}
+    assert rows[1] == "Hello world"
+    assert rows[2] == "plain café text"  # NFC composed
+    assert "html+nfc" in capsys.readouterr().out
