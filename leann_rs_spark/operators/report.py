@@ -53,6 +53,16 @@ def corpus_report(
         F.md5(txt).alias("__h"),
     ).persist()
     try:
+        # Materialize BEFORE the percentile aggregate: exact
+        # `percentile` is an ObjectHashAggregate, which disables
+        # whole-stage codegen for its entire stage — fused with the
+        # un-materialized base, the expression-heavy projection
+        # (lang_id, gopher, tokenize) ran INTERPRETED inside it
+        # (measured 12.4 s vs 0.96+0.7 s split at sf0.1). With the
+        # count() the projection runs codegen'd once and every
+        # aggregate reads cached rows (the §9 persist-AND-materialize
+        # rule; this was the one consumer that hid the fusion).
+        base.count()
         pcts = ", ".join(str(p) for p in _PCTS)
         stats = base.agg(
             F.count("*").alias("n"),
@@ -89,9 +99,15 @@ def corpus_report(
             ]
     finally:
         base.unpersist()
+    # orderBy, NOT coalesce(1)+sortWithinPartitions: on a
+    # parallelize-backed local frame, coalesce(1) alone measured a
+    # constant ~4.8 s per action (single task re-evaluating every
+    # pickled parent partition through a fresh python worker) — half
+    # this report's wall time for a 22-row result; the global sort on
+    # the same frame is ~0.5 s and gives the same sorted output.
     return spark.createDataFrame(
         sorted(rows), "metric string, value double"
-    ).coalesce(1).sortWithinPartitions("metric")
+    ).orderBy("metric")
 
 
 def duckdb_corpus_report(
