@@ -4899,56 +4899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        "x_ivfpq_topk": x_ivfpq_topk,
-        "x_ivfpq_batch": x_ivfpq_batch,
-        "x_sq8_topk": x_sq8_topk,
-        "x_dsir_select": x_dsir_select,
-        "x_top_ngrams": x_top_ngrams,
-        "x_select_pack": x_select_pack,
-        "x_c4_clean": x_c4_clean,
-        "x_bucketed_join": x_bucketed_join,
-        "x_analyze_report": x_analyze_report,
-        "x_paragraph_dedup": x_paragraph_dedup,
-        "x_stream_enrich": x_stream_enrich,
-        "x_bq_topk": x_bq_topk,
-        "x_rrf_hybrid": x_rrf_hybrid,
-        "x_concat_chunk": x_concat_chunk,
-        "x_hard_negatives": x_hard_negatives,
-        "x_temperature_mix": x_temperature_mix,
-        "x_mrl_topk": x_mrl_topk,
-        "x_ccnet_buckets": x_ccnet_buckets,
-        "x_mmr_rerank": x_mmr_rerank,
-        "x_stream_stream_join": x_stream_stream_join,
-        "x_rollup_stats": x_rollup_stats,
-        "x_bpe_merges": x_bpe_merges,
-        "x_bpe_encode": x_bpe_encode,
-        "x_curriculum_blocks": x_curriculum_blocks,
-        "x_length_batches": x_length_batches,
-        "x_kcenter_sample": x_kcenter_sample,
-        "x_ivfbq_topk": x_ivfbq_topk,
-        "x_bq_batch_topk": x_bq_batch_topk,
-        "x_sq8_refined": x_sq8_refined,
-        "x_ivf_drift_recall": x_ivf_drift_recall,
-        "x_ivfsq_topk": x_ivfsq_topk,
-        "x_html_strip": x_html_strip,
-        "x_text_nfc": x_text_nfc,
-        "q1_ivf_topk": q1_ivf_topk,
-        "q3_exact_topk_ip": q3_exact_topk_ip,
-        "q3_exact_topk_cosine": q3_exact_topk_cosine,
-        "q3_filtered_topk": q3_filtered_topk,
-        "q2_ivf_batch_topk": q2_ivf_batch_topk,
-        "q3_batch_topk": q3_batch_topk,
-        "q5_filter_dsl_json": q5_filter_dsl_json,
-        "q7_search_read_path": q7_search_read_path,
-        "t2_code_chunks": t2_code_chunks,
-        "q5_filter_dsl_columns": q5_filter_dsl_columns,
-        "q8_bm25_scored": q8_bm25_scored,
-        "q11_bm25_topk": q11_bm25_topk,
-        "q13_hybrid_search": q13_hybrid_search,
-        "q14_expansion_terms": q14_expansion_terms,
-        "q15_expanded_search": q15_expanded_search,
-        "r1_rag_batch": r1_rag_batch,
-        "t1_chunk_passages": t1_chunk_passages,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,
@@ -5032,6 +4982,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_topk": x_tfidf_topk,
         "x_pq_topk": x_pq_topk,
         "x_pq_recall": x_pq_recall,
+        "x_ivfpq_topk": x_ivfpq_topk,
+        "x_ivfpq_batch": x_ivfpq_batch,
+        "x_sq8_topk": x_sq8_topk,
+        "x_dsir_select": x_dsir_select,
+        "x_top_ngrams": x_top_ngrams,
+        "x_select_pack": x_select_pack,
+        "x_c4_clean": x_c4_clean,
+        "x_bucketed_join": x_bucketed_join,
+        "x_analyze_report": x_analyze_report,
+        "x_paragraph_dedup": x_paragraph_dedup,
+        "x_stream_enrich": x_stream_enrich,
+        "x_bq_topk": x_bq_topk,
+        "x_rrf_hybrid": x_rrf_hybrid,
+        "x_concat_chunk": x_concat_chunk,
+        "x_hard_negatives": x_hard_negatives,
+        "x_temperature_mix": x_temperature_mix,
+        "x_mrl_topk": x_mrl_topk,
+        "x_ccnet_buckets": x_ccnet_buckets,
+        "x_mmr_rerank": x_mmr_rerank,
+        "x_stream_stream_join": x_stream_stream_join,
+        "x_rollup_stats": x_rollup_stats,
+        "x_bpe_merges": x_bpe_merges,
+        "x_bpe_encode": x_bpe_encode,
+        "x_curriculum_blocks": x_curriculum_blocks,
+        "x_length_batches": x_length_batches,
+        "x_kcenter_sample": x_kcenter_sample,
+        "x_ivfbq_topk": x_ivfbq_topk,
+        "x_bq_batch_topk": x_bq_batch_topk,
+        "x_sq8_refined": x_sq8_refined,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
+        "x_ivfsq_topk": x_ivfsq_topk,
+        "x_html_strip": x_html_strip,
+        "x_text_nfc": x_text_nfc,
+        "q1_ivf_topk": q1_ivf_topk,
+        "q3_exact_topk_ip": q3_exact_topk_ip,
+        "q3_exact_topk_cosine": q3_exact_topk_cosine,
+        "q3_filtered_topk": q3_filtered_topk,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
+        "q3_batch_topk": q3_batch_topk,
+        "q5_filter_dsl_json": q5_filter_dsl_json,
+        "q7_search_read_path": q7_search_read_path,
+        "t2_code_chunks": t2_code_chunks,
+        "q5_filter_dsl_columns": q5_filter_dsl_columns,
+        "q8_bm25_scored": q8_bm25_scored,
+        "q11_bm25_topk": q11_bm25_topk,
+        "q13_hybrid_search": q13_hybrid_search,
+        "q14_expansion_terms": q14_expansion_terms,
+        "q15_expanded_search": q15_expanded_search,
+        "r1_rag_batch": r1_rag_batch,
+        "t1_chunk_passages": t1_chunk_passages,
     }
 
 
