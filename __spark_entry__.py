@@ -13,6 +13,7 @@ so the judge can tick the inventory line by line.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -141,7 +142,12 @@ def _gate_tmpdir(prefix: str) -> str:
     removed at interpreter exit, so repeated selfcheck/bench runs
     (min-of-reps re-executes every gate) no longer accumulate
     corpus-scale parquet copies in /tmp. Roots abandoned by crashed
-    runs (>2 h old) are swept opportunistically at first use."""
+    runs are swept opportunistically at first use. Roots are named
+    `leann-gate-tmp-{pid}-…` so the sweep can skip roots whose owning
+    process is STILL ALIVE (a long run's root mtime only refreshes on
+    new fixtures, so age alone would let a second process delete live
+    memoized fixtures mid-run); dead-owner roots are removed
+    immediately, unparseable ones only past 2 h."""
     import atexit
     import shutil
     import tempfile
@@ -153,12 +159,23 @@ def _gate_tmpdir(prefix: str) -> str:
         for d in os.listdir(base):
             p = os.path.join(base, d)
             if d.startswith("leann-gate-tmp-") and os.path.isdir(p):
+                m = re.match(r"leann-gate-tmp-(\d+)-", d)
+                if m:
+                    try:
+                        os.kill(int(m.group(1)), 0)
+                        continue  # owner alive: never sweep
+                    except ProcessLookupError:
+                        pass  # owner dead: sweep now
+                    except PermissionError:
+                        continue  # alive under another uid
+                    shutil.rmtree(p, ignore_errors=True)
+                    continue
                 try:
                     if os.path.getmtime(p) < cutoff:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
-        root = tempfile.mkdtemp(prefix="leann-gate-tmp-")
+        root = tempfile.mkdtemp(prefix=f"leann-gate-tmp-{os.getpid()}-")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _GATE_TMP_ROOT.append(root)
     return tempfile.mkdtemp(prefix=prefix, dir=_GATE_TMP_ROOT[0])

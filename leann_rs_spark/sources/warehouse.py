@@ -128,12 +128,102 @@ def _swap_in(live: str, tmp: str) -> None:
         os.rename(tmp, live)  # brand-new partition directory
 
 
+_UPSERT_MANIFEST = "_LEANN_UPSERT_MANIFEST.json"
+
+
+def _partition_dirs(root: str, parts: list[str]) -> list[str]:
+    """Relative `col=value/...` partition directories actually present
+    under `root`, discovered by walking the hive layout (NOT by
+    re-formatting values in Python: Spark %-escapes special characters
+    via ExternalCatalogUtils.escapePathName and renders bools/dates/
+    floats differently than str(), so only the directories Spark itself
+    wrote are authoritative)."""
+    import os
+
+    rels: list[str] = []
+
+    def rec(d: str, depth: int, rel: str) -> None:
+        if depth == len(parts):
+            rels.append(rel)
+            return
+        prefix = parts[depth] + "="
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isdir(p) and name.startswith(prefix):
+                rec(p, depth + 1, os.path.join(rel, name) if rel else name)
+
+    rec(root, 0, "")
+    return rels
+
+
+def _touched_pruned_base(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    partition_cols: list[str],
+):
+    """The pruned base scan the partitioned upsert merges against: an
+    OR of per-tuple conjunctions over the update batch's (collected,
+    batch-bounded) distinct partition tuples. The predicate compares
+    typed column values (not directory strings), so it reaches the scan
+    as PartitionFilters and untouched directories are never read.
+    Exposed as its own function so tests can assert pruning on the
+    operator's OWN plan (tests/test_plans.py), not a hand-rebuilt one.
+    Returns (pruned_base, touched_tuples, predicate)."""
+    from pyspark.sql import functions as F
+
+    touched = [
+        tuple(r[c] for c in partition_cols)
+        for r in updates.select(partition_cols).distinct().collect()
+    ]
+    base = spark.read.parquet(path)
+    pred = None
+    for t in touched:
+        conj = None
+        for c, v in zip(partition_cols, t):
+            cl = F.col(c) == F.lit(v)
+            conj = cl if conj is None else (conj & cl)
+        pred = conj if pred is None else (pred | conj)
+    if pred is not None:
+        base = base.filter(pred)
+    return base, touched, pred
+
+
+def _finish_pending_swaps(path: str, tmp: str) -> bool:
+    """Complete a partitioned upsert that crashed mid-swap: the
+    manifest written into `tmp` after the parquet write lists every
+    partition directory pending a swap; directories already swapped
+    have been renamed OUT of tmp, so re-running `_swap_in` for the rels
+    still present finishes the batch instead of silently dropping it
+    (rmtree-ing a manifest-bearing tmp would discard applied-but-
+    unswapped updates). Returns True if a manifest was found and the
+    pending swaps were completed."""
+    import json
+    import os
+    import shutil
+
+    mpath = os.path.join(tmp, _UPSERT_MANIFEST)
+    if not os.path.isfile(mpath):
+        return False
+    rels = json.load(open(mpath))
+    for rel in rels:
+        src = os.path.join(tmp, rel)
+        dst = os.path.join(path.rstrip("/"), rel)
+        _recover_swap(dst)
+        if os.path.isdir(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            _swap_in(dst, src)
+    shutil.rmtree(tmp)
+    return True
+
+
 def upsert_parquet(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key_cols: list[str] | str,
     partition_cols: list[str] | str | None = None,
+    check_partition_stability: bool = False,
 ) -> dict:
     """MERGE INTO over a plain parquet directory: rows in `updates`
     REPLACE base rows sharing their key, new keys are inserted — the
@@ -156,8 +246,14 @@ def upsert_parquet(
     value of a key must be stable — a base row's key must not exist
     under a partition value the update batch doesn't carry for that
     key, otherwise the pruned scan cannot see (and so cannot replace)
-    it. In practice: include the partition columns in the key, or
-    derive them deterministically from it.
+    it, and the merge silently leaves BOTH rows (duplicate key: the
+    stale one in the unscanned partition plus the fresh one). In
+    practice: include the partition columns in the key, or derive them
+    deterministically from it. `check_partition_stability=True` makes
+    the constraint a hard error instead: it semi-joins the update keys
+    against the base OUTSIDE the touched partitions (a full-table scan
+    of the key/partition columns — opt-in because it forfeits the
+    pruning win) and raises ValueError on any hit.
 
     `updates` must be key-unique (one winner per key is ill-defined
     otherwise) and key-non-null (a NULL key never matches an anti-join
@@ -166,6 +262,7 @@ def upsert_parquet(
     {"updated": n, "inserted": n, "total": n} (`total` counts via
     parquet footer metadata, no data scan).
     """
+    import json
     import os
     import shutil
 
@@ -178,6 +275,14 @@ def upsert_parquet(
         else list(partition_cols or [])
     )
     _recover_swap(path.rstrip("/"))
+    tmp = path.rstrip("/") + "__upserting"
+    if os.path.isdir(tmp):
+        # A manifest means a previous partitioned upsert crashed AFTER
+        # its parquet write, mid-swap: finish its pending swaps (its
+        # updates are committed data). No manifest means it crashed
+        # during the write: nothing was swapped, discard.
+        if not _finish_pending_swaps(path, tmp):
+            shutil.rmtree(tmp)
 
     # All update-batch validation in one aggregation job: row count,
     # distinct-key count, NULL-key count (NULL partition values are
@@ -203,6 +308,14 @@ def upsert_parquet(
             f"updates must be key-unique on {keys}: "
             f"{n_updates} rows, {stats['nd']} distinct keys"
         )
+    if n_updates == 0:
+        # Nothing to merge; the partitioned path would otherwise build
+        # an empty predicate (filter(None) TypeError).
+        return {
+            "updated": 0,
+            "inserted": 0,
+            "total": spark.read.parquet(path).count(),
+        }
 
     if parts:
         # Sweep partition-level swap leftovers BEFORE reading: a crash
@@ -216,36 +329,33 @@ def upsert_parquet(
                     _recover_swap(os.path.join(dirpath, d[: -len("__old")]))
                     dirnames.remove(d)
 
-    base = spark.read.parquet(path)
-    touched_dirs: list[str] = []
     if parts:
-        # Prune the base scan to the update batch's partitions: an OR
-        # of per-tuple conjunctions over the (collected, batch-bounded)
-        # distinct partition tuples reaches the scan as partition
-        # filters, so untouched directories are never read, let alone
-        # rewritten.
-        touched = [
-            tuple(r[c] for c in parts)
-            for r in updates.select(parts).distinct().collect()
-        ]
-        pred = None
-        for t in touched:
-            conj = None
-            for c, v in zip(parts, t):
-                cl = F.col(c) == F.lit(v)
-                conj = cl if conj is None else (conj & cl)
-            pred = conj if pred is None else (pred | conj)
-        base = base.filter(pred)
-        touched_dirs = [
-            "/".join(f"{c}={v}" for c, v in zip(parts, t)) for t in touched
-        ]
+        base, touched, pred = _touched_pruned_base(
+            spark, path, updates, parts
+        )
+        if check_partition_stability:
+            # Opt-in validation of the stability constraint: any update
+            # key that also lives OUTSIDE the touched partitions would
+            # survive the pruned merge as a stale duplicate.
+            strays = (
+                spark.read.parquet(path)
+                .filter(~pred)
+                .join(updates.select(keys).distinct(), keys, "left_semi")
+                .count()
+            )
+            if strays:
+                raise ValueError(
+                    f"partition-stability violated: {strays} base rows "
+                    f"share an update key but live outside the update "
+                    f"batch's partitions {parts}; merging would leave "
+                    f"stale duplicates"
+                )
+    else:
+        base = spark.read.parquet(path)
     kept = base.join(updates.select(keys).distinct(), keys, "left_anti")
     n_base = base.count()  # parquet footer count over the PRUNED scan
     out = kept.unionByName(updates)
 
-    tmp = path.rstrip("/") + "__upserting"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)  # leftover from a crashed upsert
     w = out.write
     if parts:
         w = w.partitionBy(*parts)
@@ -253,17 +363,30 @@ def upsert_parquet(
     n_kept = spark.read.parquet(tmp).count() - n_updates
 
     if parts:
-        # Swap only the touched partition directories; the rest of the
-        # table is never moved. Each directory swap is individually
-        # recoverable; sweep for leftovers of the non-atomic loop on
-        # the next call via _recover_swap on the table root's children.
+        # Swap only the partition directories Spark actually wrote
+        # under tmp (exactly the touched set: the pruned base and the
+        # update batch both carry only touched tuples). Discovering
+        # them by walking tmp — instead of re-formatting the collected
+        # values in Python — keeps the swap correct for values Spark
+        # hive-escapes ('=', '/', ':', '%', …) or renders differently
+        # than str() (True→'true', dates, floats). The manifest makes
+        # the non-atomic loop recoverable: a crash mid-loop is finished
+        # (not discarded) by the next call's _finish_pending_swaps.
+        touched_dirs = _partition_dirs(tmp, parts)
+        if len(touched_dirs) != len(touched):
+            raise RuntimeError(
+                f"upsert wrote {len(touched_dirs)} partition dirs for "
+                f"{len(touched)} touched partition tuples under {tmp}; "
+                f"refusing to swap a mismatched set"
+            )
+        with open(os.path.join(tmp, _UPSERT_MANIFEST), "w") as fh:
+            json.dump(touched_dirs, fh)
         for rel in touched_dirs:
             src = os.path.join(tmp, rel)
             dst = os.path.join(path.rstrip("/"), rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             _recover_swap(dst)
-            if os.path.isdir(src):
-                _swap_in(dst, src)
+            _swap_in(dst, src)
         shutil.rmtree(tmp)
     else:
         _swap_in(path.rstrip("/"), tmp)

@@ -482,20 +482,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
 
 
 def test_upsert_partition_pruned_base_scan(spark, tmp_path):
-    """The pruned upsert's base scan must carry the touched-partition
-    predicate as PARTITION FILTERS on the hive layout — untouched
-    directories are never read (the rewrite-bytes proof lives in
-    test_warehouse's inode check; this pins the scan side)."""
+    """The pruned upsert's OWN base scan (the exact DataFrame
+    upsert_parquet merges against, built by _touched_pruned_base from
+    the update batch) must carry the touched-partition predicate as
+    PARTITION FILTERS on the hive layout — untouched directories are
+    never read. This fails if the operator's internally-built
+    OR-of-conjunctions predicate stops reaching the scan (the
+    rewrite-bytes proof lives in test_warehouse's inode check; this
+    pins the scan side)."""
+    from leann_rs_spark.sources.warehouse import _touched_pruned_base
+
     p = str(tmp_path / "pt")
     spark.createDataFrame(
         [(1, "en", "a"), (2, "de", "b"), (3, "fr", "c")],
         "id long, lang string, v string",
     ).write.partitionBy("lang").parquet(p)
-    base = spark.read.parquet(p).filter(F.col("lang") == "en")
+    updates = spark.createDataFrame(
+        [(1, "en", "A"), (9, "de", "z")], "id long, lang string, v string"
+    )
+    base, touched, _pred = _touched_pruned_base(spark, p, updates, ["lang"])
+    assert sorted(touched) == [("de",), ("en",)]
     plan = plan_of(base)
-    assert "PartitionFilters" in plan and "lang" in plan
-    # and the non-partition path would instead push a data filter
-    assert base.count() == 1
+    assert "PartitionFilters" in plan
+    # the predicate reached the scan's partition filters, not a
+    # post-scan Filter: both touched values appear in the scan node
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "en" in scan and "de" in scan
+    assert base.count() == 2  # fr never read
 
 
 def test_html_to_text_is_one_projection(spark):

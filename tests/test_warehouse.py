@@ -226,3 +226,132 @@ def test_upsert_parquet_cleans_stale_backup_and_partition_leftover(
     assert rows == {1: ("en", "A"), 2: ("de", "b")}
     assert not os.path.isdir(p + "__old")
     assert not os.path.isdir(os.path.join(p, "lang=de__old"))
+
+
+def test_upsert_hive_escaped_and_typed_partition_values(spark, tmp_path):
+    """Partition values Spark hive-escapes (':' → %3A) or renders
+    differently than Python str() (True → 'true') must still be
+    swapped: the swap list is discovered from the directories Spark
+    actually wrote under tmp, never re-formatted in Python. Before
+    that fix the swap was silently skipped and the partition's updates
+    discarded while counts reported them applied."""
+    import os
+
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    p = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "en:US", True, "a"), (2, "de", False, "b")],
+        "id long, src string, flag boolean, v string",
+    ).write.partitionBy("src", "flag").parquet(p)
+    # the escaped directory really is escaped on disk
+    assert any("%3A" in d for d in os.listdir(p)), os.listdir(p)
+    res = upsert_parquet(
+        spark, p,
+        spark.createDataFrame(
+            [(1, "en:US", True, "A"), (9, "en:US", True, "z")],
+            "id long, src string, flag boolean, v string",
+        ),
+        "id",
+        partition_cols=["src", "flag"],
+    )
+    assert res == {"updated": 1, "inserted": 1, "total": 3}
+    rows = {r["id"]: (r["src"], r["flag"], r["v"])
+            for r in spark.read.parquet(p).collect()}
+    # partition type inference reads booleans back as strings — what
+    # matters here is that the escaped/typed dirs were SWAPPED
+    assert rows == {
+        1: ("en:US", "true", "A"), 2: ("de", "false", "b"),
+        9: ("en:US", "true", "z"),
+    }
+    assert not os.path.isdir(p + "__upserting")
+
+
+def test_upsert_empty_update_batch_is_a_noop(spark, tmp_path):
+    """A zero-row update batch short-circuits (the partitioned path
+    would otherwise build no predicate) and reports zero changes."""
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    p = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [(1, "en", "a")], "id long, lang string, v string"
+    ).write.partitionBy("lang").parquet(p)
+    empty = spark.createDataFrame([], "id long, lang string, v string")
+    for parts in ("lang", None):
+        res = upsert_parquet(spark, p, empty, "id", partition_cols=parts)
+        assert res == {"updated": 0, "inserted": 0, "total": 1}
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {1: "a"}
+
+
+def test_upsert_finishes_crashed_mid_loop_swap_batch(spark, tmp_path):
+    """A crash in the middle of the per-partition swap loop leaves a
+    manifest-bearing tmp; the NEXT call finishes the pending swaps
+    (the updates are committed data) instead of rmtree-ing them away."""
+    import json
+    import os
+    import shutil
+
+    from leann_rs_spark.sources.warehouse import (
+        _UPSERT_MANIFEST,
+        upsert_parquet,
+    )
+
+    p = str(tmp_path / "mid")
+    spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b")], "id long, lang string, v string"
+    ).write.partitionBy("lang").parquet(p)
+    # Simulate a crashed upsert that was applying {1→A (en), 2→B (de)}:
+    # tmp holds the fully-written merged output + manifest, and the en
+    # swap already completed (its dir moved out of tmp into live).
+    tmp = p + "__upserting"
+    spark.createDataFrame(
+        [(1, "en", "A"), (2, "de", "B")], "id long, lang string, v string"
+    ).write.partitionBy("lang").parquet(tmp)
+    with open(os.path.join(tmp, _UPSERT_MANIFEST), "w") as fh:
+        json.dump(["lang=en", "lang=de"], fh)
+    shutil.rmtree(os.path.join(p, "lang=en"))
+    os.rename(os.path.join(tmp, "lang=en"), os.path.join(p, "lang=en"))
+    # crash here; next call must roll the de swap FORWARD
+    res = upsert_parquet(
+        spark, p,
+        spark.createDataFrame(
+            [(9, "fr", "z")], "id long, lang string, v string"
+        ),
+        "id",
+        partition_cols="lang",
+    )
+    assert res == {"updated": 0, "inserted": 1, "total": 3}
+    rows = {r["id"]: (r["lang"], r["v"])
+            for r in spark.read.parquet(p).collect()}
+    assert rows == {1: ("en", "A"), 2: ("de", "B"), 9: ("fr", "z")}
+    assert not os.path.isdir(tmp)
+
+
+def test_upsert_partition_stability_check(spark, tmp_path):
+    """check_partition_stability=True turns the documented constraint
+    (an update key must not also live under an untouched partition
+    value) into a hard error instead of a silent duplicate key."""
+    import pytest
+
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    p = str(tmp_path / "stab")
+    spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b")], "id long, lang string, v string"
+    ).write.partitionBy("lang").parquet(p)
+    moved = spark.createDataFrame(
+        [(1, "de", "MOVED")], "id long, lang string, v string"
+    )
+    with pytest.raises(ValueError, match="partition-stability"):
+        upsert_parquet(
+            spark, p, moved, "id",
+            partition_cols="lang", check_partition_stability=True,
+        )
+    # table untouched by the refused merge
+    assert spark.read.parquet(p).count() == 2
+    # without the check the documented outcome is the duplicate key
+    res = upsert_parquet(spark, p, moved, "id", partition_cols="lang")
+    assert res["total"] == 3
+    ids = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert ids == [1, 1, 2]
