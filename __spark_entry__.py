@@ -4928,7 +4928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_exact_substr": x_exact_substr,
         "x_curation_pipeline": x_curation_pipeline,
-        "x_length_percentiles": x_length_percentiles,
         "x_hopping_stats": x_hopping_stats,
         "x_cluster_assign": x_cluster_assign,
         "x_semantic_dedup": x_semantic_dedup,
@@ -4949,21 +4948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
         "x_pack_sequences": x_pack_sequences,
-        "x_media_phash_dups": x_media_phash_dups,
         "x_domain_budget": x_domain_budget,
         "x_stream_rolling": x_stream_rolling,
-        "x_tfidf_keywords": x_tfidf_keywords,
-        "x_quality_ensemble": x_quality_ensemble,
-        "x_rolling_anomaly": x_rolling_anomaly,
-        "x_pmi_phrases": x_pmi_phrases,
-        "x_json_props": x_json_props,
-        "x_funnel": x_funnel,
-        "x_retention_cohorts": x_retention_cohorts,
-        "x_event_transitions": x_event_transitions,
-        "x_weighted_sample": x_weighted_sample,
         "x_dedup_editdist": x_dedup_editdist,
-        "x_resample_ffill": x_resample_ffill,
-        "x_resample_interp": x_resample_interp,
         "x_retrieval_eval": x_retrieval_eval,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
@@ -4974,10 +4961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,
-        "x_rolling_features": x_rolling_features,
-        "x_quality_classifier": x_quality_classifier,
-        "x_bloom_dedup": x_bloom_dedup,
-        "x_url_dedup": x_url_dedup,
         "x_append_consistency": x_append_consistency,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -4993,8 +4976,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_dedup": x_stream_dedup,
         "x_ivf_recall": x_ivf_recall,
         "x_lm_score": x_lm_score,
-        "x_asof_join_salted": x_asof_join_salted,
-        "x_asof_nearest": x_asof_nearest,
         "x_tfidf_embed": x_tfidf_embed,
         "x_tfidf_topk": x_tfidf_topk,
         "x_pq_topk": x_pq_topk,
@@ -5002,15 +4983,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_ivfpq_batch": x_ivfpq_batch,
         "x_sq8_topk": x_sq8_topk,
+        "x_bucketed_join": x_bucketed_join,
+        "x_stream_enrich": x_stream_enrich,
+        "x_bq_topk": x_bq_topk,
+        "x_stream_stream_join": x_stream_stream_join,
+        "x_ivfbq_topk": x_ivfbq_topk,
+        "x_bq_batch_topk": x_bq_batch_topk,
+        "x_sq8_refined": x_sq8_refined,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
+        "x_ivfsq_topk": x_ivfsq_topk,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
+        "q3_batch_topk": q3_batch_topk,
+        "q15_expanded_search": q15_expanded_search,
+        "x_length_percentiles": x_length_percentiles,
+        "x_media_phash_dups": x_media_phash_dups,
+        "x_tfidf_keywords": x_tfidf_keywords,
+        "x_quality_ensemble": x_quality_ensemble,
+        "x_rolling_anomaly": x_rolling_anomaly,
+        "x_pmi_phrases": x_pmi_phrases,
+        "x_json_props": x_json_props,
+        "x_funnel": x_funnel,
+        "x_retention_cohorts": x_retention_cohorts,
+        "x_event_transitions": x_event_transitions,
+        "x_weighted_sample": x_weighted_sample,
+        "x_resample_ffill": x_resample_ffill,
+        "x_resample_interp": x_resample_interp,
+        "x_rolling_features": x_rolling_features,
+        "x_quality_classifier": x_quality_classifier,
+        "x_bloom_dedup": x_bloom_dedup,
+        "x_url_dedup": x_url_dedup,
+        "x_asof_join_salted": x_asof_join_salted,
+        "x_asof_nearest": x_asof_nearest,
         "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
         "x_select_pack": x_select_pack,
         "x_c4_clean": x_c4_clean,
-        "x_bucketed_join": x_bucketed_join,
         "x_analyze_report": x_analyze_report,
         "x_paragraph_dedup": x_paragraph_dedup,
-        "x_stream_enrich": x_stream_enrich,
-        "x_bq_topk": x_bq_topk,
         "x_rrf_hybrid": x_rrf_hybrid,
         "x_concat_chunk": x_concat_chunk,
         "x_hard_negatives": x_hard_negatives,
@@ -5018,26 +5027,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mrl_topk": x_mrl_topk,
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_mmr_rerank": x_mmr_rerank,
-        "x_stream_stream_join": x_stream_stream_join,
         "x_rollup_stats": x_rollup_stats,
         "x_bpe_merges": x_bpe_merges,
         "x_bpe_encode": x_bpe_encode,
         "x_curriculum_blocks": x_curriculum_blocks,
         "x_length_batches": x_length_batches,
         "x_kcenter_sample": x_kcenter_sample,
-        "x_ivfbq_topk": x_ivfbq_topk,
-        "x_bq_batch_topk": x_bq_batch_topk,
-        "x_sq8_refined": x_sq8_refined,
-        "x_ivf_drift_recall": x_ivf_drift_recall,
-        "x_ivfsq_topk": x_ivfsq_topk,
         "x_html_strip": x_html_strip,
         "x_text_nfc": x_text_nfc,
         "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
         "q3_filtered_topk": q3_filtered_topk,
-        "q2_ivf_batch_topk": q2_ivf_batch_topk,
-        "q3_batch_topk": q3_batch_topk,
         "q5_filter_dsl_json": q5_filter_dsl_json,
         "q7_search_read_path": q7_search_read_path,
         "t2_code_chunks": t2_code_chunks,
@@ -5046,7 +5047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_bm25_topk": q11_bm25_topk,
         "q13_hybrid_search": q13_hybrid_search,
         "q14_expansion_terms": q14_expansion_terms,
-        "q15_expanded_search": q15_expanded_search,
         "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
     }

@@ -1,5 +1,6 @@
 """tools/rotate_gates.py: the driver-coverage rotation — never-checked
-gates lead, then ascending by most recent driver CORRECTNESS round."""
+gates lead, then gates whose CODE changed since their last driver row,
+then everything ascending by most recent driver CORRECTNESS round."""
 
 import sys
 
@@ -16,16 +17,83 @@ def test_rotated_ordering_rules():
     assert out == ["c", "e", "b", "a", "d"]
 
 
+def test_code_stale_outranks_artifact_age():
+    """A gate whose implementation changed since its driver row must
+    lead every fresh gate regardless of how old their rows are — but
+    never a gate with no row at all."""
+    from rotate_gates import rotated
+
+    keys = ["a", "b", "c", "d"]
+    seen = {"a": 5, "b": 3, "c": 4}  # d never checked
+    out = rotated(keys, seen, stale={"a"})
+    assert out == ["d", "a", "b", "c"]
+
+
+def test_gate_closure_tracks_function_helpers_imports_and_oracles():
+    """The staleness fingerprint must move when (and only when) the
+    gate's own code moves: its function, a reached helper, a module it
+    imports from, or its oracle registration — NOT an unrelated gate."""
+    from rotate_gates import gate_closure
+
+    src = '''\
+from leann_rs_spark.operators.dedup import minhash_lsh
+from leann_rs_spark.functions.vector import duckdb_dot
+
+_ORACLES: dict[str, str] = {
+    "g1": f"SELECT {duckdb_dot('a', 'b')}",
+}
+
+
+def _helper(x):
+    return x + 1
+
+
+def g1(spark, sf_dir):
+    return _helper(minhash_lsh(spark))
+
+
+def g2(spark, sf_dir):
+    return spark
+
+
+def _register():
+    _ORACLES["g2"] = "SELECT 2"
+
+
+def queries():
+    return {
+        "g1": g1,
+        "g2": g2,
+    }
+'''
+    c = gate_closure(src)
+    sha1, mods1 = c["g1"]
+    sha2, mods2 = c["g2"]
+    assert "leann_rs_spark.operators.dedup.minhash_lsh" in mods1
+    assert mods2 == set()  # g2 touches no package module
+    # edit the helper only: g1's sha moves, g2's does not
+    c2 = gate_closure(src.replace("return x + 1", "return x + 2"))
+    assert c2["g1"][0] != sha1 and c2["g2"][0] == sha2
+    # edit g2's oracle registrar only: g2 moves, g1 does not
+    c3 = gate_closure(src.replace("SELECT 2", "SELECT 22"))
+    assert c3["g2"][0] != sha2 and c3["g1"][0] == sha1
+    # edit g1's dict-literal oracle only: g1 moves, g2 does not
+    c4 = gate_closure(src.replace("'a', 'b'", "'a', 'c'"))
+    assert c4["g1"][0] != sha1 and c4["g2"][0] == sha2
+
+
 def test_current_entry_ordering_is_fresh():
-    """The committed queries() ordering must match the artifacts on
-    disk — a stale rotation silently starves driver coverage (the
-    round-4 verdict's #1 finding)."""
-    from rotate_gates import current_keys, last_seen, rotated
+    """The committed queries() ordering must match the artifacts AND
+    the working tree's code staleness — a stale rotation silently
+    starves driver coverage (the round-4 verdict's #1 finding; the
+    round-5 verdict added the code-staleness weighting)."""
+    from rotate_gates import code_stale, current_keys, last_seen, rotated
 
     src = open("/root/repo/__spark_entry__.py").read()
     keys = current_keys(src)
     assert len(keys) >= 129
-    assert keys == rotated(keys, last_seen())
+    seen = last_seen()
+    assert keys == rotated(keys, seen, code_stale(keys, seen))
 
 
 def test_every_query_key_extracted():

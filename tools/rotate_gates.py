@@ -2,21 +2,33 @@
 """Regenerate the queries() ordering in __spark_entry__.py.
 
 The driver's capped correctness run covers the FIRST N entries of
-queries(), so ordering is the coverage lever: gates with no driver
-CORRECTNESS row ever come first, then everything else ascending by the
-round of its most recent driver verification (ties keep current order).
+queries(), so ordering is the coverage lever. Priority (front to
+back):
 
-Run AFTER a round's CORRECTNESS_r{N}.json lands:
+  1. gates with no driver CORRECTNESS row ever;
+  2. CODE-STALE gates — the gate's implementation (its entry-file
+     function closure + every leann_rs_spark module it transitively
+     touches + its _ORACLES registration) changed since the commit
+     that landed its most recent driver row, so that row no longer
+     vouches for the current code;
+  3. everything else ascending by the round of its most recent driver
+     verification. Ties keep current order.
+
+Run AFTER a round's CORRECTNESS_r{N}.json lands AND after any round
+of code changes (a module edit re-flags its gates as stale):
 
     python3 tools/rotate_gates.py          # rewrite in place
     python3 tools/rotate_gates.py --check  # exit 1 if ordering is stale
 """
 from __future__ import annotations
 
+import ast
 import glob
+import hashlib
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,15 +58,272 @@ def current_keys(src: str) -> list[str]:
     return re.findall(r'"([A-Za-z0-9_]+)":\s*\1,', m.group(1))
 
 
-def rotated(keys: list[str], seen: dict[str, int]) -> list[str]:
+# ---------------------------------------------------------------------------
+# Code-staleness: does the gate's current implementation still match
+# what its latest driver row verified?
+# ---------------------------------------------------------------------------
+
+
+def _entry_units(src: str) -> tuple[dict[str, str], dict[str, str], dict[str, str]]:
+    """Parse the entry file into (top-level function name → source,
+    imported name → leann_rs_spark module dotted path, gate key →
+    source of its _ORACLES dict-literal value). Registration functions
+    (`_ORACLES["g"] = …` inside a function) are folded in by
+    gate_closure via a text scan of function sources."""
+    tree = ast.parse(src)
+    funcs: dict[str, str] = {}
+    imports: dict[str, str] = {}
+    oracle_literals: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            funcs[node.name] = ast.get_source_segment(src, node) or ""
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.split(".")[0] == "leann_rs_spark":
+                for a in node.names:
+                    imports[a.asname or a.name] = (
+                        node.module
+                        if a.name == "*"
+                        else f"{node.module}.{a.name}"
+                    )
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = (
+                node.targets
+                if isinstance(node, ast.Assign)
+                else [node.target]
+            )
+            names = [
+                t.id for t in targets if isinstance(t, ast.Name)
+            ]
+            if "_ORACLES" in names and isinstance(node.value, ast.Dict):
+                for k, v in zip(node.value.keys, node.value.values):
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                        oracle_literals[k.value] = (
+                            ast.get_source_segment(src, v) or ""
+                        )
+    return funcs, imports, oracle_literals
+
+
+def _module_relpath(dotted: str, read) -> str | None:
+    """Resolve a dotted leann_rs_spark path (possibly module.symbol) to
+    the module file that defines it, via the `read(relpath)` content
+    callback (None if unreadable)."""
+    parts = dotted.split(".")
+    # longest prefix that is a real module file wins (the tail is the
+    # imported symbol)
+    for cut in range(len(parts), 0, -1):
+        rel = "/".join(parts[:cut]) + ".py"
+        if read(rel) is not None:
+            return rel
+        rel = "/".join(parts[:cut]) + "/__init__.py"
+        if read(rel) is not None:
+            return rel
+    return None
+
+
+def _module_deps(rel: str, read, cache: dict) -> set[str]:
+    """Transitive leann_rs_spark module files imported by `rel`."""
+    if rel in cache:
+        return cache[rel]
+    cache[rel] = set()  # cycle guard
+    out = {rel}
+    src = read(rel)
+    if src is None:
+        cache[rel] = out
+        return out
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        cache[rel] = out
+        return out
+    for node in ast.walk(tree):
+        mods: list[str] = []
+        if isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.split(".")[0] == "leann_rs_spark":
+                mods = [f"{node.module}.{a.name}" for a in node.names]
+        elif isinstance(node, ast.Import):
+            mods = [
+                a.name
+                for a in node.names
+                if a.name.split(".")[0] == "leann_rs_spark"
+            ]
+        for dotted in mods:
+            dep = _module_relpath(dotted, read)
+            if dep and dep not in out:
+                out |= _module_deps(dep, read, cache)
+    cache[rel] = out
+    return out
+
+
+def gate_closure(src: str) -> dict[str, tuple[str, set[str]]]:
+    """For every gate key in queries(): (sha of the gate's entry-file
+    code — its function, every reachable helper function, and its
+    oracle registration source — , set of dotted leann_rs_spark
+    imports it references)."""
+    funcs, imports, oracle_literals = _entry_units(src)
+    # which functions register which gates' oracles
+    registrars: dict[str, list[str]] = {}
+    for fname, fsrc in funcs.items():
+        for g in re.findall(r'_ORACLES\[\s*"([A-Za-z0-9_]+)"\s*\]', fsrc):
+            registrars.setdefault(g, []).append(fname)
+    names_in: dict[str, set[str]] = {}
+    for fname, fsrc in funcs.items():
+        try:
+            t = ast.parse(fsrc)
+        except SyntaxError:
+            names_in[fname] = set()
+            continue
+        names_in[fname] = {
+            n.id for n in ast.walk(t) if isinstance(n, ast.Name)
+        }
+    out: dict[str, tuple[str, set[str]]] = {}
+    for g in current_keys(src):
+        roots = [g] + registrars.get(g, [])
+        seen_f: set[str] = set()
+        mods: set[str] = set()
+        stack = [r for r in roots if r in funcs]
+        while stack:
+            f = stack.pop()
+            if f in seen_f:
+                continue
+            seen_f.add(f)
+            for name in names_in.get(f, ()):
+                if name in funcs and name not in seen_f:
+                    stack.append(name)
+                elif name in imports:
+                    mods.add(imports[name])
+        code = "\n".join(
+            [funcs[f] for f in sorted(seen_f)]
+            + [oracle_literals.get(g, "")]
+        )
+        out[g] = (hashlib.sha256(code.encode()).hexdigest(), mods)
+    return out
+
+
+def _read_worktree(rel: str) -> str | None:
+    p = os.path.join(REPO, rel)
+    try:
+        return open(p).read()
+    except OSError:
+        return None
+
+
+def _read_at(rev: str):
+    cache: dict[str, str | None] = {}
+
+    def read(rel: str) -> str | None:
+        if rel not in cache:
+            r = subprocess.run(
+                ["git", "-C", REPO, "show", f"{rev}:{rel}"],
+                capture_output=True,
+                text=True,
+            )
+            cache[rel] = r.stdout if r.returncode == 0 else None
+        return cache[rel]
+
+    return read
+
+
+def _artifact_rev(rnd: int) -> str | None:
+    for name in (f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"):
+        if os.path.exists(os.path.join(REPO, name)):
+            r = subprocess.run(
+                ["git", "-C", REPO, "log", "-n1", "--format=%H", "--", name],
+                capture_output=True,
+                text=True,
+            )
+            sha = r.stdout.strip()
+            if r.returncode == 0 and sha:
+                return sha
+    return None
+
+
+def _fingerprint(g: str, closure, read, dep_cache) -> str | None:
+    if g not in closure:
+        return None
+    code_sha, mods = closure[g]
+    files: set[str] = set()
+    for dotted in sorted(mods):
+        rel = _module_relpath(dotted, read)
+        if rel:
+            files |= _module_deps(rel, read, dep_cache)
+    h = hashlib.sha256(code_sha.encode())
+    for rel in sorted(files):
+        content = read(rel)
+        h.update(rel.encode())
+        h.update((content or "").encode())
+    return h.hexdigest()
+
+
+def code_stale(keys: list[str], seen: dict[str, int]) -> set[str]:
+    """Gates whose implementation fingerprint at HEAD/worktree differs
+    from the fingerprint at the commit that landed their most recent
+    driver CORRECTNESS row. Gates never driver-checked are excluded
+    (they already lead). Returns empty on any git unavailability —
+    the rotation then degrades to the artifact-age-only rule."""
+    src_now = _read_worktree("__spark_entry__.py")
+    if src_now is None:
+        return set()
+    try:
+        closure_now = gate_closure(src_now)
+    except SyntaxError:
+        return set()
+    dep_now: dict = {}
+    rev_cache: dict[int, str | None] = {}
+    per_rev: dict[str, tuple] = {}
+    stale: set[str] = set()
+    for g in keys:
+        if g not in seen:
+            continue
+        rnd = seen[g]
+        if rnd not in rev_cache:
+            rev_cache[rnd] = _artifact_rev(rnd)
+        rev = rev_cache[rnd]
+        if rev is None:
+            continue
+        if rev not in per_rev:
+            read_old = _read_at(rev)
+            src_old = read_old("__spark_entry__.py")
+            try:
+                closure_old = (
+                    gate_closure(src_old) if src_old is not None else {}
+                )
+            except SyntaxError:
+                closure_old = {}
+            per_rev[rev] = (read_old, closure_old, {})
+        read_old, closure_old, dep_old = per_rev[rev]
+        fp_now = _fingerprint(g, closure_now, _read_worktree, dep_now)
+        fp_old = _fingerprint(g, closure_old, read_old, dep_old)
+        if fp_now is None or fp_old is None or fp_now != fp_old:
+            stale.add(g)
+    return stale
+
+
+def rotated(
+    keys: list[str], seen: dict[str, int], stale: set[str] = frozenset()
+) -> list[str]:
     idx = {k: i for i, k in enumerate(keys)}
-    return sorted(keys, key=lambda k: (seen.get(k, 0), idx[k]))
+    return sorted(
+        keys,
+        key=lambda k: (
+            0 if k not in seen else (1 if k in stale else 1 + seen[k]),
+            idx[k],
+        ),
+    )
 
 
 def main() -> int:
     src = open(ENTRY).read()
     keys = current_keys(src)
-    want = rotated(keys, last_seen())
+    seen = last_seen()
+    stale = code_stale(keys, seen)
+    want = rotated(keys, seen, stale)
+    never = [k for k in keys if k not in seen]
+    if stale or never:
+        print(
+            f"priority gates: {len(never)} never-checked, "
+            f"{len(stale)} code-stale "
+            f"({', '.join(sorted(stale)[:8])}{'…' if len(stale) > 8 else ''})"
+        )
     if keys == want:
         print(f"ordering up to date ({len(keys)} gates)")
         return 0
