@@ -382,3 +382,198 @@ def test_media_ahash_real_engine(spark):
     # same gradient at two scales: nn-resize to the same 8x8 grid makes
     # the perceptual hashes near-identical (that is the point of aHash)
     assert bin(rows[1] ^ rows[2]).count("1") <= 8
+
+
+# --- GIF: pure-Python scan / LZW decode / encode + frame extraction --------
+
+def _rand_gif(n_frames=3, w=14, h=10, n_colors=16, seed=7):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import gif_encode
+
+    rng = np.random.RandomState(seed)
+    palette = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    frames = [
+        palette[rng.randint(0, n_colors, (h, w))] for _ in range(n_frames)
+    ]
+    delays = [100 * (i + 1) for i in range(n_frames)]
+    return frames, delays, gif_encode(frames, delays)
+
+
+def test_gif_scan_metadata():
+    from leann_rs_spark.operators.multimodal import gif_scan
+
+    _, delays, blob = _rand_gif()
+    assert gif_scan(blob) == (delays, 14, 10)
+    assert gif_scan(b"not a gif") is None
+    assert gif_scan(blob[:20]) is None  # truncated block stream
+
+
+def test_gif_encode_decode_roundtrip_exact():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import gif_decode_frames
+
+    frames, _, blob = _rand_gif()
+    dec = gif_decode_frames(blob)
+    assert len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+    # multi-subblock + periodic CLEAR codes (>254 literals per frame)
+    big_frames, _, big_blob = _rand_gif(n_frames=1, w=64, h=64, seed=3)
+    assert np.array_equal(gif_decode_frames(big_blob)[0], big_frames[0])
+    assert gif_decode_frames(b"GIF89a garbage") is None
+
+
+def test_gif_interlaced_decode():
+    """Interlace scatters stream rows through the 8/8/4/2 pass
+    sequence: for h=4 that is [0, 2, 1, 3]. Encode the rows in stream
+    order, flip the interlace bit, and expect the logical image."""
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        gif_decode_frames,
+        gif_encode,
+    )
+
+    rows = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) % 16
+    seq = [0, 2, 1, 3]
+    stream_order = rows[seq]
+    blob = bytearray(gif_encode([stream_order], [0]))
+    # image descriptor follows header(6)+lsd(7)+gct(768)+gce(8): flag
+    # byte is at offset 6+7+768+8+9
+    idx = 6 + 7 + 768 + 8 + 9
+    assert blob[6 + 7 + 768 + 8] == 0x2C
+    blob[idx] |= 0x40
+    dec = gif_decode_frames(bytes(blob))
+    assert dec is not None and np.array_equal(dec[0], rows)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """A transparent index in frame 2 must keep frame 1's pixels —
+    hand-assemble the GCE transparency flag over an encoder blob."""
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        gif_decode_frames,
+        gif_encode,
+    )
+
+    a = np.full((4, 4, 3), 10, dtype=np.uint8)
+    b = np.full((4, 4, 3), 200, dtype=np.uint8)
+    b[0, 0] = 10  # palette will hold both colors
+    blob = bytearray(gif_encode([a, b], [0, 0]))
+    # second GCE: locate the 2nd 0x21 0xF9 pair
+    pos = blob.index(b"\x21\xf9", blob.index(b"\x21\xf9") + 2)
+    # find color 10's palette index (palette starts at 13)
+    pal = np.frombuffer(bytes(blob[13 : 13 + 768]), dtype=np.uint8).reshape(
+        256, 3
+    )
+    t_idx = int(np.where((pal == [10, 10, 10]).all(axis=1))[0][0])
+    blob[pos + 3] |= 0x01  # transparency flag
+    blob[pos + 6] = t_idx  # transparent index
+    dec = gif_decode_frames(bytes(blob))
+    assert np.array_equal(dec[0], a)
+    # frame 2: color-10 cells (only b[0,0]) show frame 1's pixel
+    expect = b.copy()
+    expect[0, 0] = a[0, 0]
+    assert np.array_equal(dec[1], expect)
+
+
+def test_gif_frames_py_tiers_match(monkeypatch):
+    """Pixel bytes must be identical from the PIL tier and the pure
+    LZW tier (the shim decodes GIFs with our own decoder, pinning the
+    ROUTING — open/seek/convert — not the codec)."""
+    import numpy as np
+
+    from leann_rs_spark.operators import multimodal
+
+    frames, delays, blob = _rand_gif()
+    pure = multimodal.gif_frames_py(blob)
+    assert pure is not None
+    d, w, h, blobs = pure
+    assert (d, w, h) == (delays, 14, 10)
+    for arr, bmp in zip(frames, blobs):
+        assert np.array_equal(multimodal.bmp_decode(bmp), arr)
+
+    class _GifIm:
+        def __init__(self, arrs):
+            self._arrs = arrs
+            self._i = 0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def seek(self, i):
+            self._i = i
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self._arrs[self._i]
+
+    class _GifPIL:
+        calls = 0
+
+        @classmethod
+        def open(cls, fh):
+            cls.calls += 1
+            arrs = multimodal.gif_decode_frames(fh.read())
+            if arrs is None:
+                raise OSError("cannot identify image file")
+            return _GifIm(arrs)
+
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _GifPIL
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _GifPIL)
+    before = _GifPIL.calls
+    with_pil = multimodal.gif_frames_py(blob)
+    assert _GifPIL.calls == before + 1  # PIL tier actually ran
+    assert with_pil == pure  # byte-identical frames + metadata
+
+
+def test_extract_gif_frames_spark(spark):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        bmp_decode,
+        extract_gif_frames,
+    )
+
+    frames, delays, blob = _rand_gif()
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    out = extract_gif_frames(media).orderBy("frame_index").collect()
+    assert [r["media_id"] for r in out] == [1, 1, 1]
+    assert [r["frame_index"] for r in out] == [0, 1, 2]
+    # presentation timestamps: cumulative prior delays
+    assert [r["timestamp_ms"] for r in out] == [0, 100, 300]
+    assert {(r["width"], r["height"]) for r in out} == {(14, 10)}
+    for r, arr in zip(out, frames):
+        assert np.array_equal(bmp_decode(bytes(r["content"])), arr)
+
+
+def test_extract_gif_frames_caps_and_decode_media_duration(spark):
+    from leann_rs_spark.operators.multimodal import (
+        decode_media,
+        extract_gif_frames,
+    )
+
+    _, _, blob = _rand_gif(n_frames=5)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), "s")],
+        "media_id long, modality string, content binary, source string",
+    )
+    assert extract_gif_frames(media, max_frames=2).count() == 2
+    feat = decode_media(media, engine="real").collect()[0]
+    # real video tier: duration = sum of GIF frame delays, dims real
+    assert feat["duration_ms"] == 100 + 200 + 300 + 400 + 500
+    assert (feat["width"], feat["height"]) == (14, 10)
