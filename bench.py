@@ -133,6 +133,11 @@ def main() -> None:
         "reps": reps,
         "aggregation": "min_of_reps",
         "warmup": "full suite once at sf0.001 + JVM/scan warmup, untimed",
+        # Write-path and streaming gates build their artifact once per
+        # process (the `_fx` fixture ladder, __spark_entry__._fx*);
+        # min-of-reps therefore times the READ path of those gates.
+        # Do NOT read round-over-round drops on them as plan wins.
+        "write_gates": "read-path-timed (once-per-process _fx fixture build)",
     }
     if failures:
         detail["failures"] = failures
@@ -154,6 +159,7 @@ def main() -> None:
         "load_avg_1_5_15": load,
         "reps": reps,
         "aggregation": "min_of_reps",
+        "write_gates": "read-path-timed",
         "detail": "bench_detail.json",
     }
     print(json.dumps(out))
