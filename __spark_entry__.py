@@ -1319,6 +1319,56 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "split").orderBy("doc_id")
 
 
+def x_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL → training-set pipeline: textprep's docstring promises it
+    runs "before every quality/dedup operator" — this gate pins that
+    composition (VERDICT r5 task 7). Dirty input (each doc wrapped in
+    a deterministic HTML shell with style/script/comment/entity
+    artifacts plus a decomposed-unicode suffix, identically in both
+    engines) → html_to_text (native regexp chain) → NFC normalize
+    (Arrow-batched mapInPandas) → the full already-gated curation
+    composition (Gopher gate → exact dedup → MinHash clusters →
+    split assign) over the CLEANED text. The oracle nests the
+    textprep twins inside the curation twin."""
+    from leann_rs_spark.operators.curation import curate_corpus
+    from leann_rs_spark.operators.textprep import (
+        html_to_text,
+        nfc_normalize_text,
+    )
+
+    docs = _fan(_docs(spark, sf_dir))
+    dirty = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><style>p{color:red}</style>'
+                '</head><body><!-- crawl artifact --><h1>Doc</h1>'
+                '<p class="b">'
+            ),
+            F.replace(F.col("text"), F.lit(" and "), F.lit(" &amp; ")),
+            F.lit(" café"),  # decomposed: NFC must compose it
+            F.lit('</p><script>if(x&&y){z()}</script></body></html>'),
+        ).alias("text"),
+    )
+    cleaned = (
+        nfc_normalize_text(
+            dirty.withColumn("text", html_to_text(F.col("text"))),
+            "text",
+            "text_nfc",
+        )
+        .drop("text")
+        .withColumnRenamed("text_nfc", "text")
+    )
+    out = curate_corpus(
+        cleaned.select("doc_id", "lang", "source", "text"),
+        gopher_params=_CURATION_GOPHER,
+        minhash_threshold=0.5,
+    )
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
+
+
 def x_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (Lee et al., arXiv:2107.06499): every
     token covered by an 8-token gram occurring ≥2× corpus-wide is cut
@@ -3961,6 +4011,40 @@ def _register_curation_oracle() -> None:
         FROM kept ORDER BY doc_id
     """
 
+    # x_crawl_pipeline: the SAME curation chain, but over text that
+    # first passes the textprep twins (html_to_text ∘ nfc_normalize)
+    # of the gate's deterministic dirty-input wrapper.
+    from leann_rs_spark.operators.textprep import duckdb_html_to_text
+
+    dirty = (
+        "'<html><head><title>t</title><style>p{color:red}</style>"
+        "</head><body><!-- crawl artifact --><h1>Doc</h1><p class=\"b\">'"
+        " || replace(text, ' and ', ' &amp; ') || ' cafe' || chr(769) || "
+        "'</p><script>if(x&&y){z()}</script></body></html>'"
+    )
+    _ORACLES["x_crawl_pipeline"] = f"""
+        WITH clean AS (
+            SELECT doc_id, lang, source,
+                   nfc_normalize({duckdb_html_to_text(dirty)}) AS text
+            FROM documents
+        ),
+        gok AS (SELECT * FROM clean WHERE {gok}),
+        ded1 AS (
+            SELECT * EXCLUDE (__can) FROM (
+                SELECT g.*, min(doc_id) OVER (PARTITION BY md5(text)) AS __can
+                FROM gok g
+            ) WHERE doc_id = __can
+        ),
+        pairs AS (SELECT id_a, id_b FROM ({mh})),
+        clusters AS (SELECT * FROM ({cl}) t),
+        kept AS (
+            SELECT d.* FROM ded1 d LEFT JOIN clusters c ON c.id = d.doc_id
+            WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+        )
+        SELECT doc_id, lang, {duckdb_split_assign('doc_id')} AS split
+        FROM kept ORDER BY doc_id
+    """
+
 
 _register_curation_oracle()
 
@@ -4941,6 +5025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_crawl_pipeline": x_crawl_pipeline,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,

@@ -123,6 +123,12 @@ def main() -> None:
         # edit-distance dedup: candidate-proportional (segment collisions
         # multiply with planted dups, like every blocking dedup)
         "x_dedup_editdist",
+        # round-5 additions (VERDICT r5 task 6): html_to_text is a
+        # zero-shuffle native regexp projection (flat per row); NFC is
+        # the one Arrow-batched mapInPandas stage (row-proportional,
+        # no shuffle); IVF-SQ8 reads the persisted code parquet with
+        # probe-pruned partitions (flat-ish — scan ∝ (nprobe/C)·N)
+        "x_html_strip", "x_text_nfc", "x_ivfsq_topk",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
