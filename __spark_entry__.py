@@ -2045,6 +2045,27 @@ def x_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio features over the audio third of the media
+    corpus (multimodal.audio_features) — the SQL-expressible half of
+    the audio front-end as native HOF expressions over the 63-sample
+    locality-preserving fake envelope: rms, peak, per-sample silence
+    ratio, md5-rule duration; spectral centroid is the FFT-only field
+    (NULL in this tier). The REAL tier — stdlib-wave PCM decode +
+    numpy rfft centroid + energy-envelope hash near-dup — is
+    engine='real' on the same function, pinned by synthesized-signal
+    unit tests (tests/test_multimodal.py), the resize_images ruling
+    for codec-bound kernels."""
+    from leann_rs_spark.operators.multimodal import audio_features
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return audio_features(_fan(media)).orderBy("media_id")
+
+
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and lexical ratios."""
     return _fan(_docs(spark, sf_dir)).select(
@@ -4986,6 +5007,14 @@ def _register_media_phash_oracle() -> None:
         ORDER BY id_a, id_b
     """
 
+    from leann_rs_spark.operators.multimodal import duckdb_audio_features
+
+    audio_sql = "SELECT doc_id AS id, text AS t FROM documents WHERE doc_id % 3 = 1"
+    _ORACLES["x_media_audio_features"] = f"""
+        SELECT * FROM ({duckdb_audio_features(audio_sql)})
+        ORDER BY media_id
+    """
+
 
 _register_media_phash_oracle()
 
@@ -5026,6 +5055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
         "x_crawl_pipeline": x_crawl_pipeline,
+        "x_media_audio_features": x_media_audio_features,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,
@@ -5105,8 +5135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
         "q15_expanded_search": q15_expanded_search,
-        "x_length_percentiles": x_length_percentiles,
         "x_media_phash_dups": x_media_phash_dups,
+        "x_length_percentiles": x_length_percentiles,
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
         "x_rolling_anomaly": x_rolling_anomaly,

@@ -840,6 +840,367 @@ def resize_images(
 
 
 # ---------------------------------------------------------------------------
+# Real audio path — RIFF/WAVE PCM, the one audio container this
+# container can decode/encode with no external codec (stdlib `wave` +
+# numpy). libav/soundfile would widen the format set behind the same
+# functions; all SIGNAL MATH (framing, RMS, FFT centroid, energy hash)
+# is our own deterministic numpy, mirroring the image tier's BMP/GIF
+# kernels.
+# ---------------------------------------------------------------------------
+
+
+def wav_decode(content: bytes):
+    """RIFF/WAVE PCM bytes → (mono float64 samples in [-1, 1],
+    sample_rate), or None on non-WAV/compressed/corrupt input.
+    8-bit (unsigned) and 16/32-bit (signed) PCM; channels averaged to
+    mono — the standard analysis front-end."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            if rate <= 0 or nch <= 0 or width not in (1, 2, 4) or n <= 0:
+                return None
+            raw = w.readframes(n)
+    except Exception:
+        return None
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def wav_encode(samples, rate: int = 8000) -> bytes:
+    """Mono float samples in [-1, 1] → 16-bit PCM WAV bytes (the
+    synthesis half: test fixtures, resampled sinks)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+AUDIO_SILENCE_RMS = 0.02  # frame counts as silent below this RMS
+AUDIO_N_FRAMES = 63  # analysis frames per clip (matches AHASH_BITS)
+
+
+def audio_features_py(content: bytes) -> dict | None:
+    """Real per-clip audio features from decoded PCM: duration_ms,
+    rms, peak, silence_ratio (share of AUDIO_N_FRAMES equal frames
+    with RMS < AUDIO_SILENCE_RMS), spectral_centroid_hz (rfft
+    magnitude-weighted mean frequency — the brightness feature quality
+    filters threshold on). None when the bytes don't decode."""
+    import numpy as np
+
+    dec = wav_decode(content)
+    if dec is None:
+        return None
+    x, rate = dec
+    if len(x) == 0:
+        return None
+    frames = np.array_split(x, AUDIO_N_FRAMES)
+    frame_rms = np.array([
+        float(np.sqrt(np.mean(f * f))) if len(f) else 0.0 for f in frames
+    ])
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+    denom = float(mag.sum())
+    centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
+    return {
+        "duration_ms": int(len(x) * 1000 / rate),
+        "rms": float(np.sqrt(np.mean(x * x))),
+        "peak": float(np.max(np.abs(x))),
+        "silence_ratio": float(
+            (frame_rms < AUDIO_SILENCE_RMS).sum() / AUDIO_N_FRAMES
+        ),
+        "spectral_centroid_hz": centroid,
+    }
+
+
+def audio_energy_hash_py(content: bytes) -> int | None:
+    """Perceptual audio fingerprint: the aHash recipe on the 1-D
+    energy envelope — AUDIO_N_FRAMES equal frames, bit i set iff
+    frame i's RMS exceeds the mean frame RMS. Robust to gain changes
+    that preserve the envelope SHAPE relative to its mean; re-encoded
+    or volume-scaled copies land within small Hamming distance, which
+    the banded pigeonhole join exploits exactly like image aHash."""
+    import numpy as np
+
+    dec = wav_decode(content)
+    if dec is None:
+        return None
+    x, _ = dec
+    if len(x) == 0:
+        return None
+    frames = np.array_split(x, AUDIO_N_FRAMES)
+    frame_rms = np.array([
+        float(np.sqrt(np.mean(f * f))) if len(f) else 0.0 for f in frames
+    ])
+    mean = float(frame_rms.mean())
+    bits = 0
+    for i, v in enumerate(frame_rms):
+        if float(v) > mean:
+            bits |= 1 << i
+    return bits
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms_r", T.DoubleType(), True),
+        T.StructField("peak_r", T.DoubleType(), True),
+        T.StructField("silence_ratio_r", T.DoubleType(), True),
+        T.StructField("centroid_hz_r", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame,
+    engine: str = "fake",
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ (media_id, duration_ms, rms_r, peak_r, silence_ratio_r,
+    centroid_hz_r): per-clip audio features, rounded to 6 dp.
+
+    engine="real": Arrow-batched mapInPandas over audio_features_py
+    (true WAV decode + numpy FFT); undecodable rows keep NULL features
+    (total over dirty corpora). No SQL oracle — binary codecs + FFT
+    are outside DuckDB's surface (the resize_images ruling); pinned by
+    synthesized-signal unit tests (tests/test_multimodal.py).
+
+    engine="fake": the media_ahash fake-signal convention — 63 evenly
+    spaced byte samples of the content stand in for the PCM envelope
+    (LOCALITY-PRESERVING, see the aHash notes), mapped to [-1, 1] via
+    (b - 128) / 128, and the SAME feature math that is SQL-expressible
+    (rms / peak / per-sample silence ratio; centroid needs the FFT and
+    is NULL here) runs as native HOF expressions with a DuckDB twin
+    (duckdb_audio_features). duration_ms reuses the fake-decoder
+    md5 rule so the fake tiers agree with decode_media."""
+    if engine == "real":
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    content = (
+                        bytes(r[content_col])
+                        if r[content_col] is not None
+                        else b""
+                    )
+                    f = audio_features_py(content)
+                    rows.append(
+                        {
+                            "media_id": r[id_col],
+                            "duration_ms": f and f["duration_ms"],
+                            "rms_r": f and round(f["rms"], 6),
+                            "peak_r": f and round(f["peak"], 6),
+                            "silence_ratio_r": f
+                            and round(f["silence_ratio"], 6),
+                            "centroid_hz_r": f
+                            and round(f["spectral_centroid_hz"], 6),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f_.name for f_ in AUDIO_FEATURE_SCHEMA.fields],
+                )
+
+        return media.select(
+            F.col(id_col).alias("media_id") if id_col != "media_id" else id_col,
+            content_col,
+        ).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+    n = AHASH_BITS
+    t = media.select(
+        F.col(id_col).alias("media_id"),
+        F.decode(F.col(content_col), "UTF-8").alias("__t"),
+        F.md5(F.col(content_col)).alias("__d"),
+    )
+    # the ahash fake-signal sample positions, mapped to [-1, 1]
+    pix = t.select(
+        "media_id",
+        "__d",
+        F.when(
+            F.length("__t") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: (
+                    F.ascii(
+                        F.col("__t").substr(
+                            (
+                                F.lit(1)
+                                + F.floor(
+                                    i * (F.length("__t") - 1) / F.lit(n - 1)
+                                )
+                            ).cast("int"),
+                            F.lit(1),
+                        )
+                    )
+                    - F.lit(128)
+                )
+                / F.lit(128.0),
+            ),
+        )
+        .otherwise(F.array_repeat(F.lit(0.0), n))
+        .alias("__x"),
+    )
+    # let-bind __x (Catalyst does not CSE into HOF lambdas — CLAUDE.md)
+    silence = F.lit(AUDIO_SILENCE_RMS)
+    return pix.select(
+        "media_id",
+        F.conv(F.substring("__d", 17, 8), 16, 10)
+        .cast("long")
+        .__mod__(600_000)
+        .alias("duration_ms"),
+        (
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        "__x",
+                        F.lit(0.0),
+                        lambda a, v: a + v * v,
+                    )
+                    / F.lit(float(n))
+                )
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("rms_r"),
+        (
+            F.round(
+                F.array_max(F.transform("__x", lambda v: F.abs(v)))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("peak_r"),
+        (
+            F.round(
+                F.aggregate(
+                    "__x",
+                    F.lit(0.0),
+                    lambda a, v: a
+                    + F.when(F.abs(v) < silence, F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    ),
+                )
+                / F.lit(float(n))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("silence_ratio_r"),
+        F.lit(None).cast("double").alias("centroid_hz_r"),
+    )
+
+
+def duckdb_audio_features(media_sql: str, id_sql: str = "id") -> str:
+    """Twin of audio_features(engine='fake') over (id, t TEXT) rows —
+    identical sample positions, the same (b-128)/128 mapping, rms /
+    peak / silence math, md5-rule duration; centroid NULL (FFT is not
+    SQL)."""
+    n = AHASH_BITS
+    return f"""
+        WITH m AS ({media_sql}),
+        pix AS (
+            SELECT {id_sql} AS media_id,
+                   md5(t) AS d,
+                   CASE WHEN length(t) > 0 THEN
+                       list_transform(generate_series(0, {n - 1}),
+                           i -> (ascii(substr(t,
+                               (1 + (i * (length(t) - 1)) // {n - 1})::int,
+                               1)) - 128) / 128.0)
+                   ELSE list_transform(generate_series(0, {n - 1}),
+                                       i -> CAST(0.0 AS DOUBLE))
+                   END AS x
+            FROM m
+        )
+        SELECT media_id,
+               (('0x' || substr(d, 17, 8))::bigint % 600000)::bigint
+                   AS duration_ms,
+               round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(x, v -> v * v)), (a, v) -> a + v)
+                   / {n}.0) * 1e6) / 1e6 AS rms_r,
+               round(list_max(list_transform(x, v -> abs(v))) * 1e6) / 1e6
+                   AS peak_r,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(x, v -> CASE WHEN abs(v) <
+                       {AUDIO_SILENCE_RMS} THEN 1.0 ELSE 0.0 END)),
+                   (a, v) -> a + v) / {n}.0 * 1e6) / 1e6
+                   AS silence_ratio_r,
+               CAST(NULL AS DOUBLE) AS centroid_hz_r
+        FROM pix
+    """
+
+
+def audio_near_dups(
+    media: DataFrame,
+    bands: int = 7,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ (id_a, id_b, hamming): perceptual audio near-dup pairs via
+    the energy-envelope hash — REAL tier only (the hash needs PCM
+    decode; the oracle-gated relational twin of this banding is
+    x_media_phash_dups, same plan shape). mapInPandas hash pass →
+    the shared banded pigeonhole join (never O(n²))."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ahash", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = (
+                    bytes(r[content_col])
+                    if r[content_col] is not None
+                    else b""
+                )
+                rows.append(
+                    {id_col: r[id_col], "ahash": audio_energy_hash_py(content)}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    sh = (
+        media.select(id_col, content_col)
+        .mapInPandas(run, schema=out_schema)
+        .filter(F.col("ahash").isNotNull())
+    )
+    return _banded_hash_pairs(sh, bands, max_hamming, id_col)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle twins (fake-decoder math over the same derived bytes)
 # ---------------------------------------------------------------------------
 
@@ -1026,9 +1387,23 @@ def media_ahash_near_dups(
     (band, band_bits) → exact bit_count(XOR) verify BEFORE any
     dedup shuffle (the simhash lesson: verify is map-side
     arithmetic, filtering first shrinks the shuffle to true pairs)."""
+    sh = media_ahash(media, engine, id_col, content_col)
+    return _banded_hash_pairs(sh, bands, max_hamming, id_col, cache=cache)
+
+
+def _banded_hash_pairs(
+    sh: DataFrame,
+    bands: int,
+    max_hamming: int,
+    id_col: str = "media_id",
+    cache: bool = True,
+) -> DataFrame:
+    """Shared pigeonhole join over ANY 63-bit perceptual hash column
+    `ahash` (image aHash, audio energy hash): bands > max_hamming ⇒
+    some band agrees, equi-join on (band, band_bits), exact
+    bit_count(XOR) verify before the dedup shuffle."""
     assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
     width = AHASH_BITS // bands
-    sh = media_ahash(media, engine, id_col, content_col)
     if cache:
         sh = sh.persist()
         sh.count()  # both self-join sides read it

@@ -577,3 +577,128 @@ def test_extract_gif_frames_caps_and_decode_media_duration(spark):
     # real video tier: duration = sum of GIF frame delays, dims real
     assert feat["duration_ms"] == 100 + 200 + 300 + 400 + 500
     assert (feat["width"], feat["height"]) == (14, 10)
+
+
+# --- Audio: real WAV decode / features / energy-hash near-dup ---------------
+
+def _sine_wav(freq=440.0, secs=2.0, amp=0.5, rate=8000):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import wav_encode
+
+    t = np.arange(int(rate * secs)) / rate
+    x = amp * np.sin(2 * np.pi * freq * t)
+    return x, wav_encode(x, rate)
+
+
+def test_wav_codec_roundtrip_and_tiers():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import wav_decode, wav_encode
+
+    x, blob = _sine_wav()
+    y, rate = wav_decode(blob)
+    assert rate == 8000 and len(y) == len(x)
+    assert float(np.abs(y - x).max()) < 1e-4  # 16-bit quantization
+    assert wav_decode(b"junk") is None
+    assert wav_decode(b"RIFFxxxxWAVE") is None  # truncated
+    # stereo averages to mono: interleave x with zeros → x/2
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    pcm = (np.stack([x, np.zeros_like(x)], axis=1) * 32767).astype("<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    y2, _ = wav_decode(buf.getvalue())
+    assert float(np.abs(y2 - x / 2).max()) < 1e-4
+
+
+def test_audio_features_real_signal_math():
+    from leann_rs_spark.operators.multimodal import audio_features_py
+
+    x, blob = _sine_wav(freq=440, secs=2, amp=0.5)
+    f = audio_features_py(blob)
+    assert f["duration_ms"] == 2000
+    assert abs(f["rms"] - 0.5 / 2 ** 0.5) < 1e-3  # sine RMS = A/√2
+    assert abs(f["peak"] - 0.5) < 1e-3
+    assert f["silence_ratio"] == 0.0
+    assert abs(f["spectral_centroid_hz"] - 440) < 5
+    # half the clip silent → silence_ratio ≈ 0.5
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import wav_encode
+
+    half = np.concatenate([x[:8000], np.zeros(8000)])
+    f2 = audio_features_py(wav_encode(half, 8000))
+    assert 0.45 < f2["silence_ratio"] < 0.55
+    assert audio_features_py(b"not audio") is None
+
+
+def test_audio_energy_hash_locality():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        audio_energy_hash_py,
+        wav_encode,
+    )
+
+    x, blob = _sine_wav()
+    h = audio_energy_hash_py(blob)
+    assert isinstance(h, int) and 0 < h < 2 ** 63
+    # gain scaling preserves the envelope shape → tiny Hamming distance
+    h_gain = audio_energy_hash_py(wav_encode(x * 0.7, 8000))
+    assert bin(h ^ h_gain).count("1") <= 2
+    # unrelated noise → far
+    rng = np.random.RandomState(0)
+    h_noise = audio_energy_hash_py(wav_encode(rng.randn(16000) * 0.2, 8000))
+    assert bin(h ^ h_noise).count("1") > 10
+    assert audio_energy_hash_py(b"junk") is None
+
+
+def test_audio_features_real_engine_spark(spark):
+    from leann_rs_spark.operators.multimodal import (
+        audio_features,
+        audio_features_py,
+    )
+
+    _, blob = _sine_wav()
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r
+            for r in audio_features(media, engine="real").collect()}
+    ref = audio_features_py(blob)
+    assert rows[1]["duration_ms"] == ref["duration_ms"]
+    assert rows[1]["rms_r"] == round(ref["rms"], 6)
+    assert rows[1]["centroid_hz_r"] == round(ref["spectral_centroid_hz"], 6)
+    assert rows[2]["rms_r"] is None  # undecodable keeps its row, NULL
+
+
+def test_audio_near_dups_spark(spark):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        audio_near_dups,
+        wav_encode,
+    )
+
+    x, blob = _sine_wav()
+    rng = np.random.RandomState(1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(blob)),
+            (2, bytearray(wav_encode(x * 0.8, 8000))),  # gain copy
+            (3, bytearray(wav_encode(rng.randn(16000) * 0.2, 8000))),
+            (4, bytearray(b"junk")),  # undecodable: excluded, no pair
+        ],
+        "media_id long, content binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in audio_near_dups(media).collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+    assert all(3 not in p for p in pairs)
