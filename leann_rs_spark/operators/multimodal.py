@@ -1200,6 +1200,149 @@ def audio_near_dups(
     return _banded_hash_pairs(sh, bands, max_hamming, id_col)
 
 
+VIDEO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame, max_frames: int = 16) -> DataFrame:
+    """→ (media_id, frame_index, n_frames, ahash): per-frame aHash of
+    each GIF video, decoded and hashed INSIDE one Arrow batch kernel
+    (frame pixels never leave the executor as rows — only the 8-byte
+    hashes shuffle). Non-GIF rows yield nothing; a frame whose pixel
+    stream is corrupt yields a NULL hash (its metadata row survives,
+    consistent with extract_gif_frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = (
+                    bytes(r["content"]) if r["content"] is not None else b""
+                )
+                meta = gif_scan(content)
+                if meta is None:
+                    continue
+                delays, _w, _h = meta
+                k = min(len(delays), max_frames)
+                arrs = gif_decode_frames(content, max_frames=k)
+                for fi in range(k):
+                    arr = arrs[fi] if arrs is not None and fi < len(arrs) else None
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_index": fi,
+                            "n_frames": k,
+                            "ahash": None
+                            if arr is None
+                            else ahash_from_array(arr),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_HASH_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=VIDEO_HASH_SCHEMA
+    )
+
+
+def video_near_dups(
+    media: DataFrame,
+    max_frames: int = 16,
+    bands: int = 7,
+    max_hamming: int = 6,
+    min_match_frac: float = 0.5,
+) -> DataFrame:
+    """→ (id_a, id_b, matched_frames, match_frac): video near-dup
+    pairs — two videos match when ≥ min_match_frac of their ALIGNED
+    sampled frames are perceptually close (Hamming(aHash) ≤
+    max_hamming). Re-encoded / brightness-shifted / palette-requantized
+    copies match (aHash invariances); unrelated clips share no banded
+    buckets.
+
+    Plan shape: the pigeonhole join runs PER FRAME POSITION — band
+    keys are (frame_index, band, band_bits) — so candidate pairs are
+    frame-aligned and the pair space stays candidate-proportional like
+    every banded dedup here; one groupBy then counts distinct matched
+    positions per pair and the fraction gate uses the SHORTER clip's
+    sampled length. REAL tier only (needs pixel decode; the
+    oracle-gated twin of the banding relational shape is
+    x_media_phash_dups)."""
+    fh = video_frame_hashes(media, max_frames).filter(
+        F.col("ahash").isNotNull()
+    )
+    fh = fh.persist()
+    fh.count()  # both self-join sides read it
+    assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    width = AHASH_BITS // bands
+    mask = (1 << width) - 1
+    banded = fh.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("ahash"), AHASH_BITS - (b + 1) * width
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "media_id", "frame_index", "n_frames", "ahash",
+        F.col("e.band"), F.col("e.bb"),
+    )
+    a = banded.select(
+        "frame_index", "band", "bb",
+        F.col("media_id").alias("id_a"),
+        F.col("ahash").alias("ha"),
+        F.col("n_frames").alias("na"),
+    )
+    b = banded.select(
+        "frame_index", "band", "bb",
+        F.col("media_id").alias("id_b"),
+        F.col("ahash").alias("hb"),
+        F.col("n_frames").alias("nb"),
+    )
+    matched = (
+        a.join(b, ["frame_index", "band", "bb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+        )
+        .select("id_a", "id_b", "frame_index", "na", "nb")
+        .dropDuplicates()
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("matched_frames"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .withColumn(
+            "match_frac",
+            F.col("matched_frames") / F.least(F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("id_a", "id_b", "matched_frames", "match_frac")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins (fake-decoder math over the same derived bytes)
 # ---------------------------------------------------------------------------
@@ -1255,15 +1398,12 @@ def duckdb_media_features(table: str = "documents") -> str:
 AHASH_BITS = 63
 
 
-def real_ahash_py(content: bytes) -> int | None:
-    """Pixel average-hash kernel: decode_image → 8×8 nn_resize →
-    integer grayscale ((r+g+b)//3) → bit i set iff cell i exceeds the
-    grid mean, over the first AHASH_BITS raster-order cells (63 keeps
-    the value sign-safe in a BIGINT, matching the fake engine's
-    width). None when the bytes don't decode."""
-    arr = decode_image(content)
-    if arr is None:
-        return None
+def ahash_from_array(arr) -> int:
+    """The aHash kernel over an already-decoded HxWx3 array: 8×8
+    nn_resize → integer grayscale ((r+g+b)//3) → bit i set iff cell i
+    exceeds the grid mean, over the first AHASH_BITS raster-order
+    cells. Invariant to uniform brightness shifts (cells and mean move
+    together) — the property video_near_dups leans on."""
     import numpy as np
 
     small = nn_resize(arr, 8, 8)
@@ -1275,6 +1415,16 @@ def real_ahash_py(content: bytes) -> int | None:
         if float(v) > mean:
             bits |= 1 << i
     return bits
+
+
+def real_ahash_py(content: bytes) -> int | None:
+    """Pixel average-hash: decode_image → ahash_from_array (63 bits
+    keeps the value sign-safe in a BIGINT, matching the fake engine's
+    width). None when the bytes don't decode."""
+    arr = decode_image(content)
+    if arr is None:
+        return None
+    return ahash_from_array(arr)
 
 
 def media_ahash(

@@ -702,3 +702,39 @@ def test_audio_near_dups_spark(spark):
     assert (1, 2) in pairs
     assert all(4 not in p for p in pairs)
     assert all(3 not in p for p in pairs)
+
+
+# --- Video: per-frame aHash + frame-aligned near-dup -------------------------
+
+def test_video_near_dups_spark(spark):
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        gif_encode,
+        video_frame_hashes,
+        video_near_dups,
+    )
+
+    rng = np.random.RandomState(11)
+    palette = (rng.randint(0, 30, (16, 3)) * 8).astype(np.uint8)
+    frames = [palette[rng.randint(0, 16, (12, 16))] for _ in range(4)]
+    vid_a = gif_encode(frames, [100] * 4)
+    # brightness-shifted re-encode: aHash is invariant to uniform shifts
+    frames_b = [np.clip(f.astype(np.int32) + 8, 0, 255).astype(np.uint8)
+                for f in frames]
+    vid_b = gif_encode(frames_b, [100] * 4)
+    # unrelated clip
+    other = [palette[rng.randint(0, 16, (12, 16))] for _ in range(4)]
+    vid_c = gif_encode(other, [100] * 4)
+    media = spark.createDataFrame(
+        [(1, bytearray(vid_a)), (2, bytearray(vid_b)),
+         (3, bytearray(vid_c)), (4, bytearray(b"not video"))],
+        "media_id long, content binary",
+    )
+    fh = video_frame_hashes(media).collect()
+    assert {r["media_id"] for r in fh} == {1, 2, 3}
+    assert all(r["n_frames"] == 4 for r in fh)
+    pairs = {(r["id_a"], r["id_b"]): r for r in video_near_dups(media).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["match_frac"] == 1.0
+    assert all(3 not in p and 4 not in p for p in pairs)
