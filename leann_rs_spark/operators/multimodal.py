@@ -892,8 +892,10 @@ def wav_encode(samples, rate: int = 8000) -> bytes:
 
     import numpy as np
 
-    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    pcm = (x * 32767.0).astype("<i2")
+    x = np.asarray(samples, dtype=np.float64)
+    # symmetric with wav_decode's /32768 so decode∘encode∘decode is the
+    # identity on the 16-bit grid (×32767-truncate loses one LSB)
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -911,8 +913,11 @@ def audio_features_py(content: bytes) -> dict | None:
     """Real per-clip audio features from decoded PCM: duration_ms,
     rms, peak, silence_ratio (share of AUDIO_N_FRAMES equal frames
     with RMS < AUDIO_SILENCE_RMS), spectral_centroid_hz (rfft
-    magnitude-weighted mean frequency — the brightness feature quality
-    filters threshold on). None when the bytes don't decode."""
+    POWER-weighted mean frequency — the brightness feature quality
+    filters threshold on; power weighting, |X|², keeps the 16-bit
+    quantization noise floor from dragging the centroid toward
+    Nyquist/2 the way magnitude weighting measurably does). None when
+    the bytes don't decode."""
     import numpy as np
 
     dec = wav_decode(content)
@@ -925,7 +930,7 @@ def audio_features_py(content: bytes) -> dict | None:
     frame_rms = np.array([
         float(np.sqrt(np.mean(f * f))) if len(f) else 0.0 for f in frames
     ])
-    mag = np.abs(np.fft.rfft(x))
+    mag = np.abs(np.fft.rfft(x)) ** 2
     freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
     denom = float(mag.sum())
     centroid = float((freqs * mag).sum() / denom) if denom > 0 else 0.0
@@ -1198,6 +1203,73 @@ def audio_near_dups(
         .filter(F.col("ahash").isNotNull())
     )
     return _banded_hash_pairs(sh, bands, max_hamming, id_col)
+
+
+def resample_audio_py(content: bytes, target_rate: int) -> bytes | None:
+    """Real audio resample kernel: WAV decode → linear interpolation
+    onto the target sample grid (np.interp — deterministic, the
+    nn_resize of the audio tier) → 16-bit WAV re-encode. None on
+    undecodable input. Output length = round(n · target/src) so
+    duration is preserved to within one sample."""
+    import numpy as np
+
+    dec = wav_decode(content)
+    if dec is None:
+        return None
+    x, rate = dec
+    if rate == target_rate:
+        return wav_encode(x, rate)
+    n_out = max(int(round(len(x) * target_rate / rate)), 1)
+    t_out = np.arange(n_out) * (rate / target_rate)
+    y = np.interp(t_out, np.arange(len(x)), x)
+    return wav_encode(y, target_rate)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """The audio twin of resize_images: decode WAV blobs, linear-interp
+    resample to `target_rate` in OUR deterministic kernel, re-encode
+    as 16-bit WAV — Arrow-batched mapInPandas, bytes never leave the
+    executor. Undecodable blobs keep their row with NULL output (total
+    over dirty corpora). → (media_id, src_rate, n_samples_out,
+    content<BINARY resampled WAV>). No SQL-oracle gate: binary codecs
+    are the serving/filesystem class (resize_images ruling); pinned by
+    signal-preservation unit tests."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("src_rate", T.IntegerType(), True),
+            T.StructField("n_samples_out", T.LongType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = (
+                    bytes(r["content"]) if r["content"] is not None else b""
+                )
+                dec = wav_decode(content)
+                if dec is None:
+                    rows.append(
+                        {"media_id": r["media_id"], "src_rate": None,
+                         "n_samples_out": None, "content": None}
+                    )
+                    continue
+                out = resample_audio_py(content, target_rate)
+                y, _ = wav_decode(out)
+                rows.append(
+                    {"media_id": r["media_id"], "src_rate": dec[1],
+                     "n_samples_out": len(y), "content": out}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=out_schema
+    )
 
 
 VIDEO_HASH_SCHEMA = T.StructType(

@@ -738,3 +738,48 @@ def test_video_near_dups_spark(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)]["match_frac"] == 1.0
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_resample_audio_preserves_signal():
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        audio_features_py,
+        resample_audio_py,
+        wav_decode,
+    )
+
+    x, blob = _sine_wav(freq=440, secs=1.0, rate=8000)
+    up = resample_audio_py(blob, 16000)
+    y, rate = wav_decode(up)
+    assert rate == 16000 and len(y) == 16000
+    f = audio_features_py(up)
+    # tone, level and duration survive the rate change
+    assert abs(f["spectral_centroid_hz"] - 440) < 10
+    assert abs(f["rms"] - 0.5 / 2 ** 0.5) < 5e-3
+    assert f["duration_ms"] == 1000
+    # downsample below Nyquist-safe still keeps the 440 Hz tone
+    down = resample_audio_py(blob, 2000)
+    fd = audio_features_py(down)
+    assert abs(fd["spectral_centroid_hz"] - 440) < 25
+    assert resample_audio_py(b"junk", 16000) is None
+    # same-rate passthrough re-encodes losslessly (16-bit grid)
+    same, _ = wav_decode(resample_audio_py(blob, 8000))
+    assert float(np.abs(same - wav_decode(blob)[0]).max()) < 1e-9
+
+
+def test_resample_audio_spark(spark):
+    from leann_rs_spark.operators.multimodal import resample_audio, wav_decode
+
+    _, blob = _sine_wav(secs=0.5, rate=8000)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r
+            for r in resample_audio(media, target_rate=4000).collect()}
+    assert rows[1]["src_rate"] == 8000
+    assert rows[1]["n_samples_out"] == 2000
+    y, rate = wav_decode(bytes(rows[1]["content"]))
+    assert rate == 4000 and len(y) == 2000
+    assert rows[2]["content"] is None  # undecodable keeps its row
