@@ -2528,6 +2528,44 @@ _TOPNGRAM_N = 3
 _TOPNGRAM_K = 20
 
 
+_LI_QUERY = "merge sort external batch"
+
+
+def x_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction top-k
+    (operators/late_interaction.py): MaxSim over TOKEN-LEVEL hash
+    embeddings — each query token takes its best-matching document
+    token's dot product, the per-token maxima add in a FIXED order.
+    Vocabulary-sized embedding stage (each distinct token hashed
+    once), one groupBy(doc) with per-query-token max aggregates,
+    broadcast 1-row query-vector frame. The multi-vector retrieval
+    paradigm the reference's one-vector-per-passage surface cannot
+    express."""
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    return late_interaction_topk(
+        _fan(_docs(spark, sf_dir)), _LI_QUERY, k=10, dims=_EMBED_DIMS
+    )
+
+
+def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per corpus slice
+    (functions/textstats.token_kl_by_group): KL(P_source ‖ P_corpus)
+    — the domain-shift monitor a mixture build watches per source /
+    ingest batch. One token-count shuffle feeding three aggregates;
+    the float recipe is the INTEGER-SCALED order-free sum
+    (round(contrib·1e6)::bigint summed exactly), because a Σ of raw
+    doubles over a vocabulary depends on shuffle order and cannot
+    hash-match across engines."""
+    from leann_rs_spark.functions.textstats import token_kl_by_group
+
+    return token_kl_by_group(
+        _fan(_docs(spark, sf_dir)), group_col="source"
+    ).orderBy("source")
+
+
 def x_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: top-k trigrams with occurrence + document
     frequency (functions/textstats.top_ngrams) — the audit query behind
@@ -5015,6 +5053,18 @@ def _register_media_phash_oracle() -> None:
         ORDER BY media_id
     """
 
+    from leann_rs_spark.functions.textstats import duckdb_token_kl_by_group
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_late_interaction_topk,
+    )
+
+    _ORACLES["x_late_interaction"] = duckdb_late_interaction_topk(
+        _LI_QUERY, k=10, dims=_EMBED_DIMS
+    )
+    _ORACLES["x_token_kl"] = f"""
+        SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
+    """
+
 
 _register_media_phash_oracle()
 
@@ -5056,6 +5106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_crawl_pipeline": x_crawl_pipeline,
         "x_media_audio_features": x_media_audio_features,
+        "x_late_interaction": x_late_interaction,
+        "x_token_kl": x_token_kl,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,
@@ -5136,6 +5188,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_batch_topk": q3_batch_topk,
         "q15_expanded_search": q15_expanded_search,
         "x_media_phash_dups": x_media_phash_dups,
+        "x_dsir_select": x_dsir_select,
+        "x_top_ngrams": x_top_ngrams,
+        "x_select_pack": x_select_pack,
+        "x_rrf_hybrid": x_rrf_hybrid,
+        "x_concat_chunk": x_concat_chunk,
+        "x_hard_negatives": x_hard_negatives,
+        "x_temperature_mix": x_temperature_mix,
+        "x_mrl_topk": x_mrl_topk,
+        "x_ccnet_buckets": x_ccnet_buckets,
+        "x_mmr_rerank": x_mmr_rerank,
+        "x_rollup_stats": x_rollup_stats,
+        "x_bpe_merges": x_bpe_merges,
+        "x_bpe_encode": x_bpe_encode,
+        "x_curriculum_blocks": x_curriculum_blocks,
+        "x_length_batches": x_length_batches,
+        "x_kcenter_sample": x_kcenter_sample,
+        "x_html_strip": x_html_strip,
+        "x_text_nfc": x_text_nfc,
+        "q1_ivf_topk": q1_ivf_topk,
+        "q8_bm25_scored": q8_bm25_scored,
+        "q11_bm25_topk": q11_bm25_topk,
+        "q13_hybrid_search": q13_hybrid_search,
+        "q14_expansion_terms": q14_expansion_terms,
         "x_length_percentiles": x_length_percentiles,
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
@@ -5154,28 +5229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_url_dedup": x_url_dedup,
         "x_asof_join_salted": x_asof_join_salted,
         "x_asof_nearest": x_asof_nearest,
-        "x_dsir_select": x_dsir_select,
-        "x_top_ngrams": x_top_ngrams,
-        "x_select_pack": x_select_pack,
         "x_c4_clean": x_c4_clean,
         "x_analyze_report": x_analyze_report,
         "x_paragraph_dedup": x_paragraph_dedup,
-        "x_rrf_hybrid": x_rrf_hybrid,
-        "x_concat_chunk": x_concat_chunk,
-        "x_hard_negatives": x_hard_negatives,
-        "x_temperature_mix": x_temperature_mix,
-        "x_mrl_topk": x_mrl_topk,
-        "x_ccnet_buckets": x_ccnet_buckets,
-        "x_mmr_rerank": x_mmr_rerank,
-        "x_rollup_stats": x_rollup_stats,
-        "x_bpe_merges": x_bpe_merges,
-        "x_bpe_encode": x_bpe_encode,
-        "x_curriculum_blocks": x_curriculum_blocks,
-        "x_length_batches": x_length_batches,
-        "x_kcenter_sample": x_kcenter_sample,
-        "x_html_strip": x_html_strip,
-        "x_text_nfc": x_text_nfc,
-        "q1_ivf_topk": q1_ivf_topk,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
         "q3_filtered_topk": q3_filtered_topk,
@@ -5183,10 +5239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_search_read_path": q7_search_read_path,
         "t2_code_chunks": t2_code_chunks,
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
-        "q8_bm25_scored": q8_bm25_scored,
-        "q11_bm25_topk": q11_bm25_topk,
-        "q13_hybrid_search": q13_hybrid_search,
-        "q14_expansion_terms": q14_expansion_terms,
         "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
     }

@@ -1387,3 +1387,113 @@ def duckdb_pmi_phrases(
         ORDER BY pmi_r DESC, w1 ASC, w2 ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift between corpus slices (domain-shift monitor)
+# ---------------------------------------------------------------------------
+
+def token_kl_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (group, n_token_types, kl_r): KL divergence of each slice's
+    token distribution from the corpus-wide distribution,
+    D(P_g ‖ P) = Σ_t p_g(t)·ln(p_g(t)/p(t)) — the domain-shift /
+    contamination monitor a mixture build watches per source and per
+    ingest batch (a slice whose distribution drifts from the corpus is
+    over- or under-represented vocabulary; CCNet/DSIR both reduce to
+    ratios of exactly these distributions).
+
+    Plan: ONE explode + groupBy(group, token) count shuffle (map-side
+    combined), corpus token totals derived from it by a second tiny
+    aggregation re-joined on token (vocabulary-sized), group totals as
+    a broadcastable group-sized join. No smoothing is needed: every
+    slice token exists in the corpus by construction (p(t) > 0
+    whenever p_g(t) > 0), and 0·ln(0) terms simply don't appear as
+    rows.
+
+    Float parity (the cross-engine hash trick): the per-token
+    contribution is rounded to 6 dp, scaled to an INTEGER
+    (round(x·1e6)::bigint), and summed as integers — integer sums are
+    exact and ORDER-FREE, so the aggregation result cannot depend on
+    which engine's shuffle order added the doubles (a Σ of raw doubles
+    over a vocabulary is the classic nondeterministic-hash trap). The
+    ln() inputs are ratios of exact integer counts, identical in both
+    engines; a ≤1-ulp libm difference collapses at the 6-dp rounding.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokenize(text_col)).alias("t"),
+    )
+    gt = tok.groupBy("g", "t").agg(F.count("*").alias("c_gt"))
+    gt = gt.persist()  # three consumers of the one token-count shuffle
+    corpus = gt.groupBy("t").agg(F.sum("c_gt").alias("c_t"))
+    totals = gt.groupBy("g").agg(F.sum("c_gt").alias("c_g"))
+    all_n = gt.agg(F.sum("c_gt").alias("n_all"))
+    contrib = (
+        gt.join(corpus, "t")
+        .join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(all_n))
+        .select(
+            "g",
+            (
+                (F.col("c_gt") / F.col("c_g"))
+                * F.log(
+                    (F.col("c_gt") * F.col("n_all"))
+                    / (F.col("c_g") * F.col("c_t"))
+                )
+            ).alias("x"),
+        )
+        .select(
+            "g",
+            F.round(F.col("x") * F.lit(1e6)).cast("bigint").alias("xi"),
+        )
+    )
+    return (
+        contrib.groupBy("g")
+        .agg(
+            F.count("*").alias("n_token_types"),
+            (F.sum("xi").cast("double") / F.lit(1e6)).alias("kl_r"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_token_types",
+            (F.col("kl_r") + F.lit(0.0)).alias("kl_r"),
+        )
+    )
+
+
+def duckdb_token_kl_by_group(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin — identical integer counts, identical contribution
+    expression, identical integer-scaled order-free sum."""
+    from leann_rs_spark.functions.text import duckdb_tokenize
+
+    toks = duckdb_tokenize(text_col)
+    return f"""
+        WITH tok AS (
+            SELECT {group_col} AS g, t
+            FROM {table}, unnest({toks}) u(t)
+        ),
+        gt AS (SELECT g, t, count(*) AS c_gt FROM tok GROUP BY g, t),
+        corpus AS (SELECT t, sum(c_gt) AS c_t FROM gt GROUP BY t),
+        totals AS (SELECT g, sum(c_gt) AS c_g FROM gt GROUP BY g),
+        alln AS (SELECT sum(c_gt) AS n_all FROM gt),
+        contrib AS (
+            SELECT gt.g,
+                   round(((gt.c_gt / totals.c_g) *
+                          ln((gt.c_gt * alln.n_all) /
+                             (totals.c_g * corpus.c_t))) * 1e6)::bigint
+                       AS xi
+            FROM gt JOIN corpus USING (t) JOIN totals USING (g), alln
+        )
+        SELECT g AS {group_col},
+               count(*) AS n_token_types,
+               sum(xi)::double / 1e6 + 0.0 AS kl_r
+        FROM contrib GROUP BY g
+    """

@@ -1,0 +1,93 @@
+"""ColBERT-lite late interaction (operators/late_interaction.py) and
+the token-KL drift monitor (functions/textstats.token_kl_by_group)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_query_tokens_match_engine_tokenizer_and_dedup():
+    from leann_rs_spark.operators.late_interaction import query_tokens
+
+    assert query_tokens("Merge-SORT, merge batch!") == ["merge", "sort", "batch"]
+    assert query_tokens("a b c") == []  # length-1 tokens dropped
+
+
+def test_token_embeddings_vocab_join(spark):
+    from leann_rs_spark.operators.late_interaction import token_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = token_embeddings(docs, dims=8).collect()
+    # distinct (doc, token): dup 'alpha' collapses
+    assert {(r["doc_id"], r["token"]) for r in rows} == {
+        (1, "alpha"), (1, "beta"), (2, "beta"), (2, "gamma"),
+    }
+    # the same token carries the same vector in every doc
+    beta = {tuple(r["vec"]) for r in rows if r["token"] == "beta"}
+    assert len(beta) == 1
+    # unit norm
+    v = next(iter(beta))
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+
+def test_maxsim_scoring_and_order(spark):
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = late_interaction_topk(docs, "merge sort", k=3, dims=32).collect()
+    scores = {r["doc_id"]: r["score_r"] for r in rows}
+    # doc 1 matches BOTH query tokens exactly: each MaxSim term = 1
+    assert abs(scores[1] - 2.0) < 1e-6
+    # doc 2 matches one exactly; its other term is a non-1 best match
+    assert scores[2] < scores[1]
+    # full containment ranks first
+    assert rows[0]["doc_id"] == 1
+
+
+def test_token_kl_zero_for_identical_slices_positive_for_skew(spark):
+    from leann_rs_spark.functions.textstats import token_kl_by_group
+
+    same = spark.createDataFrame(
+        [(1, "aa bb cc", "s1"), (2, "aa bb cc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in token_kl_by_group(same).collect()}
+    # identical distributions: D(P_g || P) = 0 exactly
+    assert rows["s1"]["kl_r"] == 0.0 and rows["s2"]["kl_r"] == 0.0
+    assert rows["s1"]["n_token_types"] == 3
+
+    skew = spark.createDataFrame(
+        [(1, "aa aa aa aa", "s1"), (2, "aa bb bb cc", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r["kl_r"] for r in token_kl_by_group(skew).collect()}
+    assert out["s1"] > 0 and out["s2"] > 0
+
+    # hand-check s1: p_s1(aa)=1, corpus p(aa)=5/8 -> KL = ln(8/5)
+    want = round(round(1.0 * math.log(8 / 5) * 1e6) / 1e6, 6)
+    assert abs(out["s1"] - want) < 1e-9
+
+
+def test_token_kl_plan_is_one_token_shuffle(spark):
+    """The token-count groupBy is THE corpus-sized shuffle; the corpus/
+    totals re-aggregations ride the persisted counts (vocabulary-sized,
+    broadcast back). No Python stage anywhere."""
+    from leann_rs_spark.functions.textstats import token_kl_by_group
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", "s1")], "doc_id long, text string, source string"
+    )
+    plan = token_kl_by_group(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

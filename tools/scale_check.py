@@ -129,6 +129,11 @@ def main() -> None:
         # no shuffle); IVF-SQ8 reads the persisted code parquet with
         # probe-pruned partitions (flat-ish — scan ∝ (nprobe/C)·N)
         "x_html_strip", "x_text_nfc", "x_ivfsq_topk",
+        # round-6 additions: the crawl capstone rides textprep (one
+        # Python-free projection + one Arrow map pass) in front of the
+        # already-measured curation composition; audio features are a
+        # zero-shuffle HOF projection (flat per row)
+        "x_crawl_pipeline", "x_media_audio_features",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
