@@ -59,14 +59,25 @@ def token_embeddings(
     id_col: str = "doc_id",
     text_col: str = "text",
     dims: int = 64,
+    cache: bool = True,
 ) -> DataFrame:
     """→ (id_col, token, vec): the token-level embedding table.
     Distinct (doc, token) pairs (MaxSim is invariant to in-doc token
     multiplicity) joined to a vocabulary-sized embedding table, so the
-    hash-embedding work is |vocab|, not corpus-token count."""
+    hash-embedding work is |vocab|, not corpus-token count.
+
+    `cache` persists AND materializes the (doc, token) pairs — they
+    feed BOTH the vocabulary derivation and the join side, and without
+    the boundary Spark re-runs the explode+distinct for each consumer
+    (the repo's multi-consumer rule; measured 2.4→1.8 s at sf0.1). In
+    production this whole table is a persisted artifact and the
+    boundary is the parquet sink itself."""
     dt = docs.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("token")
     ).distinct()
+    if cache:
+        dt = dt.persist()
+        dt.count()
     vocab = (
         dt.select("token")
         .distinct()
