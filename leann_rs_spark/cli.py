@@ -483,6 +483,56 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Token-distribution drift monitor: KL(P_slice ‖ P_corpus) per
+    value of a grouping column (functions/textstats.token_kl_by_group)
+    — the per-source / per-ingest-batch domain-shift check a mixture
+    build watches."""
+    from leann_rs_spark.functions.textstats import token_kl_by_group
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    rows = (
+        token_kl_by_group(docs, group_col=args.group_col, text_col=args.text_col)
+        .orderBy(args.group_col)
+        .collect()
+    )
+    print(f"{'slice':<24} {'token_types':>12} {'kl_vs_corpus':>14}")
+    for r in rows:
+        print(
+            f"{str(r[args.group_col]):<24} {r['n_token_types']:>12} "
+            f"{r['kl_r']:>14.6f}"
+        )
+    return 0
+
+
+def cmd_msearch(args) -> int:
+    """Multi-vector (ColBERT-style MaxSim) search over a documents
+    parquet (operators/late_interaction.py): each query token takes
+    its best-matching document token — term-level matching the
+    single-vector `search` path pools away."""
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    hits = late_interaction_topk(
+        docs, args.query, k=args.top_k, dims=args.dims,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    text = {
+        r[args.id_col]: r[args.text_col]
+        for r in docs.join(hits.select(args.id_col), args.id_col)
+        .select(args.id_col, args.text_col)
+        .collect()
+    }
+    for i, r in enumerate(hits.collect(), 1):
+        snippet = (text.get(r[args.id_col]) or "")[:80].replace("\n", " ")
+        print(f"{i:2}. [{r[args.id_col]}] score={r['score_r']:.6f} {snippet}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """One-shot corpus audit over a documents parquet: size, length
     percentiles, language mix, quality pass rate, exact-duplicate
@@ -1031,6 +1081,29 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--ngram-n", type=int, default=3, dest="ngram_n")
     an.add_argument("--ngram-k", type=int, default=10, dest="ngram_k")
     an.set_defaults(fn=cmd_analyze)
+
+    dr = sub.add_parser(
+        "drift",
+        help="Token-distribution KL drift of each corpus slice vs the"
+             " whole corpus",
+    )
+    dr.add_argument("--input", required=True, help="documents parquet path")
+    dr.add_argument("--group-col", default="source", dest="group_col")
+    dr.add_argument("--text-col", default="text", dest="text_col")
+    dr.set_defaults(fn=cmd_drift)
+
+    ms = sub.add_parser(
+        "msearch",
+        help="Multi-vector (ColBERT-style MaxSim) search over a"
+             " documents parquet",
+    )
+    ms.add_argument("query", help="query text")
+    ms.add_argument("--input", required=True, help="documents parquet path")
+    ms.add_argument("--top-k", type=int, default=5, dest="top_k")
+    ms.add_argument("--dims", type=int, default=64)
+    ms.add_argument("--id-col", default="doc_id", dest="id_col")
+    ms.add_argument("--text-col", default="text", dest="text_col")
+    ms.set_defaults(fn=cmd_msearch)
 
     se = sub.add_parser(
         "select",

@@ -523,3 +523,34 @@ def test_cli_clean_strips_html_and_normalizes(spark, tmp_path_factory, capsys):
     assert rows[1] == "Hello world"
     assert rows[2] == "plain café text"  # NFC composed
     assert "html+nfc" in capsys.readouterr().out
+
+
+def test_cli_drift(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_drift")
+    inp = str(d / "in")
+    spark.createDataFrame(
+        [(1, "aa aa aa aa", "web"), (2, "aa bb bb cc", "books")],
+        "doc_id long, text string, source string",
+    ).write.parquet(inp)
+    rc = main(["drift", "--input", inp])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "books" in out and "web" in out and "kl_vs_corpus" in out
+    # web is all-'aa': KL = ln(8/5), printed at 6dp
+    assert "0.470004" in out
+
+
+def test_cli_msearch(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_msearch")
+    inp = str(d / "in")
+    spark.createDataFrame(
+        [(1, "merge sort for big batches"), (2, "unrelated content here")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    rc = main(["msearch", "merge sort", "--input", inp, "--top-k", "2",
+               "--dims", "32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines[0].startswith(" 1. [1]")  # full term match ranks first
+    assert "merge sort" in lines[0]

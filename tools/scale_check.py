@@ -134,6 +134,10 @@ def main() -> None:
         # already-measured curation composition; audio features are a
         # zero-shuffle HOF projection (flat per row)
         "x_crawl_pipeline", "x_media_audio_features",
+        # late interaction: the token-index build (vocab-sized embed +
+        # one distinct shuffle) dominates; MaxSim itself is one groupBy.
+        # token KL: one token-count shuffle + vocab-sized re-aggregates
+        "x_late_interaction", "x_token_kl",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
