@@ -1398,6 +1398,27 @@ def x_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def x_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift of a new batch vs a reference corpus on a
+    SHARED codebook (operators/clustering.embedding_drift): per-cluster
+    add-one-smoothed KL terms of the two assignment histograms — the
+    batch-level complement of the IVF codebook drift report, and the
+    embedding twin of x_token_kl. Two inline-codebook map passes, two
+    C-row aggregations, one broadcast totals row; KL terms emit as
+    rows so no cross-row float sum exists to depend on shuffle
+    order."""
+    from leann_rs_spark.operators.clustering import embedding_drift
+
+    emb = _emb(spark, sf_dir)
+    cents = take_centroids(emb, _SEMDEDUP_C)
+    out = embedding_drift(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        cents,
+    )
+    return out.orderBy("cluster_id")
+
+
 def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-domain reweighting: cluster assignment is the grouping
     key for weighted mixing — keep every vector in even-id clusters,
@@ -5065,6 +5086,14 @@ def _register_media_phash_oracle() -> None:
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
 
+    from leann_rs_spark.operators.clustering import duckdb_embedding_drift
+
+    _ORACLES["x_embedding_drift"] = f"""
+        SELECT * FROM ({duckdb_embedding_drift(
+            _SEMDEDUP_C, "label < 5", "label >= 5"
+        )}) ORDER BY cluster_id
+    """
+
 
 _register_media_phash_oracle()
 
@@ -5108,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_audio_features": x_media_audio_features,
         "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
+        "x_embedding_drift": x_embedding_drift,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,

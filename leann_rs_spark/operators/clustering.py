@@ -491,3 +491,121 @@ def duckdb_kcenter_sample(
         for n in range(1, k + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\n{union} ORDER BY rank"
+
+
+def embedding_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """→ (cluster_id, n_ref, n_new, kl_term_r): embedding-space drift
+    of a NEW batch against a REFERENCE corpus, measured on a SHARED
+    codebook — assign both sides to the same centroids, compare the
+    cluster histograms via per-cluster KL terms of the add-one-smoothed
+    distributions, D(P_new ‖ P_ref) = Σ_c p̂_new(c)·ln(p̂_new/p̂_ref).
+    The embedding twin of the token-KL drift monitor, and the
+    batch-level complement of the IVF codebook drift report
+    (catalog.ivf_drift_report watches per-cluster growth of ONE index;
+    this compares any two corpus slices). Smoothing keeps empty
+    clusters finite; every configured cluster emits a row (a cluster
+    the new batch abandons or floods is exactly the signal).
+
+    Shape: two nearest-centroid map passes (inline codebook — no join,
+    no shuffle below IVF_INLINE_MAX_CENTROIDS), two C-row histogram
+    aggregations joined on the centroid grid, one broadcast totals
+    row. Per-cluster KL terms are emitted as rows (no cross-row float
+    sum, so no ordering hazard); the scalar divergence is the exact
+    integer-free sum of the already-rounded terms, the caller's one
+    line."""
+    spark = ref.sparkSession
+    grid = centroids.select(F.col("centroid_id").alias("cluster_id"))
+    n_c = centroids.count()
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        return (
+            cluster_assign(df, centroids, id_col, vec_col, metric=metric)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = (
+        grid.join(hist(ref, "n_ref"), "cluster_id", "left")
+        .join(hist(new, "n_new"), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    j = j.persist()  # two consumers (totals + terms) of two assign passes
+    j.count()
+    tot = j.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
+    )
+    p_ref = (F.col("n_ref") + F.lit(1)) / (F.col("t_ref") + F.lit(n_c))
+    p_new = (F.col("n_new") + F.lit(1)) / (F.col("t_new") + F.lit(n_c))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_ref",
+        "n_new",
+        (
+            F.round(p_new * F.log(p_new / p_ref) * F.lit(1e6)) / F.lit(1e6)
+            + F.lit(0.0)
+        ).alias("kl_term_r"),
+    )
+
+
+def duckdb_embedding_drift(
+    n_centroids: int,
+    ref_pred: str,
+    new_pred: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> str:
+    """Oracle twin of embedding_drift over two predicate-defined slices
+    of `table`, codebook = the n smallest ids of the FULL table (the
+    take_centroids policy)."""
+    cos = _duckdb_score(metric, f"e.{vec_col}", "c.centroid_vec")
+
+    def assigned(pred: str, cte: str) -> str:
+        return f"""
+        {cte} AS (
+            SELECT {id_col}, centroid_id AS cluster_id
+            FROM (
+                SELECT e.{id_col}, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.{id_col}
+                           ORDER BY {cos} DESC, c.centroid_id ASC
+                       ) AS rn
+                FROM (SELECT * FROM {table} WHERE {pred}) e, cent c
+            ) WHERE rn = 1
+        )"""
+
+    return f"""
+        WITH cent AS (
+            SELECT {id_col} AS centroid_id, {vec_col} AS centroid_vec
+            FROM {table} WHERE {id_col} < {n_centroids}
+        ),{assigned(ref_pred, "aref")},{assigned(new_pred, "anew")},
+        ca AS (SELECT cluster_id, count(*) AS n FROM aref GROUP BY cluster_id),
+        cb AS (SELECT cluster_id, count(*) AS n FROM anew GROUP BY cluster_id),
+        grid AS (SELECT centroid_id AS cluster_id FROM cent),
+        j AS (
+            SELECT grid.cluster_id,
+                   coalesce(ca.n, 0)::bigint AS n_ref,
+                   coalesce(cb.n, 0)::bigint AS n_new
+            FROM grid
+            LEFT JOIN ca USING (cluster_id) LEFT JOIN cb USING (cluster_id)
+        ),
+        tot AS (SELECT sum(n_ref) AS t_ref, sum(n_new) AS t_new FROM j)
+        SELECT cluster_id, n_ref, n_new,
+               round(((n_new + 1) / (t_new + {n_centroids})) *
+                     ln(((n_new + 1) / (t_new + {n_centroids})) /
+                        ((n_ref + 1) / (t_ref + {n_centroids}))) * 1e6)
+                   / 1e6 + 0.0 AS kl_term_r
+        FROM j, tot
+    """

@@ -256,3 +256,38 @@ def test_kcenter_covers_clusters_on_real_embeddings(spark):
         for r in emb.filter(F.col("vec_id").isin(picks)).collect()
     }
     assert len(labels) >= 3
+
+
+def test_embedding_drift_semantics(spark):
+    """Identical slices → every KL term 0; a slice that abandons a
+    cluster shows a negative term there and positive where it floods;
+    all configured clusters emit a row even when empty."""
+    from pyspark.sql import Row
+
+    from leann_rs_spark.operators.clustering import embedding_drift
+
+    def vec(i):  # 4 orthogonal unit directions
+        v = [0.0] * 4
+        v[i] = 1.0
+        return v
+
+    rows = [Row(vec_id=i, embedding=vec(i)) for i in range(4)]
+    # ref: 10 in cluster 0, 10 in cluster 1; new: all 20 in cluster 0
+    ref = rows + [Row(vec_id=100 + i, embedding=vec(i % 2)) for i in range(20)]
+    new = rows + [Row(vec_id=200 + i, embedding=vec(0)) for i in range(20)]
+    ref_df = spark.createDataFrame(ref)
+    new_df = spark.createDataFrame(new)
+    cents = ref_df.filter("vec_id < 4").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    out = {r["cluster_id"]: r
+           for r in embedding_drift(ref_df, new_df, cents).collect()}
+    assert set(out) == {0, 1, 2, 3}  # grid keeps empty clusters
+    assert out[0]["n_ref"] == 11 and out[0]["n_new"] == 21
+    assert out[1]["n_ref"] == 11 and out[1]["n_new"] == 1
+    assert out[0]["kl_term_r"] > 0      # flooded cluster
+    assert out[1]["kl_term_r"] < 0      # abandoned cluster
+    assert out[2]["kl_term_r"] == 0.0   # equal (empty) occupancy
+    # self-drift is exactly zero everywhere
+    same = embedding_drift(ref_df, ref_df, cents).collect()
+    assert all(r["kl_term_r"] == 0.0 for r in same)
