@@ -138,6 +138,9 @@ def main() -> None:
         # one distinct shuffle) dominates; MaxSim itself is one groupBy.
         # token KL: one token-count shuffle + vocab-sized re-aggregates
         "x_late_interaction", "x_token_kl",
+        # embedding drift: two inline-codebook map passes + C-row
+        # aggregations (flat per row)
+        "x_embedding_drift",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
