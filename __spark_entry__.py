@@ -1122,6 +1122,116 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_PR_OFF_LIGHT = 100_000
+_PR_OFF_HEAVY = 200_000
+_PR_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def _pr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-truth dedup corpus: every 5th doc plus a LIGHT variant
+    (one char flipped — near-identical shingles) and a HEAVY variant
+    (first-60-chars truncation — partial overlap), ids offset so truth
+    pairs are known by construction."""
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    light = base.select(
+        (F.col("doc_id") + _PR_OFF_LIGHT).alias("doc_id"),
+        F.concat(
+            F.expr("substr(text, 1, 9)"), F.lit("Z"), F.expr("substr(text, 11)")
+        ).alias("text"),
+    )
+    heavy = base.select(
+        (F.col("doc_id") + _PR_OFF_HEAVY).alias("doc_id"),
+        F.expr("substr(text, 1, 60)").alias("text"),
+    )
+    return base.unionByName(light).unionByName(heavy)
+
+
+def x_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY diagnostic — the x_pq_recall of the dedup family:
+    precision/recall of MinHash-LSH against PLANTED ground truth, as a
+    threshold curve. Corpus = every 5th doc ∪ a light (1-char) and a
+    heavy (truncation) variant; truth = the three within-family pairs
+    per base doc. ONE candidate run at threshold 0 (the sweep-explode
+    lesson: the banded join is the cost, the threshold is a filter),
+    then each threshold's tp/fp/fn from the SAME verified-jaccard pair
+    list. Natural near-dups between different base docs count as FP —
+    deterministic in both engines, and exactly what an operator
+    tuning a threshold on planted probes would see. Counts are
+    integers; P/R are single divisions of them (exact cross-engine).
+    The measured shape is the textbook LSH operating characteristic:
+    precision 1.0 throughout, recall ~0.39 dominated by the light
+    variants — the 16-hash/4-band banding's S-curve midpoint is
+    (1/b)^(1/r) ≈ 0.71, so the low-jaccard heavy truncations rarely
+    collide into candidates at all; more bands (or ngram_jaccard's
+    exact inverted index) is the recall knob this gate would show
+    moving."""
+    corpus = _pr_corpus(spark, sf_dir)
+    cand = minhash_near_dups(_fan(corpus), threshold=0.0).select(
+        "id_a", "id_b", "jaccard"
+    )
+    base_ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    truth = (
+        base_ids.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + _PR_OFF_LIGHT).alias("id_b"),
+        )
+        .unionByName(
+            base_ids.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + _PR_OFF_HEAVY).alias("id_b"),
+            )
+        )
+        .unionByName(
+            base_ids.select(
+                (F.col("doc_id") + _PR_OFF_LIGHT).alias("id_a"),
+                (F.col("doc_id") + _PR_OFF_HEAVY).alias("id_b"),
+            )
+        )
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    marked = cand.join(
+        truth.withColumn("is_truth", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select(
+        "jaccard", F.coalesce("is_truth", F.lit(0)).alias("is_truth")
+    )
+    swept = marked.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in _PR_THRESHOLDS])
+        ).alias("threshold"),
+        "jaccard",
+        "is_truth",
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    agg = (
+        swept.groupBy("threshold")
+        .agg(
+            F.sum("is_truth").alias("tp"),
+            F.sum(1 - F.col("is_truth")).alias("fp"),
+        )
+        .crossJoin(F.broadcast(n_truth))
+    )
+    return agg.select(
+        (F.round(F.col("threshold") * 1e6) / 1e6 + F.lit(0.0)).alias(
+            "threshold_r"
+        ),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        (
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")) * 1e6) / 1e6
+            + F.lit(0.0)
+        ).alias("precision_r"),
+        (
+            F.round(F.col("tp") / F.col("n_truth") * 1e6) / 1e6 + F.lit(0.0)
+        ).alias("recall_r"),
+    ).orderBy("threshold_r")
+
+
 def x_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: MinHash near-dup pairs rolled
     up to (source, source) counts — which crawls/dumps copy from each
@@ -4052,6 +4162,58 @@ def _register_dedup_oracles() -> None:
 _register_dedup_oracles()
 
 
+def _register_dedup_pr_oracle() -> None:
+    cand = duckdb_minhash_near_dups(threshold=0.0, table="corpus")
+    thresholds = ", ".join(f"({t})" for t in _PR_THRESHOLDS)
+    _ORACLES["x_dedup_pr"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + {_PR_OFF_LIGHT},
+                   substr(text, 1, 9) || 'Z' || substr(text, 11)
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + {_PR_OFF_HEAVY}, substr(text, 1, 60)
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        cand AS (SELECT id_a, id_b, jaccard FROM ({cand})),
+        base_ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+        truth AS (
+            SELECT doc_id AS id_a, doc_id + {_PR_OFF_LIGHT} AS id_b
+            FROM base_ids
+            UNION ALL
+            SELECT doc_id, doc_id + {_PR_OFF_HEAVY} FROM base_ids
+            UNION ALL
+            SELECT doc_id + {_PR_OFF_LIGHT}, doc_id + {_PR_OFF_HEAVY}
+            FROM base_ids
+        ),
+        n_truth AS (SELECT count(*) AS n_truth FROM truth),
+        marked AS (
+            SELECT cand.jaccard,
+                   CASE WHEN truth.id_a IS NULL THEN 0 ELSE 1 END AS is_truth
+            FROM cand LEFT JOIN truth USING (id_a, id_b)
+        ),
+        th(threshold) AS (VALUES {thresholds}),
+        agg AS (
+            SELECT threshold,
+                   sum(is_truth) AS tp,
+                   sum(1 - is_truth) AS fp
+            FROM th JOIN marked ON marked.jaccard >= th.threshold
+            GROUP BY threshold
+        )
+        SELECT round(threshold * 1e6) / 1e6 + 0.0 AS threshold_r,
+               tp::bigint AS tp, fp::bigint AS fp,
+               (n_truth - tp)::bigint AS fn,
+               round(tp / (tp + fp) * 1e6) / 1e6 + 0.0 AS precision_r,
+               round(tp / n_truth * 1e6) / 1e6 + 0.0 AS recall_r
+        FROM agg, n_truth
+        ORDER BY threshold_r
+    """
+
+
+_register_dedup_pr_oracle()
+
+
 def _register_percentile_oracle() -> None:
     qs = [("p50_r", 0.5), ("p90_r", 0.9), ("p95_r", 0.95), ("p99_r", 0.99)]
     cols = ", ".join(
@@ -5138,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
+        "x_dedup_pr": x_dedup_pr,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,

@@ -637,3 +637,29 @@ class TestEditDistNearDups:
             max_seg_df=5,
         ).count()
         assert full == 15 and cut == 0  # all 6-doc segments exceed df 5
+
+
+def test_dedup_pr_gate_semantics(spark):
+    """x_dedup_pr (the dedup-family recall diagnostic): planted pairs
+    count as tp, P/R arithmetic checks out, thresholds monotone."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    rows = e.queries()["x_dedup_pr"](spark, "/root/testdata/sf0.001").collect()
+    assert [r["threshold_r"] for r in rows] == [0.3, 0.5, 0.7]
+    for r in rows:
+        assert r["tp"] + r["fn"] > 0
+        if r["tp"] + r["fp"]:
+            assert r["precision_r"] == round(
+                round(r["tp"] / (r["tp"] + r["fp"]) * 1e6) / 1e6, 6
+            )
+        assert 0.0 <= r["recall_r"] <= 1.0
+    # raising the threshold can only shrink the predicted set
+    tps = [r["tp"] for r in rows]
+    fps = [r["fp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    # the light (1-char) variants are high-jaccard: found even at 0.7
+    assert rows[-1]["tp"] > 0
