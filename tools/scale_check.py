@@ -139,8 +139,9 @@ def main() -> None:
         # token KL: one token-count shuffle + vocab-sized re-aggregates
         "x_late_interaction", "x_token_kl",
         # embedding drift: two inline-codebook map passes + C-row
-        # aggregations (flat per row)
-        "x_embedding_drift",
+        # aggregations (flat per row); dedup P/R rides the minhash
+        # banded join (candidate-proportional like x_dedup_minhash)
+        "x_embedding_drift", "x_dedup_pr",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
