@@ -91,3 +91,62 @@ def test_token_kl_plan_is_one_token_shuffle(spark):
     )
     plan = token_kl_by_group(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_late_interaction_edges(spark):
+    """Verify-checklist probes: k > corpus, no-token docs dropped,
+    no-token query raises, top-k plan is TakeOrderedAndProject."""
+    import pytest
+
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort"), (2, "x y")],  # doc 2: only length-1 tokens
+        "doc_id long, text string",
+    )
+    out = late_interaction_topk(docs, "merge", k=10, dims=16)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]  # tokenless doc absent
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="no tokens"):
+        late_interaction_topk(docs, "a ! ?", k=5)
+
+
+def test_token_kl_single_slice_is_zero(spark):
+    """One slice == the corpus: every contribution is p·ln(1) = 0."""
+    from leann_rs_spark.functions.textstats import token_kl_by_group
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc aa", "only")], "doc_id long, text string, source string"
+    )
+    rows = token_kl_by_group(docs).collect()
+    assert len(rows) == 1 and rows[0]["kl_r"] == 0.0
+
+
+def test_embedding_drift_empty_new_slice(spark):
+    """A zero-row new batch stays finite via add-one smoothing (the
+    empty-slice ingest-monitor case) and keeps every cluster row."""
+    from pyspark.sql import Row
+
+    from leann_rs_spark.operators.clustering import embedding_drift
+
+    def vec(i):
+        v = [0.0] * 2
+        v[i] = 1.0
+        return v
+
+    ref = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i % 2)) for i in range(6)]
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = ref.filter("vec_id < 2").selectExpr(
+        "vec_id AS centroid_id", "embedding AS centroid_vec"
+    )
+    rows = embedding_drift(ref, empty, cents).collect()
+    assert len(rows) == 2
+    assert all(r["n_new"] == 0 for r in rows)
+    # uniform smoothed new vs uniform ref: terms are finite and zero
+    assert all(abs(r["kl_term_r"]) < 1.0 for r in rows)
