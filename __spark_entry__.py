@@ -5295,56 +5295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        "x_crawl_pipeline": x_crawl_pipeline,
-        "x_media_audio_features": x_media_audio_features,
-        "x_late_interaction": x_late_interaction,
-        "x_token_kl": x_token_kl,
-        "x_embedding_drift": x_embedding_drift,
-        "x_dedup_pr": x_dedup_pr,
-        "t5_hash_embed": t5_hash_embed,
-        "t6_prompt_embed": t6_prompt_embed,
-        "x_dedup_exact": x_dedup_exact,
-        "x_dedup_minhash": x_dedup_minhash,
-        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
-        "x_dedup_simhash": x_dedup_simhash,
-        "x_dedup_incremental": x_dedup_incremental,
-        "x_dedup_exact_incremental": x_dedup_exact_incremental,
-        "x_dedup_clusters": x_dedup_clusters,
-        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
-        "x_exact_substr": x_exact_substr,
-        "x_curation_pipeline": x_curation_pipeline,
-        "x_hopping_stats": x_hopping_stats,
-        "x_cluster_assign": x_cluster_assign,
-        "x_semantic_dedup": x_semantic_dedup,
-        "x_domain_mix": x_domain_mix,
-        "x_multimodal_features": x_multimodal_features,
-        "x_text_stats": x_text_stats,
-        "x_text_quality": x_text_quality,
-        "x_text_langid": x_text_langid,
-        "x_text_fingerprint": x_text_fingerprint,
-        "x_text_repetition": x_text_repetition,
-        "x_quality_gopher": x_quality_gopher,
-        "x_sessionize": x_sessionize,
-        "x_window_stats": x_window_stats,
-        "x_asof_join": x_asof_join,
-        "x_interval_join": x_interval_join,
-        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
-        "x_corpus_stats": x_corpus_stats,
-        "x_media_frame_sample": x_media_frame_sample,
-        "x_media_resize": x_media_resize,
-        "x_pack_sequences": x_pack_sequences,
-        "x_domain_budget": x_domain_budget,
-        "x_stream_rolling": x_stream_rolling,
-        "x_dedup_editdist": x_dedup_editdist,
-        "x_retrieval_eval": x_retrieval_eval,
-        "x_ivf_append": x_ivf_append,
-        "x_bm25_append": x_bm25_append,
-        "x_stream_ivf_ingest": x_stream_ivf_ingest,
-        "x_ivf_compact": x_ivf_compact,
-        "x_upsert": x_upsert,
-        "x_dup_source_matrix": x_dup_source_matrix,
-        "x_lm_ref_score": x_lm_ref_score,
-        "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,
         "x_append_consistency": x_append_consistency,
         "x_stratified_sample": x_stratified_sample,
@@ -5404,6 +5354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_bm25_topk": q11_bm25_topk,
         "q13_hybrid_search": q13_hybrid_search,
         "q14_expansion_terms": q14_expansion_terms,
+        "x_retrieval_eval": x_retrieval_eval,
         "x_length_percentiles": x_length_percentiles,
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
@@ -5434,6 +5385,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
         "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
+        "x_crawl_pipeline": x_crawl_pipeline,
+        "x_media_audio_features": x_media_audio_features,
+        "x_late_interaction": x_late_interaction,
+        "x_token_kl": x_token_kl,
+        "x_embedding_drift": x_embedding_drift,
+        "x_dedup_pr": x_dedup_pr,
+        "t5_hash_embed": t5_hash_embed,
+        "t6_prompt_embed": t6_prompt_embed,
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+        "x_dedup_simhash": x_dedup_simhash,
+        "x_dedup_incremental": x_dedup_incremental,
+        "x_dedup_exact_incremental": x_dedup_exact_incremental,
+        "x_dedup_clusters": x_dedup_clusters,
+        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_exact_substr": x_exact_substr,
+        "x_curation_pipeline": x_curation_pipeline,
+        "x_hopping_stats": x_hopping_stats,
+        "x_cluster_assign": x_cluster_assign,
+        "x_semantic_dedup": x_semantic_dedup,
+        "x_domain_mix": x_domain_mix,
+        "x_multimodal_features": x_multimodal_features,
+        "x_text_stats": x_text_stats,
+        "x_text_quality": x_text_quality,
+        "x_text_langid": x_text_langid,
+        "x_text_fingerprint": x_text_fingerprint,
+        "x_text_repetition": x_text_repetition,
+        "x_quality_gopher": x_quality_gopher,
+        "x_sessionize": x_sessionize,
+        "x_window_stats": x_window_stats,
+        "x_asof_join": x_asof_join,
+        "x_interval_join": x_interval_join,
+        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
+        "x_corpus_stats": x_corpus_stats,
+        "x_media_frame_sample": x_media_frame_sample,
+        "x_media_resize": x_media_resize,
+        "x_pack_sequences": x_pack_sequences,
+        "x_domain_budget": x_domain_budget,
+        "x_stream_rolling": x_stream_rolling,
+        "x_dedup_editdist": x_dedup_editdist,
+        "x_ivf_append": x_ivf_append,
+        "x_bm25_append": x_bm25_append,
+        "x_stream_ivf_ingest": x_stream_ivf_ingest,
+        "x_ivf_compact": x_ivf_compact,
+        "x_upsert": x_upsert,
+        "x_dup_source_matrix": x_dup_source_matrix,
+        "x_lm_ref_score": x_lm_ref_score,
+        "x_decontaminate_spans": x_decontaminate_spans,
     }
 
 
