@@ -2681,6 +2681,50 @@ def x_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_BATCH = [
+    (0, "merge sort external batch"),
+    (1, "hash join partition"),
+    (2, "streaming window aggregate state"),
+]
+
+
+def _fx_token_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted token index (catalog.build_token_index) over the docs
+    table — the late-interaction serving artifact, built once per
+    process on the `_fx` ladder like the IVF/PQ code tables."""
+
+    def build() -> str:
+        from leann_rs_spark.catalog import build_token_index
+
+        wh = _gate_tmpdir("leann-fx-tok-")
+        build_token_index(
+            spark, wh, "tok", _fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS
+        )
+        return wh
+
+    return _fx(("token_index", sf_dir), build)
+
+
+def x_late_interaction_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MaxSim over the PERSISTED token index
+    (late_interaction.late_interaction_topk_batch + catalog.
+    build_token_index): the q2-shape serving form — a whole query
+    batch tokenizes driver-side, broadcasts into ONE crossJoin over
+    the token-index scan, and reduces through ONE wide exchange on
+    (query_id, doc). The token index is a durable artifact (built
+    once per process, `_fx`); the gate times the read path, which is
+    the steady-state shape."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+    )
+
+    tok, info = load_token_index(spark, _fx_token_wh(spark, sf_dir), "tok")
+    return late_interaction_topk_batch(
+        tok, _LI_BATCH, k=5, dims=info["dims"]
+    )
+
+
 def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift per corpus slice
     (functions/textstats.token_kl_by_group): KL(P_source ‖ P_corpus)
@@ -5244,6 +5288,14 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_late_interaction"] = duckdb_late_interaction_topk(
         _LI_QUERY, k=10, dims=_EMBED_DIMS
     )
+
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_late_interaction_topk_batch,
+    )
+
+    _ORACLES["x_late_interaction_batch"] = duckdb_late_interaction_topk_batch(
+        _LI_BATCH, k=5, dims=_EMBED_DIMS
+    )
     _ORACLES["x_token_kl"] = f"""
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
@@ -5388,6 +5440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_crawl_pipeline": x_crawl_pipeline,
         "x_media_audio_features": x_media_audio_features,
         "x_late_interaction": x_late_interaction,
+        "x_late_interaction_batch": x_late_interaction_batch,
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
         "x_dedup_pr": x_dedup_pr,

@@ -1004,3 +1004,64 @@ def search_ivf_index(
         .select("idx", "score", "doc_id", "source", "text")
         .orderBy(F.col("score").desc(), F.col("idx").asc())
     )
+
+
+def build_token_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    docs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+) -> IndexMeta:
+    """Persist the ColBERT-style TOKEN-LEVEL embedding table as a
+    catalog artifact — the "token index" the late-interaction docstring
+    promises (operators/late_interaction.py): distinct (doc, token)
+    pairs joined to a vocabulary-sized embedding table, written once,
+    scanned per query batch. Same ruling as the IVF/PQ code tables: a
+    durable serving artifact, never re-derived per query.
+
+    `docs=None` builds over the index's own passages table
+    (id_col="idx"), the msearch-over-an-index path; passing a docs
+    frame builds a standalone token index (meta created if absent).
+
+    Layout: <base>/token_index/*.parquet (id_col, token, vec) +
+    meta.extra["token_index"] = {dims, id_col, rows}.
+    """
+    from leann_rs_spark.operators.late_interaction import token_embeddings
+
+    base = _index_dir(warehouse, name)
+    if docs is None:
+        docs = spark.read.parquet(f"{base}/passages")
+        id_col, text_col = "idx", "text"
+    # cache=False: the parquet sink itself is the multi-consumer
+    # boundary the in-memory form needs a persist for
+    tok = token_embeddings(
+        docs, id_col=id_col, text_col=text_col, dims=dims, cache=False
+    )
+    tok.write.mode("overwrite").parquet(f"{base}/token_index")
+    try:
+        meta = load_meta(warehouse, name)
+    except FileNotFoundError:
+        meta = IndexMeta(backend="token", dimensions=dims)
+    n = spark.read.parquet(f"{base}/token_index").count()
+    meta.extra["token_index"] = {"dims": dims, "id_col": id_col, "rows": n}
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def load_token_index(
+    spark: SparkSession, warehouse: str, name: str
+) -> tuple[DataFrame, dict]:
+    """Read the persisted token index → ((id_col, token, vec) frame,
+    its meta dict {dims, id_col, rows}). Raises if the index has none."""
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    info = meta.extra.get("token_index")
+    if not info:
+        raise ValueError(
+            f"index {name!r} has no token index — run build_token_index"
+        )
+    return spark.read.parquet(f"{base}/token_index"), info

@@ -510,26 +510,67 @@ def cmd_msearch(args) -> int:
     """Multi-vector (ColBERT-style MaxSim) search over a documents
     parquet (operators/late_interaction.py): each query token takes
     its best-matching document token — term-level matching the
-    single-vector `search` path pools away."""
+    single-vector `search` path pools away.
+
+    `--index WAREHOUSE/NAME` serves from the persisted token index
+    (catalog.build_token_index) instead of re-deriving it per call;
+    `--build-index` persists it first. Multiple positional queries run
+    as ONE batch over a single token-table scan
+    (late_interaction_topk_batch)."""
     from leann_rs_spark.operators.late_interaction import (
         late_interaction_topk,
+        late_interaction_topk_batch,
+        token_embeddings,
     )
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
-    hits = late_interaction_topk(
-        docs, args.query, k=args.top_k, dims=args.dims,
-        id_col=args.id_col, text_col=args.text_col,
-    )
+    id_col, dims = args.id_col, args.dims
+    if args.build_index:
+        from leann_rs_spark.catalog import build_token_index
+
+        wh, _, name = args.build_index.rpartition("/")
+        build_token_index(
+            spark, wh, name, docs,
+            id_col=args.id_col, text_col=args.text_col, dims=args.dims,
+        )
+        args.index = args.build_index
+    if args.index:
+        from leann_rs_spark.catalog import load_token_index
+
+        wh, _, name = args.index.rpartition("/")
+        tok, info = load_token_index(spark, wh, name)
+        id_col, dims = info["id_col"], info["dims"]
+    else:
+        tok = None
+    queries = list(enumerate(args.query))
+    if len(queries) == 1:
+        hits = late_interaction_topk(
+            docs, queries[0][1], k=args.top_k, dims=dims,
+            id_col=id_col, text_col=args.text_col, token_index=tok,
+        ).withColumn("query_id", F.lit(0))
+    else:
+        if tok is None:
+            tok = token_embeddings(
+                docs, id_col=id_col, text_col=args.text_col, dims=dims
+            )
+        hits = late_interaction_topk_batch(
+            tok, queries, k=args.top_k, dims=dims, id_col=id_col
+        )
     text = {
-        r[args.id_col]: r[args.text_col]
-        for r in docs.join(hits.select(args.id_col), args.id_col)
-        .select(args.id_col, args.text_col)
+        r[id_col]: r[args.text_col]
+        for r in docs.join(hits.select(id_col), id_col)
+        .select(id_col, args.text_col)
         .collect()
     }
-    for i, r in enumerate(hits.collect(), 1):
-        snippet = (text.get(r[args.id_col]) or "")[:80].replace("\n", " ")
-        print(f"{i:2}. [{r[args.id_col]}] score={r['score_r']:.6f} {snippet}")
+    rows = hits.collect()
+    for qid, q in queries:
+        mine = [r for r in rows if r["query_id"] == qid]
+        if len(queries) > 1:
+            print(f"query [{qid}] {q!r}:")
+        for i, r in enumerate(mine, 1):
+            snippet = (text.get(r[id_col]) or "")[:80].replace("\n", " ")
+            print(f"{i:2}. [{r[id_col]}] score={r['score_r']:.6f} {snippet}")
     return 0
 
 
@@ -1097,12 +1138,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="Multi-vector (ColBERT-style MaxSim) search over a"
              " documents parquet",
     )
-    ms.add_argument("query", help="query text")
+    ms.add_argument("query", nargs="+", help="query text (repeat for a batch)")
     ms.add_argument("--input", required=True, help="documents parquet path")
     ms.add_argument("--top-k", type=int, default=5, dest="top_k")
     ms.add_argument("--dims", type=int, default=64)
     ms.add_argument("--id-col", default="doc_id", dest="id_col")
     ms.add_argument("--text-col", default="text", dest="text_col")
+    ms.add_argument(
+        "--index", default=None, dest="index",
+        help="WAREHOUSE/NAME of a persisted token index"
+             " (catalog.build_token_index); skips per-call token embedding",
+    )
+    ms.add_argument(
+        "--build-index", default=None, dest="build_index",
+        help="WAREHOUSE/NAME: build+persist the token index from --input"
+             " first, then search it",
+    )
     ms.set_defaults(fn=cmd_msearch)
 
     se = sub.add_parser(

@@ -87,22 +87,32 @@ def token_embeddings(
 
 
 def late_interaction_topk(
-    docs: DataFrame,
+    docs: DataFrame | None,
     query: str,
     k: int = 10,
     dims: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_index: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id_col, score_r): MaxSim top-k. score_r is the fixed-order
     sum of per-query-token maxima, rounded via round(x·1e6)/1e6 (+0.0)
     with `score_r DESC, id ASC` ordering — the repo's exact-parity
-    recipe. Raises on a query with no tokens."""
+    recipe. Raises on a query with no tokens.
+
+    `token_index`: a prebuilt (id_col, token, vec) frame — the
+    persisted artifact from catalog.build_token_index; when given,
+    `docs`/`text_col` are ignored and the per-call explode+embed stage
+    is skipped (the production serving shape)."""
     toks = query_tokens(query)
     if not toks:
         raise ValueError(f"query {query!r} has no tokens")
-    dt = token_embeddings(docs, id_col, text_col, dims)
-    qdf = docs.sparkSession.range(1).select(
+    dt = (
+        token_index
+        if token_index is not None
+        else token_embeddings(docs, id_col, text_col, dims)
+    )
+    qdf = dt.sparkSession.range(1).select(
         *[
             hash_embedding(F.lit(t), dims).alias(f"q{i}")
             for i, t in enumerate(toks)
@@ -179,4 +189,159 @@ def duckdb_late_interaction_topk(
         FROM m
         ORDER BY score_r DESC, {id_col} ASC
         LIMIT {k}
+    """
+
+
+def late_interaction_topk_batch(
+    token_index: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    dims: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (query_id, id_col, score_r, rank): per-query MaxSim top-k for
+    a whole query batch over the PERSISTED token index — the q2-shape
+    serving form of `late_interaction_topk`.
+
+    Shape (the one-shuffle plan, pinned by test_plans):
+    - queries tokenize on the driver (a query string is tiny) into
+      (query_id, ord, token) rows; hash-embedding them is one projection
+      over a broadcast-sized frame.
+    - ONE crossJoin(broadcast(query tokens)) over the token index scan,
+      then ONE groupBy(query_id, id_col) whose aggregates pivot the
+      per-ordinal maxima into columns m0..m{W-1} (W = widest query) —
+      map-side combine does the heavy reduction, and the only wide
+      exchange hashes on (query_id, id_col).
+    - score_r = fixed-order m0 + coalesce(m1,0) + … — a query narrower
+      than W has NULL maxima beyond its width, and adding literal 0.0
+      is exact in IEEE, so bit parity with the DuckDB twin holds with
+      no per-query column sets.
+    - per-query top-k is a row_number window over the Q×N aggregated
+      rows (tiny next to the token join).
+
+    At 100 TB the token index scan is the dominant cost and it is read
+    ONCE for the whole batch — per-query cost amortizes exactly like
+    the reference's batch ANN path (q2_ivf_batch_topk)."""
+    tok_lists: list[tuple[int, list[str]]] = []
+    for qid, q in queries:
+        toks = query_tokens(q)
+        if not toks:
+            raise ValueError(f"query {q!r} has no tokens")
+        tok_lists.append((qid, toks))
+    width = max(len(t) for _, t in tok_lists)
+    spark = token_index.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, i, t) for qid, toks in tok_lists for i, t in enumerate(toks)],
+        "query_id int, ord int, token string",
+    )
+    qv = qt.select(
+        "query_id", "ord", hash_embedding(F.col("token"), dims).alias("qvec")
+    )
+    d = dot(F.col("vec"), F.col("qvec"))
+    m = (
+        token_index.crossJoin(F.broadcast(qv))
+        .groupBy("query_id", id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("ord") == i, d)).alias(f"m{i}")
+                for i in range(width)
+            ]
+        )
+    )
+    total = F.col("m0")  # every query has >= 1 token, so m0 is never null
+    for i in range(1, width):
+        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc(id_col)
+    )
+    return (
+        m.select(
+            "query_id",
+            id_col,
+            (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+                "score_r"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def duckdb_late_interaction_topk_batch(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    dims: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of `late_interaction_topk_batch`: recomputes the
+    token-index values inline (the artifact path persists exactly this
+    frame), same ordinal-pivoted maxima, same fixed-order
+    coalesce(…, 0.0) sum, same rounding and tie-break."""
+    tok_lists = []
+    for qid, q in queries:
+        toks = query_tokens(q)
+        if not toks:
+            raise ValueError(f"query {q!r} has no tokens")
+        tok_lists.append((qid, toks))
+    width = max(len(t) for _, t in tok_lists)
+    values = ", ".join(
+        f"({qid}, {i}, {t!r})"
+        for qid, toks in tok_lists
+        for i, t in enumerate(toks)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN ord = {i} THEN {duckdb_dot('vec', 'qvec')} END) AS m{i}"
+        for i in range(width)
+    )
+    total = " + ".join(
+        ["m0"]
+        + [f"coalesce(m{i}, CAST(0.0 AS DOUBLE))" for i in range(1, width)]
+    )
+    return f"""
+        WITH dt AS (
+            SELECT DISTINCT {id_col}, t AS token
+            FROM {table}, unnest({duckdb_tokenize(text_col)}) u(t)
+        ),
+        vocab AS (
+            SELECT token, {DUCKDB_NORMALIZE} AS vec
+            FROM (
+                SELECT token, {duckdb_raw_embedding("token", dims)} AS raw
+                FROM (SELECT DISTINCT token FROM dt) _v
+            ) _raw
+        ),
+        j AS (
+            SELECT dt.{id_col}, vocab.vec FROM dt JOIN vocab USING (token)
+        ),
+        qt(query_id, ord, token) AS (VALUES {values}),
+        qv AS (
+            SELECT query_id, ord, {DUCKDB_NORMALIZE} AS qvec
+            FROM (
+                SELECT query_id, ord,
+                       {duckdb_raw_embedding("token", dims)} AS raw
+                FROM qt
+            ) _qr
+        ),
+        m AS (
+            SELECT query_id, {id_col}, {maxes}
+            FROM j, qv GROUP BY query_id, {id_col}
+        ),
+        s AS (
+            SELECT query_id, {id_col},
+                   round(({total}) * 1e6) / 1e6 + 0.0 AS score_r
+            FROM m
+        )
+        SELECT * FROM (
+            SELECT query_id, {id_col}, score_r,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_r DESC, {id_col} ASC
+                   ) AS INT) AS rank
+            FROM s
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
     """

@@ -554,3 +554,31 @@ def test_cli_msearch(spark, tmp_path_factory, capsys):
     lines = [l for l in out.splitlines() if l.strip()]
     assert lines[0].startswith(" 1. [1]")  # full term match ranks first
     assert "merge sort" in lines[0]
+
+
+def test_cli_msearch_batch_over_persisted_index(spark, tmp_path_factory, capsys):
+    """--build-index persists the token index; a second invocation
+    serves a multi-query batch from it via --index (no rebuild)."""
+    import os
+
+    d = tmp_path_factory.mktemp("cli_msearch_idx")
+    inp = str(d / "in")
+    idx = str(d / "wh") + "/tok"
+    spark.createDataFrame(
+        [(1, "merge sort for big batches"), (2, "hash join probe side")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    rc = main(["msearch", "merge sort", "--input", inp, "--dims", "16",
+               "--build-index", idx])
+    assert rc == 0
+    assert os.path.isdir(f"{idx}/token_index")
+    capsys.readouterr()
+    rc = main(["msearch", "merge sort", "hash probe", "--input", inp,
+               "--top-k", "1", "--index", idx])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines[0].startswith("query [0]")
+    assert "[1]" in lines[1]          # merge-sort doc tops query 0
+    assert lines[2].startswith("query [1]")
+    assert "[2]" in lines[3]          # hash-join doc tops query 1

@@ -150,3 +150,127 @@ def test_embedding_drift_empty_new_slice(spark):
     assert all(r["n_new"] == 0 for r in rows)
     # uniform smoothed new vs uniform ref: terms are finite and zero
     assert all(abs(r["kl_term_r"]) < 1.0 for r in rows)
+
+
+def test_batch_matches_single_query_form(spark):
+    """The batch form over a token index reproduces the single-query
+    top-k per query (same scores, same tie-breaks)."""
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk,
+        late_interaction_topk_batch,
+        token_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=32, cache=False)
+    queries = [(0, "merge sort"), (1, "external data words")]
+    got = late_interaction_topk_batch(tok, queries, k=3, dims=32).collect()
+    for qid, q in queries:
+        want = late_interaction_topk(docs, q, k=3, dims=32).collect()
+        mine = [r for r in got if r["query_id"] == qid]
+        assert [(r["doc_id"], r["score_r"]) for r in mine] == [
+            (r["doc_id"], r["score_r"]) for r in want
+        ]
+        assert [r["rank"] for r in mine] == list(range(1, len(want) + 1))
+
+
+def test_batch_rejects_tokenless_query(spark):
+    import pytest
+
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+        token_embeddings,
+    )
+
+    docs = spark.createDataFrame([(1, "merge sort")], "doc_id long, text string")
+    tok = token_embeddings(docs, dims=8, cache=False)
+    with pytest.raises(ValueError, match="no tokens"):
+        late_interaction_topk_batch(tok, [(0, "a ! ?")], k=2, dims=8)
+
+
+def test_token_index_catalog_roundtrip(spark, tmp_path):
+    """catalog.build_token_index persists the artifact; the loaded scan
+    serves BOTH the single-query (token_index=...) and batch forms with
+    results identical to the inline path; meta records the config."""
+    from leann_rs_spark.catalog import (
+        build_token_index,
+        load_meta,
+        load_token_index,
+    )
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk,
+        late_interaction_topk_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    docs = spark.createDataFrame(
+        [(1, "merge sort external"), (2, "hash join"), (3, "merge join")],
+        "doc_id long, text string",
+    )
+    meta = build_token_index(spark, wh, "tok", docs, dims=16)
+    assert meta.extra["token_index"]["dims"] == 16
+    assert meta.extra["token_index"]["id_col"] == "doc_id"
+    assert load_meta(wh, "tok").extra["token_index"]["rows"] == 7
+
+    tok, info = load_token_index(spark, wh, "tok")
+    assert info["dims"] == 16
+    single = late_interaction_topk(
+        None, "merge join", k=3, dims=16, token_index=tok
+    ).collect()
+    inline = late_interaction_topk(docs, "merge join", k=3, dims=16).collect()
+    assert [tuple(r) for r in single] == [tuple(r) for r in inline]
+
+    batch = late_interaction_topk_batch(tok, [(7, "merge join")], k=3, dims=16)
+    assert [
+        (r["doc_id"], r["score_r"]) for r in batch.collect()
+    ] == [(r["doc_id"], r["score_r"]) for r in inline]
+
+
+def test_token_index_missing_raises(spark, tmp_path):
+    import pytest
+
+    from leann_rs_spark.catalog import IndexMeta, load_token_index, save_meta
+
+    wh = str(tmp_path / "wh")
+    save_meta(wh, "plain", IndexMeta())
+    with pytest.raises(ValueError, match="no token index"):
+        load_token_index(spark, wh, "plain")
+
+
+def test_batch_plan_one_wide_shuffle_over_token_index(spark, tmp_path):
+    """The serving plan over the PERSISTED token index: queries
+    broadcast, ONE wide exchange on (query_id, doc) under a map-side-
+    combined aggregate, the per-query top-k bounded BEFORE its
+    query_id exchange (partial WindowGroupLimit), no Python stage."""
+    from leann_rs_spark.catalog import build_token_index, load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+    )
+
+    wh = str(tmp_path / "wh")
+    docs = spark.createDataFrame(
+        [(1, "merge sort external"), (2, "hash join")],
+        "doc_id long, text string",
+    )
+    build_token_index(spark, wh, "tok", docs, dims=8)
+    tok, _ = load_token_index(spark, wh, "tok")
+    out = late_interaction_topk_batch(tok, [(0, "merge sort")], k=2, dims=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan
+    wide = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "doc_id" in ln
+    ]
+    assert len(wide) == 1, plan
+    assert "partial_max" in plan  # map-side combine under the one shuffle
+    assert "WindowGroupLimit" in plan and "Partial" in plan
