@@ -1127,13 +1127,19 @@ _PR_OFF_HEAVY = 200_000
 _PR_THRESHOLDS = (0.3, 0.5, 0.7)
 
 
-def _pr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pr_corpus(spark: SparkSession, sf_dir: str, every: int = 5) -> DataFrame:
     """Planted-truth dedup corpus: every 5th doc plus a LIGHT variant
     (one char flipped — near-identical shingles) and a HEAVY variant
     (first-60-chars truncation — partial overlap), ids offset so truth
     pairs are known by construction."""
-    base = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select(
+    base = _docs(spark, sf_dir).filter(F.col("doc_id") % every == 0).select(
         "doc_id", "text"
+    )
+    # the planted-variant offsets must clear the real id range or the
+    # ground truth silently corrupts at larger fixtures (ADVICE r6)
+    mx = base.agg(F.max("doc_id")).head()[0]
+    assert mx < _PR_OFF_LIGHT, (
+        f"fixture doc_id {mx} collides with planted offset {_PR_OFF_LIGHT}"
     )
     light = base.select(
         (F.col("doc_id") + _PR_OFF_LIGHT).alias("doc_id"),
@@ -1146,6 +1152,34 @@ def _pr_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 1, 60)").alias("text"),
     )
     return base.unionByName(light).unionByName(heavy)
+
+
+def _pr_truth(spark: SparkSession, sf_dir: str, every: int = 5) -> DataFrame:
+    """→ (id_a, id_b): the three within-family planted-truth pairs per
+    base doc (id_a < id_b by construction of the offsets)."""
+    base_ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % every == 0)
+        .select("doc_id")
+    )
+    return (
+        base_ids.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + _PR_OFF_LIGHT).alias("id_b"),
+        )
+        .unionByName(
+            base_ids.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + _PR_OFF_HEAVY).alias("id_b"),
+            )
+        )
+        .unionByName(
+            base_ids.select(
+                (F.col("doc_id") + _PR_OFF_LIGHT).alias("id_a"),
+                (F.col("doc_id") + _PR_OFF_HEAVY).alias("id_b"),
+            )
+        )
+    )
 
 
 def x_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1171,29 +1205,7 @@ def x_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_near_dups(_fan(corpus), threshold=0.0).select(
         "id_a", "id_b", "jaccard"
     )
-    base_ids = (
-        _docs(spark, sf_dir)
-        .filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id")
-    )
-    truth = (
-        base_ids.select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + _PR_OFF_LIGHT).alias("id_b"),
-        )
-        .unionByName(
-            base_ids.select(
-                F.col("doc_id").alias("id_a"),
-                (F.col("doc_id") + _PR_OFF_HEAVY).alias("id_b"),
-            )
-        )
-        .unionByName(
-            base_ids.select(
-                (F.col("doc_id") + _PR_OFF_LIGHT).alias("id_a"),
-                (F.col("doc_id") + _PR_OFF_HEAVY).alias("id_b"),
-            )
-        )
-    )
+    truth = _pr_truth(spark, sf_dir)
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     marked = cand.join(
         truth.withColumn("is_truth", F.lit(1)), ["id_a", "id_b"], "left"
@@ -1230,6 +1242,36 @@ def x_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tp") / F.col("n_truth") * 1e6) / 1e6 + F.lit(0.0)
         ).alias("recall_r"),
     ).orderBy("threshold_r")
+
+
+def x_dedup_pr_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING sweep against the planted corpus — the recall knob
+    x_dedup_pr's docstring names, measured (dedup.minhash_band_sweep):
+    P/R of the raw candidate set at (16,4)/(16,8)/(32,16). The S-curve
+    midpoint (1/b)^(b/n) moves 0.71 → 0.35 → 0.25, so the heavy
+    (truncation) variants that the default banding misses become
+    candidates at r=2 — recall climbs toward 1 (0.999 at the r=1
+    endpoint) while n_candidates (the verify-cost driver) explodes;
+    the curve is WHY 16/4 is the default and WHAT turning the knob
+    buys. One max-width signature table serves all configs (sig
+    prefix property); one unioned self-join.
+
+    The sweep runs on a PROBE-sized planted corpus (every 20th doc,
+    vs x_dedup_pr's every 5th): per-pair collision probabilities are
+    corpus-size independent, so the curve is the same knob answer —
+    and that is exactly how banding is tuned at 100 TB (on a planted
+    sample, never the corpus; the r=1 config is candidate-quadratic
+    by design, it is the measured WARNING row)."""
+    from leann_rs_spark.operators.dedup import minhash_band_sweep
+
+    inter: list = []
+    out = minhash_band_sweep(
+        _fan(_pr_corpus(spark, sf_dir, every=20)),
+        _pr_truth(spark, sf_dir, every=20),
+        configs=((16, 4), (16, 8), (32, 16), (32, 32)),
+        intermediates=inter,
+    )
+    return _materialize_curve(spark, out, inter)
 
 
 def x_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4258,6 +4300,46 @@ def _register_dedup_pr_oracle() -> None:
 _register_dedup_pr_oracle()
 
 
+def _register_dedup_pr_bands_oracle() -> None:
+    from leann_rs_spark.operators.dedup import duckdb_minhash_band_sweep
+
+    sweep = duckdb_minhash_band_sweep(
+        corpus="corpus", truth="truth",
+        configs=((16, 4), (16, 8), (32, 16), (32, 32)),
+    )
+    # duckdb_minhash_band_sweep emits its own WITH — merge the corpus/
+    # truth CTEs (same planted construction as x_dedup_pr, probe-sized
+    # every-20th base) into it
+    body = sweep.strip()
+    assert body.startswith("WITH ")
+    _ORACLES["x_dedup_pr_bands"] = f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id + {_PR_OFF_LIGHT},
+                   substr(text, 1, 9) || 'Z' || substr(text, 11)
+            FROM documents WHERE doc_id % 20 = 0
+            UNION ALL
+            SELECT doc_id + {_PR_OFF_HEAVY}, substr(text, 1, 60)
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        base_ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+        truth AS (
+            SELECT doc_id AS id_a, doc_id + {_PR_OFF_LIGHT} AS id_b
+            FROM base_ids
+            UNION ALL
+            SELECT doc_id, doc_id + {_PR_OFF_HEAVY} FROM base_ids
+            UNION ALL
+            SELECT doc_id + {_PR_OFF_LIGHT}, doc_id + {_PR_OFF_HEAVY}
+            FROM base_ids
+        ),
+        {body[len("WITH "):]}
+    """
+
+
+_register_dedup_pr_bands_oracle()
+
+
 def _register_percentile_oracle() -> None:
     qs = [("p50_r", 0.5), ("p90_r", 0.9), ("p95_r", 0.95), ("p99_r", 0.99)]
     cols = ", ".join(
@@ -5444,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
         "x_dedup_pr": x_dedup_pr,
+        "x_dedup_pr_bands": x_dedup_pr_bands,
         "t5_hash_embed": t5_hash_embed,
         "t6_prompt_embed": t6_prompt_embed,
         "x_dedup_exact": x_dedup_exact,

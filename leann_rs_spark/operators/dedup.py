@@ -633,6 +633,160 @@ def duckdb_minhash_near_dups(
     """
 
 
+BAND_SWEEP_CONFIGS = ((16, 4), (16, 8), (32, 16))
+
+
+def minhash_band_sweep(
+    docs: DataFrame,
+    truth: DataFrame,
+    configs: tuple = BAND_SWEEP_CONFIGS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    intermediates: list | None = None,
+) -> DataFrame:
+    """→ (num_hashes, bands, n_candidates, tp, fp, fn, precision_r,
+    recall_r): the LSH BANDING operating curve against planted truth —
+    the knob x_dedup_pr's threshold sweep cannot move. Each (n, b)
+    config's S-curve midpoint is (1/b)^(b/n); more bands of fewer rows
+    catch lower-jaccard truth pairs at the cost of more candidates to
+    verify (n_candidates IS the verify-cost driver, reported so the
+    tradeoff is visible).
+
+    Scale shape: ONE signature table at max(num_hashes) serves every
+    config — minhash sig entry i is min over shingles of
+    derived_hash(pair, i), so a 16-hash signature is exactly the first
+    16 entries of the 32-hash one. Per config the banding is a slice
+    re-keying of that table (id-width rows only); all configs' banded
+    rows union into ONE self-join keyed on (config, band, bucket).
+    `truth` is (id_a, id_b) with id_a < id_b."""
+    max_h = max(h for h, _ in configs)
+    sigs = _minhash_signatures_bulk(docs, id_col, text_col, shingle_k, max_h)
+    sigs = sigs.persist()
+    sigs.count()  # materialize before the concurrent self-join map stages
+    if intermediates is not None:
+        intermediates.append(sigs)
+    banded_all = None
+    for h, b in configs:
+        bd = _band_sigs(sigs, id_col, b, h // b).select(
+            F.lit(h).alias("num_hashes"),
+            F.lit(b).alias("bands"),
+            F.col(id_col),
+            "band",
+            "bucket",
+        )
+        banded_all = bd if banded_all is None else banded_all.unionByName(bd)
+    keys = ["num_hashes", "bands", "band", "bucket"]
+    a = banded_all.select(*keys, F.col(id_col).alias("id_a"))
+    b2 = banded_all.select(*keys, F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b2, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["num_hashes", "bands", "id_a", "id_b"])
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    marked = pairs.join(
+        truth.withColumn("is_truth", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    agg = (
+        marked.groupBy("num_hashes", "bands")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce("is_truth", F.lit(0))).alias("tp"),
+        )
+        .crossJoin(F.broadcast(n_truth))
+    )
+    return agg.select(
+        "num_hashes",
+        "bands",
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("n_candidates") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        (
+            F.round(F.col("tp") / F.col("n_candidates") * 1e6) / 1e6
+            + F.lit(0.0)
+        ).alias("precision_r"),
+        (
+            F.round(F.col("tp") / F.col("n_truth") * 1e6) / 1e6 + F.lit(0.0)
+        ).alias("recall_r"),
+    ).orderBy("num_hashes", "bands")
+
+
+def duckdb_minhash_band_sweep(
+    corpus: str = "corpus",
+    truth: str = "truth",
+    configs: tuple = BAND_SWEEP_CONFIGS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> str:
+    """Oracle twin of `minhash_band_sweep`. `corpus`/`truth` are CTE
+    names already in scope (corpus: id_col, text_col; truth: id_a,
+    id_b). The shared max-hash signature CTE and each config's banded
+    CTE are AS MATERIALIZED — both are referenced more than once and
+    DuckDB inlines CTEs (the unrolled-oracle rule)."""
+    max_h = max(h for h, _ in configs)
+    sh = f"list_distinct({duckdb_char_shingles(text_col, shingle_k)})"
+    sig = (
+        f"list_transform(generate_series(0, {max_h - 1}),"
+        f" i -> list_min(list_transform(pairs,"
+        f" p -> {duckdb_derived_hash('p', 'i')})))"
+    )
+    ctes = [
+        f"""sw_sigs AS MATERIALIZED (
+          SELECT id, {sig} AS sig
+          FROM (
+            SELECT id,
+                   list_transform(shingles, s -> {duckdb_hash_pair('s')}) AS pairs
+            FROM (SELECT {id_col} AS id, {sh} AS shingles FROM {corpus})
+            WHERE len(shingles) > 0
+          )
+        )""",
+        f"sw_nt AS (SELECT count(*) AS n_truth FROM {truth})",
+    ]
+    aggs = []
+    for i, (h, b) in enumerate(configs):
+        rows = h // b
+        bucket = duckdb_hash64(
+            f"array_to_string(list_transform("
+            f"list_slice(sig, b * {rows} + 1, (b + 1) * {rows}),"
+            f" x -> x::varchar), ',')"
+        )
+        ctes.append(
+            f"""sw_banded_{i} AS MATERIALIZED (
+              SELECT id, b, {bucket} AS bucket
+              FROM sw_sigs, unnest(generate_series(0, {b - 1})) t(b)
+            )"""
+        )
+        ctes.append(
+            f"""sw_agg_{i} AS (
+              SELECT {h} AS num_hashes, {b} AS bands,
+                     count(*) AS n_candidates,
+                     sum(CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END) AS tp
+              FROM (
+                SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                FROM sw_banded_{i} a JOIN sw_banded_{i} b2
+                  ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id
+              ) c LEFT JOIN {truth} t USING (id_a, id_b)
+            )"""
+        )
+        aggs.append(f"SELECT * FROM sw_agg_{i}")
+    union = " UNION ALL ".join(aggs)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT num_hashes, bands,
+               n_candidates::bigint AS n_candidates,
+               tp::bigint AS tp,
+               (n_candidates - tp)::bigint AS fp,
+               (n_truth - tp)::bigint AS fn,
+               round(tp / n_candidates * 1e6) / 1e6 + 0.0 AS precision_r,
+               round(tp / n_truth * 1e6) / 1e6 + 0.0 AS recall_r
+        FROM ({union}), sw_nt
+        ORDER BY num_hashes, bands
+    """
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------

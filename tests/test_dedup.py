@@ -663,3 +663,44 @@ def test_dedup_pr_gate_semantics(spark):
     assert fps == sorted(fps, reverse=True)
     # the light (1-char) variants are high-jaccard: found even at 0.7
     assert rows[-1]["tp"] > 0
+
+
+def test_minhash_band_sweep_monotone_recall_and_sig_prefix(spark):
+    """The banding sweep: (1) recall is non-decreasing as bands-width r
+    shrinks (the S-curve midpoint moves down); (2) tp+fp == candidates;
+    (3) the shared max-width signature trick — a config's candidate set
+    equals running minhash_near_dups(threshold=0) at that config."""
+    from leann_rs_spark.operators.dedup import (
+        minhash_band_sweep,
+        minhash_near_dups,
+    )
+
+    base = [
+        (i, f"document number {i} about distributed query engines "
+            f"and their shuffle behavior under skewed key {i}")
+        for i in range(8)
+    ]
+    # planted: light edit of each doc
+    variants = [(100 + i, t.replace("shuffle", "shufle")) for i, t in base]
+    docs = spark.createDataFrame(base + variants, "doc_id long, text string")
+    truth = spark.createDataFrame(
+        [(i, 100 + i) for i in range(8)], "id_a long, id_b long"
+    )
+    out = minhash_band_sweep(
+        docs, truth, configs=((16, 4), (16, 8)), shingle_k=5
+    ).collect()
+    assert [(r["num_hashes"], r["bands"]) for r in out] == [(16, 4), (16, 8)]
+    for r in out:
+        assert r["tp"] + r["fp"] == r["n_candidates"]
+        assert r["tp"] + r["fn"] == 8
+    assert out[1]["recall_r"] >= out[0]["recall_r"]
+
+    # prefix property: 16/8 candidates == direct 16-hash 8-band run
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(
+            docs, num_hashes=16, bands=8, threshold=0.0, cache=False
+        ).collect()
+    }
+    swept = minhash_band_sweep(docs, truth, configs=((16, 8),))
+    assert swept.head()["n_candidates"] == len(direct)
