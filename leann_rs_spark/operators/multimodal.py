@@ -1021,7 +1021,9 @@ def audio_features(
                     f = audio_features_py(content)
                     rows.append(
                         {
-                            "media_id": r[id_col],
+                            # post-alias name: the select below projects
+                            # id_col AS media_id before the kernel runs
+                            "media_id": r["media_id"],
                             "duration_ms": f and f["duration_ms"],
                             "rms_r": f and round(f["rms"], 6),
                             "peak_r": f and round(f["peak"], 6),
@@ -1205,12 +1207,51 @@ def audio_near_dups(
     return _banded_hash_pairs(sh, bands, max_hamming, id_col)
 
 
+ANTIALIAS_TAPS = 63  # windowed-sinc FIR length (odd → linear phase)
+
+
+def _antialias_lowpass(x, src_rate: int, target_rate: int):
+    """Windowed-sinc low-pass at the TARGET Nyquist, applied before
+    downsampling: content above target_rate/2 would otherwise fold
+    back into band (classic aliasing — a 3 kHz tone downsampled 8 k→
+    2 k reappears at 1 kHz). Hamming-windowed ideal sinc, DC-normalized
+    so passband gain is exactly 1; edges reflect-padded so the clip's
+    ends are filtered against themselves, not zeros. Pure numpy,
+    deterministic."""
+    import numpy as np
+
+    fc = 0.5 * target_rate / src_rate  # cutoff in cycles/sample at src
+    n = np.arange(ANTIALIAS_TAPS) - (ANTIALIAS_TAPS - 1) / 2.0
+    h = 2.0 * fc * np.sinc(2.0 * fc * n)
+    h *= np.hamming(ANTIALIAS_TAPS)
+    h /= h.sum()
+    half = (ANTIALIAS_TAPS - 1) // 2
+    if len(x) == 1:
+        return x  # nothing to filter; reflect-pad needs >= 2 samples
+    pad = np.pad(x, half, mode="reflect")
+    return np.convolve(pad, h, mode="valid")
+
+
+def resample_n_out(n_in: int, src_rate: int, target_rate: int) -> int:
+    """Output sample count of `resample_audio_py` — arithmetic, no
+    decode needed: round(n · target/src) (duration preserved to within
+    one sample), floored at 1; identity when the rates match."""
+    if src_rate == target_rate:
+        return n_in
+    return max(int(round(n_in * target_rate / src_rate)), 1)
+
+
 def resample_audio_py(content: bytes, target_rate: int) -> bytes | None:
-    """Real audio resample kernel: WAV decode → linear interpolation
-    onto the target sample grid (np.interp — deterministic, the
-    nn_resize of the audio tier) → 16-bit WAV re-encode. None on
-    undecodable input. Output length = round(n · target/src) so
-    duration is preserved to within one sample."""
+    """Real audio resample kernel: WAV decode → [anti-alias low-pass
+    when downsampling] → linear interpolation onto the target sample
+    grid (np.interp — deterministic) → 16-bit WAV re-encode. None on
+    undecodable input. Output length = `resample_n_out`.
+
+    The upsample path (target ≥ src) is filter-free and bit-identical
+    to the historical behavior; the downsample path low-passes at the
+    target Nyquist first (`_antialias_lowpass`) so above-band content
+    attenuates instead of folding in — the 44.1 k→16 k direction a
+    speech pipeline actually runs."""
     import numpy as np
 
     dec = wav_decode(content)
@@ -1219,7 +1260,9 @@ def resample_audio_py(content: bytes, target_rate: int) -> bytes | None:
     x, rate = dec
     if rate == target_rate:
         return wav_encode(x, rate)
-    n_out = max(int(round(len(x) * target_rate / rate)), 1)
+    if target_rate < rate:
+        x = _antialias_lowpass(x, rate, target_rate)
+    n_out = resample_n_out(len(x), rate, target_rate)
     t_out = np.arange(n_out) * (rate / target_rate)
     y = np.interp(t_out, np.arange(len(x)), x)
     return wav_encode(y, target_rate)
@@ -1258,10 +1301,12 @@ def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
                     )
                     continue
                 out = resample_audio_py(content, target_rate)
-                y, _ = wav_decode(out)
                 rows.append(
                     {"media_id": r["media_id"], "src_rate": dec[1],
-                     "n_samples_out": len(y), "content": out}
+                     "n_samples_out": resample_n_out(
+                         len(dec[0]), dec[1], target_rate
+                     ),
+                     "content": out}
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]

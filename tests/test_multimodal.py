@@ -783,3 +783,61 @@ def test_resample_audio_spark(spark):
     y, rate = wav_decode(bytes(rows[1]["content"]))
     assert rate == 4000 and len(y) == 2000
     assert rows[2]["content"] is None  # undecodable keeps its row
+
+
+def test_resample_downsample_antialiases_above_nyquist_tone():
+    """A 3 kHz tone downsampled 8 k→2 k (target Nyquist 1 kHz) must
+    ATTENUATE, not fold to 1 kHz: post-filter energy ≈ 0. The upsample
+    path stays filter-free and bit-identical to plain np.interp; the
+    reported n_samples_out needs no re-decode (resample_n_out)."""
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        resample_audio_py,
+        resample_n_out,
+        wav_decode,
+        wav_encode,
+    )
+
+    _, blob = _sine_wav(freq=3000, secs=1.0, rate=8000)
+    down, rate = wav_decode(resample_audio_py(blob, 2000))
+    assert rate == 2000 and len(down) == resample_n_out(8000, 8000, 2000)
+    in_rms = float(np.sqrt(np.mean(wav_decode(blob)[0] ** 2)))
+    out_rms = float(np.sqrt(np.mean(down ** 2)))
+    # without the low-pass this folds to a full-level 1 kHz tone
+    # (out_rms ≈ in_rms); the 63-tap sinc kills it by >20 dB
+    assert out_rms < in_rms * 0.1
+
+    # an in-band tone survives the same downsample at full level
+    _, keep_blob = _sine_wav(freq=440, secs=1.0, rate=8000)
+    kept, _ = wav_decode(resample_audio_py(keep_blob, 2000))
+    kept_rms = float(np.sqrt(np.mean(kept ** 2)))
+    assert abs(kept_rms - in_rms) < 0.02
+
+    # upsample path: exactly np.interp of the decoded input (no filter)
+    x, _ = wav_decode(blob)
+    n_out = resample_n_out(len(x), 8000, 16000)
+    want = np.interp(
+        np.arange(n_out) * (8000 / 16000), np.arange(len(x)), x
+    )
+    got, _ = wav_decode(resample_audio_py(blob, 16000))
+    assert float(np.abs(got - wav_decode(wav_encode(want, 16000))[0]).max()) == 0.0
+
+    # one-sample clip survives the filter guard
+    one = wav_encode([0.25], 8000)
+    y, r2 = wav_decode(resample_audio_py(one, 4000))
+    assert r2 == 4000 and len(y) == 1
+
+
+def test_audio_features_real_custom_id_col(spark):
+    """engine='real' with a non-default id_col (ADVICE r6: the kernel
+    read r[id_col] after the select had aliased it to media_id)."""
+    from leann_rs_spark.operators.multimodal import audio_features
+
+    _, blob = _sine_wav(freq=440, secs=0.25, rate=8000)
+    media = spark.createDataFrame(
+        [(7, bytearray(blob))], "clip_id long, content binary"
+    )
+    rows = audio_features(media, id_col="clip_id", engine="real").collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 7
+    assert abs(rows[0]["centroid_hz_r"] - 440) < 10
