@@ -1438,11 +1438,18 @@ def token_kl_by_group(
         .crossJoin(F.broadcast(all_n))
         .select(
             "g",
+            # ln of a RATIO OF DOUBLE RATIOS, never the integer cross
+            # product c_gt·n_all: at ≳3e9 corpus tokens that long·long
+            # wraps silently in non-ANSI Spark while DuckDB promotes
+            # to HUGEINT — breaking the very parity this function
+            # guarantees (ADVICE r6). int/int division is exact-operand
+            # double math in both engines; ulp noise collapses at the
+            # 6-dp rounding below.
             (
                 (F.col("c_gt") / F.col("c_g"))
                 * F.log(
-                    (F.col("c_gt") * F.col("n_all"))
-                    / (F.col("c_g") * F.col("c_t"))
+                    (F.col("c_gt") / F.col("c_g"))
+                    / (F.col("c_t") / F.col("n_all"))
                 )
             ).alias("x"),
         )
@@ -1487,8 +1494,8 @@ def duckdb_token_kl_by_group(
         contrib AS (
             SELECT gt.g,
                    round(((gt.c_gt / totals.c_g) *
-                          ln((gt.c_gt * alln.n_all) /
-                             (totals.c_g * corpus.c_t))) * 1e6)::bigint
+                          ln((gt.c_gt / totals.c_g) /
+                             (corpus.c_t / alln.n_all))) * 1e6)::bigint
                        AS xi
             FROM gt JOIN corpus USING (t) JOIN totals USING (g), alln
         )

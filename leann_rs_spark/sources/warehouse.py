@@ -337,9 +337,14 @@ def upsert_parquet(
             # Opt-in validation of the stability constraint: any update
             # key that also lives OUTSIDE the touched partitions would
             # survive the pruned merge as a stale duplicate.
+            # null-safe complement: a base row with a NULL partition
+            # value (__HIVE_DEFAULT_PARTITION__ written by another
+            # tool) makes `pred` NULL, and filter(~NULL) would drop it
+            # from the stray scan — exactly the row that evades the
+            # pruned merge (ADVICE r6)
             strays = (
                 spark.read.parquet(path)
-                .filter(~pred)
+                .filter(~F.coalesce(pred, F.lit(False)))
                 .join(updates.select(keys).distinct(), keys, "left_semi")
                 .count()
             )

@@ -355,3 +355,28 @@ def test_upsert_partition_stability_check(spark, tmp_path):
     assert res["total"] == 3
     ids = sorted(r["id"] for r in spark.read.parquet(p).collect())
     assert ids == [1, 1, 2]
+
+
+def test_upsert_stability_check_catches_null_partition_stray(spark, tmp_path):
+    """A stale duplicate key living in a NULL-partition directory
+    (__HIVE_DEFAULT_PARTITION__, e.g. written by another tool) must
+    trip the opt-in check: pred is NULL for such rows and a non-null-
+    safe ~pred would silently exclude them (ADVICE r6)."""
+    import pytest
+
+    from leann_rs_spark.sources.warehouse import upsert_parquet
+
+    p = str(tmp_path / "nullstab")
+    spark.createDataFrame(
+        [(1, "en", "a"), (2, None, "ghost")],
+        "id long, lang string, v string",
+    ).write.partitionBy("lang").parquet(p)
+    moved = spark.createDataFrame(
+        [(2, "en", "MOVED")], "id long, lang string, v string"
+    )
+    with pytest.raises(ValueError, match="partition-stability"):
+        upsert_parquet(
+            spark, p, moved, "id",
+            partition_cols="lang", check_partition_stability=True,
+        )
+    assert spark.read.parquet(p).count() == 2
