@@ -3828,6 +3828,47 @@ def x_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+def x_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (multimodal.video_near_dups, fake tier):
+    the video third of the media corpus plus planted 1-char-edited
+    re-encodes; each fake clip is its text cut into 2–4 length-derived
+    frames, per-frame locality-preserving aHash, frame-ALIGNED banded
+    pigeonhole join, bit_count verify, shorter-clip match fraction.
+    Everything from the frame-hash table on is byte-identical to the
+    real GIF tier (video_frame_hashes), which pytest pins ≡ on planted
+    re-encoded/requantized GIF copies — this gate full-value-oracles
+    the relational pair logic the real tier shares."""
+    from leann_rs_spark.operators.multimodal import video_near_dups
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 2)
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 20000).alias("media_id"),
+        F.encode(
+            F.concat(
+                F.expr("substr(text, 1, 9)"),
+                F.lit("Z"),
+                F.expr("substr(text, 11)"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    media = _fan(base.unionByName(variants))
+    nf = F.lit(2) + F.length(F.decode("content", "UTF-8")) % 3
+    out = video_near_dups(media, engine="fake", n_frames=nf)
+    return out.select(
+        "id_a",
+        "id_b",
+        "matched_frames",
+        (F.round(F.col("match_frac") * 1e6) / 1e6 + F.lit(0.0)).alias(
+            "match_frac_r"
+        ),
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Oracles (DuckDB ANSI SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -5354,6 +5395,22 @@ def _register_media_phash_oracle() -> None:
         ORDER BY id_a, id_b
     """
 
+    from leann_rs_spark.operators.multimodal import duckdb_video_near_dups
+
+    video_sql = """
+        SELECT doc_id AS id, text AS t FROM documents WHERE doc_id % 3 = 2
+        UNION ALL
+        SELECT doc_id + 20000 AS id,
+               substr(text, 1, 9) || 'Z' || substr(text, 11) AS t
+        FROM documents WHERE doc_id % 3 = 2
+    """
+    _ORACLES["x_video_near_dups"] = f"""
+        SELECT id_a, id_b, matched_frames,
+               round(match_frac * 1e6) / 1e6 + 0.0 AS match_frac_r
+        FROM ({duckdb_video_near_dups(video_sql, "2 + length(t) % 3")})
+        ORDER BY id_a, id_b
+    """
+
     from leann_rs_spark.operators.multimodal import duckdb_audio_features
 
     audio_sql = "SELECT doc_id AS id, text AS t FROM documents WHERE doc_id % 3 = 1"
@@ -5465,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_batch_topk": q3_batch_topk,
         "q15_expanded_search": q15_expanded_search,
         "x_media_phash_dups": x_media_phash_dups,
+        "x_video_near_dups": x_video_near_dups,
         "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
         "x_select_pack": x_select_pack,

@@ -1369,12 +1369,112 @@ def video_frame_hashes(media: DataFrame, max_frames: int = 16) -> DataFrame:
     )
 
 
+def fake_video_frame_hashes(
+    media: DataFrame,
+    n_frames=4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """→ (media_id, frame_index, n_frames, ahash): the fake-decoder
+    tier of `video_frame_hashes`, SQL-expressible for the oracle gate
+    (duckdb_fake_video_frame_hashes). A fake "video" is the content
+    text cut into `n_frames` contiguous slices (frame i covers
+    [⌊iL/nf⌋, ⌊(i+1)L/nf⌋) — a partition, so a 1-char edit perturbs
+    exactly one frame); each slice gets the media_ahash fake-signal
+    hash (63 evenly-spaced byte samples, exact-integer mean threshold,
+    MSB-first packing). LOCALITY-PRESERVING like the image fake: a
+    lightly edited copy shares all but the touched frame's hash, which
+    is the property the frame-aligned banding exists to exploit.
+    `n_frames` is an int or a per-row Column (clips vary in length)."""
+    n = AHASH_BITS
+    nf = F.lit(n_frames) if isinstance(n_frames, int) else n_frames
+    t = media.select(
+        F.col(id_col).alias("media_id"),
+        F.decode(F.col(content_col), "UTF-8").alias("__t"),
+        nf.cast("int").alias("__nf"),
+    )
+    frames = t.select(
+        "media_id",
+        F.col("__nf").alias("n_frames"),
+        F.explode(F.sequence(F.lit(0), F.col("__nf") - 1)).alias(
+            "frame_index"
+        ),
+        "__t",
+    )
+    # frame boundaries via floor(i·L/nf): double division is exact at
+    # these magnitudes (quotient gaps ≥ 1/nf dwarf the half-ulp error;
+    # same ruling as media_ahash's sample positions, // in DuckDB)
+    L = F.length("__t")
+    fi = F.col("frame_index")
+    start = (F.lit(1) + F.floor(fi * L / F.col("n_frames"))).cast("int")
+    flen = (
+        F.floor((fi + 1) * L / F.col("n_frames"))
+        - F.floor(fi * L / F.col("n_frames"))
+    ).cast("int")
+    ft = frames.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        F.col("__t").substr(start, flen).alias("__ft"),
+    )
+    pix = ft.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        F.when(
+            F.length("__ft") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.ascii(
+                    F.col("__ft").substr(
+                        (
+                            F.lit(1)
+                            + F.floor(
+                                i * (F.length("__ft") - 1) / F.lit(n - 1)
+                            )
+                        ).cast("int"),
+                        F.lit(1),
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array_repeat(F.lit(0), n))
+        .alias("__pix"),
+    )
+    stats = pix.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        "__pix",
+        F.aggregate(
+            "__pix", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("__sum"),
+    )
+    return stats.select(
+        "media_id",
+        "frame_index",
+        "n_frames",
+        F.aggregate(
+            F.transform(
+                "__pix",
+                lambda p: F.when(
+                    p * n > F.col("__sum"), F.lit(1).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        ).alias("ahash"),
+    )
+
+
 def video_near_dups(
     media: DataFrame,
     max_frames: int = 16,
     bands: int = 7,
     max_hamming: int = 6,
     min_match_frac: float = 0.5,
+    engine: str = "real",
+    n_frames=4,
 ) -> DataFrame:
     """→ (id_a, id_b, matched_frames, match_frac): video near-dup
     pairs — two videos match when ≥ min_match_frac of their ALIGNED
@@ -1388,12 +1488,17 @@ def video_near_dups(
     frame-aligned and the pair space stays candidate-proportional like
     every banded dedup here; one groupBy then counts distinct matched
     positions per pair and the fraction gate uses the SHORTER clip's
-    sampled length. REAL tier only (needs pixel decode; the
-    oracle-gated twin of the banding relational shape is
-    x_media_phash_dups)."""
-    fh = video_frame_hashes(media, max_frames).filter(
-        F.col("ahash").isNotNull()
-    )
+    sampled length.
+
+    engine="real": GIF pixel decode (video_frame_hashes). engine=
+    "fake": text-slice frame hashes (fake_video_frame_hashes, oracle-
+    gated by x_video_near_dups with `n_frames` frames per clip); both
+    tiers share every operator from the frame-hash table on."""
+    if engine == "real":
+        fh = video_frame_hashes(media, max_frames)
+    else:
+        fh = fake_video_frame_hashes(media, n_frames)
+    fh = fh.filter(F.col("ahash").isNotNull())
     fh = fh.persist()
     fh.count()  # both self-join sides read it
     assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
@@ -1771,4 +1876,92 @@ def duckdb_media_ahash_near_dups(
         SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
         FROM cand
         WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def duckdb_fake_video_frame_hashes(
+    media_sql: str, n_frames_sql: str = "4"
+) -> str:
+    """Twin of fake_video_frame_hashes over (id, t TEXT) rows;
+    `n_frames_sql` is an expression over those columns (per-row frame
+    counts). Same partition slicing (integer //), same fake-signal
+    sample positions, same exact-integer mean threshold and packing."""
+    n = AHASH_BITS
+    return f"""
+        WITH m AS ({media_sql}),
+        fr AS (
+            SELECT id, {n_frames_sql}::int AS n_frames, fi,
+                   substr(t,
+                          (1 + (fi * length(t)) // ({n_frames_sql}))::int,
+                          (((fi + 1) * length(t)) // ({n_frames_sql})
+                           - (fi * length(t)) // ({n_frames_sql}))::int
+                   ) AS ft
+            FROM m, unnest(generate_series(0, ({n_frames_sql})::int - 1)) u(fi)
+        ),
+        fpix AS (
+            SELECT id, n_frames, fi,
+                   CASE WHEN length(ft) > 0 THEN
+                       list_transform(generate_series(0, {n - 1}),
+                           i -> ascii(substr(ft,
+                               (1 + (i * (length(ft) - 1)) // {n - 1})::int,
+                               1)))
+                   ELSE list_transform(generate_series(0, {n - 1}), i -> 0)
+                   END AS px
+            FROM fr
+        ),
+        fstats AS (
+            SELECT id, n_frames, fi, px,
+                   list_reduce(list_prepend(0::bigint,
+                       list_transform(px, p -> p::bigint)),
+                       (a, x) -> a + x) AS s
+            FROM fpix
+        )
+        SELECT id AS media_id, fi AS frame_index, n_frames,
+               list_reduce(list_prepend(0::bigint,
+                   list_transform(px,
+                       p -> CASE WHEN p * {n} > s THEN 1::bigint
+                            ELSE 0::bigint END)),
+                   (acc, x) -> acc * 2 + x) AS ahash
+        FROM fstats
+    """
+
+
+def duckdb_video_near_dups(
+    media_sql: str,
+    n_frames_sql: str = "4",
+    bands: int = 7,
+    max_hamming: int = 6,
+    min_match_frac: float = 0.5,
+) -> str:
+    """Twin of video_near_dups(engine='fake') over the same (id, t)
+    rows: frame-aligned banded pigeonhole, bit_count verify, distinct
+    matched positions per pair, shorter-clip fraction gate."""
+    width = AHASH_BITS // bands
+    mask = (1 << width) - 1
+    return f"""
+        WITH vfh AS MATERIALIZED (
+            {duckdb_fake_video_frame_hashes(media_sql, n_frames_sql)}
+        ),
+        vbanded AS MATERIALIZED (
+            SELECT media_id, frame_index, n_frames, ahash, b,
+                   (ahash >> ({AHASH_BITS} - (b + 1) * {width})) & {mask} AS bb
+            FROM vfh, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        vmatched AS (
+            SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+                   a.frame_index, a.n_frames AS na, b2.n_frames AS nb
+            FROM vbanded a JOIN vbanded b2
+              ON a.frame_index = b2.frame_index AND a.b = b2.b
+                 AND a.bb = b2.bb AND a.media_id < b2.media_id
+            WHERE bit_count(xor(a.ahash, b2.ahash)) <= {max_hamming}
+        ),
+        vroll AS (
+            SELECT id_a, id_b, count(*) AS matched_frames,
+                   max(na) AS na, max(nb) AS nb
+            FROM vmatched GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, matched_frames::bigint AS matched_frames,
+               matched_frames / least(na, nb) AS match_frac
+        FROM vroll
+        WHERE matched_frames / least(na, nb) >= {min_match_frac}
     """

@@ -841,3 +841,32 @@ def test_audio_features_real_custom_id_col(spark):
     rows = audio_features(media, id_col="clip_id", engine="real").collect()
     assert len(rows) == 1 and rows[0]["media_id"] == 7
     assert abs(rows[0]["centroid_hz_r"] - 440) < 10
+
+
+def test_video_near_dups_fake_tier_planted(spark):
+    """engine='fake': a 1-char edit perturbs exactly one frame slice,
+    so the planted copy matches on the untouched frames and the pair
+    survives the shorter-clip fraction gate; unrelated clips pair with
+    nothing. Variable per-row n_frames exercises least(na, nb)."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.multimodal import video_near_dups
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog " * 8,
+        3: "completely different content about spark shuffles " * 8,
+    }
+    rows = [(i, t.encode()) for i, t in texts.items()]
+    rows += [(100 + i, (t[:9] + "Z" + t[10:]).encode()) for i, t in texts.items()]
+    media = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id long, content binary"
+    )
+    nf = F.lit(2) + F.length(F.decode("content", "UTF-8")) % 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_near_dups(media, engine="fake", n_frames=nf).collect()
+    }
+    assert (1, 101) in pairs and (3, 103) in pairs
+    assert (1, 3) not in pairs and (1, 103) not in pairs
+    for k in [(1, 101), (3, 103)]:
+        assert pairs[k]["match_frac"] >= 0.5
