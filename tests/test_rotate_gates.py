@@ -102,3 +102,150 @@ def test_every_query_key_extracted():
 
     src = open("/root/repo/__spark_entry__.py").read()
     assert current_keys(src) == list(e.queries().keys())
+
+
+def _fake_tree(files):
+    def read(rel):
+        return files.get(rel)
+    return read
+
+
+_ENTRY_TWO_GATES = '''\
+def g1(spark, sf_dir):
+    from leann_rs_spark.operators.alpha import fa
+    return fa(spark)
+
+
+def g2(spark, sf_dir):
+    from leann_rs_spark.operators.alpha import fb
+    return fb(spark)
+
+
+def queries():
+    return {
+        "g1": g1,
+        "g2": g2,
+    }
+'''
+
+_ALPHA = '''\
+TUNE = 3
+
+def _shared(x):
+    return x + TUNE
+
+def fa(s):
+    return _shared(1)
+
+def fb(s):
+    return _shared(2)
+'''
+
+
+def _fps(entry_src, files):
+    from rotate_gates import _fingerprint, gate_closure
+
+    closure = gate_closure(entry_src)
+    read = _fake_tree(files)
+    return {
+        g: _fingerprint(g, closure, read, {}, {}) for g in ("g1", "g2")
+    }
+
+
+def test_fingerprint_tracks_function_local_imports():
+    """Gates import their operators INSIDE the function body — the
+    closure must still reach the module (the pre-r7 blind spot)."""
+    from rotate_gates import gate_closure
+
+    _, mods = gate_closure(_ENTRY_TWO_GATES)["g1"]
+    assert "leann_rs_spark.operators.alpha.fa" in mods
+
+
+def test_fingerprint_blast_radius_is_function_level():
+    """Editing ONE operator function re-flags only the gates that
+    reach it; editing a shared helper or a module constant re-flags
+    both (VERDICT r6 task 5)."""
+    rel = "leann_rs_spark/operators/alpha.py"
+    base = _fps(_ENTRY_TWO_GATES, {rel: _ALPHA})
+    assert base["g1"] and base["g2"] and base["g1"] != base["g2"]
+
+    edited_fa = _fps(
+        _ENTRY_TWO_GATES, {rel: _ALPHA.replace("_shared(1)", "_shared(11)")}
+    )
+    assert edited_fa["g1"] != base["g1"]
+    assert edited_fa["g2"] == base["g2"]  # fb untouched
+
+    edited_shared = _fps(
+        _ENTRY_TWO_GATES, {rel: _ALPHA.replace("x + TUNE", "x - TUNE")}
+    )
+    assert edited_shared["g1"] != base["g1"]
+    assert edited_shared["g2"] != base["g2"]
+
+    edited_const = _fps(
+        _ENTRY_TWO_GATES, {rel: _ALPHA.replace("TUNE = 3", "TUNE = 4")}
+    )
+    assert edited_const["g1"] != base["g1"]  # preamble is shared state
+    assert edited_const["g2"] != base["g2"]
+
+
+def test_fingerprint_follows_cross_module_symbols():
+    """fa calls a function imported from a second module: editing THAT
+    function re-flags g1; editing an unrelated function in the second
+    module does not."""
+    alpha = '''\
+from leann_rs_spark.operators.beta import helper
+
+def fa(s):
+    return helper(s)
+
+def fb(s):
+    return 2
+'''
+    beta = '''\
+def helper(s):
+    return s
+
+def unrelated(s):
+    return 0
+'''
+    files = {
+        "leann_rs_spark/operators/alpha.py": alpha,
+        "leann_rs_spark/operators/beta.py": beta,
+    }
+    base = _fps(_ENTRY_TWO_GATES, files)
+    files2 = dict(files)
+    files2["leann_rs_spark/operators/beta.py"] = beta.replace(
+        "return s", "return s + 1"
+    )
+    moved = _fps(_ENTRY_TWO_GATES, files2)
+    assert moved["g1"] != base["g1"] and moved["g2"] == base["g2"]
+    files3 = dict(files)
+    files3["leann_rs_spark/operators/beta.py"] = beta.replace(
+        "return 0", "return 9"
+    )
+    same = _fps(_ENTRY_TWO_GATES, files3)
+    assert same["g1"] == base["g1"] and same["g2"] == base["g2"]
+
+
+def test_fingerprint_unresolvable_symbol_falls_back_to_whole_file():
+    """A symbol the walker cannot locate (dynamically defined) widens
+    to whole-file hashing — under-flagging is the unsafe direction."""
+    alpha = '''\
+def _make():
+    def fa(s):
+        return s
+    return fa
+
+fa = _make()
+
+def fb(s):
+    return 2
+'''
+    rel = "leann_rs_spark/operators/alpha.py"
+    base = _fps(_ENTRY_TWO_GATES, {rel: alpha})
+    moved = _fps(
+        _ENTRY_TWO_GATES, {rel: alpha.replace("return 2", "return 3")}
+    )
+    # fa is not a top-level def: whole-file fallback means ANY module
+    # edit (even fb's) re-flags g1
+    assert moved["g1"] != base["g1"]

@@ -154,11 +154,35 @@ def _module_deps(rel: str, read, cache: dict) -> set[str]:
     return out
 
 
+def _local_imports(fsrc: str) -> dict[str, str]:
+    """leann_rs_spark imports INSIDE a function body (gates import
+    their operators locally) — name → dotted path."""
+    out: dict[str, str] = {}
+    try:
+        t = ast.parse(fsrc)
+    except SyntaxError:
+        return out
+    for node in ast.walk(t):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.split(".")[0] == "leann_rs_spark":
+                for a in node.names:
+                    out[a.asname or a.name] = (
+                        node.module
+                        if a.name == "*"
+                        else f"{node.module}.{a.name}"
+                    )
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.split(".")[0] == "leann_rs_spark":
+                    out[a.asname or a.name.split(".")[0]] = a.name
+    return out
+
+
 def gate_closure(src: str) -> dict[str, tuple[str, set[str]]]:
     """For every gate key in queries(): (sha of the gate's entry-file
     code — its function, every reachable helper function, and its
     oracle registration source — , set of dotted leann_rs_spark
-    imports it references)."""
+    imports it references, top-level AND function-local)."""
     funcs, imports, oracle_literals = _entry_units(src)
     # which functions register which gates' oracles
     registrars: dict[str, list[str]] = {}
@@ -166,15 +190,18 @@ def gate_closure(src: str) -> dict[str, tuple[str, set[str]]]:
         for g in re.findall(r'_ORACLES\[\s*"([A-Za-z0-9_]+)"\s*\]', fsrc):
             registrars.setdefault(g, []).append(fname)
     names_in: dict[str, set[str]] = {}
+    local_imp: dict[str, dict[str, str]] = {}
     for fname, fsrc in funcs.items():
         try:
             t = ast.parse(fsrc)
         except SyntaxError:
             names_in[fname] = set()
+            local_imp[fname] = {}
             continue
         names_in[fname] = {
             n.id for n in ast.walk(t) if isinstance(n, ast.Name)
         }
+        local_imp[fname] = _local_imports(fsrc)
     out: dict[str, tuple[str, set[str]]] = {}
     for g in current_keys(src):
         roots = [g] + registrars.get(g, [])
@@ -186,8 +213,11 @@ def gate_closure(src: str) -> dict[str, tuple[str, set[str]]]:
             if f in seen_f:
                 continue
             seen_f.add(f)
+            mine = local_imp.get(f, {})
             for name in names_in.get(f, ()):
-                if name in funcs and name not in seen_f:
+                if name in mine:
+                    mods.add(mine[name])
+                elif name in funcs and name not in seen_f:
                     stack.append(name)
                 elif name in imports:
                     mods.add(imports[name])
@@ -237,20 +267,132 @@ def _artifact_rev(rnd: int) -> str | None:
     return None
 
 
-def _fingerprint(g: str, closure, read, dep_cache) -> str | None:
+def _module_index(rel: str, read, cache: dict):
+    """Parse a module file into (defs: top-level def/class name →
+    source WITH decorators, imports: name → dotted leann_rs_spark path
+    collected module-wide, preamble: source of every top-level
+    non-def statement — constants, module-level code — , ok).
+    ok=False (parse/read failure) tells the caller to fall back to
+    whole-file hashing."""
+    if rel in cache:
+        return cache[rel]
+    src = read(rel)
+    if src is None:
+        cache[rel] = ({}, {}, "", False)
+        return cache[rel]
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        cache[rel] = ({}, {}, "", False)
+        return cache[rel]
+    defs: dict[str, str] = {}
+    preamble: list[str] = []
+    for node in tree.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            deco = "\n".join(
+                ast.get_source_segment(src, d) or ""
+                for d in node.decorator_list
+            )
+            defs[node.name] = deco + "\n" + (
+                ast.get_source_segment(src, node) or ""
+            )
+        else:
+            preamble.append(ast.get_source_segment(src, node) or "")
+    cache[rel] = (defs, _local_imports(src), "\n".join(preamble), True)
+    return cache[rel]
+
+
+def _closure_items(
+    mods: set[str], read, midx_cache: dict, dep_cache: dict
+) -> list[tuple[str, str]]:
+    """Resolve a gate's dotted imports to the hashable content items
+    its fingerprint covers — SYMBOL-level closures, so editing one
+    operator function re-flags only the gates that reach it, not every
+    gate importing the module (VERDICT r6 task 5).
+
+    Per referenced symbol: its def/class source (decorators included)
+    plus, transitively, every same-module def it names and every
+    import it follows into other leann_rs_spark modules. Every touched
+    module also contributes its PREAMBLE (top-level constants and
+    module-level code — shared state the symbol may read). Anything
+    unresolvable — a module-object import, `import *`, a symbol not
+    defined at top level, a parse failure — falls back to hashing that
+    module's whole file plus its transitive module deps (the old
+    behavior): under-flagging is the failure mode that silently
+    starves driver re-verification, so every ambiguity widens."""
+    items: dict[str, str] = {}
+    whole: set[str] = set()
+    seen_sym: set[tuple[str, str]] = set()
+    work: list[tuple[str, str]] = []
+
+    def add_whole(rel: str) -> None:
+        whole.update(_module_deps(rel, read, dep_cache))
+
+    def resolve(dotted: str) -> None:
+        rel = _module_relpath(dotted, read)
+        if rel is None:
+            return
+        consumed = rel[: -len(".py")].replace("/", ".")
+        if consumed.endswith(".__init__"):
+            consumed = consumed[: -len(".__init__")]
+        remainder = dotted[len(consumed):].lstrip(".")
+        if not remainder or remainder == "*":
+            add_whole(rel)  # module-object import / star import
+            return
+        work.append((rel, remainder.split(".")[0]))
+
+    for dotted in sorted(mods):
+        resolve(dotted)
+    while work:
+        rel, sym = work.pop()
+        if (rel, sym) in seen_sym:
+            continue
+        seen_sym.add((rel, sym))
+        defs, imports, preamble, ok = _module_index(rel, read, midx_cache)
+        if not ok:
+            add_whole(rel)
+            continue
+        items[f"{rel}:__preamble__"] = preamble
+        if sym in defs:
+            items[f"{rel}:{sym}"] = defs[sym]
+            try:
+                t = ast.parse(defs[sym])
+            except SyntaxError:
+                add_whole(rel)
+                continue
+            local = _local_imports(defs[sym])
+            for n in ast.walk(t):
+                if not isinstance(n, ast.Name):
+                    continue
+                name = n.id
+                if name in local:
+                    resolve(local[name])
+                elif name in defs:
+                    work.append((rel, name))
+                elif name in imports:
+                    resolve(imports[name])
+        elif sym in imports:
+            resolve(imports[sym])  # re-export
+        else:
+            add_whole(rel)  # defined dynamically / not top-level
+    for rel in sorted(whole):
+        items[f"{rel}:__file__"] = read(rel) or ""
+        # whole-file supersedes any symbol items for the same module
+        for k in [k for k in items if k.startswith(f"{rel}:") and not k.endswith(":__file__")]:
+            del items[k]
+    return sorted(items.items())
+
+
+def _fingerprint(g: str, closure, read, dep_cache, midx_cache) -> str | None:
     if g not in closure:
         return None
     code_sha, mods = closure[g]
-    files: set[str] = set()
-    for dotted in sorted(mods):
-        rel = _module_relpath(dotted, read)
-        if rel:
-            files |= _module_deps(rel, read, dep_cache)
     h = hashlib.sha256(code_sha.encode())
-    for rel in sorted(files):
-        content = read(rel)
-        h.update(rel.encode())
-        h.update((content or "").encode())
+    for label, content in _closure_items(mods, read, midx_cache, dep_cache):
+        h.update(label.encode())
+        h.update(content.encode())
     return h.hexdigest()
 
 
@@ -268,6 +410,7 @@ def code_stale(keys: list[str], seen: dict[str, int]) -> set[str]:
     except SyntaxError:
         return set()
     dep_now: dict = {}
+    midx_now: dict = {}
     rev_cache: dict[int, str | None] = {}
     per_rev: dict[str, tuple] = {}
     stale: set[str] = set()
@@ -289,10 +432,10 @@ def code_stale(keys: list[str], seen: dict[str, int]) -> set[str]:
                 )
             except SyntaxError:
                 closure_old = {}
-            per_rev[rev] = (read_old, closure_old, {})
-        read_old, closure_old, dep_old = per_rev[rev]
-        fp_now = _fingerprint(g, closure_now, _read_worktree, dep_now)
-        fp_old = _fingerprint(g, closure_old, read_old, dep_old)
+            per_rev[rev] = (read_old, closure_old, {}, {})
+        read_old, closure_old, dep_old, midx_old = per_rev[rev]
+        fp_now = _fingerprint(g, closure_now, _read_worktree, dep_now, midx_now)
+        fp_old = _fingerprint(g, closure_old, read_old, dep_old, midx_old)
         if fp_now is None or fp_old is None or fp_now != fp_old:
             stale.add(g)
     return stale
