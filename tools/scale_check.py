@@ -142,6 +142,14 @@ def main() -> None:
         # aggregations (flat per row); dedup P/R rides the minhash
         # banded join (candidate-proportional like x_dedup_minhash)
         "x_embedding_drift", "x_dedup_pr",
+        # round-7 additions: batch MaxSim scans the persisted token
+        # index once per batch (build+read timed at each scale — the
+        # _fx memo is per sf_dir); the banding sweep is one unioned
+        # banded self-join over a probe-sized corpus (candidate-
+        # proportional); video near-dup is the frame-aligned banded
+        # join (candidate-proportional, planted dups multiply pairs)
+        "x_late_interaction_batch", "x_dedup_pr_bands",
+        "x_video_near_dups",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -185,12 +193,72 @@ def main() -> None:
     results["ivf_drift_recall"] = ivf_drift_recall_check(spark, args)
     spark.catalog.clearCache()
     results["upsert_pruning"] = upsert_prune_check(spark, args)
+    spark.catalog.clearCache()
+    results["audio_real"] = audio_real_check(spark, args)
     # measurement conditions: shared-host load keeps masquerading as
     # plan regressions (bench.py records the same field)
     results["load_avg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
     results["ncpus"] = os.cpu_count()
     print(json.dumps(results))
     spark.stop()
+
+
+def audio_real_check(spark, args) -> dict:
+    """Real-WAV tier scaling (VERDICT r6 task 8): synthesize PCM
+    fixtures — deterministic per-clip sine tones, 0.5 s @ 8 kHz — at
+    1× (200 clips) and 10× (2000), and time the two codec kernels:
+    audio_features(engine='real') (decode + FFT features) and
+    resample_audio (decode + anti-alias low-pass + interp + encode).
+    Both are zero-shuffle Arrow map kernels, so wall should scale
+    ~linearly in rows (flat per clip) with no knee. The fixture build
+    is outside the timed region (persist + count)."""
+    import numpy as np
+
+    from leann_rs_spark.operators.multimodal import (
+        audio_features,
+        resample_audio,
+        wav_encode,
+    )
+
+    out: dict[str, dict] = {}
+    for label, n_clips in (("1x", 200), ("10x", 2000)):
+        t = np.arange(4000)
+        rows = [
+            (
+                i,
+                bytearray(
+                    wav_encode(
+                        0.5
+                        * np.sin(
+                            2 * np.pi * (200 + (i % 37) * 50) * t / 8000.0
+                        ),
+                        8000,
+                    )
+                ),
+            )
+            for i in range(n_clips)
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, content binary"
+        ).repartition(spark.sparkContext.defaultParallelism)
+        media = media.persist()
+        media.count()
+        t0 = time.perf_counter()
+        nf = audio_features(media, engine="real").count()
+        t_feat = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        nr = resample_audio(media, target_rate=4000).count()
+        t_res = round(time.perf_counter() - t0, 2)
+        media.unpersist()
+        out[label] = {
+            "clips": n_clips,
+            "features_s": t_feat,
+            "features_rows": nf,
+            "resample_s": t_res,
+            "resample_rows": nr,
+        }
+        print(f"# audio_real {label}: {out[label]}", file=sys.stderr)
+    return out
 
 
 def ivf_append_modes_check(spark, args) -> dict:
