@@ -2747,6 +2747,52 @@ def _fx_token_wh(spark: SparkSession, sf_dir: str) -> str:
     return _fx(("token_index", sf_dir), build)
 
 
+def _fx_token_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Token index built on the EVEN doc half then batch-appended with
+    the odd half (catalog.append_to_token_index) — once per process on
+    the `_fx` ladder; the gate reads the appended artifact."""
+
+    def build() -> str:
+        from leann_rs_spark.catalog import (
+            append_to_token_index,
+            build_token_index,
+        )
+
+        wh = _gate_tmpdir("leann-fx-tokapp-")
+        docs = _docs(spark, sf_dir)
+        build_token_index(
+            spark, wh, "tok",
+            _fan(docs.filter(F.col("doc_id") % 2 == 0)), dims=_EMBED_DIMS,
+        )
+        append_to_token_index(
+            spark, wh, "tok", _fan(docs.filter(F.col("doc_id") % 2 == 1))
+        )
+        return wh
+
+    return _fx(("token_appended", sf_dir), build)
+
+
+def x_token_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 for the late-interaction artifact: token index built on the
+    even doc half, odd half APPENDED (O(batch) — hash token embeddings
+    are corpus-independent, so appended rows are exactly what a rebuild
+    would write), then the same batch MaxSim serves from the appended
+    artifact. The oracle recomputes over the FULL corpus: a hash match
+    IS append ≡ rebuild, end-to-end through serving (the
+    x_append_consistency pattern)."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+    )
+
+    tok, info = load_token_index(
+        spark, _fx_token_appended(spark, sf_dir), "tok"
+    )
+    return late_interaction_topk_batch(
+        tok, _LI_BATCH, k=5, dims=info["dims"]
+    )
+
+
 def x_late_interaction_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MaxSim over the PERSISTED token index
     (late_interaction.late_interaction_topk_batch + catalog.
@@ -5435,6 +5481,11 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_late_interaction_batch"] = duckdb_late_interaction_topk_batch(
         _LI_BATCH, k=5, dims=_EMBED_DIMS
     )
+    # append gate: SAME full-corpus oracle — the Spark side serves from
+    # the even+odd APPENDED artifact, so a hash match is append≡rebuild
+    _ORACLES["x_token_index_append"] = duckdb_late_interaction_topk_batch(
+        _LI_BATCH, k=5, dims=_EMBED_DIMS
+    )
     _ORACLES["x_token_kl"] = f"""
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
@@ -5488,6 +5539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_video_near_dups": x_video_near_dups,
         "x_late_interaction_batch": x_late_interaction_batch,
+        "x_token_index_append": x_token_index_append,
         "x_dedup_pr_bands": x_dedup_pr_bands,
         "x_budget_select": x_budget_select,
         "x_append_consistency": x_append_consistency,

@@ -1052,6 +1052,45 @@ def build_token_index(
     return meta
 
 
+def append_to_token_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+) -> IndexMeta:
+    """S12 for the late-interaction artifact: append a new batch's
+    (doc, token, vec) rows to the persisted token index. Cost is
+    O(batch) — the hash embedding of a token is corpus-independent
+    (unlike IDF-weighted schemes), so appended rows are EXACTLY what a
+    full rebuild would produce and append ≡ rebuild as a set (the
+    x_token_index_append gate serves a query batch through an
+    even+odd appended index against a full-corpus oracle)."""
+    from leann_rs_spark.operators.late_interaction import token_embeddings
+
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    info = meta.extra.get("token_index")
+    if not info:
+        raise ValueError(
+            f"index {name!r} has no token index — run build_token_index"
+        )
+    tok = token_embeddings(
+        new_docs,
+        id_col=info["id_col"],
+        text_col=text_col,
+        dims=info["dims"],
+        cache=False,
+    ).persist()  # count + append sink both consume it
+    n_new = tok.count()
+    tok.write.mode("append").parquet(f"{base}/token_index")
+    tok.unpersist()
+    info["rows"] = info["rows"] + n_new
+    save_meta(warehouse, name, meta)
+    return meta
+
+
 def load_token_index(
     spark: SparkSession, warehouse: str, name: str
 ) -> tuple[DataFrame, dict]:

@@ -274,3 +274,43 @@ def test_batch_plan_one_wide_shuffle_over_token_index(spark, tmp_path):
     assert len(wide) == 1, plan
     assert "partial_max" in plan  # map-side combine under the one shuffle
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_token_index_append_equals_rebuild(spark, tmp_path):
+    """append_to_token_index(batch) over a built index produces the
+    same (doc, token, vec) SET as a full rebuild — hash token
+    embeddings are corpus-independent — and meta row counts track."""
+    import pytest
+
+    from leann_rs_spark.catalog import (
+        append_to_token_index,
+        build_token_index,
+        load_meta,
+        load_token_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort external"), (2, "hash join"),
+         (3, "merge join"), (4, "sorted runs spill")],
+        "doc_id long, text string",
+    )
+    wh_inc = str(tmp_path / "inc")
+    build_token_index(spark, wh_inc, "tok",
+                      docs.filter("doc_id % 2 = 0"), dims=16)
+    append_to_token_index(spark, wh_inc, "tok",
+                          docs.filter("doc_id % 2 = 1"))
+    wh_full = str(tmp_path / "full")
+    build_token_index(spark, wh_full, "tok", docs, dims=16)
+
+    inc, info = load_token_index(spark, wh_inc, "tok")
+    full, _ = load_token_index(spark, wh_full, "tok")
+    key = lambda r: (r["doc_id"], r["token"], tuple(r["vec"]))
+    assert {key(r) for r in inc.collect()} == {key(r) for r in full.collect()}
+    assert info["rows"] == load_meta(wh_full, "tok").extra["token_index"]["rows"]
+
+    # appending to an index with no token artifact refuses
+    from leann_rs_spark.catalog import IndexMeta, save_meta
+
+    save_meta(wh_inc, "plain", IndexMeta())
+    with pytest.raises(ValueError, match="no token index"):
+        append_to_token_index(spark, wh_inc, "plain", docs)
