@@ -2813,6 +2813,44 @@ def x_late_interaction_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_PQ_M = 8
+_LI_PQ_K = 16
+
+
+def x_late_interaction_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized late interaction: ADC MaxSim over a PQ-CODED token
+    index (late_interaction.late_interaction_topk_batch_pq) — the
+    serving-ladder rung IVF-PQ provides for single-vector search,
+    applied to the engine's largest artifact (token rows = Σ distinct
+    doc tokens; the code table reads M ints per token instead of dims
+    doubles). Deterministic lexicographic take codebook (the oracle
+    policy); codebook + code table are durable artifacts (once per
+    process, `_fx_value`/`_fx_frame`); query-side sub-dots are a
+    driver-built lookup table on the broadcast query frame — scoring
+    a token is M array lookups, no per-row reconstruction."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch_pq,
+        pq_token_codes,
+        token_subcodebooks,
+    )
+
+    tok, info = load_token_index(spark, _fx_token_wh(spark, sf_dir), "tok")
+    cb = _fx_value(
+        ("li_pq_cb", sf_dir),
+        lambda: token_subcodebooks(tok, m=_LI_PQ_M, k_cb=_LI_PQ_K),
+    )
+    codes = _fx_frame(
+        spark,
+        ("li_pq_codes", sf_dir),
+        lambda: pq_token_codes(tok, cb),
+        "leann-fx-litok-",
+    )
+    return late_interaction_topk_batch_pq(
+        codes, cb, _LI_BATCH, k=5, dims=info["dims"]
+    )
+
+
 def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift per corpus slice
     (functions/textstats.token_kl_by_group): KL(P_source ‖ P_corpus)
@@ -5486,6 +5524,14 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_token_index_append"] = duckdb_late_interaction_topk_batch(
         _LI_BATCH, k=5, dims=_EMBED_DIMS
     )
+
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_late_interaction_topk_batch_pq,
+    )
+
+    _ORACLES["x_late_interaction_pq"] = duckdb_late_interaction_topk_batch_pq(
+        _LI_BATCH, k=5, dims=_EMBED_DIMS, m=_LI_PQ_M, k_cb=_LI_PQ_K
+    )
     _ORACLES["x_token_kl"] = f"""
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
@@ -5540,6 +5586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_video_near_dups": x_video_near_dups,
         "x_late_interaction_batch": x_late_interaction_batch,
         "x_token_index_append": x_token_index_append,
+        "x_late_interaction_pq": x_late_interaction_pq,
         "x_dedup_pr_bands": x_dedup_pr_bands,
         "x_budget_select": x_budget_select,
         "x_append_consistency": x_append_consistency,

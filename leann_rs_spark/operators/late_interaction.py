@@ -345,3 +345,262 @@ def duckdb_late_interaction_topk_batch(
         ) WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+def token_subcodebooks(token_index: DataFrame, m: int = 8, k_cb: int = 16):
+    """Deterministic take-policy PQ codebook over the token index's
+    VOCABULARY: sub-centroid j of subspace i is the i-th slice of the
+    j-th token vector in lexicographic token order (tokens are
+    [a-z0-9]+, so Spark's binary string order ≡ DuckDB's) — the
+    oracle rebuilds it from the table alone, like
+    pq.take_subcodebooks. KB-sized Python nested list → plan
+    literals."""
+    rows = (
+        token_index.select("token", "vec")
+        .distinct()
+        .orderBy("token")
+        .limit(k_cb)
+        .collect()
+    )
+    dims = len(rows[0]["vec"])
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d = dims // m
+    return [
+        [[float(x) for x in r["vec"][i * d : (i + 1) * d]] for r in rows]
+        for i in range(m)
+    ]
+
+
+def pq_token_codes(
+    token_index: DataFrame, codebook, id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id_col, code array<int>): PQ-encode the token index in one
+    map pass (pq.pq_encode_col — zero shuffle). At 100 TB the token
+    index is the LARGEST serving artifact (rows = Σ distinct doc
+    tokens); the code table reads M small ints per token instead of
+    `dims` doubles — the same scan-bytes knob as IVF-PQ, applied to
+    the late-interaction rung of the serving ladder."""
+    from leann_rs_spark.operators.pq import pq_encode_col
+
+    return token_index.select(
+        id_col, pq_encode_col(F.col("vec"), codebook).alias("code")
+    )
+
+
+def late_interaction_topk_batch_pq(
+    codes: DataFrame,
+    codebook,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    dims: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (query_id, id_col, score_r, rank): ADC MaxSim over the
+    PQ-coded token index — the quantized serving form of
+    `late_interaction_topk_batch` (ColBERTv2's compressed-index idea
+    re-expressed relationally).
+
+    ADC shape: each query token's dot against every sub-centroid is a
+    DRIVER-side lookup table (|q_tokens|·M·K doubles, computed with
+    py_hash_embedding + index-order folds — bit-exact with the SQL
+    twin's sub-dots), carried as a nested-array column on the
+    broadcast query frame; scoring a token row is M array lookups
+    summed in subspace order (F.aggregate over a sequence — the same
+    m-ascending fold the twin's `list(sd ORDER BY m)` reduce runs).
+    Everything downstream (ordinal-pivoted maxima, ONE wide exchange
+    on (query_id, doc), fixed-order coalesce sum, 6-dp round,
+    windowed top-k) is the exact batch plan."""
+    from leann_rs_spark.operators.embedder import py_hash_embedding
+
+    tok_lists: list[tuple[int, list[str]]] = []
+    for qid, q in queries:
+        toks = query_tokens(q)
+        if not toks:
+            raise ValueError(f"query {q!r} has no tokens")
+        tok_lists.append((qid, toks))
+    width = max(len(t) for _, t in tok_lists)
+    m = len(codebook)
+    d = len(codebook[0][0])
+    rows = []
+    for qid, toks in tok_lists:
+        for i, t in enumerate(toks):
+            q = py_hash_embedding(t, dims)
+            lut = []
+            for mi in range(m):
+                qs = q[mi * d : (mi + 1) * d]
+                row = []
+                for cv in codebook[mi]:
+                    acc = 0.0  # index-order fold, = dot()/duckdb_dot
+                    for x, y in zip(qs, cv):
+                        acc += x * y
+                    row.append(acc)
+                lut.append(row)
+            rows.append((qid, i, lut))
+    spark = codes.sparkSession
+    qv = spark.createDataFrame(
+        rows, "query_id int, ord int, lut array<array<double>>"
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), mi + F.lit(1)),
+            F.element_at(F.col("code"), mi + F.lit(1)) + F.lit(1),
+        ),
+    )
+    mx = (
+        codes.crossJoin(F.broadcast(qv))
+        .groupBy("query_id", id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("ord") == i, adc)).alias(f"m{i}")
+                for i in range(width)
+            ]
+        )
+    )
+    total = F.col("m0")
+    for i in range(1, width):
+        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc(id_col)
+    )
+    return (
+        mx.select(
+            "query_id",
+            id_col,
+            (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+                "score_r"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def duckdb_late_interaction_topk_batch_pq(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    dims: int = 64,
+    m: int = 8,
+    k_cb: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of the quantized batch: same lexicographic take
+    codebook, same argmin encode (dist fold ≡ pq's proven pair, ties
+    cid ASC), ADC as per-subspace dots summed in m order (list(sd
+    ORDER BY m) reduce ≡ the Spark LUT fold), then the exact batch
+    twin's pivot/sum/rank tail."""
+    from leann_rs_spark.operators.pq import _duckdb_l2_dist2
+
+    tok_lists = []
+    for qid, q in queries:
+        toks = query_tokens(q)
+        if not toks:
+            raise ValueError(f"query {q!r} has no tokens")
+        tok_lists.append((qid, toks))
+    width = max(len(t) for _, t in tok_lists)
+    d = dims // m
+    values = ", ".join(
+        f"({qid}, {i}, {t!r})"
+        for qid, toks in tok_lists
+        for i, t in enumerate(toks)
+    )
+    dist = _duckdb_l2_dist2("s.sub", "cb.cv", d)
+    qsub = f"q.qvec[t.m * {d} + 1 : (t.m + 1) * {d}]"
+    maxes = ", ".join(
+        f"max(CASE WHEN ord = {i} THEN adc END) AS m{i}"
+        for i in range(width)
+    )
+    total = " + ".join(
+        ["m0"]
+        + [f"coalesce(m{i}, CAST(0.0 AS DOUBLE))" for i in range(1, width)]
+    )
+    return f"""
+        WITH dt AS (
+            SELECT DISTINCT {id_col}, t AS token
+            FROM {table}, unnest({duckdb_tokenize(text_col)}) u(t)
+        ),
+        vocab AS MATERIALIZED (
+            SELECT token, {DUCKDB_NORMALIZE} AS vec
+            FROM (
+                SELECT token, {duckdb_raw_embedding("token", dims)} AS raw
+                FROM (SELECT DISTINCT token FROM dt) _v
+            ) _raw
+        ),
+        j AS (
+            SELECT dt.{id_col}, dt.token, vocab.vec
+            FROM dt JOIN vocab USING (token)
+        ),
+        cbsel AS (
+            SELECT row_number() OVER (ORDER BY token ASC) - 1 AS cid, vec
+            FROM vocab ORDER BY token ASC LIMIT {k_cb}
+        ),
+        cbrows AS MATERIALIZED (
+            SELECT mm.i - 1 AS m, cid,
+                   vec[(mm.i - 1) * {d} + 1 : mm.i * {d}] AS cv
+            FROM cbsel, unnest(generate_series(1, {m})) mm(i)
+        ),
+        subs AS (
+            SELECT {id_col}, token, mm.i - 1 AS m,
+                   vec[(mm.i - 1) * {d} + 1 : mm.i * {d}] AS sub
+            FROM j, unnest(generate_series(1, {m})) mm(i)
+        ),
+        tcodes AS MATERIALIZED (
+            SELECT {id_col}, token, m, cid FROM (
+                SELECT s.{id_col}, s.token, s.m, cb.cid,
+                       row_number() OVER (
+                           PARTITION BY s.{id_col}, s.token, s.m
+                           ORDER BY {dist} ASC, cb.cid ASC
+                       ) AS rn
+                FROM subs s JOIN cbrows cb ON cb.m = s.m
+            ) WHERE rn = 1
+        ),
+        qt(query_id, ord, token) AS (VALUES {values}),
+        qv AS (
+            SELECT query_id, ord, {DUCKDB_NORMALIZE} AS qvec
+            FROM (
+                SELECT query_id, ord,
+                       {duckdb_raw_embedding("token", dims)} AS raw
+                FROM qt
+            ) _qr
+        ),
+        pairsub AS (
+            SELECT q.query_id, q.ord, t.{id_col}, t.token, t.m,
+                   {duckdb_dot(qsub, "cb.cv")} AS sd
+            FROM tcodes t JOIN cbrows cb ON cb.m = t.m AND cb.cid = t.cid,
+                 qv q
+        ),
+        pairadc AS (
+            SELECT query_id, ord, {id_col}, token,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(sd ORDER BY m)),
+                       (a, x) -> a + x) AS adc
+            FROM pairsub GROUP BY query_id, ord, {id_col}, token
+        ),
+        mx AS (
+            SELECT query_id, {id_col}, {maxes}
+            FROM pairadc GROUP BY query_id, {id_col}
+        ),
+        s AS (
+            SELECT query_id, {id_col},
+                   round(({total}) * 1e6) / 1e6 + 0.0 AS score_r
+            FROM mx
+        )
+        SELECT * FROM (
+            SELECT query_id, {id_col}, score_r,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_r DESC, {id_col} ASC
+                   ) AS INT) AS rank
+            FROM s
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

@@ -314,3 +314,45 @@ def test_token_index_append_equals_rebuild(spark, tmp_path):
     save_meta(wh_inc, "plain", IndexMeta())
     with pytest.raises(ValueError, match="no token index"):
         append_to_token_index(spark, wh_inc, "plain", docs)
+
+
+def test_pq_maxsim_exact_when_codebook_covers_vocab(spark):
+    """With k_cb ≥ |vocab| every token vector IS a sub-centroid, argmin
+    distance is 0 and reconstruction is exact — ADC MaxSim must equal
+    the exact batch bit-for-bit. With a tiny codebook it degrades but
+    still returns a full ranking."""
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+        late_interaction_topk_batch_pq,
+        pq_token_codes,
+        token_embeddings,
+        token_subcodebooks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=32, cache=False).persist()
+    tok.count()
+    queries = [(0, "merge sort"), (1, "external data")]
+    exact = late_interaction_topk_batch(tok, queries, k=3, dims=32).collect()
+
+    cb = token_subcodebooks(tok, m=4, k_cb=64)  # vocab is ~12 tokens
+    codes = pq_token_codes(tok, cb)
+    adc = late_interaction_topk_batch_pq(
+        codes, cb, queries, k=3, dims=32
+    ).collect()
+    assert [tuple(r) for r in adc] == [tuple(r) for r in exact]
+
+    small_cb = token_subcodebooks(tok, m=4, k_cb=2)
+    small = late_interaction_topk_batch_pq(
+        pq_token_codes(tok, small_cb), small_cb, queries, k=3, dims=32
+    ).collect()
+    assert {r["query_id"] for r in small} == {0, 1}
+    assert all(r["rank"] >= 1 for r in small)
+    tok.unpersist()
