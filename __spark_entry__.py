@@ -2851,6 +2851,37 @@ def x_late_interaction_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_late_interaction_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass quantized serving (late_interaction.
+    late_interaction_topk_batch_refined): ADC MaxSim over the PQ code
+    table shortlists refine·k docs per query, exact MaxSim rescores
+    ONLY the shortlisted (query, doc) pairs via a broadcast join into
+    the token index — the pq_search_refined ruling applied to
+    multi-vector retrieval. Per-query scan bytes: M ints/token for
+    the corpus pass + refine·k docs' full token vectors."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch_refined,
+        pq_token_codes,
+        token_subcodebooks,
+    )
+
+    tok, info = load_token_index(spark, _fx_token_wh(spark, sf_dir), "tok")
+    cb = _fx_value(
+        ("li_pq_cb", sf_dir),
+        lambda: token_subcodebooks(tok, m=_LI_PQ_M, k_cb=_LI_PQ_K),
+    )
+    codes = _fx_frame(
+        spark,
+        ("li_pq_codes", sf_dir),
+        lambda: pq_token_codes(tok, cb),
+        "leann-fx-litok-",
+    )
+    return late_interaction_topk_batch_refined(
+        tok, codes, cb, _LI_BATCH, k=5, refine=4, dims=info["dims"]
+    )
+
+
 def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift per corpus slice
     (functions/textstats.token_kl_by_group): KL(P_source ‖ P_corpus)
@@ -5532,6 +5563,17 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_late_interaction_pq"] = duckdb_late_interaction_topk_batch_pq(
         _LI_BATCH, k=5, dims=_EMBED_DIMS, m=_LI_PQ_M, k_cb=_LI_PQ_K
     )
+
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_late_interaction_topk_batch_refined,
+    )
+
+    _ORACLES["x_late_interaction_refined"] = (
+        duckdb_late_interaction_topk_batch_refined(
+            _LI_BATCH, k=5, refine=4, dims=_EMBED_DIMS,
+            m=_LI_PQ_M, k_cb=_LI_PQ_K,
+        )
+    )
     _ORACLES["x_token_kl"] = f"""
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
@@ -5587,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_late_interaction_batch": x_late_interaction_batch,
         "x_token_index_append": x_token_index_append,
         "x_late_interaction_pq": x_late_interaction_pq,
+        "x_late_interaction_refined": x_late_interaction_refined,
         "x_dedup_pr_bands": x_dedup_pr_bands,
         "x_budget_select": x_budget_select,
         "x_append_consistency": x_append_consistency,

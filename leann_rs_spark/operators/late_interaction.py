@@ -604,3 +604,171 @@ def duckdb_late_interaction_topk_batch_pq(
         ) WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+def late_interaction_topk_batch_refined(
+    token_index: DataFrame,
+    codes: DataFrame,
+    codebook,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    refine: int = 4,
+    dims: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (query_id, id_col, score_r, rank): the two-pass production
+    serving shape for quantized late interaction — ADC MaxSim over the
+    PQ code table shortlists refine·k docs per query (M ints/token
+    scanned), then EXACT MaxSim rescores only the shortlisted (query,
+    doc) pairs against the full token index (refine·k·|doc tokens|
+    point reads via a broadcast shortlist join, never a second full
+    pass). The pq_search_refined ruling applied to multi-vector
+    retrieval.
+
+    Output scores are exact-MaxSim values: with a covering codebook
+    this is bit-identical to `late_interaction_topk_batch`; with a
+    lossy one it differs only where the ADC shortlist misses a true
+    top-k doc (the recall-vs-bytes tradeoff refine buys back)."""
+    shortlist = late_interaction_topk_batch_pq(
+        codes, codebook, queries, k=refine * k, dims=dims, id_col=id_col
+    ).select("query_id", id_col)
+    tok_lists: list[tuple[int, list[str]]] = []
+    for qid, q in queries:
+        toks = query_tokens(q)
+        if not toks:
+            raise ValueError(f"query {q!r} has no tokens")
+        tok_lists.append((qid, toks))
+    width = max(len(t) for _, t in tok_lists)
+    spark = token_index.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, i, t) for qid, toks in tok_lists for i, t in enumerate(toks)],
+        "query_id int, ord int, token string",
+    )
+    qv = qt.select(
+        "query_id", "ord", hash_embedding(F.col("token"), dims).alias("qvec")
+    )
+    # shortlist join first (broadcast — refine·k·Q rows), THEN the
+    # query-token join rides the already-pruned rows
+    pruned = token_index.join(F.broadcast(shortlist), id_col)
+    d = dot(F.col("vec"), F.col("qvec"))
+    mx = (
+        pruned.join(F.broadcast(qv), "query_id")
+        .groupBy("query_id", id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("ord") == i, d)).alias(f"m{i}")
+                for i in range(width)
+            ]
+        )
+    )
+    total = F.col("m0")
+    for i in range(1, width):
+        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc(id_col)
+    )
+    return (
+        mx.select(
+            "query_id",
+            id_col,
+            (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+                "score_r"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def duckdb_late_interaction_topk_batch_refined(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    refine: int = 4,
+    dims: int = 64,
+    m: int = 8,
+    k_cb: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of the refined two-pass: the quantized twin's
+    ranking at refine·k becomes the shortlist CTE; the exact twin's
+    MaxSim runs restricted to shortlisted (query, doc) pairs."""
+    adc = duckdb_late_interaction_topk_batch_pq(
+        queries, k=refine * k, dims=dims, m=m, k_cb=k_cb,
+        table=table, id_col=id_col, text_col=text_col,
+    )
+    tok_lists = []
+    for qid, q in queries:
+        toks = query_tokens(q)
+        if not toks:
+            raise ValueError(f"query {q!r} has no tokens")
+        tok_lists.append((qid, toks))
+    width = max(len(t) for _, t in tok_lists)
+    values = ", ".join(
+        f"({qid}, {i}, {t!r})"
+        for qid, toks in tok_lists
+        for i, t in enumerate(toks)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN ord = {i} THEN {duckdb_dot('vec', 'qvec')} END)"
+        f" AS m{i}"
+        for i in range(width)
+    )
+    total = " + ".join(
+        ["m0"]
+        + [f"coalesce(m{i}, CAST(0.0 AS DOUBLE))" for i in range(1, width)]
+    )
+    return f"""
+        WITH short AS (
+            SELECT query_id, {id_col} FROM ({adc})
+        ),
+        rdt AS (
+            SELECT DISTINCT {id_col}, t AS token
+            FROM {table}, unnest({duckdb_tokenize(text_col)}) u(t)
+        ),
+        rvocab AS (
+            SELECT token, {DUCKDB_NORMALIZE} AS vec
+            FROM (
+                SELECT token, {duckdb_raw_embedding("token", dims)} AS raw
+                FROM (SELECT DISTINCT token FROM rdt) _v
+            ) _raw
+        ),
+        rj AS (
+            SELECT rdt.{id_col}, rvocab.vec FROM rdt
+            JOIN rvocab USING (token)
+        ),
+        rqt(query_id, ord, token) AS (VALUES {values}),
+        rqv AS (
+            SELECT query_id, ord, {DUCKDB_NORMALIZE} AS qvec
+            FROM (
+                SELECT query_id, ord,
+                       {duckdb_raw_embedding("token", dims)} AS raw
+                FROM rqt
+            ) _qr
+        ),
+        rmx AS (
+            SELECT q.query_id, rj.{id_col}, {maxes}
+            FROM rj
+            JOIN short ON short.{id_col} = rj.{id_col}
+            JOIN rqv q ON q.query_id = short.query_id
+            GROUP BY q.query_id, rj.{id_col}
+        ),
+        rs AS (
+            SELECT query_id, {id_col},
+                   round(({total}) * 1e6) / 1e6 + 0.0 AS score_r
+            FROM rmx
+        )
+        SELECT * FROM (
+            SELECT query_id, {id_col}, score_r,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_r DESC, {id_col} ASC
+                   ) AS INT) AS rank
+            FROM rs
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

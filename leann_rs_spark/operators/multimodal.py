@@ -1411,35 +1411,35 @@ def fake_video_frame_hashes(
         F.floor((fi + 1) * L / F.col("n_frames"))
         - F.floor(fi * L / F.col("n_frames"))
     ).cast("int")
-    ft = frames.select(
+    # LET-BIND the frame slice: substr is "cheap" to CollapseProject,
+    # so a plain projected alias would be inlined into every one of the
+    # 63 sample references — each recopying the multi-KB parent text
+    # (measured 20.4 s → 1.9 s cold at sf0.1 for this one binding; the
+    # CLAUDE.md single-element-array rule)
+    pix = frames.select(
         "media_id",
         "frame_index",
         "n_frames",
-        F.col("__t").substr(start, flen).alias("__ft"),
-    )
-    pix = ft.select(
-        "media_id",
-        "frame_index",
-        "n_frames",
-        F.when(
-            F.length("__ft") > 0,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n - 1)),
-                lambda i: F.ascii(
-                    F.col("__ft").substr(
-                        (
-                            F.lit(1)
-                            + F.floor(
-                                i * (F.length("__ft") - 1) / F.lit(n - 1)
-                            )
-                        ).cast("int"),
-                        F.lit(1),
-                    )
+        F.transform(
+            F.array(F.col("__t").substr(start, flen)),
+            lambda ft: F.when(
+                F.length(ft) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda i: F.ascii(
+                        ft.substr(
+                            (
+                                F.lit(1)
+                                + F.floor(
+                                    i * (F.length(ft) - 1) / F.lit(n - 1)
+                                )
+                            ).cast("int"),
+                            F.lit(1),
+                        )
+                    ),
                 ),
-            ),
-        )
-        .otherwise(F.array_repeat(F.lit(0), n))
-        .alias("__pix"),
+            ).otherwise(F.array_repeat(F.lit(0), n)),
+        )[0].alias("__pix"),
     )
     stats = pix.select(
         "media_id",

@@ -356,3 +356,51 @@ def test_pq_maxsim_exact_when_codebook_covers_vocab(spark):
     assert {r["query_id"] for r in small} == {0, 1}
     assert all(r["rank"] >= 1 for r in small)
     tok.unpersist()
+
+
+def test_refined_two_pass_matches_exact_with_covering_codebook(spark):
+    """ADC shortlist + exact rescore: with a covering codebook the
+    shortlist contains the true top-k, so refined output == exact
+    batch bit-for-bit; with a lossy 2-centroid codebook it still
+    returns a full per-query ranking with EXACT scores (the rescore
+    pass), only the candidate set can differ."""
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+        late_interaction_topk_batch_refined,
+        pq_token_codes,
+        token_embeddings,
+        token_subcodebooks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=32, cache=False).persist()
+    tok.count()
+    queries = [(0, "merge sort"), (1, "external data")]
+    exact = late_interaction_topk_batch(tok, queries, k=2, dims=32).collect()
+
+    cb = token_subcodebooks(tok, m=4, k_cb=64)
+    refined = late_interaction_topk_batch_refined(
+        tok, pq_token_codes(tok, cb), cb, queries, k=2, refine=2, dims=32
+    ).collect()
+    assert [tuple(r) for r in refined] == [tuple(r) for r in exact]
+
+    lossy = token_subcodebooks(tok, m=4, k_cb=2)
+    out = late_interaction_topk_batch_refined(
+        tok, pq_token_codes(tok, lossy), lossy, queries, k=2, refine=1,
+        dims=32,
+    ).collect()
+    exact_scores = {
+        (r["query_id"], r["doc_id"]): r["score_r"] for r in exact
+    }
+    for r in out:  # rescored values are EXACT wherever pairs overlap
+        if (r["query_id"], r["doc_id"]) in exact_scores:
+            assert r["score_r"] == exact_scores[(r["query_id"], r["doc_id"])]
+    tok.unpersist()
