@@ -376,16 +376,24 @@ def pq_token_codes(
     token_index: DataFrame, codebook, id_col: str = "doc_id"
 ) -> DataFrame:
     """→ (id_col, code array<int>): PQ-encode the token index in one
-    map pass (pq.pq_encode_col — zero shuffle). At 100 TB the token
-    index is the LARGEST serving artifact (rows = Σ distinct doc
-    tokens); the code table reads M small ints per token instead of
-    `dims` doubles — the same scan-bytes knob as IVF-PQ, applied to
-    the late-interaction rung of the serving ladder."""
-    from leann_rs_spark.operators.pq import pq_encode_col
+    map pass (zero shuffle). At 100 TB the token index is the LARGEST
+    serving artifact (rows = Σ distinct doc tokens); the code table
+    reads M small ints per token instead of `dims` doubles — the same
+    scan-bytes knob as IVF-PQ, applied to the late-interaction rung
+    of the serving ladder.
 
-    return token_index.select(
-        id_col, pq_encode_col(F.col("vec"), codebook).alias("code")
-    )
+    Uses the Arrow numpy KERNEL form of the encoder (bit-identical to
+    the expression form, pq.pq_encode docstring): this is exactly the
+    regime that docstring reserved it for — token tables are 10-100×
+    the embedding table's rows, and here the kernel measured 7×
+    FASTER (0.6 s vs 4.3 s on 112k token rows at sf0.1; the verdict
+    flips from the 5-20k-row embedding tables where Arrow transfer
+    dominates)."""
+    from leann_rs_spark.operators.pq import pq_encode
+
+    return pq_encode(
+        token_index, codebook, id_col=id_col, vec_col="vec", kernel=True
+    ).select(id_col, "code")
 
 
 def late_interaction_topk_batch_pq(

@@ -150,6 +150,12 @@ def main() -> None:
         # join (candidate-proportional, planted dups multiply pairs)
         "x_late_interaction_batch", "x_dedup_pr_bands",
         "x_video_near_dups",
+        # quantized late-interaction rung: ADC over the PQ code table
+        # (M ints/token scanned), refined adds the exact rescore of
+        # refine*k docs; the appended-index gate reads the even+odd
+        # appended artifact (build once per sf_dir via _fx)
+        "x_late_interaction_pq", "x_late_interaction_refined",
+        "x_token_index_append",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -166,10 +172,31 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
 
+    # _fx-artifact-backed gates: the FIRST call at a given sf_dir pays
+    # the one-time artifact build (token index, PQ codebook+codes, the
+    # appended ladder). Record that build cost explicitly as
+    # `{label}_first_call`, then time the steady-state read path —
+    # matching bench's "read-path-timed" semantics (an index is a
+    # durable artifact; its build is the write path, measured once).
+    artifact_gates = {
+        "x_late_interaction_batch", "x_late_interaction_pq",
+        "x_late_interaction_refined", "x_token_index_append",
+    }
     results: dict[str, dict] = {}
     for name in names:
         results[name] = {}
         for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+            if name in artifact_gates:
+                t0 = time.perf_counter()
+                try:
+                    qs[name](spark, sf_dir).count()
+                except Exception as exc:
+                    print(f"# {name} {label} FAILED: {exc}", file=sys.stderr)
+                    continue
+                results[name][f"{label}_first_call"] = round(
+                    time.perf_counter() - t0, 2
+                )
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
                 n = qs[name](spark, sf_dir).count()
