@@ -2815,6 +2815,51 @@ def x_late_interaction_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LI_PQ_M = 8
 _LI_PQ_K = 16
+_LI_C = 16
+_LI_NPROBE = 4
+
+
+def _fx_token_ivf_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Centroid-ROUTED token index (catalog.build_token_index with
+    n_centroids): rows carry cid and the artifact is partitionBy("cid")
+    — the PLAID/IVF layout whose probed-cid reads are directory-level
+    partition pruning. Once per process on the `_fx` ladder."""
+
+    def build() -> str:
+        from leann_rs_spark.catalog import build_token_index
+
+        wh = _gate_tmpdir("leann-fx-tokivf-")
+        build_token_index(
+            spark, wh, "tok", _fan(_docs(spark, sf_dir)),
+            dims=_EMBED_DIMS, n_centroids=_LI_C,
+        )
+        return wh
+
+    return _fx(("token_ivf", sf_dir), build)
+
+
+def x_late_interaction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-routed late interaction (late_interaction.
+    late_interaction_topk_batch_pruned) — the PLAID idea as Spark
+    partition pruning: the token index is partitioned by routing-
+    -centroid id, each query token probes its nprobe nearest centroids
+    DRIVER-side (the codebook is KB-sized, persisted in meta), and
+    candidate generation reads ONLY probed-cid directories before the
+    exact broadcast-pair rescore. The late-interaction rung of the IVF
+    serving ladder: scan bytes ∝ nprobe/C for candidates, rescore
+    bounded by candidate docs' token rows."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch_pruned,
+    )
+
+    tok, info = load_token_index(
+        spark, _fx_token_ivf_wh(spark, sf_dir), "tok"
+    )
+    return late_interaction_topk_batch_pruned(
+        tok, info["centroids"], _LI_BATCH,
+        k=5, nprobe=_LI_NPROBE, dims=info["dims"],
+    )
 
 
 def x_late_interaction_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5574,6 +5619,16 @@ def _register_media_phash_oracle() -> None:
             m=_LI_PQ_M, k_cb=_LI_PQ_K,
         )
     )
+
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_late_interaction_topk_batch_pruned,
+    )
+
+    _ORACLES["x_late_interaction_pruned"] = (
+        duckdb_late_interaction_topk_batch_pruned(
+            _LI_BATCH, k=5, nprobe=_LI_NPROBE, c=_LI_C, dims=_EMBED_DIMS,
+        )
+    )
     _ORACLES["x_token_kl"] = f"""
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
@@ -5625,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_late_interaction_pruned": x_late_interaction_pruned,
         "x_video_near_dups": x_video_near_dups,
         "x_late_interaction_batch": x_late_interaction_batch,
         "x_token_index_append": x_token_index_append,

@@ -1015,6 +1015,7 @@ def build_token_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     dims: int = 64,
+    n_centroids: int | None = None,
 ) -> IndexMeta:
     """Persist the ColBERT-style TOKEN-LEVEL embedding table as a
     catalog artifact — the "token index" the late-interaction docstring
@@ -1027,10 +1028,21 @@ def build_token_index(
     (id_col="idx"), the msearch-over-an-index path; passing a docs
     frame builds a standalone token index (meta created if absent).
 
-    Layout: <base>/token_index/*.parquet (id_col, token, vec) +
-    meta.extra["token_index"] = {dims, id_col, rows}.
+    `n_centroids` routes every token row to its nearest of C take-
+    -policy centroids and writes the artifact partitionBy("cid") — the
+    PLAID/IVF layout: a pruned query batch reads only probed-cid
+    DIRECTORIES (late_interaction_topk_batch_pruned), and the KB-sized
+    codebook rides meta so serving never re-derives it.
+
+    Layout: <base>/token_index/[cid=*/]*.parquet (id_col, token, vec)
+    + meta.extra["token_index"] = {dims, id_col, rows[, n_centroids,
+    centroids]}.
     """
-    from leann_rs_spark.operators.late_interaction import token_embeddings
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        token_embeddings,
+        token_take_centroids,
+    )
 
     base = _index_dir(warehouse, name)
     if docs is None:
@@ -1041,13 +1053,22 @@ def build_token_index(
     tok = token_embeddings(
         docs, id_col=id_col, text_col=text_col, dims=dims, cache=False
     )
-    tok.write.mode("overwrite").parquet(f"{base}/token_index")
+    info: dict = {"dims": dims, "id_col": id_col}
+    if n_centroids is not None:
+        cents = token_take_centroids(tok, c=n_centroids)
+        info["n_centroids"] = n_centroids
+        info["centroids"] = cents
+        assign_token_cids(tok, cents, id_col=id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(f"{base}/token_index")
+    else:
+        tok.write.mode("overwrite").parquet(f"{base}/token_index")
     try:
         meta = load_meta(warehouse, name)
     except FileNotFoundError:
         meta = IndexMeta(backend="token", dimensions=dims)
-    n = spark.read.parquet(f"{base}/token_index").count()
-    meta.extra["token_index"] = {"dims": dims, "id_col": id_col, "rows": n}
+    info["rows"] = spark.read.parquet(f"{base}/token_index").count()
+    meta.extra["token_index"] = info
     save_meta(warehouse, name, meta)
     return meta
 
@@ -1066,8 +1087,15 @@ def append_to_token_index(
     (unlike IDF-weighted schemes), so appended rows are EXACTLY what a
     full rebuild would produce and append ≡ rebuild as a set (the
     x_token_index_append gate serves a query batch through an
-    even+odd appended index against a full-corpus oracle)."""
-    from leann_rs_spark.operators.late_interaction import token_embeddings
+    even+odd appended index against a full-corpus oracle). A
+    centroid-routed index appends with the FROZEN codebook from meta
+    (the IVF append ruling): cid is a pure function of (token,
+    codebook), so routed appends land in the right partitions and
+    append ≡ rebuild still holds."""
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        token_embeddings,
+    )
 
     base = _index_dir(warehouse, name)
     meta = load_meta(warehouse, name)
@@ -1082,9 +1110,17 @@ def append_to_token_index(
         text_col=text_col,
         dims=info["dims"],
         cache=False,
-    ).persist()  # count + append sink both consume it
+    )
+    if "centroids" in info:
+        tok = assign_token_cids(
+            tok, info["centroids"], id_col=info["id_col"]
+        )
+    tok = tok.persist()  # count + append sink both consume it
     n_new = tok.count()
-    tok.write.mode("append").parquet(f"{base}/token_index")
+    w = tok.write.mode("append")
+    if "centroids" in info:
+        w = w.partitionBy("cid")
+    w.parquet(f"{base}/token_index")
     tok.unpersist()
     info["rows"] = info["rows"] + n_new
     save_meta(warehouse, name, meta)

@@ -614,38 +614,35 @@ def duckdb_late_interaction_topk_batch_pq(
     """
 
 
-def late_interaction_topk_batch_refined(
-    token_index: DataFrame,
-    codes: DataFrame,
-    codebook,
-    queries: list[tuple[int, str]],
-    k: int = 10,
-    refine: int = 4,
-    dims: int = 64,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """→ (query_id, id_col, score_r, rank): the two-pass production
-    serving shape for quantized late interaction — ADC MaxSim over the
-    PQ code table shortlists refine·k docs per query (M ints/token
-    scanned), then EXACT MaxSim rescores only the shortlisted (query,
-    doc) pairs against the full token index (refine·k·|doc tokens|
-    point reads via a broadcast shortlist join, never a second full
-    pass). The pq_search_refined ruling applied to multi-vector
-    retrieval.
-
-    Output scores are exact-MaxSim values: with a covering codebook
-    this is bit-identical to `late_interaction_topk_batch`; with a
-    lossy one it differs only where the ADC shortlist misses a true
-    top-k doc (the recall-vs-bytes tradeoff refine buys back)."""
-    shortlist = late_interaction_topk_batch_pq(
-        codes, codebook, queries, k=refine * k, dims=dims, id_col=id_col
-    ).select("query_id", id_col)
-    tok_lists: list[tuple[int, list[str]]] = []
+def _tok_lists(queries: list[tuple[int, str]]) -> list[tuple[int, list[str]]]:
+    """Tokenize a query batch driver-side, raising on empty queries —
+    the shared validation of every batch form."""
+    out: list[tuple[int, list[str]]] = []
     for qid, q in queries:
         toks = query_tokens(q)
         if not toks:
             raise ValueError(f"query {q!r} has no tokens")
-        tok_lists.append((qid, toks))
+        out.append((qid, toks))
+    return out
+
+
+def _exact_maxsim_pairs(
+    token_index: DataFrame,
+    pairs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int,
+    dims: int,
+    id_col: str,
+) -> DataFrame:
+    """Exact MaxSim restricted to a (query_id, id_col) candidate-pair
+    frame — the rescore tail shared by the refined (ADC shortlist) and
+    pruned (centroid-routed) serving forms. The pair frame joins
+    BROADCAST into the token index first, so only candidate docs'
+    token rows flow into the per-query-token aggregation; everything
+    downstream (ordinal-pivoted maxima, ONE wide exchange on
+    (query_id, doc), fixed-order coalesce sum, 6-dp round, windowed
+    top-k) is `late_interaction_topk_batch`'s exact plan."""
+    tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     spark = token_index.sparkSession
     qt = spark.createDataFrame(
@@ -655,9 +652,9 @@ def late_interaction_topk_batch_refined(
     qv = qt.select(
         "query_id", "ord", hash_embedding(F.col("token"), dims).alias("qvec")
     )
-    # shortlist join first (broadcast — refine·k·Q rows), THEN the
-    # query-token join rides the already-pruned rows
-    pruned = token_index.join(F.broadcast(shortlist), id_col)
+    # pair join first (broadcast — bounded rows), THEN the query-token
+    # join rides the already-pruned rows
+    pruned = token_index.join(F.broadcast(pairs), id_col)
     d = dot(F.col("vec"), F.col("qvec"))
     mx = (
         pruned.join(F.broadcast(qv), "query_id")
@@ -689,6 +686,264 @@ def late_interaction_topk_batch_refined(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def late_interaction_topk_batch_refined(
+    token_index: DataFrame,
+    codes: DataFrame,
+    codebook,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    refine: int = 4,
+    dims: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (query_id, id_col, score_r, rank): the two-pass production
+    serving shape for quantized late interaction — ADC MaxSim over the
+    PQ code table shortlists refine·k docs per query (M ints/token
+    scanned), then EXACT MaxSim rescores only the shortlisted (query,
+    doc) pairs against the full token index (refine·k·|doc tokens|
+    point reads via a broadcast shortlist join, never a second full
+    pass). The pq_search_refined ruling applied to multi-vector
+    retrieval.
+
+    Output scores are exact-MaxSim values: with a covering codebook
+    this is bit-identical to `late_interaction_topk_batch`; with a
+    lossy one it differs only where the ADC shortlist misses a true
+    top-k doc (the recall-vs-bytes tradeoff refine buys back)."""
+    shortlist = late_interaction_topk_batch_pq(
+        codes, codebook, queries, k=refine * k, dims=dims, id_col=id_col
+    ).select("query_id", id_col)
+    return _exact_maxsim_pairs(
+        token_index, shortlist, queries, k, dims, id_col
+    )
+
+
+def token_take_centroids(token_index: DataFrame, c: int = 16) -> list[list[float]]:
+    """Deterministic take-policy ROUTING centroids over the token
+    index's vocabulary: centroid i is the i-th token vector in
+    lexicographic token order (tokens are [a-z0-9]+, so Spark's binary
+    string order ≡ DuckDB's) — the oracle rebuilds the same list from
+    the table alone, like `token_subcodebooks`/ann.take_centroids. A
+    learned codebook (seeded spherical k-means, ann.kmeans_centroids)
+    can replace this without touching assignment or serving."""
+    rows = (
+        token_index.select("token", "vec")
+        .distinct()
+        .orderBy("token")
+        .limit(c)
+        .collect()
+    )
+    return [[float(x) for x in r["vec"]] for r in rows]
+
+
+def assign_token_cids(
+    token_index: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id_col, token, vec, cid): route every token row to its best
+    (max inner product) centroid — ONE map pass (ann.ivf_assign's
+    inline-literal projection; ties break cid ASC, the proven parity
+    pair). cid is a function of the token alone (the vec is), so the
+    routed table partitions cleanly by cid and a frozen codebook keeps
+    appends consistent (the IVF append ruling)."""
+    from leann_rs_spark.operators.ann import ivf_assign
+
+    spark = token_index.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    assigned = ivf_assign(
+        token_index, cent_df, id_col=id_col, vec_col="vec",
+        extra_cols=["token"],
+    )
+    return assigned.select(
+        id_col, "token", "vec", F.col("cluster_id").alias("cid")
+    )
+
+
+def probe_query_cids(
+    queries: list[tuple[int, str]],
+    centroids: list[list[float]],
+    nprobe: int,
+    dims: int = 64,
+) -> list[tuple[int, int]]:
+    """Driver-side query routing: for each query token, the top-nprobe
+    centroids by inner product (ties cid ASC), unioned per query →
+    sorted distinct (query_id, cid) rows. Pure Python with index-order
+    folds over `py_hash_embedding` vectors — bit-identical to the SQL
+    twin's row_number(ORDER BY dot DESC, cid ASC) ranking, the same
+    parity argument as the ADC lookup tables."""
+    from leann_rs_spark.operators.embedder import py_hash_embedding
+
+    out: set[tuple[int, int]] = set()
+    for qid, toks in _tok_lists(queries):
+        for t in toks:
+            q = py_hash_embedding(t, dims)
+            scored = []
+            for cid, cv in enumerate(centroids):
+                acc = 0.0  # index-order fold, = dot()/duckdb_dot
+                for x, y in zip(q, cv):
+                    acc += x * y
+                scored.append((-acc, cid))
+            for _, cid in sorted(scored)[:nprobe]:
+                out.add((qid, cid))
+    return sorted(out)
+
+
+def late_interaction_topk_batch_pruned(
+    token_index: DataFrame,
+    centroids: list[list[float]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    nprobe: int = 4,
+    dims: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (query_id, id_col, score_r, rank): centroid-routed MaxSim —
+    the PLAID idea (Santhanam et al., "PLAID: An Efficient Engine for
+    Late Interaction Retrieval", CIKM 2022) re-expressed relationally.
+    Candidate generation never scans the full token index: each query
+    token probes its nprobe nearest routing centroids (driver-side —
+    the codebook is KB-sized), and ONLY token-index partitions whose
+    `cid` is probed are read (the artifact is partitionBy("cid"), so
+    the isin filter is PARTITION pruning — pinned by test). Candidate
+    docs = docs owning ≥1 token in a probed centroid of that query;
+    exact MaxSim then rescores only those (query, doc) pairs via the
+    shared broadcast-pair tail.
+
+    At 100 TB this is the late-interaction IVF: scan bytes for
+    candidate generation drop to nprobe/C of the index (directory-
+    -level pruning, no file even opened), and the rescore is bounded
+    by candidate docs' token rows. Expects `token_index` to carry the
+    `cid` column (catalog.build_token_index(n_centroids=...))."""
+    probed = probe_query_cids(queries, centroids, nprobe, dims)
+    spark = token_index.sparkSession
+    probe = spark.createDataFrame(probed, "query_id int, cid int")
+    global_cids = sorted({cid for _, cid in probed})
+    cand = (
+        token_index.filter(F.col("cid").isin(global_cids))
+        .join(F.broadcast(probe), "cid")
+        .select("query_id", id_col)
+        .distinct()
+    )
+    return _exact_maxsim_pairs(
+        token_index.select(id_col, "token", "vec"), cand, queries,
+        k, dims, id_col,
+    )
+
+
+def duckdb_late_interaction_topk_batch_pruned(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    nprobe: int = 4,
+    c: int = 16,
+    dims: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of the centroid-routed batch: same lexicographic
+    take centroids, same max-inner-product routing (vocab-level argmax
+    rn=1, query-token top-nprobe rn<=nprobe, both ties cid ASC), same
+    distinct (query, doc) candidate set, then the exact twin's MaxSim
+    restricted to candidates."""
+    tok_lists = _tok_lists(queries)
+    width = max(len(t) for _, t in tok_lists)
+    values = ", ".join(
+        f"({qid}, {i}, {t!r})"
+        for qid, toks in tok_lists
+        for i, t in enumerate(toks)
+    )
+    maxes = ", ".join(
+        f"max(CASE WHEN ord = {i} THEN {duckdb_dot('j.vec', 'q.qvec')} END)"
+        f" AS m{i}"
+        for i in range(width)
+    )
+    total = " + ".join(
+        ["m0"]
+        + [f"coalesce(m{i}, CAST(0.0 AS DOUBLE))" for i in range(1, width)]
+    )
+    return f"""
+        WITH dt AS (
+            SELECT DISTINCT {id_col}, t AS token
+            FROM {table}, unnest({duckdb_tokenize(text_col)}) u(t)
+        ),
+        vocab AS MATERIALIZED (
+            SELECT token, {DUCKDB_NORMALIZE} AS vec
+            FROM (
+                SELECT token, {duckdb_raw_embedding("token", dims)} AS raw
+                FROM (SELECT DISTINCT token FROM dt) _v
+            ) _raw
+        ),
+        j AS MATERIALIZED (
+            SELECT dt.{id_col}, dt.token, vocab.vec
+            FROM dt JOIN vocab USING (token)
+        ),
+        cbsel AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY token ASC) - 1 AS cid, vec
+            FROM vocab ORDER BY token ASC LIMIT {c}
+        ),
+        assign AS MATERIALIZED (
+            SELECT token, cid FROM (
+                SELECT v.token, cb.cid,
+                       row_number() OVER (
+                           PARTITION BY v.token
+                           ORDER BY {duckdb_dot('v.vec', 'cb.vec')} DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM vocab v, cbsel cb
+            ) WHERE rn = 1
+        ),
+        qt(query_id, ord, token) AS (VALUES {values}),
+        qv AS MATERIALIZED (
+            SELECT query_id, ord, {DUCKDB_NORMALIZE} AS qvec
+            FROM (
+                SELECT query_id, ord,
+                       {duckdb_raw_embedding("token", dims)} AS raw
+                FROM qt
+            ) _qr
+        ),
+        probe AS (
+            SELECT DISTINCT query_id, cid FROM (
+                SELECT q.query_id, q.ord, cb.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id, q.ord
+                           ORDER BY {duckdb_dot('q.qvec', 'cb.vec')} DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM qv q, cbsel cb
+            ) WHERE rn <= {nprobe}
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT p.query_id, j.{id_col}
+            FROM j JOIN assign USING (token)
+            JOIN probe p ON p.cid = assign.cid
+        ),
+        rmx AS (
+            SELECT cand.query_id, j.{id_col}, {maxes}
+            FROM j
+            JOIN cand ON cand.{id_col} = j.{id_col}
+            JOIN qv q ON q.query_id = cand.query_id
+            GROUP BY cand.query_id, j.{id_col}
+        ),
+        rs AS (
+            SELECT query_id, {id_col},
+                   round(({total}) * 1e6) / 1e6 + 0.0 AS score_r
+            FROM rmx
+        )
+        SELECT * FROM (
+            SELECT query_id, {id_col}, score_r,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_r DESC, {id_col} ASC
+                   ) AS INT) AS rank
+            FROM rs
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
 
 
 def duckdb_late_interaction_topk_batch_refined(

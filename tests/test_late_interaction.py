@@ -404,3 +404,115 @@ def test_refined_two_pass_matches_exact_with_covering_codebook(spark):
         if (r["query_id"], r["doc_id"]) in exact_scores:
             assert r["score_r"] == exact_scores[(r["query_id"], r["doc_id"])]
     tok.unpersist()
+
+
+def test_pruned_equals_exact_with_covering_probe(spark):
+    """nprobe = C (every centroid probed) makes candidate generation
+    total, so the centroid-routed form must be bit-identical to the
+    exact batch — routing only ever changes WHICH pairs are rescored,
+    never their scores."""
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        late_interaction_topk_batch,
+        late_interaction_topk_batch_pruned,
+        token_embeddings,
+        token_take_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=32, cache=False).persist()
+    tok.count()
+    queries = [(0, "merge sort"), (1, "external data")]
+    exact = late_interaction_topk_batch(tok, queries, k=3, dims=32).collect()
+    cents = token_take_centroids(tok, c=4)
+    routed = assign_token_cids(tok, cents)
+    pruned = late_interaction_topk_batch_pruned(
+        routed, cents, queries, k=3, nprobe=4, dims=32
+    ).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in exact]
+
+    # a lossy probe still returns exact SCORES on surviving pairs
+    narrow = late_interaction_topk_batch_pruned(
+        routed, cents, queries, k=3, nprobe=1, dims=32
+    ).collect()
+    exact_scores = {
+        (r["query_id"], r["doc_id"]): r["score_r"] for r in exact
+    }
+    for r in narrow:
+        if (r["query_id"], r["doc_id"]) in exact_scores:
+            assert r["score_r"] == exact_scores[(r["query_id"], r["doc_id"])]
+    tok.unpersist()
+
+
+def test_token_index_cid_partition_pruning(spark, tmp_path):
+    """The routed artifact's probed-cid read is PARTITION pruning: the
+    isin filter must land in the scan's PartitionFilters (directory
+    level — unprobed cids are never opened), and a routed append with
+    the frozen codebook serves identically to a full rebuild."""
+    from leann_rs_spark.catalog import (
+        append_to_token_index,
+        build_token_index,
+        load_token_index,
+    )
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch_pruned,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+            (5, "window aggregate state streams"),
+            (6, "hash join partition keys"),
+        ],
+        "doc_id long, text string",
+    )
+    wh = str(tmp_path / "wh")
+    build_token_index(spark, wh, "tok", docs, dims=32, n_centroids=4)
+    tok, info = load_token_index(spark, wh, "tok")
+    assert info["n_centroids"] == 4 and len(info["centroids"]) == 4
+    sub = tok.filter(F.col("cid").isin([0, 2]))
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert plan[plan.index("PartitionFilters"):].split("]")[0].count("cid")
+
+    # routed append ≡ rebuild, end-to-end through pruned serving
+    wh2 = str(tmp_path / "wh2")
+    build_token_index(
+        spark, wh2, "tok",
+        docs.filter(F.col("doc_id") <= 3), dims=32, n_centroids=4,
+    )
+    append_to_token_index(
+        spark, wh2, "tok", docs.filter(F.col("doc_id") > 3)
+    )
+    tok2, info2 = load_token_index(spark, wh2, "tok")
+    assert len(info2["centroids"]) == 4  # frozen at build time
+    # rebuild-with-the-SAME-frozen-codebook twin: route the full corpus
+    # through wh2's codebook (cid is a pure function of token+codebook,
+    # so appended partitions must equal this)
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        token_embeddings,
+    )
+
+    rebuilt = assign_token_cids(
+        token_embeddings(docs, dims=32, cache=False), info2["centroids"]
+    )
+    queries = [(0, "merge sort"), (1, "external data")]
+    full = late_interaction_topk_batch_pruned(
+        rebuilt, info2["centroids"], queries, k=3, nprobe=2, dims=32
+    ).collect()
+    appended = late_interaction_topk_batch_pruned(
+        tok2, info2["centroids"], queries, k=3, nprobe=2, dims=32
+    ).collect()
+    assert [tuple(r) for r in appended] == [tuple(r) for r in full]
