@@ -2927,6 +2927,42 @@ def x_late_interaction_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_BITS = 4
+
+
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-key) layout audit (sources/layout.with_zorder_key):
+    per-zkey histogram with per-cell column envelopes over events keyed
+    on (user_id, value) — the multi-dimensional clustering key behind
+    OPTIMIZE ZORDER-style layouts (sources/layout.zorder_write): range-
+    -partitioning on this key makes BOTH columns' per-file min/max
+    tight, so a 2-D box predicate prunes files/row-groups instead of
+    scanning everything. Key computation is ONE distributed min/max
+    aggregate + a pure projection (broadcast 1-row stats); the
+    envelopes returned here are exactly the per-cell tightness the
+    layout buys. Locality (box touches fewer files than a 1-D sort) is
+    pinned by test_layout; 1×/10× in SCALE."""
+    from leann_rs_spark.sources.layout import with_zorder_key
+
+    ev = read_events(spark, sf_dir)
+    k = with_zorder_key(ev, ["user_id", "value"], bits=_ZORDER_BITS)
+    return (
+        k.groupBy("zkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            (F.round(F.min("value") * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+                "min_value_r"
+            ),
+            (F.round(F.max("value") * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+                "max_value_r"
+            ),
+        )
+        .orderBy("zkey")
+    )
+
+
 def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift per corpus slice
     (functions/textstats.token_kl_by_group): KL(P_source ‖ P_corpus)
@@ -5629,6 +5665,17 @@ def _register_media_phash_oracle() -> None:
             _LI_BATCH, k=5, nprobe=_LI_NPROBE, c=_LI_C, dims=_EMBED_DIMS,
         )
     )
+    from leann_rs_spark.sources.layout import duckdb_zorder_key
+
+    _ORACLES["x_zorder_layout"] = f"""
+        SELECT zkey, count(*) AS n,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               round(min(value) * 1e6) / 1e6 + 0.0 AS min_value_r,
+               round(max(value) * 1e6) / 1e6 + 0.0 AS max_value_r
+        FROM ({duckdb_zorder_key(["user_id", "value"], _ZORDER_BITS, "events")}) z
+        GROUP BY zkey ORDER BY zkey
+    """
+
     _ORACLES["x_token_kl"] = f"""
         SELECT * FROM ({duckdb_token_kl_by_group()}) ORDER BY source
     """
@@ -5680,6 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_zorder_layout": x_zorder_layout,
         "x_late_interaction_pruned": x_late_interaction_pruned,
         "x_video_near_dups": x_video_near_dups,
         "x_late_interaction_batch": x_late_interaction_batch,

@@ -1,0 +1,85 @@
+"""Z-order layout (sources/layout.py): Morton-key arithmetic and the
+file-pruning locality it exists to buy."""
+
+from pyspark.sql import functions as F
+
+
+def test_zorder_key_interleaves_bucket_bits(spark):
+    """2-bit, 2-column grid over [0,3]×[0,3]: buckets equal the values
+    themselves, so zkey must be the textbook Morton number."""
+    from leann_rs_spark.sources.layout import with_zorder_key
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["zkey"]
+        for r in with_zorder_key(df, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(2):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    # value 3 = max lands in the clamped top bucket (still 3 at 2 bits)
+    assert got == {(x, y): morton(x, y) for x, y in rows}
+    assert min(got.values()) == 0 and max(got.values()) == 15
+
+
+def test_zorder_key_constant_and_null_columns(spark):
+    """A constant column has span 0 → bucket 0 for every row (the key
+    degrades to the other columns); NULLs bucket to 0, never NULL."""
+    from leann_rs_spark.sources.layout import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 7.0), (2, 7.0), (None, 7.0)], "x int, c double"
+    )
+    rows = with_zorder_key(df, ["x", "c"], bits=4).collect()
+    assert all(r["zkey"] is not None for r in rows)
+    # c contributes nothing: zkey is x's bucket interleaved with zeros
+    ks = {r["x"]: r["zkey"] for r in rows}
+    assert ks[None] == 0 and ks[1] == 0  # x=1 is the min → bucket 0
+    assert ks[2] > 0
+
+
+def test_zorder_confines_queries_on_every_dimension(spark, tmp_path):
+    """The point of the layout, on a uniform 2-D grid: a filter on the
+    dimension a 1-D sort IGNORES lives in every file of that layout,
+    but in a bounded fraction of the z-ordered one; and a small 2-D box
+    lives in a corner of the z-ordered layout. ("lives in" = files
+    holding matching rows, via input_file_name — the per-file min/max
+    envelope a stats-pruning reader skips by.)"""
+    from leann_rs_spark.sources.layout import zorder_write
+
+    n = 64
+    rows = [(a, b, a * n + b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a int, b int, v long")
+    zp, lp = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(df, zp, ["a", "b"], bits=6, files=16)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+
+    def touched(path: str, pred) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    assert spark.read.parquet(zp).count() == n * n
+    # the dimension the 1-D layout ignores: b<8 rows sit in EVERY
+    # a-sorted file, but only in the b-low stripes of the z-curve
+    lin_b = touched(lp, F.col("b") < 8)
+    z_b = touched(zp, F.col("b") < 8)
+    assert lin_b >= 15  # effectively all 16 files
+    assert z_b <= lin_b // 2
+    # a 1/64 box lives in the z-origin corner
+    assert touched(zp, (F.col("a") < 8) & (F.col("b") < 8)) <= 2
