@@ -1357,6 +1357,30 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster_id", "keep").orderBy("doc_id")
 
 
+_LEAK_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def x_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (dedup.
+    leakage_safe_split): the split hashes the near-dup CLUSTER
+    representative instead of the document id, so no near-duplicate
+    pair ever straddles splits — a per-doc hash split would put a test
+    doc's near-dup in train (memorization the eval can't see). One
+    cluster left-join + one hash projection on top of the components
+    the dedup already computes."""
+    from leann_rs_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_near_dups,
+    )
+
+    docs = _fan(_docs(spark, sf_dir))
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    out = leakage_safe_split(docs, pairs, weights=_LEAK_WEIGHTS)
+    return out.select("doc_id", "cluster_id", "keep", "split").orderBy(
+        "doc_id"
+    )
+
+
 _INCR_SPLIT = 400  # corpus = doc_id < split, new batch = the rest
 
 
@@ -4448,6 +4472,19 @@ def _register_dedup_oracles() -> None:
         FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
         ORDER BY d.doc_id
     """
+    from leann_rs_spark.operators.sampling import duckdb_split_assign
+
+    _leak_key = "coalesce(c.cluster_id, d.doc_id)"
+    _ORACLES["x_leakage_safe_split"] = f"""
+        WITH clusters AS ({duckdb_dedup_clusters(pairs_sql)})
+        SELECT d.doc_id,
+               {_leak_key} AS cluster_id,
+               {_leak_key} = d.doc_id AS keep,
+               {duckdb_split_assign(_leak_key, _LEAK_WEIGHTS)} AS split
+        FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
     from leann_rs_spark.operators.dedup import duckdb_minhash_near_dups_incremental
 
     _ORACLES["x_dedup_incremental"] = f"""
@@ -5727,6 +5764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_leakage_safe_split": x_leakage_safe_split,
         "x_zorder_layout": x_zorder_layout,
         "x_late_interaction_pruned": x_late_interaction_pruned,
         "x_video_near_dups": x_video_near_dups,

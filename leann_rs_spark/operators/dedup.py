@@ -509,6 +509,33 @@ def dedup_keep_canonical(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    salt: str = "split",
+) -> DataFrame:
+    """docs + near-dup pairs → docs + cluster_id + keep + split: the
+    train/val/test assignment that hashes the CLUSTER representative,
+    not the document id — near-duplicates always land in the SAME
+    split. A naive per-doc hash split leaks: a test document's near-
+    -duplicate sitting in train is memorization the eval can't see
+    (the decontamination failure mode x_decontaminate guards against,
+    applied to the corpus's own internal duplicates). Plan shape: the
+    connected-components labels (dedup_clusters) left-join the docs,
+    then the split is ONE hash projection over cluster_id — no extra
+    shuffle beyond the cluster join."""
+    from leann_rs_spark.operators.sampling import split_assign
+
+    with_clusters = dedup_keep_canonical(docs, pairs, id_col, id_a, id_b)
+    return split_assign(
+        with_clusters, F.col("cluster_id"), weights, salt=salt
+    )
+
+
 def duckdb_dedup_clusters(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
     """Oracle twin: transitive closure by recursive CTE, then the
     minimum reachable id labels each node."""

@@ -704,3 +704,37 @@ def test_minhash_band_sweep_monotone_recall_and_sig_prefix(spark):
     }
     swept = minhash_band_sweep(docs, truth, configs=((16, 8),))
     assert swept.head()["n_candidates"] == len(direct)
+
+
+def test_leakage_safe_split_colocates_clusters(spark):
+    """Every member of a near-dup component gets the SAME split (the
+    operator's whole point), singletons split by their own id, and the
+    assignment matches split_assign on the cluster label."""
+    from leann_rs_spark.operators.dedup import leakage_safe_split
+    from leann_rs_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 13), (2, 9)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, pairs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 20
+    # chained component {0,7,13} — one split, labeled by min id 0
+    assert {by_id[i]["cluster_id"] for i in (0, 7, 13)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 7, 13)}) == 1
+    assert {by_id[i]["cluster_id"] for i in (2, 9)} == {2}
+    assert by_id[2]["split"] == by_id[9]["split"]
+    # singleton: cluster = self, split = split_assign(own id)
+    solo = split_assign(
+        docs.filter(F.col("doc_id") == 5),
+        F.col("doc_id"),
+        {"train": 0.5, "val": 0.25, "test": 0.25},
+    ).collect()[0]["split"]
+    assert by_id[5]["cluster_id"] == 5 and by_id[5]["split"] == solo
+    # keep flag: exactly one canonical per component
+    assert [by_id[i]["keep"] for i in (0, 7, 13)] == [True, False, False]
