@@ -2987,6 +2987,32 @@ def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_PROBES = [1, 2, 4, 8]
+
+
+def x_li_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-width recall curve for centroid-routed late interaction
+    (late_interaction.li_probe_recall_curve): recall@k vs exact MaxSim
+    and the candidate count it costs, per nprobe — the knob an
+    operator turns to trade scan bytes for recall (the x_ivf_recall
+    analog on the multi-vector rung). ONE rescore of the max-probe
+    candidate set with each pair's best probe rank riding along;
+    sweep points are filters + one window over that frame (the
+    sweep-explode lesson), truth is one exact batch run."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        li_probe_recall_curve,
+    )
+
+    tok, info = load_token_index(
+        spark, _fx_token_ivf_wh(spark, sf_dir), "tok"
+    )
+    return li_probe_recall_curve(
+        tok, info["centroids"], _LI_BATCH,
+        k=5, nprobes=_LI_PROBES, dims=info["dims"],
+    )
+
+
 def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift per corpus slice
     (functions/textstats.token_kl_by_group): KL(P_source ‖ P_corpus)
@@ -5702,6 +5728,14 @@ def _register_media_phash_oracle() -> None:
             _LI_BATCH, k=5, nprobe=_LI_NPROBE, c=_LI_C, dims=_EMBED_DIMS,
         )
     )
+
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_li_probe_recall_curve,
+    )
+
+    _ORACLES["x_li_probe_recall"] = duckdb_li_probe_recall_curve(
+        _LI_BATCH, k=5, nprobes=_LI_PROBES, c=_LI_C, dims=_EMBED_DIMS,
+    )
     from leann_rs_spark.sources.layout import duckdb_zorder_key
 
     _ORACLES["x_zorder_layout"] = f"""
@@ -5764,6 +5798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_li_probe_recall": x_li_probe_recall,
         "x_leakage_safe_split": x_leakage_safe_split,
         "x_zorder_layout": x_zorder_layout,
         "x_late_interaction_pruned": x_late_interaction_pruned,

@@ -626,22 +626,20 @@ def _tok_lists(queries: list[tuple[int, str]]) -> list[tuple[int, list[str]]]:
     return out
 
 
-def _exact_maxsim_pairs(
+def _exact_maxsim_scores(
     token_index: DataFrame,
     pairs: DataFrame,
     queries: list[tuple[int, str]],
-    k: int,
     dims: int,
     id_col: str,
 ) -> DataFrame:
-    """Exact MaxSim restricted to a (query_id, id_col) candidate-pair
-    frame — the rescore tail shared by the refined (ADC shortlist) and
-    pruned (centroid-routed) serving forms. The pair frame joins
+    """→ (query_id, id_col, score_r): exact MaxSim restricted to a
+    (query_id, id_col) candidate-pair frame. The pair frame joins
     BROADCAST into the token index first, so only candidate docs'
-    token rows flow into the per-query-token aggregation; everything
-    downstream (ordinal-pivoted maxima, ONE wide exchange on
-    (query_id, doc), fixed-order coalesce sum, 6-dp round, windowed
-    top-k) is `late_interaction_topk_batch`'s exact plan."""
+    token rows flow into the per-query-token aggregation; the
+    ordinal-pivoted maxima, ONE wide exchange on (query_id, doc), and
+    fixed-order coalesce sum + 6-dp round are
+    `late_interaction_topk_batch`'s exact plan."""
     tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     spark = token_index.sparkSession
@@ -669,19 +667,33 @@ def _exact_maxsim_pairs(
     total = F.col("m0")
     for i in range(1, width):
         total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+    return mx.select(
+        "query_id",
+        id_col,
+        (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+            "score_r"
+        ),
+    )
+
+
+def _exact_maxsim_pairs(
+    token_index: DataFrame,
+    pairs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int,
+    dims: int,
+    id_col: str,
+) -> DataFrame:
+    """`_exact_maxsim_scores` + the per-query windowed top-k tail —
+    the rescore shared by the refined (ADC shortlist) and pruned
+    (centroid-routed) serving forms."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_r"), F.asc(id_col)
     )
     return (
-        mx.select(
-            "query_id",
-            id_col,
-            (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
-                "score_r"
-            ),
-        )
+        _exact_maxsim_scores(token_index, pairs, queries, dims, id_col)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
@@ -764,21 +776,21 @@ def assign_token_cids(
     )
 
 
-def probe_query_cids(
+def probe_query_cid_ranks(
     queries: list[tuple[int, str]],
     centroids: list[list[float]],
-    nprobe: int,
     dims: int = 64,
-) -> list[tuple[int, int]]:
-    """Driver-side query routing: for each query token, the top-nprobe
-    centroids by inner product (ties cid ASC), unioned per query →
-    sorted distinct (query_id, cid) rows. Pure Python with index-order
-    folds over `py_hash_embedding` vectors — bit-identical to the SQL
-    twin's row_number(ORDER BY dot DESC, cid ASC) ranking, the same
-    parity argument as the ADC lookup tables."""
+) -> list[tuple[int, int, int]]:
+    """Driver-side query routing ranks: for every (query, centroid),
+    the best (minimum) 1-based rank that centroid achieves across the
+    query's tokens, ranking each token's centroids by inner product
+    (ties cid ASC). Pure Python with index-order folds over
+    `py_hash_embedding` vectors — bit-identical to the SQL twin's
+    row_number(ORDER BY dot DESC, cid ASC), the same parity argument
+    as the ADC lookup tables. nprobe-probing = `rank <= nprobe`."""
     from leann_rs_spark.operators.embedder import py_hash_embedding
 
-    out: set[tuple[int, int]] = set()
+    best: dict[tuple[int, int], int] = {}
     for qid, toks in _tok_lists(queries):
         for t in toks:
             q = py_hash_embedding(t, dims)
@@ -788,9 +800,26 @@ def probe_query_cids(
                 for x, y in zip(q, cv):
                     acc += x * y
                 scored.append((-acc, cid))
-            for _, cid in sorted(scored)[:nprobe]:
-                out.add((qid, cid))
-    return sorted(out)
+            for rank, (_, cid) in enumerate(sorted(scored), 1):
+                key = (qid, cid)
+                best[key] = min(best.get(key, 1 << 30), rank)
+    return sorted((qid, cid, rn) for (qid, cid), rn in best.items())
+
+
+def probe_query_cids(
+    queries: list[tuple[int, str]],
+    centroids: list[list[float]],
+    nprobe: int,
+    dims: int = 64,
+) -> list[tuple[int, int]]:
+    """Sorted distinct (query_id, cid) rows probed at `nprobe` — each
+    query token's top-nprobe centroids, unioned per query (see
+    `probe_query_cid_ranks`)."""
+    return sorted(
+        (qid, cid)
+        for qid, cid, rn in probe_query_cid_ranks(queries, centroids, dims)
+        if rn <= nprobe
+    )
 
 
 def late_interaction_topk_batch_pruned(
@@ -943,6 +972,241 @@ def duckdb_late_interaction_topk_batch_pruned(
             FROM rs
         ) WHERE rank <= {k}
         ORDER BY query_id, rank
+    """
+
+
+def li_probe_recall_curve(
+    token_index: DataFrame,
+    centroids: list[list[float]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    nprobes: list[int] | None = None,
+    dims: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (nprobe, n_candidates, recall_r): the knob-picking diagnostic
+    for centroid-routed late interaction — recall@k vs exact MaxSim,
+    and the candidate count it costs, per probe width. The
+    x_ivf_recall analog for the multi-vector rung.
+
+    ONE job per axis, never a per-sweep-point rerun (the repo's
+    sweep-explode lesson): exact scores are nprobe-INDEPENDENT (probing
+    only changes which pairs are candidates), so candidates at
+    max(nprobes) are rescored ONCE with each pair's best probe rank
+    riding along, then every sweep point is a filter + one window over
+    the same frame. Ground truth is one exact batch run."""
+    nprobes = sorted(nprobes or [1, 2, 4])
+    maxp = nprobes[-1]
+    nq = len(queries)
+    spark = token_index.sparkSession
+    ranks = [
+        r
+        for r in probe_query_cid_ranks(queries, centroids, dims)
+        if r[2] <= maxp
+    ]
+    rank_df = spark.createDataFrame(
+        ranks, "query_id int, cid int, min_rn int"
+    )
+    global_cids = sorted({cid for _, cid, _ in ranks})
+    plain = token_index.select(id_col, "token", "vec")
+    cand = (
+        token_index.filter(F.col("cid").isin(global_cids))
+        .join(F.broadcast(rank_df), "cid")
+        .groupBy("query_id", id_col)
+        .agg(F.min("min_rn").alias("cand_rn"))
+        .persist()
+    )
+    cand.count()  # multi-consumer boundary (pairs input + rank join)
+    scored = _exact_maxsim_scores(
+        plain, cand.select("query_id", id_col), queries, dims, id_col
+    )
+    sw = (
+        scored.join(F.broadcast(cand), ["query_id", id_col])
+        .withColumn(
+            "nprobe", F.explode(F.array(*[F.lit(p) for p in nprobes]))
+        )
+        .filter(F.col("cand_rn") <= F.col("nprobe"))
+        .persist()
+    )
+    sw.count()  # consumed by the ranked top-k AND the candidate count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("score_r"), F.asc(id_col)
+    )
+    truth = late_interaction_topk_batch(
+        plain, queries, k=k, dims=dims, id_col=id_col
+    ).select("query_id", id_col)
+    matched = (
+        sw.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .join(F.broadcast(truth), ["query_id", id_col])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("matched"))
+    )
+    ncand = sw.groupBy("nprobe").agg(F.count("*").alias("n_candidates"))
+    recall = (
+        F.round(
+            (F.coalesce(F.col("matched"), F.lit(0)).cast("double")
+             / F.lit(float(k * nq)))
+            * F.lit(1e6)
+        )
+        / F.lit(1e6)
+        + F.lit(0.0)
+    )
+    return (
+        ncand.join(matched, "nprobe", "left")
+        .select("nprobe", "n_candidates", recall.alias("recall_r"))
+        .orderBy("nprobe")
+    )
+
+
+def duckdb_li_probe_recall_curve(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    nprobes: list[int] | None = None,
+    c: int = 16,
+    dims: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of `li_probe_recall_curve`: same lexicographic take
+    centroids, per-(query, centroid) best rank, candidates at
+    max(nprobe) rescored once, sweep points as filters over ONE
+    scored frame, truth = the exact batch twin at k."""
+    nprobes = sorted(nprobes or [1, 2, 4])
+    maxp = nprobes[-1]
+    nq = len(queries)
+    tok_lists = _tok_lists(queries)
+    width = max(len(t) for _, t in tok_lists)
+    values = ", ".join(
+        f"({qid}, {i}, {t!r})"
+        for qid, toks in tok_lists
+        for i, t in enumerate(toks)
+    )
+    probe_vals = ", ".join(f"({p})" for p in nprobes)
+    maxes = ", ".join(
+        f"max(CASE WHEN ord = {i} THEN {duckdb_dot('j.vec', 'q.qvec')} END)"
+        f" AS m{i}"
+        for i in range(width)
+    )
+    total = " + ".join(
+        ["m0"]
+        + [f"coalesce(m{i}, CAST(0.0 AS DOUBLE))" for i in range(1, width)]
+    )
+    return f"""
+        WITH dt AS (
+            SELECT DISTINCT {id_col}, t AS token
+            FROM {table}, unnest({duckdb_tokenize(text_col)}) u(t)
+        ),
+        vocab AS MATERIALIZED (
+            SELECT token, {DUCKDB_NORMALIZE} AS vec
+            FROM (
+                SELECT token, {duckdb_raw_embedding("token", dims)} AS raw
+                FROM (SELECT DISTINCT token FROM dt) _v
+            ) _raw
+        ),
+        j AS MATERIALIZED (
+            SELECT dt.{id_col}, dt.token, vocab.vec
+            FROM dt JOIN vocab USING (token)
+        ),
+        cbsel AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY token ASC) - 1 AS cid, vec
+            FROM vocab ORDER BY token ASC LIMIT {c}
+        ),
+        assign AS MATERIALIZED (
+            SELECT token, cid FROM (
+                SELECT v.token, cb.cid,
+                       row_number() OVER (
+                           PARTITION BY v.token
+                           ORDER BY {duckdb_dot('v.vec', 'cb.vec')} DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM vocab v, cbsel cb
+            ) WHERE rn = 1
+        ),
+        qt(query_id, ord, token) AS (VALUES {values}),
+        qv AS MATERIALIZED (
+            SELECT query_id, ord, {DUCKDB_NORMALIZE} AS qvec
+            FROM (
+                SELECT query_id, ord,
+                       {duckdb_raw_embedding("token", dims)} AS raw
+                FROM qt
+            ) _qr
+        ),
+        proberank AS (
+            SELECT query_id, cid, min(rn) AS min_rn FROM (
+                SELECT q.query_id, q.ord, cb.cid,
+                       row_number() OVER (
+                           PARTITION BY q.query_id, q.ord
+                           ORDER BY {duckdb_dot('q.qvec', 'cb.vec')} DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM qv q, cbsel cb
+            ) GROUP BY query_id, cid
+        ),
+        cand AS MATERIALIZED (
+            SELECT p.query_id, j.{id_col}, min(p.min_rn) AS cand_rn
+            FROM j JOIN assign USING (token)
+            JOIN proberank p ON p.cid = assign.cid AND p.min_rn <= {maxp}
+            GROUP BY p.query_id, j.{id_col}
+        ),
+        scored AS MATERIALIZED (
+            SELECT rmx.query_id, rmx.{id_col},
+                   round(({total}) * 1e6) / 1e6 + 0.0 AS score_r
+            FROM (
+                SELECT cand.query_id, j.{id_col}, {maxes}
+                FROM j
+                JOIN cand ON cand.{id_col} = j.{id_col}
+                JOIN qv q ON q.query_id = cand.query_id
+                GROUP BY cand.query_id, j.{id_col}
+            ) rmx
+        ),
+        sw AS MATERIALIZED (
+            SELECT pr.np AS nprobe, s.query_id, s.{id_col}, s.score_r
+            FROM scored s
+            JOIN cand USING (query_id, {id_col})
+            JOIN (VALUES {probe_vals}) pr(np) ON cand.cand_rn <= pr.np
+        ),
+        truth AS MATERIALIZED (
+            SELECT query_id, {id_col} FROM (
+                SELECT m.query_id, m.{id_col},
+                       row_number() OVER (
+                           PARTITION BY m.query_id
+                           ORDER BY round(({total}) * 1e6) / 1e6 + 0.0 DESC,
+                                    m.{id_col} ASC
+                       ) AS rank
+                FROM (
+                    SELECT q.query_id, j.{id_col}, {maxes}
+                    FROM j, qv q
+                    GROUP BY q.query_id, j.{id_col}
+                ) m
+            ) WHERE rank <= {k}
+        ),
+        topk AS (
+            SELECT nprobe, query_id, {id_col} FROM (
+                SELECT nprobe, query_id, {id_col},
+                       row_number() OVER (
+                           PARTITION BY nprobe, query_id
+                           ORDER BY score_r DESC, {id_col} ASC
+                       ) AS rk
+                FROM sw
+            ) WHERE rk <= {k}
+        ),
+        m AS (
+            SELECT nprobe, count(*) AS matched
+            FROM topk JOIN truth USING (query_id, {id_col})
+            GROUP BY nprobe
+        ),
+        nc AS (
+            SELECT nprobe, count(*) AS n_candidates FROM sw GROUP BY nprobe
+        )
+        SELECT nc.nprobe, nc.n_candidates,
+               round((CAST(coalesce(m.matched, 0) AS DOUBLE)
+                      / {float(k * nq)!r}) * 1e6) / 1e6 + 0.0 AS recall_r
+        FROM nc LEFT JOIN m USING (nprobe)
+        ORDER BY nc.nprobe
     """
 
 

@@ -516,3 +516,42 @@ def test_token_index_cid_partition_pruning(spark, tmp_path):
         tok2, info2["centroids"], queries, k=3, nprobe=2, dims=32
     ).collect()
     assert [tuple(r) for r in appended] == [tuple(r) for r in full]
+
+
+def test_li_probe_recall_curve_monotone_and_saturating(spark):
+    """Recall and candidate count are nondecreasing in nprobe, and a
+    covering probe (nprobe = C) reaches recall 1.0 — routing can only
+    ADD candidates, and exact rescoring makes the covering sweep point
+    reproduce the exact top-k."""
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        li_probe_recall_curve,
+        token_embeddings,
+        token_take_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+            (5, "window aggregate state streams"),
+            (6, "hash join partition keys"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=32, cache=False).persist()
+    tok.count()
+    cents = token_take_centroids(tok, c=4)
+    routed = assign_token_cids(tok, cents)
+    rows = li_probe_recall_curve(
+        routed, cents, [(0, "merge sort"), (1, "external data")],
+        k=2, nprobes=[1, 2, 4], dims=32,
+    ).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    recalls = [r["recall_r"] for r in rows]
+    cands = [r["n_candidates"] for r in rows]
+    assert recalls == sorted(recalls) and cands == sorted(cands)
+    assert recalls[-1] == 1.0  # covering probe == exact
+    tok.unpersist()
