@@ -2796,6 +2796,33 @@ def _fx_token_appended(spark: SparkSession, sf_dir: str) -> str:
     return _fx(("token_appended", sf_dir), build)
 
 
+def x_token_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-index compaction (catalog.compact_token_index): the
+    even+odd APPENDED artifact — whose append left one extra file —
+    rewritten to one file per partition via the crash-safe sibling-
+    -swap, then the same batch MaxSim serves from the compacted
+    layout. The oracle recomputes over the FULL corpus: a hash match
+    is compact ≡ identity end-to-end through serving (x_ivf_compact's
+    pattern on the engine's largest artifact). Compaction itself runs
+    once per process on a copy (`_fx` ladder)."""
+    from leann_rs_spark.catalog import compact_token_index, load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+    )
+
+    def build() -> str:
+        wh = _fx_copy(_fx_token_appended(spark, sf_dir), "leann-fx-tokcomp-")
+        n_before = compact_token_index(spark, wh, "tok")
+        assert n_before >= 2  # the append really did fragment the layout
+        return wh
+
+    wh = _fx(("token_compacted", sf_dir), build)
+    tok, info = load_token_index(spark, wh, "tok")
+    return late_interaction_topk_batch(
+        tok, _LI_BATCH, k=5, dims=info["dims"]
+    )
+
+
 def x_token_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 for the late-interaction artifact: token index built on the
     even doc half, odd half APPENDED (O(batch) — hash token embeddings
@@ -2949,6 +2976,39 @@ def x_late_interaction_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_interaction_topk_batch_refined(
         tok, codes, cb, _LI_BATCH, k=5, refine=4, dims=info["dims"]
     )
+
+
+def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/joins.salted_join):
+    events enriched with a per-user dim through a (key, salt-bucket)
+    join — a hot key's probe rows spread over `salt` reducers instead
+    of one straggler (the explicit rung under broadcast and AQE
+    skew-join on the 100 TB join ladder). The oracle is the PLAIN
+    join: a hash match proves salting never changes semantics, only
+    the shuffle key."""
+    from leann_rs_spark.operators.joins import salted_join
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_n"))
+    return salted_join(ev, dim, "user_id", salt=8).select(
+        "event_id", "user_id", "user_n"
+    ).orderBy("event_id")
+
+
+_STATS_COLS = ["event_id", "user_id", "value"]
+
+
+def x_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column table statistics (sources/warehouse.
+    table_stats) — the ANALYZE pass behind layout and join decisions
+    (selectivity for z-order/partition keys, broadcastability). ONE
+    aggregation pass for every column's n / n_null / exact ndv /
+    rounded min / max, unpivoted to long format; the 100 TB variant
+    swaps exact count-distinct for approx_count_distinct in the same
+    plan shape (the gate pins the exact form for value parity)."""
+    from leann_rs_spark.sources.warehouse import table_stats
+
+    return table_stats(read_events(spark, sf_dir), _STATS_COLS)
 
 
 _ZORDER_BITS = 4
@@ -5699,6 +5759,11 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_token_index_append"] = duckdb_late_interaction_topk_batch(
         _LI_BATCH, k=5, dims=_EMBED_DIMS
     )
+    # compact gate: same ruling — serving from the COMPACTED appended
+    # artifact against the full-corpus oracle is compact ≡ identity
+    _ORACLES["x_token_index_compact"] = duckdb_late_interaction_topk_batch(
+        _LI_BATCH, k=5, dims=_EMBED_DIMS
+    )
 
     from leann_rs_spark.operators.late_interaction import (
         duckdb_late_interaction_topk_batch_pq,
@@ -5736,6 +5801,20 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_li_probe_recall"] = duckdb_li_probe_recall_curve(
         _LI_BATCH, k=5, nprobes=_LI_PROBES, c=_LI_C, dims=_EMBED_DIMS,
     )
+    from leann_rs_spark.sources.warehouse import duckdb_table_stats
+
+    _ORACLES["x_table_stats"] = duckdb_table_stats(_STATS_COLS, "events")
+
+    # the salted join's oracle IS the plain join — semantics identity
+    _ORACLES["x_salted_join"] = """
+        SELECT e.event_id, e.user_id, d.user_n
+        FROM events e
+        JOIN (
+            SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id
+        ) d ON d.user_id = e.user_id
+        ORDER BY e.event_id
+    """
+
     from leann_rs_spark.sources.layout import duckdb_zorder_key
 
     _ORACLES["x_zorder_layout"] = f"""
@@ -5798,6 +5877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_salted_join": x_salted_join,
+        "x_table_stats": x_table_stats,
+        "x_token_index_compact": x_token_index_compact,
         "x_li_probe_recall": x_li_probe_recall,
         "x_leakage_safe_split": x_leakage_safe_split,
         "x_zorder_layout": x_zorder_layout,

@@ -1127,6 +1127,59 @@ def append_to_token_index(
     return meta
 
 
+def compact_token_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+) -> int:
+    """Rewrite the token-index layout to one file per partition — the
+    maintenance pass pairing with `append_to_token_index` (each append
+    adds a file — per touched cid directory on a routed index — and
+    after N appends a query batch reads N small files where one
+    row-group-pruned scan would do; `compact_ivf_index`'s ruling
+    applied to the engine's largest serving artifact). Row set and
+    serving results are unchanged — pinned by tests.
+
+    Writes to a sibling directory and swaps (crash mid-compact leaves
+    the live layout intact). Returns the file count before
+    compaction."""
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    info = meta.extra.get("token_index")
+    if not info:
+        raise ValueError(
+            f"index {name!r} has no token index — run build_token_index"
+        )
+    from leann_rs_spark.sources.warehouse import _recover_swap, _swap_in
+
+    tok_dir = f"{base}/token_index"
+    _recover_swap(tok_dir)  # heal a crash window from a previous compact
+    n_files = sum(
+        1
+        for root, _, files in os.walk(tok_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    tmp = f"{base}/token_index__compacting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed compact
+    df = spark.read.parquet(tok_dir)
+    if "centroids" in info:
+        df.repartition(int(info["n_centroids"]), "cid").write.partitionBy(
+            "cid"
+        ).parquet(tmp)
+    else:
+        # bounded file count, ~1M token rows (~100 MB at dims=32-64)
+        # per file: close to spark.sql.files.maxPartitionBytes, so the
+        # compacted scan still splits across executors. SCALE measured
+        # the over-compacted alternative: one ~300 MB file at the 10×
+        # fixture → 3 input splits → 40 s serving vs ~24 s fragmented.
+        n_out = max(1, -(-int(info["rows"]) // 1_000_000))
+        df.repartition(n_out).write.parquet(tmp)
+    _swap_in(tok_dir, tmp)
+    return n_files
+
+
 def load_token_index(
     spark: SparkSession, warehouse: str, name: str
 ) -> tuple[DataFrame, dict]:

@@ -405,17 +405,22 @@ def cmd_prune(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from leann_rs_spark.catalog import compact_ivf_index
+    from leann_rs_spark.catalog import compact_ivf_index, compact_token_index
 
     spark = _spark(args)
+    what = getattr(args, "what", "ivf")
     try:
-        n = compact_ivf_index(spark, args.warehouse, args.name)
+        if what == "token":
+            n = compact_token_index(spark, args.warehouse, args.name)
+        else:
+            n = compact_ivf_index(spark, args.warehouse, args.name)
     except ValueError as exc:
         print(f"compact: {exc}", file=sys.stderr)
         return 1
+    label = "token index" if what == "token" else "IVF layout"
     print(
-        f"Compacted IVF layout of '{args.name}' "
-        f"({n} files before, one per cluster now)"
+        f"Compacted {label} of '{args.name}' "
+        f"({n} files before, one per partition now)"
     )
     return 0
 
@@ -506,6 +511,29 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Re-cluster a parquet table by a Z-order (Morton) key over the
+    given columns (sources/layout.zorder_write) — the OPTIMIZE
+    ZORDER-style layout that makes per-file min/max stats tight on
+    EVERY interleaved column, so multi-dimensional box predicates
+    prune files/row-groups instead of scanning everything."""
+    from leann_rs_spark.sources.layout import zorder_write
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    missing = [c for c in args.by if c not in df.columns]
+    if missing:
+        print(f"layout: no such column(s): {missing}", file=sys.stderr)
+        return 2
+    zorder_write(df, args.output, args.by, bits=args.bits, files=args.files)
+    n = spark.read.parquet(args.output).count()
+    print(
+        f"z-ordered {n} rows by ({', '.join(args.by)}) "
+        f"into {args.files} files -> {args.output}"
+    )
+    return 0
+
+
 def cmd_msearch(args) -> int:
     """Multi-vector (ColBERT-style MaxSim) search over a documents
     parquet (operators/late_interaction.py): each query token takes
@@ -514,18 +542,22 @@ def cmd_msearch(args) -> int:
 
     `--index WAREHOUSE/NAME` serves from the persisted token index
     (catalog.build_token_index) instead of re-deriving it per call;
-    `--build-index` persists it first. Multiple positional queries run
-    as ONE batch over a single token-table scan
-    (late_interaction_topk_batch)."""
+    `--build-index` persists it first (`--centroids C` routes + cid-
+    -partitions it). Multiple positional queries run as ONE batch over
+    a single token-table scan (late_interaction_topk_batch);
+    `--nprobe` switches to centroid-routed candidate pruning
+    (late_interaction_topk_batch_pruned) over a routed index."""
     from leann_rs_spark.operators.late_interaction import (
         late_interaction_topk,
         late_interaction_topk_batch,
+        late_interaction_topk_batch_pruned,
         token_embeddings,
     )
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
     id_col, dims = args.id_col, args.dims
+    info = {}
     if args.build_index:
         from leann_rs_spark.catalog import build_token_index
 
@@ -533,6 +565,7 @@ def cmd_msearch(args) -> int:
         build_token_index(
             spark, wh, name, docs,
             id_col=args.id_col, text_col=args.text_col, dims=args.dims,
+            n_centroids=args.centroids,
         )
         args.index = args.build_index
     if args.index:
@@ -544,7 +577,20 @@ def cmd_msearch(args) -> int:
     else:
         tok = None
     queries = list(enumerate(args.query))
-    if len(queries) == 1:
+    if args.nprobe is not None:
+        if "centroids" not in info:
+            print(
+                "--nprobe needs an --index built with --centroids",
+                file=sys.stderr,
+            )
+            return 2
+        hits = late_interaction_topk_batch_pruned(
+            tok, info["centroids"], queries,
+            k=args.top_k, nprobe=args.nprobe, dims=dims, id_col=id_col,
+        )
+    elif len(queries) == 1:
+        if tok is not None and "centroids" in info:
+            tok = tok.select(id_col, "token", "vec")
         hits = late_interaction_topk(
             docs, queries[0][1], k=args.top_k, dims=dims,
             id_col=id_col, text_col=args.text_col, token_index=tok,
@@ -554,6 +600,8 @@ def cmd_msearch(args) -> int:
             tok = token_embeddings(
                 docs, id_col=id_col, text_col=args.text_col, dims=dims
             )
+        elif "centroids" in info:
+            tok = tok.select(id_col, "token", "vec")
         hits = late_interaction_topk_batch(
             tok, queries, k=args.top_k, dims=dims, id_col=id_col
         )
@@ -1062,6 +1110,11 @@ def build_parser() -> argparse.ArgumentParser:
              "(after incremental updates)",
     )
     common(cpx)
+    cpx.add_argument(
+        "--what", choices=["ivf", "token"], default="ivf",
+        help="which artifact to compact: the IVF layout (default) or"
+             " the late-interaction token index",
+    )
     cpx.set_defaults(fn=cmd_compact)
 
     cf = sub.add_parser("config", help="Manage configuration")
@@ -1133,6 +1186,21 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--text-col", default="text", dest="text_col")
     dr.set_defaults(fn=cmd_drift)
 
+    lo = sub.add_parser(
+        "layout",
+        help="re-cluster a parquet table by a Z-order (Morton) key"
+             " for multi-dimensional scan pruning",
+    )
+    lo.add_argument("--input", required=True, help="source parquet path")
+    lo.add_argument("--output", required=True, help="destination parquet path")
+    lo.add_argument(
+        "--by", nargs="+", required=True,
+        help="columns to interleave into the clustering key",
+    )
+    lo.add_argument("--bits", type=int, default=8)
+    lo.add_argument("--files", type=int, default=32)
+    lo.set_defaults(fn=cmd_layout)
+
     ms = sub.add_parser(
         "msearch",
         help="Multi-vector (ColBERT-style MaxSim) search over a"
@@ -1153,6 +1221,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--build-index", default=None, dest="build_index",
         help="WAREHOUSE/NAME: build+persist the token index from --input"
              " first, then search it",
+    )
+    ms.add_argument(
+        "--centroids", type=int, default=None,
+        help="with --build-index: route the token index over C take-"
+             "policy centroids and partition it by cid (enables --nprobe)",
+    )
+    ms.add_argument(
+        "--nprobe", type=int, default=None,
+        help="centroid-routed candidate pruning: probe each query"
+             " token's nprobe nearest centroids and rescore only"
+             " candidate docs (requires a --centroids-built index)",
     )
     ms.set_defaults(fn=cmd_msearch)
 

@@ -301,3 +301,41 @@ def interval_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
     )
     return joined.drop("__bucket")
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe EQUI-join — the generic form of `asof_join`'s
+    salt_buckets: the big side scatters each row into one of `salt`
+    buckets by a deterministic full-row hash (retries scatter
+    identically; bucket choice never affects which rows match), the
+    dim side replicates `salt`× via ONE map-side explode, and the join
+    runs on (key, bucket) — a hot key's rows land on `salt` reducers
+    instead of one straggler task.
+
+    The repo's join ladder at 100 TB: (1) broadcast a small dim;
+    (2) AQE skew-join splits oversized shuffle partitions at runtime;
+    (3) THIS — when the dim is too big to broadcast AND the skew is
+    known and extreme, or a deterministic plan is required regardless
+    of runtime statistics. Salting only refines the shuffle key, never
+    the semantics: the gate's oracle is the PLAIN join (x_salted_join).
+
+    `how` supports inner/left: the left side keeps exactly one bucket
+    per row, so unmatched left rows survive once. Dim rows are assumed
+    unique per key (the usual dim contract — duplicates would
+    duplicate matches exactly as in the plain join)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    big2 = big.withColumn("__salt", bucket.cast("int"))
+    dim2 = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt)])),
+    )
+    return big2.join(dim2, keys + ["__salt"], how).drop("__salt")

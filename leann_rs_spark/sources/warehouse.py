@@ -402,3 +402,59 @@ def upsert_parquet(
         "inserted": n_updates - updated,
         "total": total,
     }
+
+
+def table_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """→ (col_name, n, n_null, ndv, min_r, max_r): exact per-column
+    table statistics for numeric columns — the ANALYZE pass feeding
+    layout/pruning decisions (which columns are selective enough to
+    z-order or partition by, whether a dimension is broadcastable).
+    ONE aggregation pass computes every measure (Spark expands the
+    count-distincts inside a single exchange); the long format comes
+    from a stack() unpivot of that 1-row frame, so adding columns
+    never adds passes. ndv is EXACT (count distinct) — at 100 TB swap
+    in approx_count_distinct for the same shape at a fraction of the
+    cost; the gate pins the exact form so the twin can match values.
+    min/max ride the 6-dp round(x·1e6)/1e6 recipe."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.coalesce(
+                F.sum(col.isNull().cast("long")), F.lit(0)
+            ).cast("long").alias(f"__nn_{c}"),
+            F.countDistinct(col).alias(f"__ndv_{c}"),
+            (F.round(F.min(col.cast("double")) * F.lit(1e6)) / F.lit(1e6)
+             + F.lit(0.0)).alias(f"__mn_{c}"),
+            (F.round(F.max(col.cast("double")) * F.lit(1e6)) / F.lit(1e6)
+             + F.lit(0.0)).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __ndv_{c}, __mn_{c}, __mx_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack})"
+        " AS (col_name, n, n_null, ndv, min_r, max_r)"
+    ).orderBy("col_name")
+
+
+def duckdb_table_stats(cols: list[str], table: str) -> str:
+    """SQL twin of `table_stats`: one SELECT per column UNION ALL'd —
+    same exact measures, same rounding, same ordering."""
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               count({c}) AS n,
+               CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_null,
+               count(DISTINCT {c}) AS ndv,
+               round(min(CAST({c} AS DOUBLE)) * 1e6) / 1e6 + 0.0 AS min_r,
+               round(max(CAST({c} AS DOUBLE)) * 1e6) / 1e6 + 0.0 AS max_r
+        FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"

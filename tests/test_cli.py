@@ -582,3 +582,62 @@ def test_cli_msearch_batch_over_persisted_index(spark, tmp_path_factory, capsys)
     assert "[1]" in lines[1]          # merge-sort doc tops query 0
     assert lines[2].startswith("query [1]")
     assert "[2]" in lines[3]          # hash-join doc tops query 1
+
+
+def test_cli_msearch_routed_index_nprobe(spark, tmp_path_factory, capsys):
+    """--build-index --centroids routes + cid-partitions the artifact;
+    --nprobe serves the centroid-pruned batch from it. A covering
+    nprobe must still find the right docs; --nprobe over an unrouted
+    index is refused."""
+    import os
+
+    d = tmp_path_factory.mktemp("cli_msearch_routed")
+    inp = str(d / "in")
+    idx = str(d / "wh") + "/tok"
+    spark.createDataFrame(
+        [(1, "merge sort for big batches"), (2, "hash join probe side")],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    rc = main(["msearch", "merge sort", "--input", inp, "--dims", "16",
+               "--build-index", idx, "--centroids", "4"])
+    assert rc == 0
+    assert any(
+        e.startswith("cid=") for e in os.listdir(f"{idx}/token_index")
+    )
+    capsys.readouterr()
+    rc = main(["msearch", "merge sort", "hash probe", "--input", inp,
+               "--top-k", "1", "--index", idx, "--nprobe", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines[0].startswith("query [0]") and "[1]" in lines[1]
+    assert lines[2].startswith("query [1]") and "[2]" in lines[3]
+
+    # unrouted index: --nprobe is an argument error, not a crash
+    idx2 = str(d / "wh2") + "/tok"
+    assert main(["msearch", "merge", "--input", inp, "--dims", "16",
+                 "--build-index", idx2]) == 0
+    capsys.readouterr()
+    rc = main(["msearch", "merge sort", "--input", inp,
+               "--index", idx2, "--nprobe", "2"])
+    assert rc == 2
+
+
+def test_cli_layout_zorder(spark, tmp_path_factory, capsys):
+    """The layout command re-clusters a parquet table by the Morton
+    key; row set is preserved and bad columns are refused."""
+    d = tmp_path_factory.mktemp("cli_layout")
+    inp, outp = str(d / "in"), str(d / "out")
+    spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a int, b int"
+    ).write.parquet(inp)
+    rc = main(["layout", "--input", inp, "--output", outp,
+               "--by", "a", "b", "--bits", "4", "--files", "4"])
+    assert rc == 0
+    assert "z-ordered 256 rows" in capsys.readouterr().out
+    got = sorted(
+        (r["a"], r["b"]) for r in spark.read.parquet(outp).collect()
+    )
+    assert got == [(a, b) for a in range(16) for b in range(16)]
+    assert main(["layout", "--input", inp, "--output", outp,
+                 "--by", "nope"]) == 2

@@ -342,3 +342,58 @@ def test_asof_null_payload_stays_row_atomic(spark):
     out = asof_join(left, right, on="user_id", right_cols=["quote"]).head()
     assert out["ts_right"] == _ts("2024-01-01 10:00:04")
     assert out["quote_right"] is None  # NOT 5.0 from the older row
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """90% of probe rows share one key: the salted result must be the
+    plain join row-for-row, for inner and left (including unmatched
+    left rows surviving exactly once)."""
+    from leann_rs_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, 7 if i % 10 else i) for i in range(500)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(7, "hot"), (10, "cold"), (20, "cold")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            tuple(r) for r in big.join(dim, "k", how)
+            .select("row_id", "k", "tag").collect()
+        )
+        got = sorted(
+            tuple(r) for r in salted_join(big, dim, "k", salt=4, how=how)
+            .select("row_id", "k", "tag").collect()
+        )
+        assert got == want
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, dim, "k", how="outer")
+
+
+def test_salted_join_shuffles_on_key_plus_bucket(spark):
+    """With broadcast off, the shuffle key must include the salt
+    bucket — that's the whole point (a hot key spreads over `salt`
+    reducers)."""
+    from leann_rs_spark.operators.joins import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(1000).select(
+            F.col("id").alias("row_id"), (F.col("id") % 5).alias("k")
+        )
+        dim = spark.range(5).select(
+            F.col("id").alias("k"), F.lit("t").alias("tag")
+        )
+        plan = (
+            salted_join(big, dim, "k", salt=4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        # the exchange hashes on (k, __salt), not k alone
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert parts and all("__salt" in p for p in parts if "k#" in p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -555,3 +555,61 @@ def test_li_probe_recall_curve_monotone_and_saturating(spark):
     assert recalls == sorted(recalls) and cands == sorted(cands)
     assert recalls[-1] == 1.0  # covering probe == exact
     tok.unpersist()
+
+
+def test_compact_token_index_preserves_rows_and_layout(spark, tmp_path):
+    """Compaction after appends: file count drops, row set identical,
+    a routed index keeps its cid directories (and partition pruning),
+    an unrouted one collapses to a bounded file count."""
+    import os
+
+    from leann_rs_spark.catalog import (
+        append_to_token_index,
+        build_token_index,
+        compact_token_index,
+        load_token_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def files(p):
+        return sum(
+            1 for root, _, fs in os.walk(p)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    for routed, wh in ((False, str(tmp_path / "a")), (True, str(tmp_path / "b"))):
+        build_token_index(
+            spark, wh, "tok", docs.filter(F.col("doc_id") <= 2),
+            dims=16, n_centroids=4 if routed else None,
+        )
+        append_to_token_index(
+            spark, wh, "tok", docs.filter(F.col("doc_id") > 2)
+        )
+        before = sorted(
+            tuple(r) for r in spark.read.parquet(
+                f"{wh}/tok/token_index"
+            ).select("doc_id", "token").collect()
+        )
+        n_before = compact_token_index(spark, wh, "tok")
+        tok, info = load_token_index(spark, wh, "tok")
+        after = sorted(
+            tuple(r) for r in tok.select("doc_id", "token").collect()
+        )
+        assert after == before
+        assert files(f"{wh}/tok/token_index") < n_before
+        if routed:
+            assert any(
+                e.startswith("cid=")
+                for e in os.listdir(f"{wh}/tok/token_index")
+            )
+        else:
+            assert files(f"{wh}/tok/token_index") == 1  # 4 docs << 4M rows

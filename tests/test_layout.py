@@ -83,3 +83,20 @@ def test_zorder_confines_queries_on_every_dimension(spark, tmp_path):
     assert z_b <= lin_b // 2
     # a 1/64 box lives in the z-origin corner
     assert touched(zp, (F.col("a") < 8) & (F.col("b") < 8)) <= 2
+
+
+def test_zorder_key_is_python_free_broadcast_projection(spark):
+    """The key computation is native: one min/max aggregate broadcast
+    back (BroadcastNestedLoopJoin over a 1-row frame), then a pure
+    projection — no Python stage anywhere in the plan."""
+    from leann_rs_spark.sources.layout import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "a int, b double"
+    )
+    plan = (
+        with_zorder_key(df, ["a", "b"], bits=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -380,3 +380,21 @@ def test_upsert_stability_check_catches_null_partition_stray(spark, tmp_path):
             partition_cols="lang", check_partition_stability=True,
         )
     assert spark.read.parquet(p).count() == 2
+
+
+def test_table_stats_exact_measures_with_nulls(spark):
+    """n / n_null / exact ndv / rounded min-max per column, long
+    format, one row per column, NULL-bearing columns counted right."""
+    from leann_rs_spark.sources.warehouse import table_stats
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 10.0), (None, 2.5)],
+        "a long, b double",
+    )
+    rows = {r["col_name"]: r for r in table_stats(df, ["a", "b"]).collect()}
+    assert list(rows) == ["a", "b"]
+    a, b = rows["a"], rows["b"]
+    assert (a["n"], a["n_null"], a["ndv"]) == (3, 1, 3)
+    assert (a["min_r"], a["max_r"]) == (1.0, 3.0)
+    assert (b["n"], b["n_null"], b["ndv"]) == (3, 1, 2)
+    assert (b["min_r"], b["max_r"]) == (2.5, 10.0)

@@ -156,6 +156,24 @@ def main() -> None:
         # appended artifact (build once per sf_dir via _fx)
         "x_late_interaction_pq", "x_late_interaction_refined",
         "x_token_index_append",
+        # round-7b additions: centroid-routed candidate generation
+        # reads probed-cid partitions only (directory pruning) before
+        # the broadcast-pair rescore; the probe-recall sweep is ONE
+        # rescore of the max-probe candidates + filters per sweep
+        # point; leakage-safe split is the components loop + one hash
+        # projection (component-proportional); zorder is one min/max
+        # aggregate + a pure projection + the per-cell groupBy
+        "x_late_interaction_pruned", "x_li_probe_recall",
+        "x_leakage_safe_split", "x_zorder_layout",
+        # token-index compaction: serving from the one-file-per-
+        # partition layout (the compact itself is the once-per-process
+        # _fx build, recorded as first_call)
+        "x_token_index_compact",
+        # ANALYZE stats: one aggregation pass, flat per row
+        "x_table_stats",
+        # salted join: one (key, bucket) shuffle — row-proportional,
+        # the salt only flattens per-reducer skew
+        "x_salted_join",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -181,6 +199,8 @@ def main() -> None:
     artifact_gates = {
         "x_late_interaction_batch", "x_late_interaction_pq",
         "x_late_interaction_refined", "x_token_index_append",
+        "x_late_interaction_pruned", "x_li_probe_recall",
+        "x_token_index_compact",
     }
     results: dict[str, dict] = {}
     for name in names:
@@ -222,12 +242,76 @@ def main() -> None:
     results["upsert_pruning"] = upsert_prune_check(spark, args)
     spark.catalog.clearCache()
     results["audio_real"] = audio_real_check(spark, args)
+    spark.catalog.clearCache()
+    results["zorder_pruning"] = zorder_prune_check(spark, args)
     # measurement conditions: shared-host load keeps masquerading as
     # plan regressions (bench.py records the same field)
     results["load_avg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
     results["ncpus"] = os.cpu_count()
     print(json.dumps(results))
     spark.stop()
+
+
+def zorder_prune_check(spark, args) -> dict:
+    """File-level locality the z-order layout buys, at 1×/10×: write
+    events clustered by the Morton key over (user_id, value) and by a
+    1-D user_id sort, then count the files HOLDING rows of a ~1%
+    2-D box (10% of each dimension's range) — the per-file min/max
+    envelope a stats-pruning reader skips by. Expect the z-ordered
+    file count flat and well under the 1-D layout's; the write itself
+    is one range shuffle (the re-layout cost, row-proportional)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.sources.layout import zorder_write
+
+    out: dict = {}
+    files = 32
+    for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        st = ev.agg(
+            F.min("user_id"), F.max("user_id"),
+            F.min("value"), F.max("value"),
+        ).collect()[0]
+        u_hi = st[0] + 0.1 * (st[1] - st[0])
+        v_hi = st[2] + 0.1 * (st[3] - st[2])
+        box = (F.col("user_id") <= u_hi) & (F.col("value") <= v_hi)
+        root = tempfile.mkdtemp(prefix="leann-scale-zorder-")
+        zp, lp = f"{root}/z", f"{root}/lin"
+        t0 = time.perf_counter()
+        zorder_write(ev, zp, ["user_id", "value"], bits=8, files=files)
+        t_write = round(time.perf_counter() - t0, 2)
+        (
+            ev.repartitionByRange(files, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite").parquet(lp)
+        )
+
+        def touched(path: str, pred) -> int:
+            return (
+                spark.read.parquet(path)
+                .filter(pred)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+
+        # the value-only filter is the discriminating case: the 1-D
+        # user sort leaves low values in EVERY file, z-order confines
+        # them to the value-low stripes of the curve
+        out[label] = {
+            "z_files_box": touched(zp, box),
+            "lin_files_box": touched(lp, box),
+            "z_files_value": touched(zp, F.col("value") <= v_hi),
+            "lin_files_value": touched(lp, F.col("value") <= v_hi),
+            "total_files": files,
+            "t_zorder_write_s": t_write,
+        }
+        print(f"# {label:3} zorder_pruning: {out[label]}", file=sys.stderr)
+    return out
 
 
 def audio_real_check(spark, args) -> dict:
