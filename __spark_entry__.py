@@ -2978,6 +2978,32 @@ def x_late_interaction_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (sources/warehouse.diff_tables): added / removed /
+    changed keys between two table versions — the audit view an upsert
+    or ingest monitor runs before committing a batch. The second
+    snapshot is derived deterministically from events in BOTH engines
+    (drop every 7th key, perturb every 11th value, add re-keyed copies
+    of every 13th row); ONE full-outer join on the key, null-safe row
+    comparison, unchanged rows dropped."""
+    from leann_rs_spark.sources.warehouse import diff_tables
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    kept = ev.filter(F.col("event_id") % 7 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 11 == 0, F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+    added = ev.filter(F.col("event_id") % 13 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    new = kept.unionByName(added)
+    return diff_tables(ev, new, ["event_id"], ["user_id", "value"]).orderBy(
+        "event_id"
+    )
+
+
 def x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted equi-join (operators/joins.salted_join):
     events enriched with a per-user dim through a (key, salt-bucket)
@@ -3045,6 +3071,42 @@ def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zkey")
     )
+
+
+def x_li_bm25_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector hybrid retrieval: MaxSim top-k over the persisted
+    token index fused with BM25 top-k by reciprocal-rank fusion
+    (hybrid.rrf_fuse) — the q13/x_rrf_hybrid composition with the
+    dense single-vector side replaced by late interaction, showing the
+    serving rungs compose: term-level MaxSim recall + lexical BM25
+    precision, rank-only fusion (no cross-scale score normalization
+    needed). Upstream candidate producers are the heavy distributed
+    jobs; the fusion is two candidate-set windows + one full-outer
+    join."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.hybrid import rrf_fuse
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tok, info = load_token_index(spark, _fx_token_wh(spark, sf_dir), "tok")
+    li_hits = late_interaction_topk_batch(
+        tok, [(0, _HYBRID_QUERY)], k=_HYBRID_FETCH_K, dims=info["dims"]
+    ).select("doc_id", F.col("score_r").alias("score"))
+    bm25_top = (
+        score_adhoc_query(_fan(docs), _HYBRID_QUERY)
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
+        .limit(_HYBRID_FETCH_K)
+    )
+    out = rrf_fuse(li_hits, bm25_top, k0=60)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("li_rank"),
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
+        (F.round(F.col("rrf"), 6) + F.lit(0.0)).alias("rrf_r"),
+    ).orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc()).limit(10)
 
 
 _LI_PROBES = [1, 2, 4, 8]
@@ -5801,9 +5863,52 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_li_probe_recall"] = duckdb_li_probe_recall_curve(
         _LI_BATCH, k=5, nprobes=_LI_PROBES, c=_LI_C, dims=_EMBED_DIMS,
     )
+
+    _li_rrf = duckdb_rrf_fuse(
+        vec_hits_sql=f"""
+            SELECT doc_id, score_r AS score
+            FROM ({duckdb_late_interaction_topk_batch(
+                [(0, _HYBRID_QUERY)], k=_HYBRID_FETCH_K, dims=_EMBED_DIMS
+            )})
+        """,
+        bm25_hits_sql=f"""
+            SELECT doc_id, score FROM ({duckdb_bm25_scored(_HYBRID_QUERY)})
+            WHERE score > 0.0
+            ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {_HYBRID_FETCH_K}
+        """,
+        k0=60,
+    )
+    _ORACLES["x_li_bm25_hybrid"] = f"""
+        SELECT doc_id,
+               coalesce(vec_rank, 0)::bigint AS li_rank,
+               coalesce(bm25_rank, 0)::bigint AS bm25_rank,
+               round(rrf, 6) + 0.0 AS rrf_r
+        FROM ({_li_rrf})
+        ORDER BY rrf_r DESC, doc_id ASC LIMIT 10
+    """
     from leann_rs_spark.sources.warehouse import duckdb_table_stats
 
     _ORACLES["x_table_stats"] = duckdb_table_stats(_STATS_COLS, "events")
+
+    from leann_rs_spark.sources.warehouse import duckdb_diff_tables
+
+    _diff = duckdb_diff_tables(
+        "SELECT * FROM __ev", "SELECT * FROM __nw",
+        ["event_id"], ["user_id", "value"],
+    )
+    _ORACLES["x_table_diff"] = f"""
+        WITH __ev AS (SELECT event_id, user_id, value FROM events),
+        __nw AS (
+            SELECT event_id, user_id,
+                   CASE WHEN event_id % 11 = 0 THEN value + 1.0
+                        ELSE value END AS value
+            FROM __ev WHERE event_id % 7 <> 0
+            UNION ALL
+            SELECT event_id + 10000000, user_id, value
+            FROM __ev WHERE event_id % 13 = 0
+        )
+        SELECT * FROM ({_diff}) ORDER BY event_id
+    """
 
     # the salted join's oracle IS the plain join — semantics identity
     _ORACLES["x_salted_join"] = """
@@ -5877,6 +5982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_li_bm25_hybrid": x_li_bm25_hybrid,
+        "x_table_diff": x_table_diff,
         "x_salted_join": x_salted_join,
         "x_table_stats": x_table_stats,
         "x_token_index_compact": x_token_index_compact,

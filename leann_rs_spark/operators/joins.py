@@ -332,7 +332,11 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    # xxhash64 rejects MapType (same guard as asof_join's salt path);
+    # rows identical on the hashable columns sharing a bucket is
+    # harmless — bucket choice never affects which rows match
+    hashable = [c for c, t in big.dtypes if not t.startswith("map")] or keys
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt))
     big2 = big.withColumn("__salt", bucket.cast("int"))
     dim2 = dim.withColumn(
         "__salt",

@@ -458,3 +458,72 @@ def duckdb_table_stats(cols: list[str], table: str) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+def diff_tables(
+    base: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """→ (key_cols..., change ∈ added|removed|changed): snapshot diff
+    between two versions of a table — the audit view behind an upsert
+    (what WILL this batch do?) and ingest monitoring (how much churned
+    between snapshots?). ONE full-outer join on the key; unchanged
+    rows are dropped. `compare_cols` defaults to every shared non-key
+    column; comparison is null-safe (NULL ≡ NULL, the eqNullSafe of a
+    MERGE condition). At 100 TB both sides shuffle once on the key —
+    the same exchange the upsert itself would pay; pre-bucketed
+    snapshots (write_bucketed) co-locate and skip it."""
+    from pyspark.sql import functions as F
+
+    compare_cols = compare_cols or [
+        c for c in base.columns if c in set(new.columns) and c not in key_cols
+    ]
+    b = base.select(
+        *[F.col(c) for c in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__b"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__n"),
+    )
+    j = b.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__b").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        .when(~F.col("__b").eqNullSafe(F.col("__n")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
+
+
+def duckdb_diff_tables(
+    base_sql: str,
+    new_sql: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> str:
+    """SQL twin of `diff_tables`: same full-outer join, same null-safe
+    row comparison (IS NOT DISTINCT FROM over the compare struct)."""
+    bkey = key_cols[0]
+    coal_keys = ", ".join(
+        f"coalesce(b.{c}, n.{c}) AS {c}" for c in key_cols
+    )
+    on = " AND ".join(f"b.{c} = n.{c}" for c in key_cols)
+    brow = "ROW(" + ", ".join(f"b.{c}" for c in compare_cols) + ")"
+    nrow = "ROW(" + ", ".join(f"n.{c}" for c in compare_cols) + ")"
+    return f"""
+        SELECT * FROM (
+            SELECT {coal_keys},
+                   CASE WHEN b.{bkey} IS NULL THEN 'added'
+                        WHEN n.{bkey} IS NULL THEN 'removed'
+                        WHEN NOT ({brow} IS NOT DISTINCT FROM {nrow})
+                             THEN 'changed'
+                   END AS change
+            FROM ({base_sql}) b FULL OUTER JOIN ({new_sql}) n ON {on}
+        ) WHERE change IS NOT NULL
+    """

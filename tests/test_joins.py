@@ -397,3 +397,20 @@ def test_salted_join_shuffles_on_key_plus_bucket(spark):
         assert parts and all("__salt" in p for p in parts if "k#" in p)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_with_map_column(spark):
+    """xxhash64 rejects MapType — the bucket hash must skip map
+    columns instead of failing at plan time."""
+    from leann_rs_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 7, {"a": "1"}), (2, 7, {"b": "2"}), (3, 8, {"c": "3"})],
+        "row_id long, k long, attrs map<string,string>",
+    )
+    dim = spark.createDataFrame([(7, "hot")], "k long, tag string")
+    got = sorted(
+        (r["row_id"], r["tag"])
+        for r in salted_join(big, dim, "k", salt=4).collect()
+    )
+    assert got == [(1, "hot"), (2, "hot")]

@@ -398,3 +398,24 @@ def test_table_stats_exact_measures_with_nulls(spark):
     assert (a["min_r"], a["max_r"]) == (1.0, 3.0)
     assert (b["n"], b["n_null"], b["ndv"]) == (3, 1, 2)
     assert (b["min_r"], b["max_r"]) == (2.5, 10.0)
+
+
+def test_diff_tables_classifies_added_removed_changed(spark):
+    """Full-outer snapshot diff: unchanged rows vanish, NULL-bearing
+    payloads compare null-safely (NULL == NULL is unchanged)."""
+    from leann_rs_spark.sources.warehouse import diff_tables
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, tag string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "C", 3.0), (5, "e", 5.0)],
+        "id long, tag string, v double",
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in diff_tables(base, new, ["id"]).collect()
+    }
+    # 1 unchanged (absent), 2 unchanged via NULL==NULL (absent)
+    assert got == {3: "changed", 4: "removed", 5: "added"}

@@ -28,8 +28,11 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-amend")
     qs = entry.queries()
-    names = ["x_token_index_compact", "x_table_stats", "x_salted_join"]
-    artifact_gates = {"x_token_index_compact"}
+    names = [
+        "x_token_index_compact", "x_table_stats", "x_salted_join",
+        "x_table_diff", "x_li_bm25_hybrid",
+    ]
+    artifact_gates = {"x_token_index_compact", "x_li_bm25_hybrid"}
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):

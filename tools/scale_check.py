@@ -174,6 +174,12 @@ def main() -> None:
         # salted join: one (key, bucket) shuffle — row-proportional,
         # the salt only flattens per-reducer skew
         "x_salted_join",
+        # snapshot diff: one full-outer key shuffle (the upsert's own
+        # exchange) — row-proportional
+        "x_table_diff",
+        # LI x BM25 fusion: two candidate producers (token-index scan
+        # + BM25 postings) + a candidate-set-sized rank fusion
+        "x_li_bm25_hybrid",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -200,7 +206,7 @@ def main() -> None:
         "x_late_interaction_batch", "x_late_interaction_pq",
         "x_late_interaction_refined", "x_token_index_append",
         "x_late_interaction_pruned", "x_li_probe_recall",
-        "x_token_index_compact",
+        "x_token_index_compact", "x_li_bm25_hybrid",
     }
     results: dict[str, dict] = {}
     for name in names:
