@@ -2796,6 +2796,59 @@ def _fx_token_appended(spark: SparkSession, sf_dir: str) -> str:
     return _fx(("token_appended", sf_dir), build)
 
 
+def x_stream_token_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingestion for the late-interaction artifact: the
+    odd-doc half arrives as a file-source STREAM and lands in the
+    even-half token index via foreachBatch → append_to_token_index —
+    each micro-batch pays O(batch) (hash token embeddings are
+    corpus-independent), the property that makes a standing ingest
+    query viable against a 100 TB token index. One file +
+    Trigger.AvailableNow ⇒ exactly one batch, so this gate shares the
+    x_token_index_append oracle verbatim: stream-ingest ≡ batch-append
+    ≡ from-scratch rebuild, end-to-end through batch MaxSim serving.
+    Runs once per process on the `_fx` ladder."""
+    from leann_rs_spark.catalog import (
+        append_to_token_index,
+        build_token_index,
+        load_token_index,
+    )
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+    )
+
+    def build() -> str:
+        wh = _gate_tmpdir("leann-fx-tokstream-")
+        docs = _docs(spark, sf_dir)
+        build_token_index(
+            spark, wh, "tok",
+            _fan(docs.filter(F.col("doc_id") % 2 == 0)), dims=_EMBED_DIMS,
+        )
+        d = _gate_tmpdir("leann-streamtok-in-")
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{d}/in"
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(f"{d}/in")
+
+        def _ingest(batch_df, batch_id) -> None:
+            append_to_token_index(spark, wh, "tok", batch_df)
+
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("token ingest stream did not drain")
+        return wh
+
+    wh = _fx(("token_streamed", sf_dir), build)
+    tok, info = load_token_index(spark, wh, "tok")
+    return late_interaction_topk_batch(
+        tok, _LI_BATCH, k=5, dims=info["dims"]
+    )
+
+
 def x_token_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-index compaction (catalog.compact_token_index): the
     even+odd APPENDED artifact — whose append left one extra file —
@@ -3107,6 +3160,28 @@ def x_li_bm25_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
         (F.round(F.col("rrf"), 6) + F.lit(0.0)).alias("rrf_r"),
     ).orderBy(F.col("rrf_r").desc(), F.col("doc_id").asc()).limit(10)
+
+
+def x_token_cid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing-codebook balance audit for the centroid-routed token
+    index: token rows and distinct vocabulary per cid — the histogram
+    an operator reads before trusting nprobe/C scan-bytes arithmetic
+    (a skewed codebook makes hot partitions; the take-policy centroids
+    this fixture uses ARE skewed, which is the argument for swapping
+    in seeded k-means without touching assignment or serving — the
+    ivf_codebook_balance check's relational twin). One groupBy over
+    the routed artifact; the oracle recomputes the assignment."""
+    from leann_rs_spark.catalog import load_token_index
+
+    tok, _ = load_token_index(spark, _fx_token_ivf_wh(spark, sf_dir), "tok")
+    return (
+        tok.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("token").alias("n_tokens"),
+        )
+        .orderBy("cid")
+    )
 
 
 _LI_PROBES = [1, 2, 4, 8]
@@ -5826,6 +5901,11 @@ def _register_media_phash_oracle() -> None:
     _ORACLES["x_token_index_compact"] = duckdb_late_interaction_topk_batch(
         _LI_BATCH, k=5, dims=_EMBED_DIMS
     )
+    # stream-ingest gate: same full-corpus oracle — one AvailableNow
+    # micro-batch makes stream-ingest ≡ batch-append ≡ rebuild
+    _ORACLES["x_stream_token_ingest"] = duckdb_late_interaction_topk_batch(
+        _LI_BATCH, k=5, dims=_EMBED_DIMS
+    )
 
     from leann_rs_spark.operators.late_interaction import (
         duckdb_late_interaction_topk_batch_pq,
@@ -5862,6 +5942,14 @@ def _register_media_phash_oracle() -> None:
 
     _ORACLES["x_li_probe_recall"] = duckdb_li_probe_recall_curve(
         _LI_BATCH, k=5, nprobes=_LI_PROBES, c=_LI_C, dims=_EMBED_DIMS,
+    )
+
+    from leann_rs_spark.operators.late_interaction import (
+        duckdb_token_cid_balance,
+    )
+
+    _ORACLES["x_token_cid_balance"] = duckdb_token_cid_balance(
+        c=_LI_C, dims=_EMBED_DIMS,
     )
 
     _li_rrf = duckdb_rrf_fuse(
@@ -5982,6 +6070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_token_cid_balance": x_token_cid_balance,
+        "x_stream_token_ingest": x_stream_token_ingest,
         "x_li_bm25_hybrid": x_li_bm25_hybrid,
         "x_table_diff": x_table_diff,
         "x_salted_join": x_salted_join,

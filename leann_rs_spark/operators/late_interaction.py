@@ -1210,6 +1210,51 @@ def duckdb_li_probe_recall_curve(
     """
 
 
+def duckdb_token_cid_balance(
+    c: int = 16,
+    dims: int = 64,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of the routed artifact's per-cid histogram: rebuild
+    the lexicographic take centroids and the vocab-level argmax
+    assignment (ties cid ASC — the proven pair), join to the distinct
+    (doc, token) table, GROUP BY cid."""
+    return f"""
+        WITH dt AS (
+            SELECT DISTINCT {id_col}, t AS token
+            FROM {table}, unnest({duckdb_tokenize(text_col)}) u(t)
+        ),
+        vocab AS MATERIALIZED (
+            SELECT token, {DUCKDB_NORMALIZE} AS vec
+            FROM (
+                SELECT token, {duckdb_raw_embedding("token", dims)} AS raw
+                FROM (SELECT DISTINCT token FROM dt) _v
+            ) _raw
+        ),
+        cbsel AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY token ASC) - 1 AS cid, vec
+            FROM vocab ORDER BY token ASC LIMIT {c}
+        ),
+        assign AS (
+            SELECT token, cid FROM (
+                SELECT v.token, cb.cid,
+                       row_number() OVER (
+                           PARTITION BY v.token
+                           ORDER BY {duckdb_dot('v.vec', 'cb.vec')} DESC,
+                                    cb.cid ASC
+                       ) AS rn
+                FROM vocab v, cbsel cb
+            ) WHERE rn = 1
+        )
+        SELECT cid, count(*) AS n_rows,
+               count(DISTINCT token) AS n_tokens
+        FROM dt JOIN assign USING (token)
+        GROUP BY cid ORDER BY cid
+    """
+
+
 def duckdb_late_interaction_topk_batch_refined(
     queries: list[tuple[int, str]],
     k: int = 10,

@@ -404,7 +404,9 @@ def upsert_parquet(
     }
 
 
-def table_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+def table_stats(
+    df: DataFrame, cols: list[str], exact: bool = True
+) -> DataFrame:
     """→ (col_name, n, n_null, ndv, min_r, max_r): exact per-column
     table statistics for numeric columns — the ANALYZE pass feeding
     layout/pruning decisions (which columns are selective enough to
@@ -415,6 +417,8 @@ def table_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     never adds passes. ndv is EXACT (count distinct) — at 100 TB swap
     in approx_count_distinct for the same shape at a fraction of the
     cost; the gate pins the exact form so the twin can match values.
+    `exact=False` IS that swap — approx_count_distinct (HLL++, default
+    rsd 5%) replaces the expensive expand, everything else identical.
     min/max ride the 6-dp round(x·1e6)/1e6 recipe."""
     from pyspark.sql import functions as F
 
@@ -426,7 +430,11 @@ def table_stats(df: DataFrame, cols: list[str]) -> DataFrame:
             F.coalesce(
                 F.sum(col.isNull().cast("long")), F.lit(0)
             ).cast("long").alias(f"__nn_{c}"),
-            F.countDistinct(col).alias(f"__ndv_{c}"),
+            (
+                F.countDistinct(col)
+                if exact
+                else F.approx_count_distinct(col)
+            ).alias(f"__ndv_{c}"),
             (F.round(F.min(col.cast("double")) * F.lit(1e6)) / F.lit(1e6)
              + F.lit(0.0)).alias(f"__mn_{c}"),
             (F.round(F.max(col.cast("double")) * F.lit(1e6)) / F.lit(1e6)

@@ -419,3 +419,23 @@ def test_diff_tables_classifies_added_removed_changed(spark):
     }
     # 1 unchanged (absent), 2 unchanged via NULL==NULL (absent)
     assert got == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_table_stats_approx_ndv_scale_path(spark):
+    """exact=False swaps the ndv measure for HLL++ in the same plan
+    shape: identical schema, counts/min/max unchanged, ndv within the
+    sketch's tolerance."""
+    from leann_rs_spark.sources.warehouse import table_stats
+
+    df = spark.range(5000).selectExpr("id", "id % 97 AS k")
+    ex = {r["col_name"]: r for r in table_stats(df, ["id", "k"]).collect()}
+    ap = {
+        r["col_name"]: r
+        for r in table_stats(df, ["id", "k"], exact=False).collect()
+    }
+    for c in ("id", "k"):
+        assert (ap[c]["n"], ap[c]["n_null"]) == (ex[c]["n"], ex[c]["n_null"])
+        assert (ap[c]["min_r"], ap[c]["max_r"]) == (
+            ex[c]["min_r"], ex[c]["max_r"],
+        )
+        assert abs(ap[c]["ndv"] - ex[c]["ndv"]) <= 0.1 * ex[c]["ndv"]

@@ -30,9 +30,11 @@ def main() -> None:
     qs = entry.queries()
     names = [
         "x_token_index_compact", "x_table_stats", "x_salted_join",
-        "x_table_diff", "x_li_bm25_hybrid",
+        "x_table_diff", "x_li_bm25_hybrid", "x_token_cid_balance",
     ]
-    artifact_gates = {"x_token_index_compact", "x_li_bm25_hybrid"}
+    artifact_gates = {
+        "x_token_index_compact", "x_li_bm25_hybrid", "x_token_cid_balance",
+    }
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):

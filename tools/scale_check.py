@@ -180,6 +180,8 @@ def main() -> None:
         # LI x BM25 fusion: two candidate producers (token-index scan
         # + BM25 postings) + a candidate-set-sized rank fusion
         "x_li_bm25_hybrid",
+        # routing-balance audit: one groupBy over the routed artifact
+        "x_token_cid_balance",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -207,6 +209,7 @@ def main() -> None:
         "x_late_interaction_refined", "x_token_index_append",
         "x_late_interaction_pruned", "x_li_probe_recall",
         "x_token_index_compact", "x_li_bm25_hybrid",
+        "x_token_cid_balance",
     }
     results: dict[str, dict] = {}
     for name in names:
