@@ -1016,6 +1016,7 @@ def build_token_index(
     text_col: str = "text",
     dims: int = 64,
     n_centroids: int | None = None,
+    centroid_policy: str = "take",
 ) -> IndexMeta:
     """Persist the ColBERT-style TOKEN-LEVEL embedding table as a
     catalog artifact — the "token index" the late-interaction docstring
@@ -1028,15 +1029,21 @@ def build_token_index(
     (id_col="idx"), the msearch-over-an-index path; passing a docs
     frame builds a standalone token index (meta created if absent).
 
-    `n_centroids` routes every token row to its nearest of C take-
-    -policy centroids and writes the artifact partitionBy("cid") — the
-    PLAID/IVF layout: a pruned query batch reads only probed-cid
-    DIRECTORIES (late_interaction_topk_batch_pruned), and the KB-sized
-    codebook rides meta so serving never re-derives it.
+    `n_centroids` routes every token row to its nearest of C centroids
+    and writes the artifact partitionBy("cid") — the PLAID/IVF layout:
+    a pruned query batch reads only probed-cid DIRECTORIES
+    (late_interaction_topk_batch_pruned), and the KB-sized codebook
+    rides meta so serving never re-derives it. `centroid_policy`:
+    "take" (lexicographic vocab sample — deterministic, the oracle
+    policy) or "kmeans" (seeded spherical MLlib k-means over the
+    VOCABULARY — balances routing partitions on real token
+    distributions, which is what makes nprobe/C scan arithmetic hold;
+    assignment, serving, and append are policy-blind, so the swap
+    touches nothing downstream — the ann.kmeans_centroids ruling).
 
     Layout: <base>/token_index/[cid=*/]*.parquet (id_col, token, vec)
     + meta.extra["token_index"] = {dims, id_col, rows[, n_centroids,
-    centroids]}.
+    centroid_policy, centroids]}.
     """
     from leann_rs_spark.operators.late_interaction import (
         assign_token_cids,
@@ -1055,8 +1062,23 @@ def build_token_index(
     )
     info: dict = {"dims": dims, "id_col": id_col}
     if n_centroids is not None:
-        cents = token_take_centroids(tok, c=n_centroids)
+        if centroid_policy == "kmeans":
+            from leann_rs_spark.operators.ann import kmeans_centroids
+
+            vocab = tok.select("token", "vec").distinct()
+            cdf = kmeans_centroids(
+                vocab, n_centroids, id_col="token", vec_col="vec"
+            )
+            rows = sorted(cdf.collect(), key=lambda r: r["centroid_id"])
+            cents = [[float(x) for x in r["centroid_vec"]] for r in rows]
+        elif centroid_policy == "take":
+            cents = token_take_centroids(tok, c=n_centroids)
+        else:
+            raise ValueError(
+                f"unknown centroid_policy {centroid_policy!r}"
+            )
         info["n_centroids"] = n_centroids
+        info["centroid_policy"] = centroid_policy
         info["centroids"] = cents
         assign_token_cids(tok, cents, id_col=id_col).write.mode(
             "overwrite"

@@ -566,6 +566,7 @@ def cmd_msearch(args) -> int:
             spark, wh, name, docs,
             id_col=args.id_col, text_col=args.text_col, dims=args.dims,
             n_centroids=args.centroids,
+            centroid_policy=getattr(args, "centroid_policy", "take"),
         )
         args.index = args.build_index
     if args.index:
@@ -1224,8 +1225,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ms.add_argument(
         "--centroids", type=int, default=None,
-        help="with --build-index: route the token index over C take-"
-             "policy centroids and partition it by cid (enables --nprobe)",
+        help="with --build-index: route the token index over C"
+             " centroids and partition it by cid (enables --nprobe)",
+    )
+    ms.add_argument(
+        "--centroid-policy", choices=["take", "kmeans"], default="take",
+        dest="centroid_policy",
+        help="routing codebook: lexicographic take sample (default) or"
+             " seeded spherical k-means over the vocabulary",
     )
     ms.add_argument(
         "--nprobe", type=int, default=None,

@@ -613,3 +613,52 @@ def test_compact_token_index_preserves_rows_and_layout(spark, tmp_path):
             )
         else:
             assert files(f"{wh}/tok/token_index") == 1  # 4 docs << 4M rows
+
+
+def test_kmeans_routed_token_index(spark, tmp_path):
+    """centroid_policy='kmeans': seeded spherical codebook over the
+    vocabulary — unit-norm centroids, policy recorded in meta, and the
+    covering probe still reproduces the exact batch bit-for-bit
+    (assignment/serving are policy-blind)."""
+    from leann_rs_spark.catalog import build_token_index, load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+        late_interaction_topk_batch_pruned,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+            (5, "window aggregate state streams"),
+            (6, "hash join partition keys"),
+        ],
+        "doc_id long, text string",
+    )
+    wh = str(tmp_path / "wh")
+    build_token_index(
+        spark, wh, "tok", docs, dims=32,
+        n_centroids=4, centroid_policy="kmeans",
+    )
+    tok, info = load_token_index(spark, wh, "tok")
+    assert info["centroid_policy"] == "kmeans"
+    for cv in info["centroids"]:
+        assert abs(sum(x * x for x in cv) - 1.0) < 1e-6
+    queries = [(0, "merge sort"), (1, "external data")]
+    exact = late_interaction_topk_batch(
+        tok.select("doc_id", "token", "vec"), queries, k=3, dims=32
+    ).collect()
+    pruned = late_interaction_topk_batch_pruned(
+        tok, info["centroids"], queries, k=3, nprobe=4, dims=32
+    ).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in exact]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="centroid_policy"):
+        build_token_index(
+            spark, str(tmp_path / "wh2"), "tok", docs, dims=32,
+            n_centroids=4, centroid_policy="nope",
+        )
