@@ -3204,10 +3204,12 @@ def x_li_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok, info = load_token_index(
         spark, _fx_token_ivf_wh(spark, sf_dir), "tok"
     )
-    return li_probe_recall_curve(
+    inter: list = []
+    curve = li_probe_recall_curve(
         tok, info["centroids"], _LI_BATCH,
-        k=5, nprobes=_LI_PROBES, dims=info["dims"],
+        k=5, nprobes=_LI_PROBES, dims=info["dims"], intermediates=inter,
     )
+    return _materialize_curve(spark, curve, inter)
 
 
 def x_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4241,6 +4243,16 @@ def x_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "cum_weight")
 
 
+# Planted media-variant id offset. Collision-freedom with REAL ids is
+# a RESIDUE argument, not a magnitude one (10x fixtures reach doc_id
+# ~50k > the offset): phash bases are doc_id%3==0 and video bases
+# doc_id%3==2, so variants (base + OFF) live in a different mod-3
+# class than their bases whenever OFF % 3 != 0 — the static assert
+# keeps a future offset/filter change from silently planting
+# colliding ids (the _pr_corpus ADVICE ruling, residue form).
+_MEDIA_VARIANT_OFF = 20000
+assert _MEDIA_VARIANT_OFF % 3 != 0
+
 def x_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (aHash): the image third of the media
     corpus plus planted one-char-perturbed re-encodes; 63-cell
@@ -4257,7 +4269,7 @@ def x_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     variants = docs.select(
-        (F.col("doc_id") + 20000).alias("media_id"),
+        (F.col("doc_id") + _MEDIA_VARIANT_OFF).alias("media_id"),
         F.encode(
             F.concat(
                 F.expr("substr(text, 1, 9)"),
@@ -4289,7 +4301,7 @@ def x_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     variants = docs.select(
-        (F.col("doc_id") + 20000).alias("media_id"),
+        (F.col("doc_id") + _MEDIA_VARIANT_OFF).alias("media_id"),
         F.encode(
             F.concat(
                 F.expr("substr(text, 1, 9)"),
@@ -5839,10 +5851,10 @@ def _register_media_phash_oracle() -> None:
         duckdb_media_ahash_near_dups,
     )
 
-    media_sql = """
+    media_sql = f"""
         SELECT doc_id AS id, text AS t FROM documents WHERE doc_id % 3 = 0
         UNION ALL
-        SELECT doc_id + 20000 AS id,
+        SELECT doc_id + {_MEDIA_VARIANT_OFF} AS id,
                substr(text, 1, 9) || 'Z' || substr(text, 11) AS t
         FROM documents WHERE doc_id % 3 = 0
     """
@@ -5853,10 +5865,10 @@ def _register_media_phash_oracle() -> None:
 
     from leann_rs_spark.operators.multimodal import duckdb_video_near_dups
 
-    video_sql = """
+    video_sql = f"""
         SELECT doc_id AS id, text AS t FROM documents WHERE doc_id % 3 = 2
         UNION ALL
-        SELECT doc_id + 20000 AS id,
+        SELECT doc_id + {_MEDIA_VARIANT_OFF} AS id,
                substr(text, 1, 9) || 'Z' || substr(text, 11) AS t
         FROM documents WHERE doc_id % 3 = 2
     """

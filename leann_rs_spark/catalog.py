@@ -1055,13 +1055,18 @@ def build_token_index(
     if docs is None:
         docs = spark.read.parquet(f"{base}/passages")
         id_col, text_col = "idx", "text"
-    # cache=False: the parquet sink itself is the multi-consumer
-    # boundary the in-memory form needs a persist for
+    # cache=False: on the unrouted path the parquet sink itself is the
+    # multi-consumer boundary. The ROUTED path consumes tok twice more
+    # (centroid derivation + assignment/write) — persist across those
+    # so the explode+distinct shuffle runs once (the repo's
+    # multi-consumer rule; token_embeddings measured the cost)
     tok = token_embeddings(
         docs, id_col=id_col, text_col=text_col, dims=dims, cache=False
     )
     info: dict = {"dims": dims, "id_col": id_col}
     if n_centroids is not None:
+        tok = tok.persist()
+        tok.count()
         if centroid_policy == "kmeans":
             from leann_rs_spark.operators.ann import kmeans_centroids
 
@@ -1083,6 +1088,7 @@ def build_token_index(
         assign_token_cids(tok, cents, id_col=id_col).write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{base}/token_index")
+        tok.unpersist()
     else:
         tok.write.mode("overwrite").parquet(f"{base}/token_index")
     try:

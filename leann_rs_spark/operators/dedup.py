@@ -715,13 +715,26 @@ def minhash_band_sweep(
     marked = pairs.join(
         truth.withColumn("is_truth", F.lit(1)), ["id_a", "id_b"], "left"
     )
+    grouped = marked.groupBy("num_hashes", "bands").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.coalesce("is_truth", F.lit(0))).alias("tp"),
+    )
+    # config SPINE left-join: a config with ZERO candidates still emits
+    # its row (n_candidates=0, metrics 0.0) — without it the groupBy
+    # drops the config while the oracle's ungrouped aggregate keeps it
+    spine = sigs.sparkSession.createDataFrame(
+        [(int(h), int(b)) for h, b in configs],
+        "num_hashes int, bands int",
+    )
     agg = (
-        marked.groupBy("num_hashes", "bands")
-        .agg(
-            F.count("*").alias("n_candidates"),
-            F.sum(F.coalesce("is_truth", F.lit(0))).alias("tp"),
-        )
+        spine.join(grouped, ["num_hashes", "bands"], "left")
         .crossJoin(F.broadcast(n_truth))
+        .select(
+            "num_hashes", "bands",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            "n_truth",
+        )
     )
     return agg.select(
         "num_hashes",
@@ -730,13 +743,15 @@ def minhash_band_sweep(
         F.col("tp").cast("long").alias("tp"),
         (F.col("n_candidates") - F.col("tp")).cast("long").alias("fp"),
         (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
-        (
+        F.when(
+            F.col("n_candidates") > 0,
             F.round(F.col("tp") / F.col("n_candidates") * 1e6) / 1e6
-            + F.lit(0.0)
-        ).alias("precision_r"),
-        (
-            F.round(F.col("tp") / F.col("n_truth") * 1e6) / 1e6 + F.lit(0.0)
-        ).alias("recall_r"),
+            + F.lit(0.0),
+        ).otherwise(F.lit(0.0)).alias("precision_r"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("tp") / F.col("n_truth") * 1e6) / 1e6 + F.lit(0.0),
+        ).otherwise(F.lit(0.0)).alias("recall_r"),
     ).orderBy("num_hashes", "bands")
 
 
@@ -804,11 +819,16 @@ def duckdb_minhash_band_sweep(
         WITH {', '.join(ctes)}
         SELECT num_hashes, bands,
                n_candidates::bigint AS n_candidates,
-               tp::bigint AS tp,
-               (n_candidates - tp)::bigint AS fp,
-               (n_truth - tp)::bigint AS fn,
-               round(tp / n_candidates * 1e6) / 1e6 + 0.0 AS precision_r,
-               round(tp / n_truth * 1e6) / 1e6 + 0.0 AS recall_r
+               coalesce(tp, 0)::bigint AS tp,
+               (n_candidates - coalesce(tp, 0))::bigint AS fp,
+               (n_truth - coalesce(tp, 0))::bigint AS fn,
+               CASE WHEN n_candidates > 0
+                    THEN round(coalesce(tp, 0) / n_candidates * 1e6) / 1e6
+                         + 0.0
+                    ELSE 0.0 END AS precision_r,
+               CASE WHEN n_truth > 0
+                    THEN round(coalesce(tp, 0) / n_truth * 1e6) / 1e6 + 0.0
+                    ELSE 0.0 END AS recall_r
         FROM ({union}), sw_nt
         ORDER BY num_hashes, bands
     """

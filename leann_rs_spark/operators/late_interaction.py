@@ -104,6 +104,8 @@ def late_interaction_topk(
     persisted artifact from catalog.build_token_index; when given,
     `docs`/`text_col` are ignored and the per-call explode+embed stage
     is skipped (the production serving shape)."""
+    if docs is None and token_index is None:
+        raise ValueError("one of docs or token_index is required")
     toks = query_tokens(query)
     if not toks:
         raise ValueError(f"query {query!r} has no tokens")
@@ -192,6 +194,48 @@ def duckdb_late_interaction_topk(
     """
 
 
+def _pivot_scores(
+    joined: DataFrame, score: "Column", width: int, id_col: str
+) -> DataFrame:
+    """→ (query_id, id_col, score_r): THE parity-critical MaxSim
+    reduction, shared by every batch form (exact, ADC, pair-restricted)
+    — ordinal-pivoted per-query-token maxima under ONE wide exchange
+    on (query_id, id_col), fixed-order m0 + coalesce(m_i, 0.0) sum
+    (adding literal 0.0 is IEEE-exact, so one column set serves
+    queries of different widths), 6-dp round(x·1e6)/1e6 + 0.0."""
+    mx = joined.groupBy("query_id", id_col).agg(
+        *[
+            F.max(F.when(F.col("ord") == i, score)).alias(f"m{i}")
+            for i in range(width)
+        ]
+    )
+    total = F.col("m0")  # every query has >= 1 token, so m0 never null
+    for i in range(1, width):
+        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
+    return mx.select(
+        "query_id",
+        id_col,
+        (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
+            "score_r"
+        ),
+    )
+
+
+def _topk_tail(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Per-query windowed top-k over (query_id, id_col, score_r) —
+    ties score_r DESC, id ASC, the repo ordering recipe."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def late_interaction_topk_batch(
     token_index: DataFrame,
     queries: list[tuple[int, str]],
@@ -222,12 +266,7 @@ def late_interaction_topk_batch(
     At 100 TB the token index scan is the dominant cost and it is read
     ONCE for the whole batch — per-query cost amortizes exactly like
     the reference's batch ANN path (q2_ivf_batch_topk)."""
-    tok_lists: list[tuple[int, list[str]]] = []
-    for qid, q in queries:
-        toks = query_tokens(q)
-        if not toks:
-            raise ValueError(f"query {q!r} has no tokens")
-        tok_lists.append((qid, toks))
+    tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     spark = token_index.sparkSession
     qt = spark.createDataFrame(
@@ -237,37 +276,13 @@ def late_interaction_topk_batch(
     qv = qt.select(
         "query_id", "ord", hash_embedding(F.col("token"), dims).alias("qvec")
     )
-    d = dot(F.col("vec"), F.col("qvec"))
-    m = (
-        token_index.crossJoin(F.broadcast(qv))
-        .groupBy("query_id", id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("ord") == i, d)).alias(f"m{i}")
-                for i in range(width)
-            ]
-        )
+    scored = _pivot_scores(
+        token_index.crossJoin(F.broadcast(qv)),
+        dot(F.col("vec"), F.col("qvec")),
+        width,
+        id_col,
     )
-    total = F.col("m0")  # every query has >= 1 token, so m0 is never null
-    for i in range(1, width):
-        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_r"), F.asc(id_col)
-    )
-    return (
-        m.select(
-            "query_id",
-            id_col,
-            (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
-                "score_r"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk_tail(scored, k, id_col)
 
 
 def duckdb_late_interaction_topk_batch(
@@ -282,12 +297,7 @@ def duckdb_late_interaction_topk_batch(
     token-index values inline (the artifact path persists exactly this
     frame), same ordinal-pivoted maxima, same fixed-order
     coalesce(…, 0.0) sum, same rounding and tie-break."""
-    tok_lists = []
-    for qid, q in queries:
-        toks = query_tokens(q)
-        if not toks:
-            raise ValueError(f"query {q!r} has no tokens")
-        tok_lists.append((qid, toks))
+    tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     values = ", ".join(
         f"({qid}, {i}, {t!r})"
@@ -421,12 +431,7 @@ def late_interaction_topk_batch_pq(
     windowed top-k) is the exact batch plan."""
     from leann_rs_spark.operators.embedder import py_hash_embedding
 
-    tok_lists: list[tuple[int, list[str]]] = []
-    for qid, q in queries:
-        toks = query_tokens(q)
-        if not toks:
-            raise ValueError(f"query {q!r} has no tokens")
-        tok_lists.append((qid, toks))
+    tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     m = len(codebook)
     d = len(codebook[0][0])
@@ -458,36 +463,10 @@ def late_interaction_topk_batch_pq(
             F.element_at(F.col("code"), mi + F.lit(1)) + F.lit(1),
         ),
     )
-    mx = (
-        codes.crossJoin(F.broadcast(qv))
-        .groupBy("query_id", id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("ord") == i, adc)).alias(f"m{i}")
-                for i in range(width)
-            ]
-        )
+    scored = _pivot_scores(
+        codes.crossJoin(F.broadcast(qv)), adc, width, id_col
     )
-    total = F.col("m0")
-    for i in range(1, width):
-        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_r"), F.asc(id_col)
-    )
-    return (
-        mx.select(
-            "query_id",
-            id_col,
-            (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
-                "score_r"
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _topk_tail(scored, k, id_col)
 
 
 def duckdb_late_interaction_topk_batch_pq(
@@ -507,12 +486,7 @@ def duckdb_late_interaction_topk_batch_pq(
     twin's pivot/sum/rank tail."""
     from leann_rs_spark.operators.pq import _duckdb_l2_dist2
 
-    tok_lists = []
-    for qid, q in queries:
-        toks = query_tokens(q)
-        if not toks:
-            raise ValueError(f"query {q!r} has no tokens")
-        tok_lists.append((qid, toks))
+    tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     d = dims // m
     values = ", ".join(
@@ -653,26 +627,11 @@ def _exact_maxsim_scores(
     # pair join first (broadcast — bounded rows), THEN the query-token
     # join rides the already-pruned rows
     pruned = token_index.join(F.broadcast(pairs), id_col)
-    d = dot(F.col("vec"), F.col("qvec"))
-    mx = (
-        pruned.join(F.broadcast(qv), "query_id")
-        .groupBy("query_id", id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("ord") == i, d)).alias(f"m{i}")
-                for i in range(width)
-            ]
-        )
-    )
-    total = F.col("m0")
-    for i in range(1, width):
-        total = total + F.coalesce(F.col(f"m{i}"), F.lit(0.0))
-    return mx.select(
-        "query_id",
+    return _pivot_scores(
+        pruned.join(F.broadcast(qv), "query_id"),
+        dot(F.col("vec"), F.col("qvec")),
+        width,
         id_col,
-        (F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)).alias(
-            "score_r"
-        ),
     )
 
 
@@ -687,16 +646,10 @@ def _exact_maxsim_pairs(
     """`_exact_maxsim_scores` + the per-query windowed top-k tail —
     the rescore shared by the refined (ADC shortlist) and pruned
     (centroid-routed) serving forms."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_r"), F.asc(id_col)
-    )
-    return (
-        _exact_maxsim_scores(token_index, pairs, queries, dims, id_col)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    return _topk_tail(
+        _exact_maxsim_scores(token_index, pairs, queries, dims, id_col),
+        k,
+        id_col,
     )
 
 
@@ -983,6 +936,7 @@ def li_probe_recall_curve(
     nprobes: list[int] | None = None,
     dims: int = 64,
     id_col: str = "doc_id",
+    intermediates: list | None = None,
 ) -> DataFrame:
     """→ (nprobe, n_candidates, recall_r): the knob-picking diagnostic
     for centroid-routed late interaction — recall@k vs exact MaxSim,
@@ -994,7 +948,11 @@ def li_probe_recall_curve(
     only changes which pairs are candidates), so candidates at
     max(nprobes) are rescored ONCE with each pair's best probe rank
     riding along, then every sweep point is a filter + one window over
-    the same frame. Ground truth is one exact batch run."""
+    the same frame. Ground truth is one exact batch run.
+
+    `intermediates`: the two persisted Q×N frames (candidates, sweep)
+    are appended so a long-lived session can unpersist them after
+    materializing the curve (the ivf_recall_curve ruling)."""
     nprobes = sorted(nprobes or [1, 2, 4])
     maxp = nprobes[-1]
     nq = len(queries)
@@ -1017,6 +975,8 @@ def li_probe_recall_curve(
         .persist()
     )
     cand.count()  # multi-consumer boundary (pairs input + rank join)
+    if intermediates is not None:
+        intermediates.append(cand)
     scored = _exact_maxsim_scores(
         plain, cand.select("query_id", id_col), queries, dims, id_col
     )
@@ -1029,6 +989,8 @@ def li_probe_recall_curve(
         .persist()
     )
     sw.count()  # consumed by the ranked top-k AND the candidate count
+    if intermediates is not None:
+        intermediates.append(sw)
     from pyspark.sql import Window
 
     w = Window.partitionBy("nprobe", "query_id").orderBy(
@@ -1248,7 +1210,7 @@ def duckdb_token_cid_balance(
                 FROM vocab v, cbsel cb
             ) WHERE rn = 1
         )
-        SELECT cid, count(*) AS n_rows,
+        SELECT CAST(cid AS INTEGER) AS cid, count(*) AS n_rows,
                count(DISTINCT token) AS n_tokens
         FROM dt JOIN assign USING (token)
         GROUP BY cid ORDER BY cid
@@ -1273,12 +1235,7 @@ def duckdb_late_interaction_topk_batch_refined(
         queries, k=refine * k, dims=dims, m=m, k_cb=k_cb,
         table=table, id_col=id_col, text_col=text_col,
     )
-    tok_lists = []
-    for qid, q in queries:
-        toks = query_tokens(q)
-        if not toks:
-            raise ValueError(f"query {q!r} has no tokens")
-        tok_lists.append((qid, toks))
+    tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     values = ", ".join(
         f"({qid}, {i}, {t!r})"

@@ -516,8 +516,11 @@ def duckdb_diff_tables(
     compare_cols: list[str],
 ) -> str:
     """SQL twin of `diff_tables`: same full-outer join, same null-safe
-    row comparison (IS NOT DISTINCT FROM over the compare struct)."""
-    bkey = key_cols[0]
+    row comparison (IS NOT DISTINCT FROM over the compare struct).
+    Side presence is detected through injected TRUE flags, not key
+    nullness — a base row whose KEY is NULL never joins and must
+    classify as 'removed' (the Spark side's struct-null test), not
+    'added'."""
     coal_keys = ", ".join(
         f"coalesce(b.{c}, n.{c}) AS {c}" for c in key_cols
     )
@@ -527,11 +530,13 @@ def duckdb_diff_tables(
     return f"""
         SELECT * FROM (
             SELECT {coal_keys},
-                   CASE WHEN b.{bkey} IS NULL THEN 'added'
-                        WHEN n.{bkey} IS NULL THEN 'removed'
+                   CASE WHEN b.__bp IS NULL THEN 'added'
+                        WHEN n.__np IS NULL THEN 'removed'
                         WHEN NOT ({brow} IS NOT DISTINCT FROM {nrow})
                              THEN 'changed'
                    END AS change
-            FROM ({base_sql}) b FULL OUTER JOIN ({new_sql}) n ON {on}
+            FROM (SELECT *, TRUE AS __bp FROM ({base_sql})) b
+            FULL OUTER JOIN (SELECT *, TRUE AS __np FROM ({new_sql})) n
+            ON {on}
         ) WHERE change IS NOT NULL
     """

@@ -420,6 +420,17 @@ def test_diff_tables_classifies_added_removed_changed(spark):
     # 1 unchanged (absent), 2 unchanged via NULL==NULL (absent)
     assert got == {3: "changed", 4: "removed", 5: "added"}
 
+    # a NULL KEY never joins: the base-side row classifies as removed
+    # (side presence, not key nullness — the twin's __bp/__np flags)
+    base_n = spark.createDataFrame(
+        [(None, "x", 0.0)], "id long, tag string, v double"
+    )
+    new_n = spark.createDataFrame(
+        [], "id long, tag string, v double"
+    )
+    rows = diff_tables(base_n, new_n, ["id"]).collect()
+    assert [(r["id"], r["change"]) for r in rows] == [(None, "removed")]
+
 
 def test_table_stats_approx_ndv_scale_path(spark):
     """exact=False swaps the ndv measure for HLL++ in the same plan
