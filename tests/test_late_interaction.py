@@ -662,3 +662,37 @@ def test_kmeans_routed_token_index(spark, tmp_path):
             spark, str(tmp_path / "wh2"), "tok", docs, dims=32,
             n_centroids=4, centroid_policy="nope",
         )
+
+
+def test_batch_wide_fallback_matches_columnar(spark):
+    """The >64-token exploded-pivot branch must produce exactly the
+    columnar branch's rows — the switch is a physical decision only."""
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch,
+        token_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge sort algorithms for external data"),
+            (2, "merge only"),
+            (3, "completely unrelated words here"),
+            (4, "external merge sort on sorted runs"),
+        ],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=16, cache=False).persist()
+    tok.count()
+    # 22 queries x 3+ tokens > 64 total -> wide branch; first 2 queries
+    # also run alone (columnar) and must agree row-for-row
+    wide_qs = [(i, f"merge sort run{i} data{i}") for i in range(22)]
+    wide = late_interaction_topk_batch(tok, wide_qs, k=2, dims=16).collect()
+    small = late_interaction_topk_batch(
+        tok, wide_qs[:2], k=2, dims=16
+    ).collect()
+    wide_by_q = {}
+    for r in wide:
+        wide_by_q.setdefault(r["query_id"], []).append(tuple(r))
+    for r in small:
+        assert tuple(r) in wide_by_q[r["query_id"]]
+    tok.unpersist()
