@@ -267,83 +267,36 @@ def late_interaction_topk_batch(
     ONCE for the whole batch — per-query cost amortizes exactly like
     the reference's batch ANN path (q2_ivf_batch_topk).
 
-    Physical shape, batch-size adaptive:
-    - serving-sized batches (Σ|q| ≤ 64 tokens): the whole batch's
-      query vectors ride ONE broadcast 1-row frame as COLUMNS
-      (q_{qid}_{i} — the single-query form's trick batched), so the
-      aggregation input stays N token rows with Σ|q| dot columns
-      instead of N×Σ|q| exploded rows; ONE exchange on id_col reduces
-      all maxima at once, and only skinny scored rows reach the
-      per-query window.
-    - wider batches: the exploded ordinal pivot (`_pivot_scores` over
-      a (query_id, ord, qvec) broadcast) — Σ|q| max COLUMNS past
-      Spark's codegen field limit would drop the whole aggregation out
-      of whole-stage codegen, which costs more than the row expansion
-      the columnar form saves.
-    Both produce bit-identical scores (adding the twin's literal-0.0
-    ragged-width padding is IEEE-exact), so the switch is invisible to
-    the oracle."""
+    Physical shape: ONE crossJoin(broadcast((query_id, ord, qvec)))
+    over the token-index scan feeds the shared ordinal pivot
+    (`_pivot_scores`): per-ordinal maxima reduce under ONE wide
+    exchange on (query_id, id_col) with map-side combine, and the
+    per-query top-k window rides the aggregated rows. A columnar
+    variant (query vectors as Σ|q| dot COLUMNS, one exchange on doc)
+    was measured SLOWER in the bench harness at the 3-query serving
+    batch (4.7 → 6.8 s at sf0.1) — the wide HOF-fold aggregation costs
+    more than the row expansion it avoids — and is kept out."""
     tok_lists = _tok_lists(queries)
     spark = token_index.sparkSession
-    total_cols = sum(len(toks) for _, toks in tok_lists)
-    if total_cols > 64:
-        width = max(len(t) for _, t in tok_lists)
-        qt = spark.createDataFrame(
-            [
-                (qid, i, t)
-                for qid, toks in tok_lists
-                for i, t in enumerate(toks)
-            ],
-            "query_id int, ord int, token string",
-        )
-        qv = qt.select(
-            "query_id", "ord",
-            hash_embedding(F.col("token"), dims).alias("qvec"),
-        )
-        scored = _pivot_scores(
-            token_index.crossJoin(F.broadcast(qv)),
-            dot(F.col("vec"), F.col("qvec")),
-            width,
-            id_col,
-        )
-        return _topk_tail(scored, k, id_col)
-    qdf = spark.range(1).select(
-        *[
-            hash_embedding(F.lit(t), dims).alias(f"q_{qid}_{i}")
+    width = max(len(t) for _, t in tok_lists)
+    qt = spark.createDataFrame(
+        [
+            (qid, i, t)
             for qid, toks in tok_lists
             for i, t in enumerate(toks)
-        ]
+        ],
+        "query_id int, ord int, token string",
     )
-    mx = (
-        token_index.crossJoin(F.broadcast(qdf))
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(dot(F.col("vec"), F.col(f"q_{qid}_{i}"))).alias(
-                    f"m_{qid}_{i}"
-                )
-                for qid, toks in tok_lists
-                for i in range(len(toks))
-            ]
-        )
+    qv = qt.select(
+        "query_id", "ord",
+        hash_embedding(F.col("token"), dims).alias("qvec"),
     )
-    structs = []
-    for qid, toks in tok_lists:
-        total = None
-        for i in range(len(toks)):  # fixed addition order, = the twin
-            c = F.col(f"m_{qid}_{i}")
-            total = c if total is None else (total + c)
-        structs.append(
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                (
-                    F.round(total * F.lit(1e6)) / F.lit(1e6) + F.lit(0.0)
-                ).alias("score_r"),
-            )
-        )
-    scored = mx.select(
-        id_col, F.explode(F.array(*structs)).alias("__s")
-    ).select(F.col("__s.query_id").alias("query_id"), id_col, "__s.score_r")
+    scored = _pivot_scores(
+        token_index.crossJoin(F.broadcast(qv)),
+        dot(F.col("vec"), F.col("qvec")),
+        width,
+        id_col,
+    )
     return _topk_tail(scored, k, id_col)
 
 

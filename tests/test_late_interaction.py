@@ -664,9 +664,11 @@ def test_kmeans_routed_token_index(spark, tmp_path):
         )
 
 
-def test_batch_wide_fallback_matches_columnar(spark):
-    """The >64-token exploded-pivot branch must produce exactly the
-    columnar branch's rows — the switch is a physical decision only."""
+def test_batch_results_invariant_to_batch_width(spark):
+    """A query's top-k must not depend on which other queries share
+    the batch (the ordinal pivot pads ragged widths with exact-zero
+    additions): queries run in a 22-query batch agree row-for-row with
+    the same queries run in a 2-query batch."""
     from leann_rs_spark.operators.late_interaction import (
         late_interaction_topk_batch,
         token_embeddings,
@@ -683,8 +685,7 @@ def test_batch_wide_fallback_matches_columnar(spark):
     )
     tok = token_embeddings(docs, dims=16, cache=False).persist()
     tok.count()
-    # 22 queries x 3+ tokens > 64 total -> wide branch; first 2 queries
-    # also run alone (columnar) and must agree row-for-row
+    # first 2 queries also run in a narrow batch and must agree
     wide_qs = [(i, f"merge sort run{i} data{i}") for i in range(22)]
     wide = late_interaction_topk_batch(tok, wide_qs, k=2, dims=16).collect()
     small = late_interaction_topk_batch(
