@@ -414,3 +414,18 @@ def test_salted_join_with_map_column(spark):
         for r in salted_join(big, dim, "k", salt=4).collect()
     )
     assert got == [(1, "hot"), (2, "hot")]
+
+
+def test_salted_join_empty_sides(spark):
+    """Empty dim -> inner empty / left keeps all; empty big -> empty."""
+    from leann_rs_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, 7), (2, 8)], "row_id long, k long")
+    nodim = spark.createDataFrame([], "k long, tag string")
+    assert salted_join(big, nodim, "k").count() == 0
+    left = salted_join(big, nodim, "k", how="left").collect()
+    assert sorted(r["row_id"] for r in left) == [1, 2]
+    assert all(r["tag"] is None for r in left)
+    nobig = spark.createDataFrame([], "row_id long, k long")
+    dim = spark.createDataFrame([(7, "t")], "k long, tag string")
+    assert salted_join(nobig, dim, "k").count() == 0

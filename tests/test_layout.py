@@ -100,3 +100,17 @@ def test_zorder_key_is_python_free_broadcast_projection(spark):
     )
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_empty_and_single_row(spark, tmp_path):
+    """Degenerate inputs: an empty frame writes an empty (readable)
+    layout; a single row gets zkey 0 (span 0 on every column)."""
+    from leann_rs_spark.sources.layout import with_zorder_key, zorder_write
+
+    empty = spark.createDataFrame([], "a int, b double")
+    p = str(tmp_path / "e")
+    zorder_write(empty, p, ["a", "b"], bits=4, files=2)
+    assert spark.read.parquet(p).count() == 0
+    one = spark.createDataFrame([(3, 7.0)], "a int, b double")
+    rows = with_zorder_key(one, ["a", "b"], bits=4).collect()
+    assert rows[0]["zkey"] == 0

@@ -450,3 +450,20 @@ def test_table_stats_approx_ndv_scale_path(spark):
             ex[c]["min_r"], ex[c]["max_r"],
         )
         assert abs(ap[c]["ndv"] - ex[c]["ndv"]) <= 0.1 * ex[c]["ndv"]
+
+
+def test_diff_tables_empty_sides(spark):
+    """Empty new -> all removed; empty base -> all added; both empty ->
+    no rows (never a crash on degenerate snapshots)."""
+    from leann_rs_spark.sources.warehouse import diff_tables
+
+    sch = "id long, v double"
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], sch)
+    empty = spark.createDataFrame([], sch)
+    assert {
+        (r["id"], r["change"]) for r in diff_tables(base, empty, ["id"]).collect()
+    } == {(1, "removed"), (2, "removed")}
+    assert {
+        (r["id"], r["change"]) for r in diff_tables(empty, base, ["id"]).collect()
+    } == {(1, "added"), (2, "added")}
+    assert diff_tables(empty, empty, ["id"]).count() == 0
