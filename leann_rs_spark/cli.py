@@ -511,6 +511,27 @@ def cmd_drift(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Exact per-column table statistics (sources/warehouse.
+    table_stats) — the ANALYZE pass behind layout/partition/broadcast
+    decisions; --approx swaps exact ndv for HLL++ (the 100 TB form)."""
+    from leann_rs_spark.sources.warehouse import table_stats
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    missing = [c for c in args.cols if c not in df.columns]
+    if missing:
+        print(f"stats: no such column(s): {missing}", file=sys.stderr)
+        return 2
+    rows = table_stats(df, args.cols, exact=not args.approx).collect()
+    for r in rows:
+        print(
+            f"{r['col_name']}: n={r['n']} nulls={r['n_null']} "
+            f"ndv={r['ndv']} min={r['min_r']} max={r['max_r']}"
+        )
+    return 0
+
+
 def cmd_layout(args) -> int:
     """Re-cluster a parquet table by a Z-order (Morton) key over the
     given columns (sources/layout.zorder_write) — the OPTIMIZE
@@ -1186,6 +1207,20 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--group-col", default="source", dest="group_col")
     dr.add_argument("--text-col", default="text", dest="text_col")
     dr.set_defaults(fn=cmd_drift)
+
+    st = sub.add_parser(
+        "stats",
+        help="exact per-column table statistics (the ANALYZE pass)",
+    )
+    st.add_argument("--input", required=True, help="parquet path")
+    st.add_argument(
+        "--cols", nargs="+", required=True, help="numeric columns to profile"
+    )
+    st.add_argument(
+        "--approx", action="store_true",
+        help="approx_count_distinct instead of exact ndv (corpus scale)",
+    )
+    st.set_defaults(fn=cmd_stats)
 
     lo = sub.add_parser(
         "layout",

@@ -641,3 +641,17 @@ def test_cli_layout_zorder(spark, tmp_path_factory, capsys):
     assert got == [(a, b) for a in range(16) for b in range(16)]
     assert main(["layout", "--input", inp, "--output", outp,
                  "--by", "nope"]) == 2
+
+
+def test_cli_stats(spark, tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("cli_stats")
+    inp = str(d / "in")
+    spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 2.0)], "id long, v double"
+    ).write.parquet(inp)
+    rc = main(["stats", "--input", inp, "--cols", "id", "v"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "id: n=3 nulls=0 ndv=3" in out
+    assert "v: n=2 nulls=1 ndv=1 min=2.0 max=2.0" in out
+    assert main(["stats", "--input", inp, "--cols", "nope"]) == 2
