@@ -6082,56 +6082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        "x_token_cid_balance": x_token_cid_balance,
-        "x_stream_token_ingest": x_stream_token_ingest,
-        "x_li_bm25_hybrid": x_li_bm25_hybrid,
-        "x_table_diff": x_table_diff,
-        "x_salted_join": x_salted_join,
-        "x_table_stats": x_table_stats,
-        "x_token_index_compact": x_token_index_compact,
-        "x_li_probe_recall": x_li_probe_recall,
-        "x_leakage_safe_split": x_leakage_safe_split,
-        "x_zorder_layout": x_zorder_layout,
-        "x_late_interaction_pruned": x_late_interaction_pruned,
-        "x_video_near_dups": x_video_near_dups,
-        "x_late_interaction_batch": x_late_interaction_batch,
-        "x_token_index_append": x_token_index_append,
-        "x_late_interaction_pq": x_late_interaction_pq,
-        "x_late_interaction_refined": x_late_interaction_refined,
-        "x_dedup_pr_bands": x_dedup_pr_bands,
-        "x_budget_select": x_budget_select,
-        "x_append_consistency": x_append_consistency,
-        "x_quality_expectations": x_quality_expectations,
-        "x_text_redact": x_text_redact,
-        "x_decontaminate": x_decontaminate,
-        "x_stream_sessionize": x_stream_sessionize,
-        "x_stream_window_stats": x_stream_window_stats,
-        "x_stream_dedup": x_stream_dedup,
-        "x_ivf_recall": x_ivf_recall,
-        "x_lm_score": x_lm_score,
-        "x_tfidf_embed": x_tfidf_embed,
-        "x_tfidf_topk": x_tfidf_topk,
-        "x_pq_topk": x_pq_topk,
-        "x_pq_recall": x_pq_recall,
-        "x_ivfpq_topk": x_ivfpq_topk,
-        "x_ivfpq_batch": x_ivfpq_batch,
-        "x_sq8_topk": x_sq8_topk,
-        "x_bucketed_join": x_bucketed_join,
-        "x_stream_enrich": x_stream_enrich,
-        "x_bq_topk": x_bq_topk,
-        "x_stream_stream_join": x_stream_stream_join,
-        "x_ivfbq_topk": x_ivfbq_topk,
-        "x_bq_batch_topk": x_bq_batch_topk,
-        "x_sq8_refined": x_sq8_refined,
-        "x_ivf_drift_recall": x_ivf_drift_recall,
-        "x_ivfsq_topk": x_ivfsq_topk,
-        "q2_ivf_batch_topk": q2_ivf_batch_topk,
-        "q3_batch_topk": q3_batch_topk,
-        "q15_expanded_search": q15_expanded_search,
-        "x_media_phash_dups": x_media_phash_dups,
-        "x_ccnet_buckets": x_ccnet_buckets,
-        "x_rollup_stats": x_rollup_stats,
-        "x_curriculum_blocks": x_curriculum_blocks,
         "x_retrieval_eval": x_retrieval_eval,
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
@@ -6187,6 +6137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dup_source_matrix": x_dup_source_matrix,
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
+        "x_ivf_recall": x_ivf_recall,
+        "x_pq_recall": x_pq_recall,
+        "x_ivfpq_batch": x_ivfpq_batch,
+        "x_bq_batch_topk": x_bq_batch_topk,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
+        "q3_batch_topk": q3_batch_topk,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6238,6 +6195,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,
         "x_ivf_compact": x_ivf_compact,
+        "x_token_cid_balance": x_token_cid_balance,
+        "x_stream_token_ingest": x_stream_token_ingest,
+        "x_li_bm25_hybrid": x_li_bm25_hybrid,
+        "x_table_diff": x_table_diff,
+        "x_salted_join": x_salted_join,
+        "x_table_stats": x_table_stats,
+        "x_token_index_compact": x_token_index_compact,
+        "x_li_probe_recall": x_li_probe_recall,
+        "x_leakage_safe_split": x_leakage_safe_split,
+        "x_zorder_layout": x_zorder_layout,
+        "x_late_interaction_pruned": x_late_interaction_pruned,
+        "x_video_near_dups": x_video_near_dups,
+        "x_late_interaction_batch": x_late_interaction_batch,
+        "x_token_index_append": x_token_index_append,
+        "x_late_interaction_pq": x_late_interaction_pq,
+        "x_late_interaction_refined": x_late_interaction_refined,
+        "x_dedup_pr_bands": x_dedup_pr_bands,
+        "x_budget_select": x_budget_select,
+        "x_append_consistency": x_append_consistency,
+        "x_quality_expectations": x_quality_expectations,
+        "x_text_redact": x_text_redact,
+        "x_decontaminate": x_decontaminate,
+        "x_stream_sessionize": x_stream_sessionize,
+        "x_stream_window_stats": x_stream_window_stats,
+        "x_stream_dedup": x_stream_dedup,
+        "x_lm_score": x_lm_score,
+        "x_tfidf_embed": x_tfidf_embed,
+        "x_tfidf_topk": x_tfidf_topk,
+        "x_pq_topk": x_pq_topk,
+        "x_ivfpq_topk": x_ivfpq_topk,
+        "x_sq8_topk": x_sq8_topk,
+        "x_bucketed_join": x_bucketed_join,
+        "x_stream_enrich": x_stream_enrich,
+        "x_bq_topk": x_bq_topk,
+        "x_stream_stream_join": x_stream_stream_join,
+        "x_ivfbq_topk": x_ivfbq_topk,
+        "x_sq8_refined": x_sq8_refined,
+        "x_ivfsq_topk": x_ivfsq_topk,
+        "q15_expanded_search": q15_expanded_search,
+        "x_media_phash_dups": x_media_phash_dups,
+        "x_ccnet_buckets": x_ccnet_buckets,
+        "x_rollup_stats": x_rollup_stats,
+        "x_curriculum_blocks": x_curriculum_blocks,
     }
 
 
