@@ -42,6 +42,18 @@ from leann_rs_spark.operators.embedder import (
     hash_embedding,
 )
 
+# Candidate-pair frames above this row count are NOT broadcast into the
+# exact-MaxSim rescore: a (query_id, doc) pair frame is bounded by
+# construction for the refined form (refine·k·|queries| rows) but only
+# by routing effectiveness for the pruned form — at an operating point
+# where the codebook doesn't prune (C ≲ tokens/doc, the measured
+# x_li_probe_recall regime) the candidate set is |queries| × corpus and
+# an unconditional broadcast is an executor/driver OOM at 100 TB, not a
+# slow query. 2M pair rows ≈ 50 MB broadcast — comfortably under a
+# sane driver/executor budget; above it the rescore falls back to a
+# plain shuffle join on the doc id.
+PAIR_BROADCAST_ROW_LIMIT = 2_000_000
+
 
 def query_tokens(query: str) -> list[str]:
     """The engine tokenizer's view of the query (lowercase, split on
@@ -621,14 +633,21 @@ def _exact_maxsim_scores(
     queries: list[tuple[int, str]],
     dims: int,
     id_col: str,
+    pair_rows: int | None = None,
 ) -> DataFrame:
     """→ (query_id, id_col, score_r): exact MaxSim restricted to a
-    (query_id, id_col) candidate-pair frame. The pair frame joins
-    BROADCAST into the token index first, so only candidate docs'
-    token rows flow into the per-query-token aggregation; the
-    ordinal-pivoted maxima, ONE wide exchange on (query_id, doc), and
-    fixed-order coalesce sum + 6-dp round are
-    `late_interaction_topk_batch`'s exact plan."""
+    (query_id, id_col) candidate-pair frame. The pair frame joins into
+    the token index first, so only candidate docs' token rows flow
+    into the per-query-token aggregation; the ordinal-pivoted maxima,
+    ONE wide exchange on (query_id, doc), and fixed-order coalesce sum
+    + 6-dp round are `late_interaction_topk_batch`'s exact plan.
+
+    `pair_rows` size-guards the pair join's physical form: None means
+    the CALLER proves the frame bounded by construction (the refined
+    shortlist is refine·k·|queries| rows) and it broadcasts; a
+    measured count ≤ PAIR_BROADCAST_ROW_LIMIT broadcasts; above the
+    limit the join runs as a plain shuffle on `id_col` — same result,
+    no broadcast OOM hazard when routing fails to prune."""
     tok_lists = _tok_lists(queries)
     width = max(len(t) for _, t in tok_lists)
     spark = token_index.sparkSession
@@ -639,9 +658,13 @@ def _exact_maxsim_scores(
     qv = qt.select(
         "query_id", "ord", hash_embedding(F.col("token"), dims).alias("qvec")
     )
-    # pair join first (broadcast — bounded rows), THEN the query-token
-    # join rides the already-pruned rows
-    pruned = token_index.join(F.broadcast(pairs), id_col)
+    # pair join first (pruning — only candidate docs survive), THEN
+    # the query-token join rides the already-pruned rows
+    if pair_rows is None or pair_rows <= PAIR_BROADCAST_ROW_LIMIT:
+        pair_side = F.broadcast(pairs)
+    else:
+        pair_side = pairs
+    pruned = token_index.join(pair_side, id_col)
     return _pivot_scores(
         pruned.join(F.broadcast(qv), "query_id"),
         dot(F.col("vec"), F.col("qvec")),
@@ -657,12 +680,16 @@ def _exact_maxsim_pairs(
     k: int,
     dims: int,
     id_col: str,
+    pair_rows: int | None = None,
 ) -> DataFrame:
     """`_exact_maxsim_scores` + the per-query windowed top-k tail —
     the rescore shared by the refined (ADC shortlist) and pruned
-    (centroid-routed) serving forms."""
+    (centroid-routed) serving forms. `pair_rows` is the broadcast
+    size-guard (see `_exact_maxsim_scores`)."""
     return _topk_tail(
-        _exact_maxsim_scores(token_index, pairs, queries, dims, id_col),
+        _exact_maxsim_scores(
+            token_index, pairs, queries, dims, id_col, pair_rows=pair_rows
+        ),
         k,
         id_col,
     )
@@ -814,7 +841,14 @@ def late_interaction_topk_batch_pruned(
     At 100 TB this is the late-interaction IVF: scan bytes for
     candidate generation drop to nprobe/C of the index (directory-
     -level pruning, no file even opened), and the rescore is bounded
-    by candidate docs' token rows. Expects `token_index` to carry the
+    by candidate docs' token rows. The candidate-pair frame is
+    materialized ONCE (eager localCheckpoint — the count is needed
+    anyway for the broadcast size-guard, and the rescore then reads
+    the checkpointed rows instead of re-running candidate
+    generation); its measured row count picks the rescore join's
+    physical form (broadcast ≤ PAIR_BROADCAST_ROW_LIMIT, else plain
+    shuffle on the doc id — routing that fails to prune must degrade
+    to a slow query, not an OOM). Expects `token_index` to carry the
     `cid` column (catalog.build_token_index(n_centroids=...))."""
     probed = probe_query_cids(queries, centroids, nprobe, dims)
     spark = token_index.sparkSession
@@ -825,10 +859,11 @@ def late_interaction_topk_batch_pruned(
         .join(F.broadcast(probe), "cid")
         .select("query_id", id_col)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     return _exact_maxsim_pairs(
         token_index.select(id_col, "token", "vec"), cand, queries,
-        k, dims, id_col,
+        k, dims, id_col, pair_rows=cand.count(),
     )
 
 
@@ -967,7 +1002,11 @@ def li_probe_recall_curve(
 
     `intermediates`: the two persisted Q×N frames (candidates, sweep)
     are appended so a long-lived session can unpersist them after
-    materializing the curve (the ivf_recall_curve ruling)."""
+    materializing the curve (the ivf_recall_curve ruling). When it is
+    None the curve is materialized INTERNALLY (collect of a
+    sweep-sized frame) and both persisted frames are unpersisted
+    before returning a local DataFrame — library callers must not
+    leak session-lifetime cache entries (ADVICE r7)."""
     nprobes = sorted(nprobes or [1, 2, 4])
     maxp = nprobes[-1]
     nq = len(queries)
@@ -989,14 +1028,21 @@ def li_probe_recall_curve(
         .agg(F.min("min_rn").alias("cand_rn"))
         .persist()
     )
-    cand.count()  # multi-consumer boundary (pairs input + rank join)
+    # multi-consumer boundary (pairs input + rank join); the measured
+    # count also drives the broadcast size-guard on BOTH candidate
+    # joins below — an unpruning codebook makes cand Q×corpus-sized
+    n_pairs = cand.count()
     if intermediates is not None:
         intermediates.append(cand)
     scored = _exact_maxsim_scores(
-        plain, cand.select("query_id", id_col), queries, dims, id_col
+        plain, cand.select("query_id", id_col), queries, dims, id_col,
+        pair_rows=n_pairs,
+    )
+    cand_side = (
+        F.broadcast(cand) if n_pairs <= PAIR_BROADCAST_ROW_LIMIT else cand
     )
     sw = (
-        scored.join(F.broadcast(cand), ["query_id", id_col])
+        scored.join(cand_side, ["query_id", id_col])
         .withColumn(
             "nprobe", F.explode(F.array(*[F.lit(p) for p in nprobes]))
         )
@@ -1031,11 +1077,17 @@ def li_probe_recall_curve(
         / F.lit(1e6)
         + F.lit(0.0)
     )
-    return (
+    curve = (
         ncand.join(matched, "nprobe", "left")
         .select("nprobe", "n_candidates", recall.alias("recall_r"))
         .orderBy("nprobe")
     )
+    if intermediates is None:
+        rows = curve.collect()
+        cand.unpersist()
+        sw.unpersist()
+        return spark.createDataFrame(rows, curve.schema)
+    return curve
 
 
 def duckdb_li_probe_recall_curve(

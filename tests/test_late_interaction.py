@@ -697,3 +697,50 @@ def test_batch_results_invariant_to_batch_width(spark):
     for r in small:
         assert tuple(r) in wide_by_q[r["query_id"]]
     tok.unpersist()
+
+
+def test_rescore_pair_broadcast_guard(spark):
+    """The exact-MaxSim rescore broadcasts the candidate-pair frame
+    only when it is provably bounded (pair_rows ≤ limit, or None =
+    bounded by construction); above the limit the pair join must
+    degrade to a non-broadcast join — routing that fails to prune
+    degrades to a slow query, never a broadcast OOM. Both physical
+    forms pinned, identical results."""
+    from leann_rs_spark.operators.late_interaction import (
+        PAIR_BROADCAST_ROW_LIMIT,
+        _exact_maxsim_scores,
+        token_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort external data"), (2, "hash join keys")],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=32, cache=False)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id int, doc_id long"
+    )
+    queries = [(0, "merge join")]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = _exact_maxsim_scores(
+            tok, pairs, queries, 32, "doc_id", pair_rows=2
+        )
+        plan_u = under._jdf.queryExecution().executedPlan().toString()
+        over = _exact_maxsim_scores(
+            tok, pairs, queries, 32, "doc_id",
+            pair_rows=PAIR_BROADCAST_ROW_LIMIT + 1,
+        )
+        plan_o = over._jdf.queryExecution().executedPlan().toString()
+        got_u = sorted(tuple(r) for r in under.collect())
+        got_o = sorted(tuple(r) for r in over.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # under the limit: TWO broadcast joins (pairs + query vectors);
+    # over it: only the query-vector broadcast survives and the pair
+    # join is a shuffle join on doc_id
+    assert plan_u.count("BroadcastHashJoin") == 2, plan_u
+    assert plan_o.count("BroadcastHashJoin") == 1, plan_o
+    assert "SortMergeJoin" in plan_o or "ShuffledHashJoin" in plan_o, plan_o
+    assert got_u == got_o and len(got_u) == 2
