@@ -2966,6 +2966,55 @@ def x_late_interaction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fx_token_kmeans_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Token index routed by the LEARNED codebook
+    (catalog.build_token_index(centroid_policy="kmeans") — seeded
+    spherical MLlib k-means over the vocabulary, catalog.py): the
+    production routing policy x_token_cid_balance argues for (take
+    centroids measured skewed; balanced cids are what make nprobe/C
+    scan arithmetic hold). Once per process on the `_fx` ladder."""
+
+    def build() -> str:
+        from leann_rs_spark.catalog import build_token_index
+
+        wh = _gate_tmpdir("leann-fx-tokkm-")
+        build_token_index(
+            spark, wh, "tok", _fan(_docs(spark, sf_dir)),
+            dims=_EMBED_DIMS, n_centroids=_LI_C, centroid_policy="kmeans",
+        )
+        return wh
+
+    return _fx(("token_kmeans", sf_dir), build)
+
+
+def x_li_kmeans_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-routed late interaction served END-TO-END from the
+    KMEANS-routed token index artifact — assignment, partitionBy(cid)
+    layout, probe routing, and the guarded rescore are all
+    policy-blind, so the learned codebook drops in with zero serving
+    changes. Oracled via the covering-probe ≡ exact identity:
+    nprobe = C probes every centroid, making the result independent
+    of WHICH centroids route (scores are exact MaxSim on surviving
+    pairs and a covering probe survives every pair), so the DuckDB
+    twin is the exact batch oracle — no centroid parity needed, which
+    is exactly what lets a learned (seed-dependent float) codebook be
+    hash-gated at all."""
+    from leann_rs_spark.catalog import load_token_index
+    from leann_rs_spark.operators.late_interaction import (
+        late_interaction_topk_batch_pruned,
+    )
+
+    tok, info = load_token_index(
+        spark, _fx_token_kmeans_wh(spark, sf_dir), "tok"
+    )
+    if info.get("centroid_policy") != "kmeans":
+        raise RuntimeError("fixture must be kmeans-routed")
+    return late_interaction_topk_batch_pruned(
+        tok, info["centroids"], _LI_BATCH,
+        k=5, nprobe=_LI_C, dims=info["dims"],
+    )
+
+
 def x_late_interaction_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized late interaction: ADC MaxSim over a PQ-CODED token
     index (late_interaction.late_interaction_topk_batch_pq) — the
@@ -3126,6 +3175,29 @@ def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fx_bm25_docs_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted bucket-partitioned BM25 postings over the DOCUMENTS
+    table (doc_id as the dense id) — the lexical serving artifact
+    x_li_bm25_hybrid reads, so the hybrid composition serves BOTH
+    sides from durable catalog artifacts. Once per process on the
+    `_fx` ladder."""
+
+    def build() -> str:
+        from leann_rs_spark.catalog import _write_bm25
+
+        base = _gate_tmpdir("leann-fx-bm25doc-")
+        _write_bm25(
+            _fan(_docs(spark, sf_dir)).select(
+                F.col("doc_id").alias("idx"), "text"
+            ),
+            base,
+            "overwrite",
+        )
+        return base
+
+    return _fx(("bm25_docs", sf_dir), build)
+
+
 def x_li_bm25_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-vector hybrid retrieval: MaxSim top-k over the persisted
     token index fused with BM25 top-k by reciprocal-rank fusion
@@ -3133,22 +3205,37 @@ def x_li_bm25_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense single-vector side replaced by late interaction, showing the
     serving rungs compose: term-level MaxSim recall + lexical BM25
     precision, rank-only fusion (no cross-scale score normalization
-    needed). Upstream candidate producers are the heavy distributed
-    jobs; the fusion is two candidate-set windows + one full-outer
-    join."""
-    from leann_rs_spark.catalog import load_token_index
+    needed). BOTH candidate producers read persisted serving
+    artifacts: the LI side the token index, the BM25 side the
+    bucket-partitioned postings (catalog._write_bm25's layout, read
+    through the same bucket-pruned path the hybrid searcher and
+    x_bm25_append use — term df counts rebuilt from the pruned
+    postings, exact because a term's rows never straddle buckets).
+    Upstream candidate producers are the heavy distributed jobs; the
+    fusion is two candidate-set windows + one full-outer join."""
+    from leann_rs_spark.catalog import load_token_index, py_term_bucket
+    from leann_rs_spark.operators.bm25 import score_query, tokenize_py
     from leann_rs_spark.operators.hybrid import rrf_fuse
     from leann_rs_spark.operators.late_interaction import (
         late_interaction_topk_batch,
     )
 
-    docs = _docs(spark, sf_dir)
     tok, info = load_token_index(spark, _fx_token_wh(spark, sf_dir), "tok")
     li_hits = late_interaction_topk_batch(
         tok, [(0, _HYBRID_QUERY)], k=_HYBRID_FETCH_K, dims=info["dims"]
     ).select("doc_id", F.col("score_r").alias("score"))
+    base = _fx_bm25_docs_wh(spark, sf_dir)
+    qbuckets = sorted(
+        {py_term_bucket(t) for t in tokenize_py(_HYBRID_QUERY)}
+    )
+    postings = spark.read.parquet(f"{base}/bm25_postings").filter(
+        F.col("term_bucket").isin(qbuckets)
+    )
+    docstats = spark.read.parquet(f"{base}/bm25_docstats")
+    termstats = postings.groupBy("term").agg(F.count("*").alias("df"))
     bm25_top = (
-        score_adhoc_query(_fan(docs), _HYBRID_QUERY)
+        score_query(postings, docstats, termstats, _HYBRID_QUERY, id_col="idx")
+        .select(F.col("idx").alias("doc_id"), "score")
         .filter(F.col("score") > 0.0)
         .orderBy(F.round(F.col("score"), 6).desc(), F.col("doc_id").asc())
         .limit(_HYBRID_FETCH_K)
@@ -5947,6 +6034,13 @@ def _register_media_phash_oracle() -> None:
             _LI_BATCH, k=5, nprobe=_LI_NPROBE, c=_LI_C, dims=_EMBED_DIMS,
         )
     )
+    # kmeans-routed serving gate: covering probe (nprobe = C) makes
+    # the pruned result centroid-independent, so the oracle is the
+    # EXACT batch twin — a hash match proves the learned-codebook
+    # artifact serves identically through the whole pruned path
+    _ORACLES["x_li_kmeans_pruned"] = duckdb_late_interaction_topk_batch(
+        _LI_BATCH, k=5, dims=_EMBED_DIMS
+    )
 
     from leann_rs_spark.operators.late_interaction import (
         duckdb_li_probe_recall_curve,
@@ -6206,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_leakage_safe_split": x_leakage_safe_split,
         "x_zorder_layout": x_zorder_layout,
         "x_late_interaction_pruned": x_late_interaction_pruned,
+        "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_video_near_dups": x_video_near_dups,
         "x_late_interaction_batch": x_late_interaction_batch,
         "x_token_index_append": x_token_index_append,

@@ -542,3 +542,22 @@ def test_ivfsq_probe_filter_reaches_code_scan(spark, tmp_path):
     pruned = spark.read.parquet(p).filter(F.col("cluster_id").isin([0, 3]))
     plan = plan_of(pruned)
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_li_bm25_hybrid_gate_serves_from_postings_artifact(spark):
+    """The hybrid gate's lexical side must read the persisted
+    bucket-partitioned postings artifact (not re-derive BM25 from the
+    corpus): the executed plan scans bm25_postings with the query
+    terms' bucket IN-list as PartitionFilters (directory pruning)."""
+    import __spark_entry__ as entry
+
+    df = entry.x_li_bm25_hybrid(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the postings scan's bucket IN-list lands in PartitionFilters
+    # (directory pruning); file paths are elided in the rendered plan,
+    # so pin the filter itself
+    pfs = [
+        seg.split("]")[0]
+        for seg in plan.split("PartitionFilters: [")[1:]
+    ]
+    assert any("term_bucket" in pf for pf in pfs), plan
