@@ -1138,9 +1138,11 @@ def _pr_corpus(spark: SparkSession, sf_dir: str, every: int = 5) -> DataFrame:
     # the planted-variant offsets must clear the real id range or the
     # ground truth silently corrupts at larger fixtures (ADVICE r6)
     mx = base.agg(F.max("doc_id")).head()[0]
-    assert mx < _PR_OFF_LIGHT, (
-        f"fixture doc_id {mx} collides with planted offset {_PR_OFF_LIGHT}"
-    )
+    if mx >= _PR_OFF_LIGHT:  # explicit raise: survives python -O
+        raise RuntimeError(
+            f"fixture doc_id {mx} collides with planted offset "
+            f"{_PR_OFF_LIGHT}"
+        )
     light = base.select(
         (F.col("doc_id") + _PR_OFF_LIGHT).alias("doc_id"),
         F.concat(
@@ -2866,7 +2868,12 @@ def x_token_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> str:
         wh = _fx_copy(_fx_token_appended(spark, sf_dir), "leann-fx-tokcomp-")
         n_before = compact_token_index(spark, wh, "tok")
-        assert n_before >= 2  # the append really did fragment the layout
+        if n_before < 2:  # explicit raise: survives python -O; the
+            # gate must PROVE the append fragmented the layout
+            raise RuntimeError(
+                f"expected a fragmented pre-compact layout, saw "
+                f"{n_before} file(s)"
+            )
         return wh
 
     wh = _fx(("token_compacted", sf_dir), build)
@@ -4338,7 +4345,8 @@ def x_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps a future offset/filter change from silently planting
 # colliding ids (the _pr_corpus ADVICE ruling, residue form).
 _MEDIA_VARIANT_OFF = 20000
-assert _MEDIA_VARIANT_OFF % 3 != 0
+if _MEDIA_VARIANT_OFF % 3 == 0:  # explicit raise: survives python -O
+    raise RuntimeError("_MEDIA_VARIANT_OFF must not be divisible by 3")
 
 def x_media_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (aHash): the image third of the media
@@ -4907,7 +4915,8 @@ def _register_dedup_pr_bands_oracle() -> None:
     # truth CTEs (same planted construction as x_dedup_pr, probe-sized
     # every-20th base) into it
     body = sweep.strip()
-    assert body.startswith("WITH ")
+    if not body.startswith("WITH "):  # explicit raise: survives python -O
+        raise RuntimeError("band-sweep oracle must start with WITH")
     _ORACLES["x_dedup_pr_bands"] = f"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0

@@ -1063,7 +1063,7 @@ def build_token_index(
     tok = token_embeddings(
         docs, id_col=id_col, text_col=text_col, dims=dims, cache=False
     )
-    info: dict = {"dims": dims, "id_col": id_col}
+    info: dict = {"dims": dims, "id_col": id_col, "model": "hash"}
     if n_centroids is not None:
         tok = tok.persist()
         tok.count()
@@ -1101,6 +1101,16 @@ def build_token_index(
     return meta
 
 
+# Token-index embedding models whose vectors are CORPUS-INDEPENDENT —
+# the precondition for O(batch) append ≡ rebuild. "hash" is the only
+# token-level embedder today; a frozen provider model could be added
+# once the token path supports one, but a corpus-trained model (the
+# TF-IDF × SRP local model) must never be: its vectors shift with
+# corpus statistics and appended rows would silently diverge from a
+# rebuild.
+TOKEN_MODELS_APPENDABLE = frozenset({"hash"})
+
+
 def append_to_token_index(
     spark: SparkSession,
     warehouse: str,
@@ -1119,7 +1129,15 @@ def append_to_token_index(
     centroid-routed index appends with the FROZEN codebook from meta
     (the IVF append ruling): cid is a pure function of (token,
     codebook), so routed appends land in the right partitions and
-    append ≡ rebuild still holds."""
+    append ≡ rebuild still holds.
+
+    The whole O(batch) argument rests on the embedding model being
+    CORPUS-INDEPENDENT: a token index built from a corpus-trained
+    model (TF-IDF × SRP, or any scheme whose token vector depends on
+    corpus statistics) would make appended rows differ from what a
+    rebuild produces — silently. Append therefore refuses any
+    meta.model outside TOKEN_MODELS_APPENDABLE; metas written before
+    the field existed were all hash-built and are treated as such."""
     from leann_rs_spark.operators.late_interaction import (
         assign_token_cids,
         token_embeddings,
@@ -1131,6 +1149,15 @@ def append_to_token_index(
     if not info:
         raise ValueError(
             f"index {name!r} has no token index — run build_token_index"
+        )
+    model = info.get("model", "hash")
+    if model not in TOKEN_MODELS_APPENDABLE:
+        raise ValueError(
+            f"token index {name!r} was built with corpus-dependent "
+            f"embedding model {model!r}: O(batch) append would silently "
+            "diverge from a rebuild (append ≡ rebuild holds only for "
+            "corpus-independent embeddings) — rebuild with "
+            "build_token_index instead"
         )
     tok = token_embeddings(
         new_docs,

@@ -37,17 +37,20 @@ ZORDER_DEFAULT_BITS = 8
 def _bucket(v: Column, mn: Column, mx: Column, bits: int) -> Column:
     """Range-bucket rank in [0, 2^bits): floor((v − mn) · 2^bits / span)
     clamped to the top bucket (v = mx lands in 2^bits − 1), 0 when the
-    column is constant or the value is NULL. Double arithmetic in this
-    exact operation order — the twin replays it bit-for-bit."""
+    column is constant or the value is NULL or NaN. Double arithmetic
+    in this exact operation order — the twin replays it bit-for-bit."""
     span = mx - mn
+    dv = v.cast("double")
     scaled = F.floor(
-        (v.cast("double") - mn) * F.lit(float(2**bits)) / span
+        (dv - mn) * F.lit(float(2**bits)) / span
     ).cast("long")
     top = F.lit((1 << bits) - 1).cast("long")
-    # NULL first: least()/greatest() IGNORE nulls in both engines, so a
-    # NULL value would otherwise clamp to the top bucket
+    # NULL/NaN first: least()/greatest() IGNORE nulls in both engines
+    # (a NULL would clamp to the top bucket), and a NaN diverges
+    # cross-engine — Spark floor(NaN)::long is 0 while DuckDB's CAST
+    # errors (ADVICE r7). Both land in bucket 0 explicitly.
     return (
-        F.when(v.isNull(), F.lit(0))
+        F.when(v.isNull() | F.isnan(dv), F.lit(0))
         .when(span > F.lit(0.0), F.least(scaled, top))
         .otherwise(F.lit(0))
         .cast("long")
@@ -79,13 +82,21 @@ def with_zorder_key(
     """→ df + `key_col`: the Morton key over `cols`. ONE distributed
     min/max aggregate feeds a broadcast 1-row stats frame; the key is
     then a pure projection (no per-row Python, no second pass)."""
+    # NaN-excluding stats: both engines sort NaN above every double,
+    # so ONE NaN row would make mx (and the span) NaN for EVERY row —
+    # min/max over the non-NaN values keeps the layout meaningful and
+    # cross-engine identical (NaN rows themselves bucket to 0)
+    def _finite(c: str) -> Column:
+        dv = F.col(c).cast("double")
+        return F.when(~F.isnan(dv), dv)
+
     stats = df.agg(
         *[
             f
             for c in cols
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                F.min(_finite(c)).alias(f"__mn_{c}"),
+                F.max(_finite(c)).alias(f"__mx_{c}"),
             )
         ]
     )
@@ -133,8 +144,10 @@ def duckdb_zorder_key(
     arithmetic, same interleave, bit-identical keys. Exposes every
     source column plus zkey."""
     stats = ", ".join(
-        f"min(CAST({c} AS DOUBLE)) AS __mn_{c}, "
-        f"max(CAST({c} AS DOUBLE)) AS __mx_{c}"
+        f"min(CASE WHEN isnan(CAST({c} AS DOUBLE)) THEN NULL "
+        f"ELSE CAST({c} AS DOUBLE) END) AS __mn_{c}, "
+        f"max(CASE WHEN isnan(CAST({c} AS DOUBLE)) THEN NULL "
+        f"ELSE CAST({c} AS DOUBLE) END) AS __mx_{c}"
         for c in cols
     )
     n = len(cols)
@@ -146,7 +159,8 @@ def duckdb_zorder_key(
             f" / {span}) AS BIGINT)"
         )
         bks.append(
-            f"(CASE WHEN {c} IS NULL THEN 0 WHEN {span} > 0.0 THEN "
+            f"(CASE WHEN {c} IS NULL OR isnan(CAST({c} AS DOUBLE)) THEN 0 "
+            f"WHEN {span} > 0.0 THEN "
             f"least({scaled}, CAST({(1 << bits) - 1} AS BIGINT)) "
             f"ELSE 0 END)"
         )

@@ -488,6 +488,15 @@ def diff_tables(
     compare_cols = compare_cols or [
         c for c in base.columns if c in set(new.columns) and c not in key_cols
     ]
+    if not compare_cols:
+        # a key-only table has no changed/unchanged distinction, and
+        # side presence is detected via struct nullness — F.struct()
+        # with zero fields fails (and the twin's ROW() would be
+        # invalid SQL). Refuse loudly instead (ADVICE r7).
+        raise ValueError(
+            "diff_tables needs at least one non-key column to compare "
+            f"(key_cols={key_cols!r} cover every shared column)"
+        )
     b = base.select(
         *[F.col(c) for c in key_cols],
         F.struct(*[F.col(c) for c in compare_cols]).alias("__b"),

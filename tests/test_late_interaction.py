@@ -744,3 +744,48 @@ def test_rescore_pair_broadcast_guard(spark):
     assert plan_o.count("BroadcastHashJoin") == 1, plan_o
     assert "SortMergeJoin" in plan_o or "ShuffledHashJoin" in plan_o, plan_o
     assert got_u == got_o and len(got_u) == 2
+
+
+def test_token_index_model_meta_and_append_refusal(spark, tmp_path):
+    """The token-index meta records its embedding model, round-trips
+    through load, and append REFUSES a corpus-dependent model — the
+    O(batch) append ≡ rebuild premise holds only for corpus-
+    -independent embeddings (VERDICT r7 task 7). Pre-model metas
+    (all hash-built) keep appending."""
+    import pytest
+
+    from leann_rs_spark.catalog import (
+        append_to_token_index,
+        build_token_index,
+        load_meta,
+        load_token_index,
+        save_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort external"), (2, "hash join keys")],
+        "doc_id long, text string",
+    )
+    wh = str(tmp_path / "wh")
+    build_token_index(spark, wh, "tok", docs, dims=16)
+    _, info = load_token_index(spark, wh, "tok")
+    assert info["model"] == "hash"
+
+    more = spark.createDataFrame(
+        [(3, "window aggregate state")], "doc_id long, text string"
+    )
+    # legacy meta without the field appends (treated as hash-built)
+    meta = load_meta(wh, "tok")
+    del meta.extra["token_index"]["model"]
+    save_meta(wh, "tok", meta)
+    append_to_token_index(spark, wh, "tok", more)
+
+    # a corpus-dependent model refuses
+    meta = load_meta(wh, "tok")
+    meta.extra["token_index"]["model"] = "tfidf"
+    save_meta(wh, "tok", meta)
+    even_more = spark.createDataFrame(
+        [(4, "partition keys again")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="corpus-dependent"):
+        append_to_token_index(spark, wh, "tok", even_more)

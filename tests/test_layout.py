@@ -114,3 +114,44 @@ def test_zorder_empty_and_single_row(spark, tmp_path):
     one = spark.createDataFrame([(3, 7.0)], "a int, b double")
     rows = with_zorder_key(one, ["a", "b"], bits=4).collect()
     assert rows[0]["zkey"] == 0
+
+
+def test_zorder_key_nan_parity_with_twin(spark):
+    """A NaN value buckets to 0 in BOTH engines (Spark floor(NaN) is 0
+    while DuckDB CAST(floor('NaN') AS BIGINT) errors — ADVICE r7), and
+    one NaN row must not poison the min/max span for every other row
+    (both engines sort NaN above all doubles)."""
+    import math
+
+    import duckdb
+
+    from leann_rs_spark.sources.layout import (
+        duckdb_zorder_key,
+        with_zorder_key,
+    )
+
+    rows = [(1, 0.0, 10), (2, float("nan"), 20), (3, 8.0, 30)]
+    df = spark.createDataFrame(rows, "id int, v double, u int")
+    got = {
+        r["id"]: r["zkey"]
+        for r in with_zorder_key(df, ["v", "u"], bits=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'CAST(' + chr(39) + 'NaN' + chr(39) + ' AS DOUBLE)' if math.isnan(v) else v}, {u})"
+            for i, v, u in rows
+        )
+        + ") t(id, v, u)"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT id, zkey FROM ({duckdb_zorder_key(['v', 'u'], bits=4)})"
+        ).fetchall()
+    }
+    assert got == want
+    # NaN row buckets v to 0; the other rows keep a finite span
+    assert got[2] is not None
+    assert got[3] > got[1]

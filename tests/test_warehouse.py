@@ -467,3 +467,18 @@ def test_diff_tables_empty_sides(spark):
         (r["id"], r["change"]) for r in diff_tables(empty, base, ["id"]).collect()
     } == {(1, "added"), (2, "added")}
     assert diff_tables(empty, empty, ["id"]).count() == 0
+
+
+def test_diff_tables_refuses_key_only_tables(spark):
+    """With no non-key columns to compare, side presence via struct
+    nullness has no fallback (F.struct() with zero fields fails
+    downstream, and the twin's ROW() would be invalid SQL): refuse
+    loudly (ADVICE r7)."""
+    import pytest
+
+    from leann_rs_spark.sources.warehouse import diff_tables
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (3,)], "k long")
+    with pytest.raises(ValueError, match="non-key column"):
+        diff_tables(a, b, ["k"])
