@@ -92,6 +92,13 @@ def ivf_assign(
 
     Both paths tie-break on centroid_id ASC (larger -id == smaller id)
     for a total order matching the oracle's row_number ordering.
+
+    Contract: (id_col, *extra_cols) must uniquely key the input rows —
+    the broadcast path re-collapses the C scored copies by exactly
+    that key, so a duplicate key would merge distinct vectors into one
+    assignment. Every caller satisfies it (vec_id/idx are unique; the
+    token-level path keys by the distinct (doc, token) pair). The
+    inline path is a pure projection and preserves rows regardless.
     """
     cent_df = centroids.select("centroid_id", "centroid_vec")
     cents = sorted(
@@ -132,10 +139,9 @@ def ivf_assign(
         ).alias("__cand"),
     )
     return (
-        scored.groupBy(id_col)
+        scored.groupBy(id_col, *extras)
         .agg(
             F.any_value(F.col(vec_col)).alias(vec_col),
-            *[F.any_value(F.col(c)).alias(c) for c in extras],
             F.max("__cand").alias("__best"),
         )
         .select(

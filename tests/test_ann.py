@@ -253,3 +253,39 @@ def test_batch_partial_probe_matches_oracle(spark, emb, assigned, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ivf_assign_broadcast_path_keeps_duplicate_id_rows(spark):
+    """The token-level assignment keys rows by (doc_id, token) — doc_id
+    alone repeats. The broadcast path (C > inline_max) must preserve
+    every row and agree bit-for-bit with the inline-projection path;
+    before the (id_col, *extra_cols) group key it collapsed all of a
+    doc's tokens into ONE arbitrary assignment (found sizing the
+    routing fixture at C=256)."""
+    from leann_rs_spark.operators.ann import ivf_assign
+
+    rows = [
+        (1, "aa", [1.0, 0.0]),
+        (1, "bb", [0.0, 1.0]),
+        (2, "aa", [1.0, 0.0]),
+        (2, "cc", [0.7, 0.7]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "doc_id long, token string, vec array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    kw = dict(id_col="doc_id", vec_col="vec", extra_cols=["token"])
+    inline = sorted(
+        (r["doc_id"], r["token"], r["cluster_id"])
+        for r in ivf_assign(vecs, cents, **kw).collect()
+    )
+    bcast = sorted(
+        (r["doc_id"], r["token"], r["cluster_id"])
+        for r in ivf_assign(vecs, cents, inline_max=1, **kw).collect()
+    )
+    assert len(inline) == 4
+    assert inline == bcast
+    assert inline == [(1, "aa", 0), (1, "bb", 1), (2, "aa", 0), (2, "cc", 0)]
