@@ -227,9 +227,12 @@ def unrelated(s):
     assert same["g1"] == base["g1"] and same["g2"] == base["g2"]
 
 
-def test_fingerprint_unresolvable_symbol_falls_back_to_whole_file():
-    """A symbol the walker cannot locate (dynamically defined) widens
-    to whole-file hashing — under-flagging is the unsafe direction."""
+def test_fingerprint_factory_assignment_chases_the_factory():
+    """`fa = _make()` is a top-level simple assignment: the walker
+    hashes the assignment and chases `_make` (everything fa's behavior
+    can depend on flows through referenced names) — editing the
+    factory re-flags g1, an unrelated def does not (this was a
+    whole-file fallback before the r8 constant tightening)."""
     alpha = '''\
 def _make():
     def fa(s):
@@ -243,9 +246,87 @@ def fb(s):
 '''
     rel = "leann_rs_spark/operators/alpha.py"
     base = _fps(_ENTRY_TWO_GATES, {rel: alpha})
+    factory = _fps(
+        _ENTRY_TWO_GATES, {rel: alpha.replace("return s", "return s + 1")}
+    )
+    assert factory["g1"] != base["g1"]
+    other = _fps(
+        _ENTRY_TWO_GATES, {rel: alpha.replace("return 2", "return 3")}
+    )
+    assert other["g1"] == base["g1"] and other["g2"] != base["g2"]
+
+
+def test_fingerprint_unresolvable_symbol_falls_back_to_whole_file():
+    """A symbol the walker cannot locate AT ALL (exec-defined, no
+    top-level binding) widens to whole-file hashing — under-flagging
+    is the unsafe direction."""
+    alpha = '''\
+exec("def fa(s): return s")
+
+def fb(s):
+    return 2
+'''
+    rel = "leann_rs_spark/operators/alpha.py"
+    base = _fps(_ENTRY_TWO_GATES, {rel: alpha})
     moved = _fps(
         _ENTRY_TWO_GATES, {rel: alpha.replace("return 2", "return 3")}
     )
-    # fa is not a top-level def: whole-file fallback means ANY module
-    # edit (even fb's) re-flags g1
+    # fa has no top-level binding: whole-file fallback means ANY
+    # module edit (even fb's) re-flags g1
     assert moved["g1"] != base["g1"]
+
+
+def test_fingerprint_ignores_unreferenced_constants_and_imports():
+    """r7 blast-radius tightening: 19 of 90 stale flags were
+    preamble-only churn. An UNREFERENCED module constant (or a new
+    top-level import) must not re-flag gates whose closures never read
+    it; a referenced constant still does (the TUNE test above), and
+    non-assignment module-level code always hashes."""
+    alpha = '''\
+OTHER = 7
+USED = 3
+
+def fa(s):
+    return USED
+
+def fb(s):
+    return 2
+'''
+    rel = "leann_rs_spark/operators/alpha.py"
+    base = _fps(_ENTRY_TWO_GATES, {rel: alpha})
+
+    # unreferenced constant edit: neither gate re-flags
+    bumped = _fps(_ENTRY_TWO_GATES, {rel: alpha.replace("OTHER = 7", "OTHER = 8")})
+    assert bumped == base
+
+    # referenced constant edit: only fa's gate re-flags
+    used = _fps(_ENTRY_TWO_GATES, {rel: alpha.replace("USED = 3", "USED = 4")})
+    assert used["g1"] != base["g1"] and used["g2"] == base["g2"]
+
+    # adding an unrelated top-level import: no re-flag
+    imported = _fps(_ENTRY_TWO_GATES, {rel: "import json\n" + alpha})
+    assert imported == base
+
+    # module-level CODE (non-assignment) always hashes
+    coded = _fps(_ENTRY_TWO_GATES, {rel: alpha + "\nprint('x')\n"})
+    assert coded["g1"] != base["g1"] and coded["g2"] != base["g2"]
+
+
+def test_fingerprint_follows_constant_chains():
+    """A constant whose value references another constant or a def
+    pulls those in transitively (DERIVED = BASE * 2 must re-flag when
+    BASE moves)."""
+    alpha = '''\
+BASE = 2
+DERIVED = BASE * 2
+
+def fa(s):
+    return DERIVED
+
+def fb(s):
+    return 2
+'''
+    rel = "leann_rs_spark/operators/alpha.py"
+    base = _fps(_ENTRY_TWO_GATES, {rel: alpha})
+    moved = _fps(_ENTRY_TWO_GATES, {rel: alpha.replace("BASE = 2", "BASE = 5")})
+    assert moved["g1"] != base["g1"] and moved["g2"] == base["g2"]

@@ -270,23 +270,34 @@ def _artifact_rev(rnd: int) -> str | None:
 def _module_index(rel: str, read, cache: dict):
     """Parse a module file into (defs: top-level def/class name →
     source WITH decorators, imports: name → dotted leann_rs_spark path
-    collected module-wide, preamble: source of every top-level
-    non-def statement — constants, module-level code — , ok).
-    ok=False (parse/read failure) tells the caller to fall back to
-    whole-file hashing."""
+    collected module-wide, consts: top-level simple-Name assignment →
+    its source, rest: source of every OTHER top-level statement —
+    module-level code, tuple unpacks, try-blocks — , ok). ok=False
+    (parse/read failure) tells the caller to fall back to whole-file
+    hashing.
+
+    Constants are keyed by NAME so a gate's fingerprint covers only
+    the module state its closure actually references — an unrelated
+    constant edit must not re-flag every gate importing the module
+    (the r7 blast-radius finding: 19 of 90 stale flags were
+    preamble-only churn). Top-level import statements are excluded
+    entirely: a referenced import's EFFECT is hashed through the
+    resolved target module's content, and an unreferenced one cannot
+    affect the closure."""
     if rel in cache:
         return cache[rel]
     src = read(rel)
     if src is None:
-        cache[rel] = ({}, {}, "", False)
+        cache[rel] = ({}, {}, {}, "", False)
         return cache[rel]
     try:
         tree = ast.parse(src)
     except SyntaxError:
-        cache[rel] = ({}, {}, "", False)
+        cache[rel] = ({}, {}, {}, "", False)
         return cache[rel]
     defs: dict[str, str] = {}
-    preamble: list[str] = []
+    consts: dict[str, str] = {}
+    rest: list[str] = []
     for node in tree.body:
         if isinstance(
             node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
@@ -298,9 +309,22 @@ def _module_index(rel: str, read, cache: dict):
             defs[node.name] = deco + "\n" + (
                 ast.get_source_segment(src, node) or ""
             )
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            continue
         else:
-            preamble.append(ast.get_source_segment(src, node) or "")
-    cache[rel] = (defs, _local_imports(src), "\n".join(preamble), True)
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = node.targets
+            elif isinstance(node, ast.AnnAssign):
+                targets = [node.target]
+            names = [t.id for t in targets if isinstance(t, ast.Name)]
+            if targets and len(names) == len(targets):
+                seg = ast.get_source_segment(src, node) or ""
+                for nm in names:
+                    consts[nm] = seg
+            else:
+                rest.append(ast.get_source_segment(src, node) or "")
+    cache[rel] = (defs, _local_imports(src), consts, "\n".join(rest), True)
     return cache[rel]
 
 
@@ -313,15 +337,17 @@ def _closure_items(
     gate importing the module (VERDICT r6 task 5).
 
     Per referenced symbol: its def/class source (decorators included)
-    plus, transitively, every same-module def it names and every
-    import it follows into other leann_rs_spark modules. Every touched
-    module also contributes its PREAMBLE (top-level constants and
-    module-level code — shared state the symbol may read). Anything
-    unresolvable — a module-object import, `import *`, a symbol not
-    defined at top level, a parse failure — falls back to hashing that
-    module's whole file plus its transitive module deps (the old
-    behavior): under-flagging is the failure mode that silently
-    starves driver re-verification, so every ambiguity widens."""
+    plus, transitively, every same-module def OR top-level constant it
+    names and every import it follows into other leann_rs_spark
+    modules. Every touched module also contributes its residual
+    top-level code (non-assignment statements) — but NOT unreferenced
+    constants (the r7 blast-radius tightening: constant edits re-flag
+    only closures that read them). Anything unresolvable — a
+    module-object import, `import *`, a symbol not defined at top
+    level, a parse failure — falls back to hashing that module's
+    whole file plus its transitive module deps (the old behavior):
+    under-flagging is the failure mode that silently starves driver
+    re-verification, so every ambiguity widens."""
     items: dict[str, str] = {}
     whole: set[str] = set()
     seen_sym: set[tuple[str, str]] = set()
@@ -343,6 +369,26 @@ def _closure_items(
             return
         work.append((rel, remainder.split(".")[0]))
 
+    def chase(rel, source, defs, imports, consts) -> bool:
+        """Follow every name a source fragment references; False on a
+        parse failure (caller widens to whole-file)."""
+        try:
+            t = ast.parse(source)
+        except SyntaxError:
+            return False
+        local = _local_imports(source)
+        for n in ast.walk(t):
+            if not isinstance(n, ast.Name):
+                continue
+            name = n.id
+            if name in local:
+                resolve(local[name])
+            elif name in defs or name in consts:
+                work.append((rel, name))
+            elif name in imports:
+                resolve(imports[name])
+        return True
+
     for dotted in sorted(mods):
         resolve(dotted)
     while work:
@@ -350,29 +396,21 @@ def _closure_items(
         if (rel, sym) in seen_sym:
             continue
         seen_sym.add((rel, sym))
-        defs, imports, preamble, ok = _module_index(rel, read, midx_cache)
+        defs, imports, consts, rest, ok = _module_index(
+            rel, read, midx_cache
+        )
         if not ok:
             add_whole(rel)
             continue
-        items[f"{rel}:__preamble__"] = preamble
+        items[f"{rel}:__prerest__"] = rest
         if sym in defs:
             items[f"{rel}:{sym}"] = defs[sym]
-            try:
-                t = ast.parse(defs[sym])
-            except SyntaxError:
+            if not chase(rel, defs[sym], defs, imports, consts):
                 add_whole(rel)
-                continue
-            local = _local_imports(defs[sym])
-            for n in ast.walk(t):
-                if not isinstance(n, ast.Name):
-                    continue
-                name = n.id
-                if name in local:
-                    resolve(local[name])
-                elif name in defs:
-                    work.append((rel, name))
-                elif name in imports:
-                    resolve(imports[name])
+        elif sym in consts:
+            items[f"{rel}:__const__:{sym}"] = consts[sym]
+            if not chase(rel, consts[sym], defs, imports, consts):
+                add_whole(rel)
         elif sym in imports:
             resolve(imports[sym])  # re-export
         else:
