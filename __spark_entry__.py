@@ -1404,6 +1404,66 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+def _fx_minhash_wh(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted corpus MinHash signature artifact
+    (catalog.build_minhash_index) built on the EVEN half of the
+    incremental-dedup corpus then batch-appended with the odd half —
+    the even+odd append ladder the token/IVF/BM25 artifacts use, so
+    the serving gate proves append ≡ rebuild through results. Once
+    per process on the `_fx` ladder."""
+
+    def build() -> str:
+        from leann_rs_spark.catalog import (
+            append_to_minhash_index,
+            build_minhash_index,
+        )
+
+        wh = _gate_tmpdir("leann-fx-mhsig-")
+        corpus = _fan(_docs(spark, sf_dir)).filter(
+            F.col("doc_id") < _INCR_SPLIT
+        )
+        build_minhash_index(
+            spark, wh, "sigs", corpus.filter(F.col("doc_id") % 2 == 0)
+        )
+        append_to_minhash_index(
+            spark, wh, "sigs", corpus.filter(F.col("doc_id") % 2 == 1)
+        )
+        return wh
+
+    return _fx(("minhash_sigs", sf_dir), build)
+
+
+def x_minhash_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup SERVED FROM THE PERSISTED SIGNATURE
+    ARTIFACT (catalog.build_minhash_index / append_to_minhash_index /
+    load_minhash_index): the corpus side of the banded join is a
+    parquet scan of (id, sig) — the whole-corpus shingle+signature
+    aggregate disappears from the per-batch cost, which is the 100 TB
+    shape minhash_near_dups_incremental's docstring promises. The
+    artifact is built even-half then appended odd-half, so the oracle
+    hash match (same twin as x_dedup_incremental, which recomputes
+    signatures inline from scratch) proves persisted ≡ inline AND
+    append ≡ rebuild in one gate — MinHash signatures are a fixed
+    derived-hash family over content shingles, corpus-independent by
+    construction."""
+    from leann_rs_spark.catalog import load_minhash_index
+    from leann_rs_spark.operators.dedup import minhash_near_dups_incremental
+
+    sigs, info = load_minhash_index(spark, _fx_minhash_wh(spark, sf_dir), "sigs")
+    docs = _fan(_docs(spark, sf_dir))
+    out = minhash_near_dups_incremental(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT),
+        docs.filter(F.col("doc_id") >= _INCR_SPLIT),
+        shingle_k=info["shingle_k"],
+        num_hashes=info["num_hashes"],
+        threshold=0.5,
+        corpus_sigs=sigs,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("new_id", "corpus_id")
+
+
 _REINGEST_N = 20  # re-crawled docs in the incremental-exact gate
 
 
@@ -4826,6 +4886,17 @@ def _register_dedup_oracles() -> None:
         )})
         ORDER BY new_id, corpus_id
     """
+    # persisted-signature serving gate: SAME inline-recompute twin —
+    # a hash match proves persisted ≡ inline and append ≡ rebuild
+    _ORACLES["x_minhash_index_dedup"] = f"""
+        SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard_r
+        FROM ({duckdb_minhash_near_dups_incremental(
+            f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}",
+            f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
+            threshold=0.5,
+        )})
+        ORDER BY new_id, corpus_id
+    """
     _ORACLES["x_dedup_ngram_jaccard"] = f"""
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
         FROM ({duckdb_ngram_jaccard_pairs(n=3, threshold=0.3)})
@@ -6215,6 +6286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_incremental": x_dedup_incremental,
+        "x_minhash_index_dedup": x_minhash_index_dedup,
         "x_dedup_exact_incremental": x_dedup_exact_incremental,
         "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,

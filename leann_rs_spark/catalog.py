@@ -1248,3 +1248,107 @@ def load_token_index(
             f"index {name!r} has no token index — run build_token_index"
         )
     return spark.read.parquet(f"{base}/token_index"), info
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+) -> IndexMeta:
+    """Persist the corpus MinHash signature table as a catalog
+    artifact — the promise `minhash_near_dups_incremental`'s docstring
+    makes ("at 100 TB the corpus signature table is a persisted
+    artifact"): each ingest batch then pays only ITS OWN signature
+    aggregate; the corpus side is a parquet scan of (id, sig), never a
+    re-shingle of the whole corpus. Same ruling as the token/IVF/BM25
+    artifacts.
+
+    Build at the WIDEST num_hashes any serving config needs: the
+    banding sweep's sig-prefix property (operators/dedup.py
+    minhash_band_sweep) means one max-width table serves every
+    (n_hashes ≤ num_hashes, bands) configuration by slicing.
+
+    Layout: <base>/minhash_sigs/*.parquet (id_col, sig ARRAY<BIGINT>)
+    + meta.extra["minhash_index"] = {shingle_k, num_hashes, id_col,
+    rows}. Docs shorter than shingle_k carry no signature (they cannot
+    be near-dups — the bulk builder's documented drop)."""
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    base = _index_dir(warehouse, name)
+    sigs = _minhash_signatures_bulk(
+        docs, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes,
+    )
+    sigs.write.mode("overwrite").parquet(f"{base}/minhash_sigs")
+    try:
+        meta = load_meta(warehouse, name)
+    except FileNotFoundError:
+        meta = IndexMeta(backend="minhash", dimensions=num_hashes)
+    rows = spark.read.parquet(f"{base}/minhash_sigs").count()
+    meta.extra["minhash_index"] = {
+        "shingle_k": shingle_k,
+        "num_hashes": num_hashes,
+        "id_col": id_col,
+        "rows": rows,
+    }
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def append_to_minhash_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+) -> IndexMeta:
+    """S12 for the dedup artifact: append a new batch's signatures.
+    O(batch) and append ≡ rebuild EXACTLY — the MinHash family is a
+    fixed derived-hash sequence over content shingles
+    (functions/text.hash_pair), corpus-independent by construction,
+    so appended rows are bit-identical to what a full rebuild would
+    produce (the same argument as the hash-embedding token index; the
+    x_minhash_index_dedup gate proves it through serving)."""
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    info = meta.extra.get("minhash_index")
+    if not info:
+        raise ValueError(
+            f"index {name!r} has no minhash index — run build_minhash_index"
+        )
+    sigs = _minhash_signatures_bulk(
+        new_docs, id_col=info["id_col"], text_col=text_col,
+        shingle_k=info["shingle_k"], num_hashes=info["num_hashes"],
+    ).persist()  # count + append sink both consume it
+    n_new = sigs.count()
+    sigs.write.mode("append").parquet(f"{base}/minhash_sigs")
+    sigs.unpersist()
+    info["rows"] = info["rows"] + n_new
+    save_meta(warehouse, name, meta)
+    return meta
+
+
+def load_minhash_index(
+    spark: SparkSession, warehouse: str, name: str
+) -> tuple[DataFrame, dict]:
+    """Read the persisted signature table → ((id_col, sig) frame, its
+    meta dict {shingle_k, num_hashes, id_col, rows}). The frame is the
+    `corpus_sigs` input of `minhash_near_dups_incremental` and the
+    signature side of any banding config at n_hashes ≤ num_hashes."""
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    info = meta.extra.get("minhash_index")
+    if not info:
+        raise ValueError(
+            f"index {name!r} has no minhash index — run build_minhash_index"
+        )
+    return spark.read.parquet(f"{base}/minhash_sigs"), info

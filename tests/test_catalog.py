@@ -736,3 +736,53 @@ def test_ivf_drift_report(spark, docs, warehouse):
 def test_ivf_drift_report_refuses_non_ivf(spark, docs, warehouse, built):
     with pytest.raises(ValueError, match="no IVF layout"):
         catalog.ivf_drift_report(spark, warehouse, "main")
+
+
+def test_minhash_index_build_append_load_roundtrip(spark, tmp_path):
+    """The persisted signature artifact: build on half the corpus,
+    append the rest — the loaded table must equal a from-scratch bulk
+    signature run bit-for-bit (MinHash is a fixed derived-hash family,
+    corpus-independent), and the meta round-trips."""
+    import pytest
+
+    from leann_rs_spark.catalog import (
+        append_to_minhash_index,
+        build_minhash_index,
+        load_minhash_index,
+    )
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text lives here"),
+            (4, "abc"),  # shorter than shingle_k: no signature row
+        ],
+        "doc_id long, text string",
+    )
+    wh = str(tmp_path / "wh")
+    build_minhash_index(
+        spark, wh, "sigs", docs.filter("doc_id <= 2"), num_hashes=8
+    )
+    append_to_minhash_index(spark, wh, "sigs", docs.filter("doc_id > 2"))
+    sigs, info = load_minhash_index(spark, wh, "sigs")
+    assert info["num_hashes"] == 8 and info["shingle_k"] == 5
+    assert info["rows"] == 3  # doc 4 too short
+    got = sorted(
+        (r["doc_id"], tuple(r["sig"])) for r in sigs.collect()
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in _minhash_signatures_bulk(docs, num_hashes=8).collect()
+    )
+    assert got == want
+
+    # an index whose meta lacks the minhash section refuses clearly
+    from leann_rs_spark.catalog import load_meta, save_meta
+
+    meta = load_meta(wh, "sigs")
+    del meta.extra["minhash_index"]
+    save_meta(wh, "sigs", meta)
+    with pytest.raises(ValueError, match="no minhash index"):
+        load_minhash_index(spark, wh, "sigs")

@@ -182,6 +182,12 @@ def main() -> None:
         "x_li_bm25_hybrid",
         # routing-balance audit: one groupBy over the routed artifact
         "x_token_cid_balance",
+        # round-8: kmeans-routed serving (covering probe ≡ exact) —
+        # same artifact-read shape as the take-routed pruned gate;
+        # persisted-signature incremental dedup reads (id, sig) parquet
+        # instead of re-shingling the corpus (candidate-proportional
+        # verify, corpus-scan-free signature side)
+        "x_li_kmeans_pruned", "x_minhash_index_dedup",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -209,7 +215,8 @@ def main() -> None:
         "x_late_interaction_refined", "x_token_index_append",
         "x_late_interaction_pruned", "x_li_probe_recall",
         "x_token_index_compact", "x_li_bm25_hybrid",
-        "x_token_cid_balance",
+        "x_token_cid_balance", "x_li_kmeans_pruned",
+        "x_minhash_index_dedup",
     }
     results: dict[str, dict] = {}
     for name in names:
@@ -253,6 +260,10 @@ def main() -> None:
     results["audio_real"] = audio_real_check(spark, args)
     spark.catalog.clearCache()
     results["zorder_pruning"] = zorder_prune_check(spark, args)
+    spark.catalog.clearCache()
+    results["li_routing_balance"] = li_routing_balance_check(spark, args)
+    spark.catalog.clearCache()
+    results["li_routing_prune"] = li_routing_prune_check(spark, args)
     # measurement conditions: shared-host load keeps masquerading as
     # plan regressions (bench.py records the same field)
     results["load_avg_1_5_15"] = [round(x, 2) for x in os.getloadavg()]
@@ -264,11 +275,18 @@ def main() -> None:
 def zorder_prune_check(spark, args) -> dict:
     """File-level locality the z-order layout buys, at 1×/10×: write
     events clustered by the Morton key over (user_id, value) and by a
-    1-D user_id sort, then count the files HOLDING rows of a ~1%
-    2-D box (10% of each dimension's range) — the per-file min/max
-    envelope a stats-pruning reader skips by. Expect the z-ordered
-    file count flat and well under the 1-D layout's; the write itself
-    is one range shuffle (the re-layout cost, row-proportional)."""
+    1-D user_id sort, then count the files HOLDING rows of a selective
+    2-D box — 10% of the user range × the value P95 tail (~0.5% of
+    rows; "top-value events for a user cohort", the probe a 1-D user
+    sort cannot serve: the rare high values live in EVERY user stripe,
+    so the linear layout's floor is its user-width file count while
+    z-order confines the box to the value-high cells of the curve).
+    The r7 fixture's 10%-of-RANGE value cap covered ~80% of rows on
+    this right-skewed value column, so BOTH layouts were row-bound and
+    near-indistinguishable (measured 3-vs-4 of 32) — the box must be
+    row-selective in the dimension the linear sort ignores. Expect
+    z_files_box ≤ lin_files_box/2; the write itself is one range
+    shuffle (the re-layout cost, row-proportional)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -276,18 +294,18 @@ def zorder_prune_check(spark, args) -> dict:
     from leann_rs_spark.sources.layout import zorder_write
 
     out: dict = {}
-    files = 32
+    files = 64
     for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_id", "user_id", "value"
         )
         st = ev.agg(
             F.min("user_id"), F.max("user_id"),
-            F.min("value"), F.max("value"),
+            F.percentile_approx("value", 0.95),
         ).collect()[0]
         u_hi = st[0] + 0.1 * (st[1] - st[0])
-        v_hi = st[2] + 0.1 * (st[3] - st[2])
-        box = (F.col("user_id") <= u_hi) & (F.col("value") <= v_hi)
+        v_hi = st[2]  # P95: the box is the value TAIL above it
+        box = (F.col("user_id") <= u_hi) & (F.col("value") >= v_hi)
         root = tempfile.mkdtemp(prefix="leann-scale-zorder-")
         zp, lp = f"{root}/z", f"{root}/lin"
         t0 = time.perf_counter()
@@ -309,17 +327,143 @@ def zorder_prune_check(spark, args) -> dict:
             )
 
         # the value-only filter is the discriminating case: the 1-D
-        # user sort leaves low values in EVERY file, z-order confines
-        # them to the value-low stripes of the curve
+        # user sort leaves high values in EVERY file, z-order confines
+        # them to the value-high stripes of the curve
         out[label] = {
             "z_files_box": touched(zp, box),
             "lin_files_box": touched(lp, box),
-            "z_files_value": touched(zp, F.col("value") <= v_hi),
-            "lin_files_value": touched(lp, F.col("value") <= v_hi),
+            "z_files_value": touched(zp, F.col("value") >= v_hi),
+            "lin_files_value": touched(lp, F.col("value") >= v_hi),
             "total_files": files,
             "t_zorder_write_s": t_write,
         }
         print(f"# {label:3} zorder_pruning: {out[label]}", file=sys.stderr)
+    return out
+
+
+def li_routing_balance_check(spark, args) -> dict:
+    """Take- vs kmeans-policy routing balance over the REAL corpus at
+    the gate fixture's C (VERDICT r7 task 3's measurement half): the
+    per-cid row-count histogram's max/mean ratio is the number that
+    decides whether nprobe/C scan arithmetic can be trusted — a hot
+    cid is a hot partition, and the take policy's lexicographic vocab
+    sample has no reason to tile the embedding space."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.ann import kmeans_centroids
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        token_embeddings,
+        token_take_centroids,
+    )
+
+    c = 16
+    docs = spark.read.parquet(f"{args.base}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tok = token_embeddings(docs, dims=32, cache=False).persist()
+    tok.count()
+    vocab = tok.select("token", "vec").distinct()
+    out: dict = {"c": c}
+    for policy in ("take", "kmeans"):
+        if policy == "take":
+            cents = token_take_centroids(tok, c=c)
+        else:
+            rows = sorted(
+                kmeans_centroids(
+                    vocab, c, id_col="token", vec_col="vec"
+                ).collect(),
+                key=lambda r: r["centroid_id"],
+            )
+            cents = [[float(x) for x in r["centroid_vec"]] for r in rows]
+        sizes = [
+            r["n"]
+            for r in assign_token_cids(tok, cents)
+            .groupBy("cid").agg(F.count("*").alias("n")).collect()
+        ]
+        mean = sum(sizes) / max(len(sizes), 1)
+        out[policy] = {
+            "n_cids_used": len(sizes),
+            "max_over_mean": round(max(sizes) / mean, 2) if sizes else None,
+            "max_rows": max(sizes) if sizes else 0,
+        }
+        print(f"# li_routing_balance {policy}: {out[policy]}", file=sys.stderr)
+    tok.unpersist()
+    return out
+
+
+def li_routing_prune_check(spark, args) -> dict:
+    """The operating point where centroid routing actually PRUNES
+    DOCUMENTS (VERDICT r7 task 4): the real docs corpus has a 30-token
+    vocabulary and ~22 distinct tokens/doc, so token-level routing can
+    never prune it (every doc touches nearly every cid — the honest
+    x_li_probe_recall caveat). This fixture is the regime the PLAID
+    rung's 100 TB claim lives in: a topic-pooled corpus (vocab 4000,
+    10 tokens/doc, so C = 256 ≫ tokens/doc), kmeans codebook over the
+    vocabulary, li_probe_recall_curve at 1× (5k docs) and 10× (50k) —
+    candidate FRACTION should be corpus-size independent (routing
+    probabilities depend on the vocab/codebook, not N) and ≤ 0.2 at
+    recall ≥ 0.9 for nprobe = 1."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.ann import kmeans_centroids
+    from leann_rs_spark.operators.late_interaction import (
+        assign_token_cids,
+        li_probe_recall_curve,
+        token_embeddings,
+    )
+
+    t_topics, pool, width, c, dims = 100, 40, 10, 256, 32
+    out: dict = {"c": c, "vocab": t_topics * pool, "tokens_per_doc": width}
+    queries = [(q, f"w{q}x0 w{q}x1 w{q}x2") for q in range(5)]
+    for n_docs, label in ((5000, "1x"), (50000, "10x")):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        (F.col("id") % t_topics).cast("string"),
+                        F.lit("x"),
+                        ((F.col("id") / t_topics).cast("long") + F.lit(i))
+                        % pool,
+                    )
+                    for i in range(width)
+                ],
+            ).alias("text"),
+        )
+        tok = token_embeddings(docs, dims=dims, cache=True)
+        vocab = tok.select("token", "vec").distinct()
+        rows = sorted(
+            kmeans_centroids(vocab, c, id_col="token", vec_col="vec")
+            .collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        cents = [[float(x) for x in r["centroid_vec"]] for r in rows]
+        routed = assign_token_cids(tok, cents).persist()
+        routed.count()
+        t0 = time.perf_counter()
+        curve = li_probe_recall_curve(
+            routed, cents, queries, k=10, nprobes=[1, 2, 4], dims=dims
+        ).collect()
+        out[label] = {
+            "n_docs": n_docs,
+            "t_curve_s": round(time.perf_counter() - t0, 2),
+            "points": [
+                {
+                    "nprobe": r["nprobe"],
+                    "candidate_fraction": round(
+                        r["n_candidates"] / (len(queries) * n_docs), 3
+                    ),
+                    "recall": r["recall_r"],
+                }
+                for r in curve
+            ],
+        }
+        print(f"# li_routing_prune {label}: {out[label]}", file=sys.stderr)
+        routed.unpersist()
+        tok.unpersist()
     return out
 
 
