@@ -6256,6 +6256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_minhash_index_dedup": x_minhash_index_dedup,
+        "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_retrieval_eval": x_retrieval_eval,
         "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
@@ -6272,8 +6274,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality_classifier": x_quality_classifier,
         "x_bloom_dedup": x_bloom_dedup,
         "x_url_dedup": x_url_dedup,
-        "x_paragraph_dedup": x_paragraph_dedup,
-        "x_crawl_pipeline": x_crawl_pipeline,
         "x_media_audio_features": x_media_audio_features,
         "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
@@ -6286,32 +6286,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
         "x_dedup_simhash": x_dedup_simhash,
         "x_dedup_incremental": x_dedup_incremental,
-        "x_minhash_index_dedup": x_minhash_index_dedup,
         "x_dedup_exact_incremental": x_dedup_exact_incremental,
         "x_dedup_clusters": x_dedup_clusters,
         "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
         "x_exact_substr": x_exact_substr,
-        "x_curation_pipeline": x_curation_pipeline,
         "x_cluster_assign": x_cluster_assign,
         "x_semantic_dedup": x_semantic_dedup,
-        "x_multimodal_features": x_multimodal_features,
-        "x_text_stats": x_text_stats,
-        "x_text_quality": x_text_quality,
-        "x_text_langid": x_text_langid,
-        "x_text_fingerprint": x_text_fingerprint,
-        "x_text_repetition": x_text_repetition,
-        "x_quality_gopher": x_quality_gopher,
-        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
-        "x_corpus_stats": x_corpus_stats,
-        "x_media_frame_sample": x_media_frame_sample,
-        "x_media_resize": x_media_resize,
-        "x_domain_budget": x_domain_budget,
-        "x_stream_rolling": x_stream_rolling,
         "x_dedup_editdist": x_dedup_editdist,
         "x_upsert": x_upsert,
         "x_dup_source_matrix": x_dup_source_matrix,
-        "x_lm_ref_score": x_lm_ref_score,
-        "x_decontaminate_spans": x_decontaminate_spans,
         "x_ivf_recall": x_ivf_recall,
         "x_pq_recall": x_pq_recall,
         "x_ivfpq_batch": x_ivfpq_batch,
@@ -6319,53 +6302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_drift_recall": x_ivf_drift_recall,
         "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
-        "x_length_percentiles": x_length_percentiles,
-        "x_stratified_sample": x_stratified_sample,
-        "x_upsample": x_upsample,
-        "x_weighted_mix": x_weighted_mix,
-        "x_sample_det": x_sample_det,
-        "x_split_assign": x_split_assign,
-        "x_shuffle_det": x_shuffle_det,
-        "x_asof_join_salted": x_asof_join_salted,
-        "x_asof_nearest": x_asof_nearest,
-        "x_dsir_select": x_dsir_select,
-        "x_top_ngrams": x_top_ngrams,
-        "x_select_pack": x_select_pack,
-        "x_rrf_hybrid": x_rrf_hybrid,
-        "x_concat_chunk": x_concat_chunk,
-        "x_hard_negatives": x_hard_negatives,
-        "x_temperature_mix": x_temperature_mix,
-        "x_mrl_topk": x_mrl_topk,
-        "x_mmr_rerank": x_mmr_rerank,
-        "x_bpe_merges": x_bpe_merges,
-        "x_bpe_encode": x_bpe_encode,
-        "x_length_batches": x_length_batches,
-        "x_kcenter_sample": x_kcenter_sample,
-        "x_html_strip": x_html_strip,
-        "x_text_nfc": x_text_nfc,
         "q1_ivf_topk": q1_ivf_topk,
-        "q8_bm25_scored": q8_bm25_scored,
-        "q11_bm25_topk": q11_bm25_topk,
-        "q13_hybrid_search": q13_hybrid_search,
-        "q14_expansion_terms": q14_expansion_terms,
-        "x_c4_clean": x_c4_clean,
-        "x_analyze_report": x_analyze_report,
-        "q3_exact_topk_ip": q3_exact_topk_ip,
-        "q3_exact_topk_cosine": q3_exact_topk_cosine,
-        "q3_filtered_topk": q3_filtered_topk,
-        "q5_filter_dsl_json": q5_filter_dsl_json,
-        "q7_search_read_path": q7_search_read_path,
-        "t2_code_chunks": t2_code_chunks,
-        "q5_filter_dsl_columns": q5_filter_dsl_columns,
-        "r1_rag_batch": r1_rag_batch,
-        "t1_chunk_passages": t1_chunk_passages,
-        "x_hopping_stats": x_hopping_stats,
-        "x_domain_mix": x_domain_mix,
-        "x_sessionize": x_sessionize,
-        "x_window_stats": x_window_stats,
-        "x_asof_join": x_asof_join,
-        "x_interval_join": x_interval_join,
-        "x_pack_sequences": x_pack_sequences,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,
@@ -6381,15 +6318,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_leakage_safe_split": x_leakage_safe_split,
         "x_zorder_layout": x_zorder_layout,
         "x_late_interaction_pruned": x_late_interaction_pruned,
-        "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_video_near_dups": x_video_near_dups,
         "x_late_interaction_batch": x_late_interaction_batch,
         "x_token_index_append": x_token_index_append,
         "x_late_interaction_pq": x_late_interaction_pq,
         "x_late_interaction_refined": x_late_interaction_refined,
         "x_dedup_pr_bands": x_dedup_pr_bands,
-        "x_budget_select": x_budget_select,
         "x_append_consistency": x_append_consistency,
+        "x_ivfpq_topk": x_ivfpq_topk,
+        "x_ivfbq_topk": x_ivfbq_topk,
+        "x_ivfsq_topk": x_ivfsq_topk,
+        "x_media_phash_dups": x_media_phash_dups,
+        "x_length_percentiles": x_length_percentiles,
+        "x_stratified_sample": x_stratified_sample,
+        "x_upsample": x_upsample,
+        "x_weighted_mix": x_weighted_mix,
+        "x_sample_det": x_sample_det,
+        "x_split_assign": x_split_assign,
+        "x_shuffle_det": x_shuffle_det,
+        "x_asof_join_salted": x_asof_join_salted,
+        "x_asof_nearest": x_asof_nearest,
+        "x_paragraph_dedup": x_paragraph_dedup,
+        "x_dsir_select": x_dsir_select,
+        "x_top_ngrams": x_top_ngrams,
+        "x_select_pack": x_select_pack,
+        "x_rrf_hybrid": x_rrf_hybrid,
+        "x_concat_chunk": x_concat_chunk,
+        "x_hard_negatives": x_hard_negatives,
+        "x_temperature_mix": x_temperature_mix,
+        "x_mrl_topk": x_mrl_topk,
+        "x_mmr_rerank": x_mmr_rerank,
+        "x_bpe_merges": x_bpe_merges,
+        "x_bpe_encode": x_bpe_encode,
+        "x_length_batches": x_length_batches,
+        "x_kcenter_sample": x_kcenter_sample,
+        "x_html_strip": x_html_strip,
+        "x_text_nfc": x_text_nfc,
+        "q8_bm25_scored": q8_bm25_scored,
+        "q11_bm25_topk": q11_bm25_topk,
+        "q13_hybrid_search": q13_hybrid_search,
+        "q14_expansion_terms": q14_expansion_terms,
+        "x_c4_clean": x_c4_clean,
+        "x_analyze_report": x_analyze_report,
+        "q3_exact_topk_ip": q3_exact_topk_ip,
+        "q3_exact_topk_cosine": q3_exact_topk_cosine,
+        "q3_filtered_topk": q3_filtered_topk,
+        "q5_filter_dsl_json": q5_filter_dsl_json,
+        "q7_search_read_path": q7_search_read_path,
+        "t2_code_chunks": t2_code_chunks,
+        "q5_filter_dsl_columns": q5_filter_dsl_columns,
+        "r1_rag_batch": r1_rag_batch,
+        "t1_chunk_passages": t1_chunk_passages,
+        "x_crawl_pipeline": x_crawl_pipeline,
+        "x_curation_pipeline": x_curation_pipeline,
+        "x_multimodal_features": x_multimodal_features,
+        "x_text_stats": x_text_stats,
+        "x_text_quality": x_text_quality,
+        "x_text_langid": x_text_langid,
+        "x_text_fingerprint": x_text_fingerprint,
+        "x_text_repetition": x_text_repetition,
+        "x_quality_gopher": x_quality_gopher,
+        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
+        "x_corpus_stats": x_corpus_stats,
+        "x_media_frame_sample": x_media_frame_sample,
+        "x_media_resize": x_media_resize,
+        "x_domain_budget": x_domain_budget,
+        "x_stream_rolling": x_stream_rolling,
+        "x_lm_ref_score": x_lm_ref_score,
+        "x_decontaminate_spans": x_decontaminate_spans,
+        "x_hopping_stats": x_hopping_stats,
+        "x_domain_mix": x_domain_mix,
+        "x_sessionize": x_sessionize,
+        "x_window_stats": x_window_stats,
+        "x_asof_join": x_asof_join,
+        "x_interval_join": x_interval_join,
+        "x_pack_sequences": x_pack_sequences,
+        "x_budget_select": x_budget_select,
         "x_quality_expectations": x_quality_expectations,
         "x_text_redact": x_text_redact,
         "x_decontaminate": x_decontaminate,
@@ -6400,17 +6404,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_tfidf_embed": x_tfidf_embed,
         "x_tfidf_topk": x_tfidf_topk,
         "x_pq_topk": x_pq_topk,
-        "x_ivfpq_topk": x_ivfpq_topk,
         "x_sq8_topk": x_sq8_topk,
         "x_bucketed_join": x_bucketed_join,
         "x_stream_enrich": x_stream_enrich,
         "x_bq_topk": x_bq_topk,
         "x_stream_stream_join": x_stream_stream_join,
-        "x_ivfbq_topk": x_ivfbq_topk,
         "x_sq8_refined": x_sq8_refined,
-        "x_ivfsq_topk": x_ivfsq_topk,
         "q15_expanded_search": q15_expanded_search,
-        "x_media_phash_dups": x_media_phash_dups,
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_rollup_stats": x_rollup_stats,
         "x_curriculum_blocks": x_curriculum_blocks,
