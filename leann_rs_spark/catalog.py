@@ -1337,6 +1337,46 @@ def append_to_minhash_index(
     return meta
 
 
+def compact_minhash_index(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+) -> int:
+    """Rewrite the signature-table layout to a bounded file count —
+    the maintenance pass pairing with `append_to_minhash_index`
+    (every ingest batch adds files; after N appends the banded join's
+    corpus scan opens N small files). Same crash-safe sibling-swap as
+    `compact_token_index`; ~1M sig rows per output file (a 16-hash
+    BIGINT sig row is ~150 B, so files land near
+    spark.sql.files.maxPartitionBytes and the compacted scan still
+    splits across executors — the over-compaction lesson). Row set
+    unchanged; returns the file count before compaction."""
+    base = _index_dir(warehouse, name)
+    meta = load_meta(warehouse, name)
+    info = meta.extra.get("minhash_index")
+    if not info:
+        raise ValueError(
+            f"index {name!r} has no minhash index — run build_minhash_index"
+        )
+    from leann_rs_spark.sources.warehouse import _recover_swap, _swap_in
+
+    sig_dir = f"{base}/minhash_sigs"
+    _recover_swap(sig_dir)
+    n_files = sum(
+        1
+        for _, _, files in os.walk(sig_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    tmp = f"{base}/minhash_sigs__compacting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    n_out = max(1, -(-int(info["rows"]) // 1_000_000))
+    spark.read.parquet(sig_dir).repartition(n_out).write.parquet(tmp)
+    _swap_in(sig_dir, tmp)
+    return n_files
+
+
 def load_minhash_index(
     spark: SparkSession, warehouse: str, name: str
 ) -> tuple[DataFrame, dict]:

@@ -405,24 +405,100 @@ def cmd_prune(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from leann_rs_spark.catalog import compact_ivf_index, compact_token_index
+    from leann_rs_spark.catalog import (
+        compact_ivf_index,
+        compact_minhash_index,
+        compact_token_index,
+    )
 
     spark = _spark(args)
     what = getattr(args, "what", "ivf")
+    fns = {
+        "token": (compact_token_index, "token index"),
+        "sigs": (compact_minhash_index, "minhash signature table"),
+        "ivf": (compact_ivf_index, "IVF layout"),
+    }
+    fn, label = fns[what]
     try:
-        if what == "token":
-            n = compact_token_index(spark, args.warehouse, args.name)
-        else:
-            n = compact_ivf_index(spark, args.warehouse, args.name)
+        n = fn(spark, args.warehouse, args.name)
     except ValueError as exc:
         print(f"compact: {exc}", file=sys.stderr)
         return 1
-    label = "token index" if what == "token" else "IVF layout"
     print(
         f"Compacted {label} of '{args.name}' "
-        f"({n} files before, one per partition now)"
+        f"({n} files before, bounded layout now)"
     )
     return 0
+
+
+def cmd_sigs(args) -> int:
+    """Persisted MinHash signature artifact lifecycle: build it over a
+    corpus parquet, append an ingest batch (O(batch), append ≡ rebuild
+    — the fixed derived-hash family is corpus-independent), or run the
+    ingest-time near-dup query serving the corpus side from the
+    artifact (catalog.build/append/load_minhash_index +
+    operators/dedup.minhash_near_dups_incremental)."""
+    from leann_rs_spark.catalog import (
+        append_to_minhash_index,
+        build_minhash_index,
+        load_minhash_index,
+    )
+
+    spark = _spark(args)
+    try:
+        if args.query:
+            from leann_rs_spark.operators.dedup import (
+                minhash_near_dups_incremental,
+            )
+
+            if not args.corpus:
+                print(
+                    "sigs: --query needs --corpus (the verify stage "
+                    "reads candidate docs' text)",
+                    file=sys.stderr,
+                )
+                return 2
+            sigs, info = load_minhash_index(spark, args.warehouse, args.name)
+            pairs = minhash_near_dups_incremental(
+                spark.read.parquet(args.corpus),
+                spark.read.parquet(args.query),
+                id_col=info["id_col"],
+                shingle_k=info["shingle_k"],
+                num_hashes=info["num_hashes"],
+                threshold=args.threshold,
+                corpus_sigs=sigs,
+            ).orderBy("new_id", "corpus_id")
+            for r in pairs.collect():
+                print(
+                    f"{r['new_id']}\t{r['corpus_id']}\t{r['jaccard']:.4f}"
+                )
+            return 0
+        if not args.input:
+            print("sigs: build/append needs --input", file=sys.stderr)
+            return 2
+        docs = spark.read.parquet(args.input)
+        if args.append:
+            meta = append_to_minhash_index(
+                spark, args.warehouse, args.name, docs
+            )
+        else:
+            meta = build_minhash_index(
+                spark, args.warehouse, args.name, docs,
+                id_col=args.id_col,
+                num_hashes=args.num_hashes,
+                shingle_k=args.shingle_k,
+            )
+        info = meta.extra["minhash_index"]
+        verb = "Appended to" if args.append else "Built"
+        print(
+            f"{verb} minhash index '{args.name}': {info['rows']} "
+            f"signatures ({info['num_hashes']} hashes, "
+            f"shingle_k={info['shingle_k']})"
+        )
+        return 0
+    except ValueError as exc:
+        print(f"sigs: {exc}", file=sys.stderr)
+        return 1
 
 
 def cmd_curate(args) -> int:
@@ -1133,11 +1209,32 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common(cpx)
     cpx.add_argument(
-        "--what", choices=["ivf", "token"], default="ivf",
-        help="which artifact to compact: the IVF layout (default) or"
-             " the late-interaction token index",
+        "--what", choices=["ivf", "token", "sigs"], default="ivf",
+        help="which artifact to compact: the IVF layout (default),"
+             " the late-interaction token index, or the minhash"
+             " signature table",
     )
     cpx.set_defaults(fn=cmd_compact)
+
+    sg = sub.add_parser(
+        "sigs",
+        help="persisted MinHash signature artifact: build over a"
+             " corpus, append an ingest batch, or run ingest-time"
+             " near-dup against it",
+    )
+    common(sg)
+    sg.add_argument("--input", help="docs parquet to build/append from")
+    sg.add_argument("--append", action="store_true",
+                    help="append --input to an existing artifact")
+    sg.add_argument("--query",
+                    help="ingest batch parquet: report near-dups vs the corpus")
+    sg.add_argument("--corpus",
+                    help="corpus docs parquet (verify stage; required with --query)")
+    sg.add_argument("--id-col", default="doc_id")
+    sg.add_argument("--num-hashes", type=int, default=16)
+    sg.add_argument("--shingle-k", type=int, default=5)
+    sg.add_argument("--threshold", type=float, default=0.5)
+    sg.set_defaults(fn=cmd_sigs)
 
     cf = sub.add_parser("config", help="Manage configuration")
     cf.add_argument("action", choices=["show", "init", "path"])

@@ -655,3 +655,52 @@ def test_cli_stats(spark, tmp_path_factory, capsys):
     assert "id: n=3 nulls=0 ndv=3" in out
     assert "v: n=2 nulls=1 ndv=1 min=2.0 max=2.0" in out
     assert main(["stats", "--input", inp, "--cols", "nope"]) == 2
+
+
+def test_cli_sigs_build_append_query_compact(spark, tmp_path_factory, capsys):
+    """End-to-end lifecycle of the persisted MinHash signature
+    artifact through the CLI: build on half the corpus, append the
+    rest, query an ingest batch against it, compact the layout —
+    query results unchanged across compact."""
+    import duckdb  # noqa: F401  (env sanity only)
+
+    wh = str(tmp_path_factory.mktemp("cli_sigs_wh"))
+    corpus = f"{SF_SMOKE}/documents.parquet"
+    half = str(tmp_path_factory.mktemp("cli_sigs_in") / "half.parquet")
+    rest = half.replace("half", "rest")
+    batch = half.replace("half", "batch")
+    docs = spark.read.parquet(corpus)
+    docs.filter("doc_id % 2 = 0").write.parquet(half)
+    docs.filter("doc_id % 2 = 1").write.parquet(rest)
+    # ingest batch: two planted near-dups of corpus docs, fresh ids
+    from pyspark.sql import functions as F
+
+    docs.filter("doc_id < 2").select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    ).write.parquet(batch)
+
+    assert main(["sigs", "s", "--warehouse", wh, "--input", half]) == 0
+    assert main(
+        ["sigs", "s", "--warehouse", wh, "--input", rest, "--append"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["sigs", "s", "--warehouse", wh, "--query", batch,
+         "--corpus", corpus, "--threshold", "0.5"]
+    ) == 0
+    before = capsys.readouterr().out.strip().splitlines()
+    assert before  # the planted dups must surface
+
+    assert main(["compact", "s", "--warehouse", wh, "--what", "sigs"]) == 0
+    capsys.readouterr()
+    assert main(
+        ["sigs", "s", "--warehouse", wh, "--query", batch,
+         "--corpus", corpus, "--threshold", "0.5"]
+    ) == 0
+    after = capsys.readouterr().out.strip().splitlines()
+    assert after == before
+
+    # bad invocations fail cleanly
+    assert main(["sigs", "s", "--warehouse", wh, "--query", batch]) == 2
+    assert main(["sigs", "s", "--warehouse", wh]) == 2
