@@ -1433,6 +1433,69 @@ def _fx_minhash_wh(spark: SparkSession, sf_dir: str) -> str:
     return _fx(("minhash_sigs", sf_dir), build)
 
 
+def x_stream_sigs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingestion for the dedup artifact: the odd half of
+    the incremental-dedup corpus arrives as a file-source STREAM and
+    lands in the even-half signature table via foreachBatch →
+    append_to_minhash_index — each micro-batch pays O(batch) (the
+    fixed derived-hash family is corpus-independent), the property
+    that makes a standing crawl-ingest query viable against a 100 TB
+    signature store. One file + Trigger.AvailableNow ⇒ exactly one
+    batch, so this gate shares the x_minhash_index_dedup oracle
+    verbatim: stream-ingest ≡ batch-append ≡ from-scratch recompute,
+    end-to-end through incremental near-dup serving. Completes the
+    write-path consistency matrix for the round-8 artifact (exact ✓
+    IVF ✓ BM25 ✓ token ✓ sigs ✓). Runs once per process on the `_fx`
+    ladder."""
+    from leann_rs_spark.catalog import (
+        append_to_minhash_index,
+        build_minhash_index,
+        load_minhash_index,
+    )
+    from leann_rs_spark.operators.dedup import minhash_near_dups_incremental
+
+    def build() -> str:
+        wh = _gate_tmpdir("leann-fx-sigstream-")
+        docs = _docs(spark, sf_dir)
+        corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+        build_minhash_index(
+            spark, wh, "sigs", _fan(corpus.filter(F.col("doc_id") % 2 == 0))
+        )
+        d = _gate_tmpdir("leann-streamsig-in-")
+        corpus.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            f"{d}/in"
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(f"{d}/in")
+
+        def _ingest(batch_df, batch_id) -> None:
+            append_to_minhash_index(spark, wh, "sigs", batch_df)
+
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            raise RuntimeError("sigs ingest stream did not drain")
+        return wh
+
+    wh = _fx(("sigs_streamed", sf_dir), build)
+    sigs, info = load_minhash_index(spark, wh, "sigs")
+    docs = _fan(_docs(spark, sf_dir))
+    out = minhash_near_dups_incremental(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT),
+        docs.filter(F.col("doc_id") >= _INCR_SPLIT),
+        shingle_k=info["shingle_k"],
+        num_hashes=info["num_hashes"],
+        threshold=0.5,
+        corpus_sigs=sigs,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("new_id", "corpus_id")
+
+
 def x_minhash_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time near-dup SERVED FROM THE PERSISTED SIGNATURE
     ARTIFACT (catalog.build_minhash_index / append_to_minhash_index /
@@ -4886,6 +4949,17 @@ def _register_dedup_oracles() -> None:
         )})
         ORDER BY new_id, corpus_id
     """
+    # stream-ingest gate: one AvailableNow micro-batch makes
+    # stream-ingest ≡ batch-append ≡ recompute — same twin
+    _ORACLES["x_stream_sigs_ingest"] = f"""
+        SELECT new_id, corpus_id, round(jaccard, 6) AS jaccard_r
+        FROM ({duckdb_minhash_near_dups_incremental(
+            f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}",
+            f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
+            threshold=0.5,
+        )})
+        ORDER BY new_id, corpus_id
+    """
     # persisted-signature serving gate: SAME inline-recompute twin —
     # a hash match proves persisted ≡ inline and append ≡ rebuild
     _ORACLES["x_minhash_index_dedup"] = f"""
@@ -6257,6 +6331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
         "x_minhash_index_dedup": x_minhash_index_dedup,
+        "x_stream_sigs_ingest": x_stream_sigs_ingest,
         "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_retrieval_eval": x_retrieval_eval,
         "x_tfidf_keywords": x_tfidf_keywords,
