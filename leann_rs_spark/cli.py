@@ -970,6 +970,49 @@ def cmd_tune(args) -> int:
 
     spark = _spark(args)
     meta = load_meta(args.warehouse, args.name)
+    if getattr(args, "li_query", None):
+        # late-interaction rung: probe-width recall/candidate curve of
+        # the centroid-ROUTED token index (li_probe_recall_curve) —
+        # the PLAID knob-picking flow over the persisted artifact
+        from leann_rs_spark.catalog import load_token_index
+        from leann_rs_spark.operators.late_interaction import (
+            li_probe_recall_curve,
+        )
+
+        tok, info = load_token_index(spark, args.warehouse, args.name)
+        if "centroids" not in info:
+            print(
+                f"error: token index {args.name!r} is not centroid-"
+                "routed — rebuild with n_centroids",
+                file=sys.stderr,
+            )
+            return 1
+        n_cent = int(info["n_centroids"])
+        sweep, p = [], 1
+        while p < n_cent:
+            sweep.append(p)
+            p *= 2
+        sweep.append(n_cent)
+        queries = list(enumerate(args.li_query))
+        curve = li_probe_recall_curve(
+            tok, info["centroids"], queries, k=args.top_k,
+            nprobes=sweep, dims=info["dims"], id_col=info["id_col"],
+        ).collect()
+        print(_json.dumps({
+            "index": args.name,
+            "backend": "token",
+            "n_centroids": n_cent,
+            "k": args.top_k,
+            "queries": len(queries),
+            "probe_curve": {
+                str(r["nprobe"]): {
+                    "n_candidates": r["n_candidates"],
+                    "recall": r["recall_r"],
+                }
+                for r in curve
+            },
+        }))
+        return 0
     if meta.backend != "ivf":
         print(f"error: index {args.name!r} has no IVF layout", file=sys.stderr)
         return 1
@@ -1459,6 +1502,12 @@ def build_parser() -> argparse.ArgumentParser:
     tu.add_argument("--warehouse", default=DEFAULT_WAREHOUSE)
     tu.add_argument("--queries", type=int, default=20)
     tu.add_argument("--top-k", type=int, default=10, dest="top_k")
+    tu.add_argument(
+        "--li-query", action="append", dest="li_query",
+        help="tune the centroid-routed TOKEN index instead: probe-"
+             "width recall/candidate curve for these text queries"
+             " (repeatable)",
+    )
     tu.set_defaults(fn=cmd_tune)
 
     im = sub.add_parser(

@@ -704,3 +704,40 @@ def test_cli_sigs_build_append_query_compact(spark, tmp_path_factory, capsys):
     # bad invocations fail cleanly
     assert main(["sigs", "s", "--warehouse", wh, "--query", batch]) == 2
     assert main(["sigs", "s", "--warehouse", wh]) == 2
+
+
+def test_cli_tune_li_probe_curve(spark, tmp_path_factory, capsys):
+    """`tune --li-query`: the PLAID knob-picking flow over a persisted
+    centroid-routed token index — geometric nprobe sweep up to C, each
+    point reporting candidates + recall vs exact; the covering point
+    (nprobe = C) must be recall 1.0 by construction."""
+    wh = str(tmp_path_factory.mktemp("cli_tuneli_wh"))
+    rc = main([
+        "msearch", "external merge sort", "--input",
+        f"{SF_SMOKE}/documents.parquet", "--dims", "16",
+        "--build-index", f"{wh}/tok", "--centroids", "4", "--top-k", "3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main([
+        "tune", "tok", "--warehouse", wh,
+        "--li-query", "external merge sort",
+        "--li-query", "window aggregate", "--top-k", "3",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["backend"] == "token" and report["n_centroids"] == 4
+    curve = report["probe_curve"]
+    assert set(curve) == {"1", "2", "4"}
+    assert curve["4"]["recall"] == 1.0  # covering probe ≡ exact
+    assert curve["1"]["n_candidates"] <= curve["4"]["n_candidates"]
+
+    # an unrouted token index refuses clearly
+    rc = main([
+        "msearch", "anything", "--input", f"{SF_SMOKE}/documents.parquet",
+        "--dims", "16", "--build-index", f"{wh}/flat",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["tune", "flat", "--warehouse", wh, "--li-query", "anything"])
+    assert rc == 1
