@@ -3383,11 +3383,16 @@ def x_token_cid_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routing-codebook balance audit for the centroid-routed token
     index: token rows and distinct vocabulary per cid — the histogram
     an operator reads before trusting nprobe/C scan-bytes arithmetic
-    (a skewed codebook makes hot partitions; the take-policy centroids
-    this fixture uses ARE skewed, which is the argument for swapping
-    in seeded k-means without touching assignment or serving — the
-    ivf_codebook_balance check's relational twin). One groupBy over
-    the routed artifact; the oracle recomputes the assignment."""
+    (a skewed codebook makes hot partitions). SCALE_r08's
+    li_routing_balance measured take vs kmeans at this fixture's C=16
+    HONESTLY EQUAL (max/mean 2.21 vs 2.19): at vocab ≈ 2C, per-cid row
+    counts are dominated by token document-frequency skew, which no
+    codebook can rebalance — codebook policy starts to matter when
+    vocab ≫ C (the li_routing_prune regime). The kmeans swap is still
+    free (assignment/serving are policy-blind, x_li_kmeans_pruned
+    serves it end-to-end); this histogram is how an operator decides
+    whether it buys anything on THEIR corpus. One groupBy over the
+    routed artifact; the oracle recomputes the assignment."""
     from leann_rs_spark.catalog import load_token_index
 
     tok, _ = load_token_index(spark, _fx_token_ivf_wh(spark, sf_dir), "tok")
