@@ -786,3 +786,50 @@ def test_minhash_index_build_append_load_roundtrip(spark, tmp_path):
     save_meta(wh, "sigs", meta)
     with pytest.raises(ValueError, match="no minhash index"):
         load_minhash_index(spark, wh, "sigs")
+
+
+def test_minhash_index_degenerate_inputs(spark, tmp_path):
+    """Round-8 edge probes for the signature artifact: a corpus whose
+    docs are all shorter than shingle_k builds an EMPTY but loadable
+    artifact (rows=0); an empty append batch is a no-op; compacting a
+    fresh single-write artifact works and serving is unchanged."""
+    from leann_rs_spark.catalog import (
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        load_minhash_index,
+    )
+
+    short = spark.createDataFrame(
+        [(1, "ab"), (2, "cd")], "doc_id long, text string"
+    )
+    wh = str(tmp_path / "wh")
+    build_minhash_index(spark, wh, "s", short)
+    sigs, info = load_minhash_index(spark, wh, "s")
+    assert info["rows"] == 0 and sigs.count() == 0
+
+    # empty append batch: no-op, meta unchanged
+    append_to_minhash_index(
+        spark, wh, "s", short.filter("doc_id > 99")
+    )
+    _, info2 = load_minhash_index(spark, wh, "s")
+    assert info2["rows"] == 0
+
+    # real docs, then compact a single-write layout
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps x")],
+        "doc_id long, text string",
+    )
+    wh2 = str(tmp_path / "wh2")
+    build_minhash_index(spark, wh2, "s", docs)
+    before = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in load_minhash_index(spark, wh2, "s")[0].collect()
+    )
+    n = compact_minhash_index(spark, wh2, "s")
+    assert n >= 1
+    after = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in load_minhash_index(spark, wh2, "s")[0].collect()
+    )
+    assert after == before

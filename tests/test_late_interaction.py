@@ -789,3 +789,38 @@ def test_token_index_model_meta_and_append_refusal(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="corpus-dependent"):
         append_to_token_index(spark, wh, "tok", even_more)
+
+
+def test_pruned_degenerate_probe_and_empty_pairs(spark):
+    """Round-8 edge probes for the guarded rescore: nprobe=0 probes
+    nothing → empty result with the full schema (not an error), and
+    the over-limit shuffle path agrees on an EMPTY pair frame too."""
+    from leann_rs_spark.operators.late_interaction import (
+        PAIR_BROADCAST_ROW_LIMIT,
+        _exact_maxsim_scores,
+        assign_token_cids,
+        late_interaction_topk_batch_pruned,
+        token_embeddings,
+        token_take_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge sort external"), (2, "hash join keys")],
+        "doc_id long, text string",
+    )
+    tok = token_embeddings(docs, dims=16, cache=False)
+    cents = token_take_centroids(tok, c=2)
+    routed = assign_token_cids(tok, cents)
+    out = late_interaction_topk_batch_pruned(
+        routed, cents, [(0, "merge sort")], k=3, nprobe=0, dims=16
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "doc_id", "score_r", "rank"}
+
+    empty_pairs = spark.createDataFrame([], "query_id int, doc_id long")
+    for rows in (0, PAIR_BROADCAST_ROW_LIMIT + 1):
+        got = _exact_maxsim_scores(
+            tok, empty_pairs, [(0, "merge sort")], 16, "doc_id",
+            pair_rows=rows,
+        )
+        assert got.count() == 0
