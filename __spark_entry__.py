@@ -3979,11 +3979,13 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-array substitution."""
     from leann_rs_spark.functions.textstats import quality_classifier_logit
 
+    # round(x*1e6)/1e6, not round(x, 6): the logit is a mean of
+    # dyadic-rational bucket weights, so exact half-boundaries occur
+    # (measured at sf0.1: -0.0640625 flipped engines under round(x,6))
     scored = _fan(_docs(spark, sf_dir)).select(
         "doc_id",
-        (F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)).alias(
-            "logit_r"
-        ),
+        (F.round(quality_classifier_logit("text") * F.lit(1e6))
+         / F.lit(1e6) + F.lit(0.0)).alias("logit_r"),
     )
     return scored.select(
         "doc_id", "logit_r", (F.col("logit_r") >= 0.0).alias("keep")
@@ -4146,9 +4148,8 @@ def x_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = _fan(_docs(spark, sf_dir)).select(
         "doc_id",
-        (F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)).alias(
-            "logit_r"
-        ),
+        (F.round(quality_classifier_logit("text") * F.lit(1e6))
+         / F.lit(1e6) + F.lit(0.0)).alias("logit_r"),
         token_count("text").alias("n_toks"),
     ).filter(F.col("logit_r").isNotNull())
     out = budget_select(
@@ -4221,7 +4222,8 @@ def x_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         gopher_keep("text", **_CURATION_GOPHER).alias("gopher_ok"),
         F.coalesce(
-            F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)
+            F.round(quality_classifier_logit("text") * F.lit(1e6))
+            / F.lit(1e6) + F.lit(0.0)
             >= F.lit(0.0),
             F.lit(False),
         ).alias("clf_ok"),
@@ -4448,9 +4450,8 @@ def x_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _fan(_docs(spark, sf_dir)).select(
         "doc_id",
         "source",
-        (F.round(quality_classifier_logit("text"), 6) + F.lit(0.0)).alias(
-            "logit_r"
-        ),
+        (F.round(quality_classifier_logit("text") * F.lit(1e6))
+         / F.lit(1e6) + F.lit(0.0)).alias("logit_r"),
         token_count("text").alias("n_toks"),
     ).filter(F.col("logit_r").isNotNull())
     out = group_budget_select(
@@ -5966,7 +5967,8 @@ def _register_r4c_oracles() -> None:
         WITH flags AS (
             SELECT doc_id,
                    {gk} AS gopher_ok,
-                   coalesce(round({clf}, 6) + 0.0 >= 0.0, FALSE) AS clf_ok
+                   coalesce(round(({clf}) * 1e6) / 1e6 + 0.0 >= 0.0,
+                            FALSE) AS clf_ok
             FROM documents
         ),
         lm AS (
@@ -5981,8 +5983,8 @@ def _register_r4c_oracles() -> None:
     _ORACLES["x_quality_classifier"] = f"""
         WITH scored AS (
             SELECT doc_id,
-                   round({duckdb_quality_classifier_logit('text')}, 6) + 0.0
-                       AS logit_r
+                   round(({duckdb_quality_classifier_logit('text')}) * 1e6)
+                       / 1e6 + 0.0 AS logit_r
             FROM documents
         )
         SELECT doc_id, logit_r, logit_r >= 0.0 AS keep
@@ -6052,7 +6054,8 @@ def _register_r4d_oracles() -> None:
     """
     scored_sql = f"""
         SELECT doc_id,
-               round({duckdb_quality_classifier_logit('text')}, 6) + 0.0
+               round(({duckdb_quality_classifier_logit('text')}) * 1e6)
+                   / 1e6 + 0.0
                    AS logit_r,
                {duckdb_token_count('text')} AS n_toks
         FROM documents
@@ -6071,7 +6074,8 @@ def _register_r4d_oracles() -> None:
 
     scored_src_sql = f"""
         SELECT doc_id, source,
-               round({duckdb_quality_classifier_logit('text')}, 6) + 0.0
+               round(({duckdb_quality_classifier_logit('text')}) * 1e6)
+                   / 1e6 + 0.0
                    AS logit_r,
                {duckdb_token_count('text')} AS n_toks
         FROM documents
