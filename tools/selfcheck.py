@@ -24,6 +24,21 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Gates whose ORACLES read the committed sf0.01 golden chunk corpus
+# (fixtures/chunker_golden_*_sf0.01.parquet) rather than deriving the
+# chunk table in SQL — exact-golden by design, which is the driver
+# contract's scale. At any other sf_dir they fail BY CONSTRUCTION
+# (Spark chunks the current corpus, the oracle reads the committed
+# one), so the cross-scale sweep (SURVEY §16) skips them explicitly
+# instead of reporting false failures. Everything else is
+# scale-portable: the round-8 sf0.1 sweep passes 151/151.
+SF001_GOLDEN_GATES = {
+    "t1_chunk_passages", "t2_code_chunks",
+    "x_append_consistency", "x_ivf_append", "x_bm25_append",
+    "x_stream_ivf_ingest", "x_ivf_compact", "q15_expanded_search",
+}
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -61,8 +76,16 @@ def main() -> int:
         return 2
     failures = []
     ran = 0
+    skipped = 0
+    import os
+
+    cross_scale = os.path.realpath(sf_dir) != os.path.realpath(GOLDEN_SF_DIR)
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if cross_scale and name in SF001_GOLDEN_GATES and name not in only:
+            print(f"SKIP {name}: oracle pinned to the sf0.01 golden corpus")
+            skipped += 1
             continue
         ran += 1
         try:
@@ -99,7 +122,8 @@ def main() -> int:
             continue
         print(f"PASS {name} ({len(got)} rows)")
 
-    print(f"\n{ran - len(failures)}/{ran} queries pass")
+    tail = f" ({skipped} skipped: sf0.01-golden-pinned)" if skipped else ""
+    print(f"\n{ran - len(failures)}/{ran} queries pass{tail}")
     spark.stop()
     return 1 if failures else 0
 
