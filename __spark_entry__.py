@@ -6413,6 +6413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfbq_topk": x_ivfbq_topk,
         "x_ivfsq_topk": x_ivfsq_topk,
         "x_media_phash_dups": x_media_phash_dups,
+        "x_domain_budget": x_domain_budget,
+        "x_stream_rolling": x_stream_rolling,
+        "x_lm_ref_score": x_lm_ref_score,
+        "x_decontaminate_spans": x_decontaminate_spans,
+        "x_budget_select": x_budget_select,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6466,10 +6471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
-        "x_domain_budget": x_domain_budget,
-        "x_stream_rolling": x_stream_rolling,
-        "x_lm_ref_score": x_lm_ref_score,
-        "x_decontaminate_spans": x_decontaminate_spans,
         "x_hopping_stats": x_hopping_stats,
         "x_domain_mix": x_domain_mix,
         "x_sessionize": x_sessionize,
@@ -6477,7 +6478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_asof_join": x_asof_join,
         "x_interval_join": x_interval_join,
         "x_pack_sequences": x_pack_sequences,
-        "x_budget_select": x_budget_select,
         "x_quality_expectations": x_quality_expectations,
         "x_text_redact": x_text_redact,
         "x_decontaminate": x_decontaminate,

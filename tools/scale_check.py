@@ -188,6 +188,9 @@ def main() -> None:
         # instead of re-shingling the corpus (candidate-proportional
         # verify, corpus-scan-free signature side)
         "x_li_kmeans_pruned", "x_minhash_index_dedup",
+        # stream-ingested signature artifact serves the same query —
+        # the foreachBatch append is O(batch) per micro-batch
+        "x_stream_sigs_ingest",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -216,7 +219,7 @@ def main() -> None:
         "x_late_interaction_pruned", "x_li_probe_recall",
         "x_token_index_compact", "x_li_bm25_hybrid",
         "x_token_cid_balance", "x_li_kmeans_pruned",
-        "x_minhash_index_dedup",
+        "x_minhash_index_dedup", "x_stream_sigs_ingest",
     }
     results: dict[str, dict] = {}
     for name in names:
