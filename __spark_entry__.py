@@ -1527,6 +1527,34 @@ def x_minhash_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+def x_minhash_sig_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only near-dup TRIAGE (dedup.minhash_estimate_pairs):
+    banded candidates scored by the MinHash position-match estimator —
+    the corpus TEXT never enters the plan; both join sides are the
+    persisted (id, sig) artifact (corpus side) and the batch's own
+    signatures. The rung below the exact-verify incremental form on
+    the serving-cost ladder: at 100 TB a standing triage query costs
+    sig-scan + banded join + one integer position-compare projection.
+    Estimator values are exact k/num_hashes doubles — integer
+    arithmetic end to end, no float-parity recipes needed."""
+    from leann_rs_spark.catalog import load_minhash_index
+    from leann_rs_spark.operators.dedup import minhash_estimate_pairs
+
+    sigs, info = load_minhash_index(
+        spark, _fx_minhash_wh(spark, sf_dir), "sigs"
+    )
+    out = minhash_estimate_pairs(
+        sigs,
+        _fan(_docs(spark, sf_dir)).filter(F.col("doc_id") >= _INCR_SPLIT),
+        shingle_k=info["shingle_k"],
+        num_hashes=info["num_hashes"],
+        min_est=0.5,
+    )
+    return out.select(
+        "new_id", "corpus_id", (F.col("est_jaccard") + F.lit(0.0)).alias("est_r")
+    ).orderBy("new_id", "corpus_id")
+
+
 _REINGEST_N = 20  # re-crawled docs in the incremental-exact gate
 
 
@@ -4966,6 +4994,19 @@ def _register_dedup_oracles() -> None:
         )})
         ORDER BY new_id, corpus_id
     """
+    from leann_rs_spark.operators.dedup import duckdb_minhash_estimate_pairs
+
+    # signature-only triage: estimator twin recomputes sigs inline —
+    # a hash match proves the artifact's sigs ARE the derived family
+    _ORACLES["x_minhash_sig_estimate"] = f"""
+        SELECT new_id, corpus_id, est_jaccard + 0.0 AS est_r
+        FROM ({duckdb_minhash_estimate_pairs(
+            f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}",
+            f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
+            min_est=0.5,
+        )})
+        ORDER BY new_id, corpus_id
+    """
     # persisted-signature serving gate: SAME inline-recompute twin —
     # a hash match proves persisted ≡ inline and append ≡ rebuild
     _ORACLES["x_minhash_index_dedup"] = f"""
@@ -6341,6 +6382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_minhash_index_dedup": x_minhash_index_dedup,
         "x_stream_sigs_ingest": x_stream_sigs_ingest,
+        "x_minhash_sig_estimate": x_minhash_sig_estimate,
         "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_retrieval_eval": x_retrieval_eval,
         "x_tfidf_keywords": x_tfidf_keywords,

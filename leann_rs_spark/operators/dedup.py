@@ -401,6 +401,139 @@ def minhash_near_dups_incremental(
     )
 
 
+def minhash_estimate_pairs(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+    broadcast_new: bool = True,
+    new_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """→ (new_id, corpus_id, est_jaccard): ingest-time near-dup TRIAGE
+    with ZERO corpus text access — banded candidate pairs scored by
+    the MinHash position-match estimator (matching signature positions
+    / num_hashes, the unbiased Jaccard estimator the sketch exists
+    for) instead of the exact shingle verify.
+
+    This is the rung BELOW `minhash_near_dups_incremental` on the
+    cost ladder: that one re-reads candidate docs' text for exact
+    Jaccard; this one touches ONLY the persisted (id, sig) artifact —
+    at 100 TB the corpus text never enters the plan at all, so a
+    standing triage query costs sig-scan + banded join + a
+    position-compare projection. Route its survivors into the exact
+    verify (or straight to quarantine) by policy.
+
+    The estimator is exact integer arithmetic (position equality
+    counts over the fixed derived-hash family) — cross-engine
+    hash-stable, k/num_hashes values with no float accumulation."""
+    rows = num_hashes // bands
+    if new_sigs is None:
+        if new_docs is None:
+            raise ValueError("pass new_docs or new_sigs")
+        new_sigs = _minhash_signatures_bulk(
+            new_docs, id_col, text_col, shingle_k, num_hashes
+        )
+    banded_c = _band_sigs(corpus_sigs, id_col, bands, rows).select(
+        "band", "bucket", F.col(id_col).alias("corpus_id")
+    )
+    banded_n = _band_sigs(new_sigs, id_col, bands, rows).select(
+        "band", "bucket", F.col(id_col).alias("new_id")
+    )
+    if broadcast_new:
+        banded_n = F.broadcast(banded_n)
+    pairs = (
+        banded_c.join(banded_n, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sig_c = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c")
+    )
+    sig_n = new_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_n")
+    )
+    if broadcast_new:
+        sig_n = F.broadcast(sig_n)
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_n", "sig_c", lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.join(sig_n, "new_id")
+        .join(sig_c, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
+def duckdb_minhash_estimate_pairs(
+    corpus_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est: float = 0.5,
+) -> str:
+    """Oracle twin of `minhash_estimate_pairs`: same signatures, same
+    banding, the estimator as an index-wise position-match count —
+    integer arithmetic end to end."""
+    rows = num_hashes // bands
+    sh = f"list_distinct({duckdb_char_shingles(text_col, shingle_k)})"
+    sig = (
+        f"list_transform(generate_series(0, {num_hashes - 1}),"
+        f" i -> list_min(list_transform(pairs,"
+        f" p -> {duckdb_derived_hash('p', 'i')})))"
+    )
+    bucket = duckdb_hash64(
+        f"array_to_string(list_transform("
+        f"list_slice(sig, b * {rows} + 1, (b + 1) * {rows}), x -> x::varchar), ',')"
+    )
+
+    def side(src: str, name: str) -> str:
+        return f"""
+        {name}_sigs AS (
+          SELECT id, {sig} AS sig
+          FROM (
+            SELECT id,
+                   list_transform(shingles, s -> {duckdb_hash_pair('s')}) AS pairs
+            FROM (SELECT {id_col} AS id, {sh} AS shingles FROM ({src}))
+            WHERE len(shingles) > 0
+          )
+        ),
+        {name}_banded AS (
+          SELECT id, sig, b, {bucket} AS bucket
+          FROM {name}_sigs, unnest(generate_series(0, {bands - 1})) t(b)
+        )"""
+
+    matches = (
+        f"len(list_filter(generate_series(1, {num_hashes}),"
+        f" i -> sig_n[i] = sig_c[i]))"
+    )
+    return f"""
+        WITH {side(corpus_sql, 'c')}, {side(new_sql, 'n')},
+        cand AS (
+          SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+                 n.sig AS sig_n, c.sig AS sig_c
+          FROM c_banded c JOIN n_banded n
+            ON c.b = n.b AND c.bucket = n.bucket
+        )
+        SELECT new_id, corpus_id,
+               {matches}::double / {num_hashes} AS est_jaccard
+        FROM cand
+        WHERE {matches}::double / {num_hashes} >= {min_est}
+    """
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

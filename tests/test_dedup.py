@@ -738,3 +738,80 @@ def test_leakage_safe_split_colocates_clusters(spark):
     assert by_id[5]["cluster_id"] == 5 and by_id[5]["split"] == solo
     # keep flag: exactly one canonical per component
     assert [by_id[i]["keep"] for i in (0, 7, 13)] == [True, False, False]
+
+
+def test_minhash_estimate_pairs_identical_and_quantized(spark):
+    """Signature-only triage: an identical text under a fresh id
+    estimates exactly 1.0; every estimate is k/num_hashes; disjoint
+    text produces no candidate pair at all."""
+    from leann_rs_spark.operators.dedup import minhash_estimate_pairs
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "zzz completely unrelated content qqq www eee"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "aaa bbb ccc ddd eee fff ggg hhh nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = _minhash_signatures_bulk(corpus)
+    got = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in minhash_estimate_pairs(sigs, batch, min_est=0.0).collect()
+    }
+    assert got[(10, 1)] == 1.0
+    assert (11, 1) not in got and (11, 2) not in got
+    for v in got.values():
+        assert abs(v * 16 - round(v * 16)) < 1e-12  # k/16 quantization
+
+
+def test_minhash_index_append_equals_rebuild_property(spark, tmp_path):
+    """Hypothesis-style property (enumerated splits): for a small
+    corpus, ANY build/append split of the persisted artifact yields
+    the same signature set as building on everything at once — the
+    corpus-independence argument append relies on."""
+    from leann_rs_spark.catalog import (
+        append_to_minhash_index,
+        build_minhash_index,
+        load_minhash_index,
+    )
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate([
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma delta zeta",
+                "one two three four five six",
+                "seven eight nine ten eleven",
+                "alpha one seven beta two eight",
+            ])
+        ],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r["doc_id"], tuple(r["sig"]))
+        for r in _minhash_signatures_bulk(docs, num_hashes=8).collect()
+    )
+    for split in (1, 2, 4):
+        wh = str(tmp_path / f"wh{split}")
+        build_minhash_index(
+            spark, wh, "s", docs.filter(F.col("doc_id") < split),
+            num_hashes=8,
+        )
+        append_to_minhash_index(
+            spark, wh, "s", docs.filter(F.col("doc_id") >= split)
+        )
+        got = sorted(
+            (r["doc_id"], tuple(r["sig"]))
+            for r in load_minhash_index(spark, wh, "s")[0].collect()
+        )
+        assert got == want, split

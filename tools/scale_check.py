@@ -189,8 +189,9 @@ def main() -> None:
         # verify, corpus-scan-free signature side)
         "x_li_kmeans_pruned", "x_minhash_index_dedup",
         # stream-ingested signature artifact serves the same query —
-        # the foreachBatch append is O(batch) per micro-batch
-        "x_stream_sigs_ingest",
+        # the foreachBatch append is O(batch) per micro-batch;
+        # signature-only triage never touches corpus text at all
+        "x_stream_sigs_ingest", "x_minhash_sig_estimate",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -220,6 +221,7 @@ def main() -> None:
         "x_token_index_compact", "x_li_bm25_hybrid",
         "x_token_cid_balance", "x_li_kmeans_pruned",
         "x_minhash_index_dedup", "x_stream_sigs_ingest",
+        "x_minhash_sig_estimate",
     }
     results: dict[str, dict] = {}
     for name in names:
