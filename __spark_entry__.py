@@ -1555,6 +1555,43 @@ def x_minhash_sig_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+def x_dedup_triage_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged dedup serving ladder END-TO-END: signature-only
+    triage (loose min_est=0.25 over the persisted artifact — zero
+    text access) feeds its surviving pairs into the exact shingle
+    verify (dedup.verify_pairs_exact, threshold=0.5) — text reads are
+    bounded by triage survivors, not by banded candidates. At 100 TB
+    this is the cost shape that matters: the cheap integer pass
+    shrinks the expensive text-join's input by orders of magnitude,
+    and each stage is a component already gated alone
+    (x_minhash_sig_estimate, x_dedup_incremental)."""
+    from leann_rs_spark.catalog import load_minhash_index
+    from leann_rs_spark.operators.dedup import (
+        minhash_estimate_pairs,
+        verify_pairs_exact,
+    )
+
+    sigs, info = load_minhash_index(
+        spark, _fx_minhash_wh(spark, sf_dir), "sigs"
+    )
+    docs = _fan(_docs(spark, sf_dir))
+    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    triaged = minhash_estimate_pairs(
+        sigs, batch,
+        shingle_k=info["shingle_k"],
+        num_hashes=info["num_hashes"],
+        min_est=0.25,
+    ).select("new_id", "corpus_id")
+    out = verify_pairs_exact(
+        corpus, batch, triaged,
+        shingle_k=info["shingle_k"], threshold=0.5,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("new_id", "corpus_id")
+
+
 _REINGEST_N = 20  # re-crawled docs in the incremental-exact gate
 
 
@@ -4994,7 +5031,10 @@ def _register_dedup_oracles() -> None:
         )})
         ORDER BY new_id, corpus_id
     """
-    from leann_rs_spark.operators.dedup import duckdb_minhash_estimate_pairs
+    from leann_rs_spark.operators.dedup import (
+        duckdb_char_shingles,
+        duckdb_minhash_estimate_pairs,
+    )
 
     # signature-only triage: estimator twin recomputes sigs inline —
     # a hash match proves the artifact's sigs ARE the derived family
@@ -5005,6 +5045,35 @@ def _register_dedup_oracles() -> None:
             f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
             min_est=0.5,
         )})
+        ORDER BY new_id, corpus_id
+    """
+    # staged triage → exact-verify pipeline: estimator CTE (loose
+    # 0.25) joined back to text for exact jaccard on survivors only
+    _ch = "list_distinct(" + duckdb_char_shingles("text", 5) + ")"
+    _inter = "len(list_filter(sh_n, x -> list_contains(sh_c, x)))"
+    _jacsql = f"{_inter}::double / (len(sh_n) + len(sh_c) - {_inter})"
+    _ORACLES["x_dedup_triage_pipeline"] = f"""
+        WITH triaged AS (
+            SELECT new_id, corpus_id
+            FROM ({duckdb_minhash_estimate_pairs(
+                f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}",
+                f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
+                min_est=0.25,
+            )})
+        ),
+        sh AS (
+            SELECT doc_id, {_ch} AS sh FROM documents
+        ),
+        verified AS (
+            SELECT t.new_id, t.corpus_id,
+                   n.sh AS sh_n, c.sh AS sh_c
+            FROM triaged t
+            JOIN sh n ON n.doc_id = t.new_id
+            JOIN sh c ON c.doc_id = t.corpus_id
+        )
+        SELECT new_id, corpus_id, round({_jacsql}, 6) AS jaccard_r
+        FROM verified
+        WHERE {_jacsql} >= 0.5
         ORDER BY new_id, corpus_id
     """
     # persisted-signature serving gate: SAME inline-recompute twin —
@@ -6383,6 +6452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_minhash_index_dedup": x_minhash_index_dedup,
         "x_stream_sigs_ingest": x_stream_sigs_ingest,
         "x_minhash_sig_estimate": x_minhash_sig_estimate,
+        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
         "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_retrieval_eval": x_retrieval_eval,
         "x_tfidf_keywords": x_tfidf_keywords,

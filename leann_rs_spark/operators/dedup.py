@@ -384,6 +384,28 @@ def minhash_near_dups_incremental(
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
+    return verify_pairs_exact(
+        corpus, new_docs, pairs,
+        id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+
+
+def verify_pairs_exact(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (new_id, corpus_id, jaccard): exact shingle-Jaccard verify of
+    a (new_id, corpus_id) candidate-pair frame — the shared tail of
+    the incremental near-dup form and the staged triage pipeline
+    (cheap candidate generation first, text reads bounded by the
+    surviving pairs). Candidate docs' text is read through the pair
+    joins only — never a full cross of the inputs."""
     sh_c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh_c"),

@@ -192,6 +192,9 @@ def main() -> None:
         # the foreachBatch append is O(batch) per micro-batch;
         # signature-only triage never touches corpus text at all
         "x_stream_sigs_ingest", "x_minhash_sig_estimate",
+        # staged triage -> exact verify: text reads bounded by triage
+        # survivors (the 100 TB dedup cost shape)
+        "x_dedup_triage_pipeline",
     ]
     # Untimed steady-state warmup at the smoke sf (bench.py's
     # convention): first-use codegen/JIT otherwise lands on whichever
@@ -221,7 +224,7 @@ def main() -> None:
         "x_token_index_compact", "x_li_bm25_hybrid",
         "x_token_cid_balance", "x_li_kmeans_pruned",
         "x_minhash_index_dedup", "x_stream_sigs_ingest",
-        "x_minhash_sig_estimate",
+        "x_minhash_sig_estimate", "x_dedup_triage_pipeline",
     }
     results: dict[str, dict] = {}
     for name in names:
