@@ -6449,56 +6449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        "x_minhash_index_dedup": x_minhash_index_dedup,
-        "x_stream_sigs_ingest": x_stream_sigs_ingest,
-        "x_minhash_sig_estimate": x_minhash_sig_estimate,
-        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
-        "x_li_kmeans_pruned": x_li_kmeans_pruned,
-        "x_retrieval_eval": x_retrieval_eval,
-        "x_tfidf_keywords": x_tfidf_keywords,
-        "x_quality_ensemble": x_quality_ensemble,
-        "x_rolling_anomaly": x_rolling_anomaly,
-        "x_pmi_phrases": x_pmi_phrases,
-        "x_json_props": x_json_props,
-        "x_funnel": x_funnel,
-        "x_retention_cohorts": x_retention_cohorts,
-        "x_event_transitions": x_event_transitions,
-        "x_weighted_sample": x_weighted_sample,
-        "x_resample_ffill": x_resample_ffill,
-        "x_resample_interp": x_resample_interp,
-        "x_rolling_features": x_rolling_features,
-        "x_quality_classifier": x_quality_classifier,
-        "x_bloom_dedup": x_bloom_dedup,
-        "x_url_dedup": x_url_dedup,
-        "x_media_audio_features": x_media_audio_features,
-        "x_late_interaction": x_late_interaction,
-        "x_token_kl": x_token_kl,
-        "x_embedding_drift": x_embedding_drift,
-        "x_dedup_pr": x_dedup_pr,
-        "t5_hash_embed": t5_hash_embed,
-        "t6_prompt_embed": t6_prompt_embed,
-        "x_dedup_exact": x_dedup_exact,
-        "x_dedup_minhash": x_dedup_minhash,
-        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
-        "x_dedup_simhash": x_dedup_simhash,
-        "x_dedup_incremental": x_dedup_incremental,
-        "x_dedup_exact_incremental": x_dedup_exact_incremental,
-        "x_dedup_clusters": x_dedup_clusters,
-        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
-        "x_exact_substr": x_exact_substr,
-        "x_cluster_assign": x_cluster_assign,
-        "x_semantic_dedup": x_semantic_dedup,
-        "x_dedup_editdist": x_dedup_editdist,
-        "x_upsert": x_upsert,
-        "x_dup_source_matrix": x_dup_source_matrix,
-        "x_ivf_recall": x_ivf_recall,
-        "x_pq_recall": x_pq_recall,
-        "x_ivfpq_batch": x_ivfpq_batch,
-        "x_bq_batch_topk": x_bq_batch_topk,
-        "x_ivf_drift_recall": x_ivf_drift_recall,
-        "q2_ivf_batch_topk": q2_ivf_batch_topk,
-        "q3_batch_topk": q3_batch_topk,
-        "q1_ivf_topk": q1_ivf_topk,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,
@@ -6530,6 +6480,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lm_ref_score": x_lm_ref_score,
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,
+        "x_retrieval_eval": x_retrieval_eval,
+        "x_ivf_recall": x_ivf_recall,
+        "x_pq_recall": x_pq_recall,
+        "x_ivfpq_batch": x_ivfpq_batch,
+        "x_bq_batch_topk": x_bq_batch_topk,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
+        "q3_batch_topk": q3_batch_topk,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6610,6 +6568,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_rollup_stats": x_rollup_stats,
         "x_curriculum_blocks": x_curriculum_blocks,
+        "x_minhash_index_dedup": x_minhash_index_dedup,
+        "x_stream_sigs_ingest": x_stream_sigs_ingest,
+        "x_minhash_sig_estimate": x_minhash_sig_estimate,
+        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
+        "x_li_kmeans_pruned": x_li_kmeans_pruned,
+        "x_tfidf_keywords": x_tfidf_keywords,
+        "x_quality_ensemble": x_quality_ensemble,
+        "x_rolling_anomaly": x_rolling_anomaly,
+        "x_pmi_phrases": x_pmi_phrases,
+        "x_json_props": x_json_props,
+        "x_funnel": x_funnel,
+        "x_retention_cohorts": x_retention_cohorts,
+        "x_event_transitions": x_event_transitions,
+        "x_weighted_sample": x_weighted_sample,
+        "x_resample_ffill": x_resample_ffill,
+        "x_resample_interp": x_resample_interp,
+        "x_rolling_features": x_rolling_features,
+        "x_quality_classifier": x_quality_classifier,
+        "x_bloom_dedup": x_bloom_dedup,
+        "x_url_dedup": x_url_dedup,
+        "x_media_audio_features": x_media_audio_features,
+        "x_late_interaction": x_late_interaction,
+        "x_token_kl": x_token_kl,
+        "x_embedding_drift": x_embedding_drift,
+        "x_dedup_pr": x_dedup_pr,
+        "t5_hash_embed": t5_hash_embed,
+        "t6_prompt_embed": t6_prompt_embed,
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+        "x_dedup_simhash": x_dedup_simhash,
+        "x_dedup_incremental": x_dedup_incremental,
+        "x_dedup_exact_incremental": x_dedup_exact_incremental,
+        "x_dedup_clusters": x_dedup_clusters,
+        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_exact_substr": x_exact_substr,
+        "x_cluster_assign": x_cluster_assign,
+        "x_semantic_dedup": x_semantic_dedup,
+        "x_dedup_editdist": x_dedup_editdist,
+        "x_upsert": x_upsert,
+        "x_dup_source_matrix": x_dup_source_matrix,
+        "q1_ivf_topk": q1_ivf_topk,
     }
 
 
