@@ -255,6 +255,110 @@ def _band_sigs(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame
     ).select(id_col, F.col("bb.band"), F.col("bb.bucket"))
 
 
+def _banded_candidate_pairs(
+    banded: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
+    intermediates: list | None = None,
+) -> DataFrame:
+    """(id, band, bucket) → deduped candidate (id_a, id_b) pairs.
+
+    Default (`max_bucket_size=None`): all-pairs within each
+    (band, bucket) — exact LSH candidate semantics. The hazard at
+    100 TB: ONE hot bucket of B near-identical docs (license
+    boilerplate, templated pages — million-doc clusters are real crawl
+    inputs) emits B(B-1)/2 candidate rows before verify, a quadratic
+    stage hiding inside an otherwise candidate-proportional plan.
+
+    With `max_bucket_size=B_max`, buckets larger than B_max are
+    CHAINED instead of all-paired: members sort by full MinHash
+    signature (lexicographic, so near-identical docs land adjacent;
+    requires `sigs` = the (id, sig) frame), and each member pairs with
+    (a) its successor in that order and (b) the bucket's first member
+    — ≤ 2(B-1) pairs, a spanning set. Small buckets are untouched, so
+    results only change when a bucket exceeds the cap.
+
+    Semantics under the cap: the PAIR output for an oversized bucket
+    is a spanning subset, not all pairs — downstream connected-
+    component clustering (`dedup_clusters` / `dedup_keep_canonical`)
+    yields identical components whenever verifying members form
+    contiguous runs in signature order (trivially true for the
+    boilerplate case, where every member shares the signature). Use
+    the cap when the deliverable is clusters/keep decisions; leave it
+    off when every individual pair must be reported.
+
+    Plan shape: one tiny (band, bucket) count aggregate finds
+    oversized buckets (broadcast both ways — the oversized set is a
+    handful of keys); the small side keeps the original equi-join; the
+    big side is one window over (band, bucket). No stage is ever
+    quadratic in the hot-bucket size.
+    """
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+    if max_bucket_size is None:
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    if sigs is None:
+        raise ValueError("max_bucket_size requires the (id, sig) frame")
+    from pyspark.sql import Window
+
+    # three consumers of banded below (size aggregate, small anti-join,
+    # big inner join) — persist AND materialize per the measured
+    # multi-consumer rule, or each branch re-explodes the band hash.
+    banded = banded.persist()
+    banded.count()
+    if intermediates is not None:
+        intermediates.append(banded)
+    big_keys = F.broadcast(
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    small = banded.join(big_keys, ["band", "bucket"], "left_anti")
+    sa = small.select("band", "bucket", F.col(id_col).alias("id_a"))
+    sb = small.select("band", "bucket", F.col(id_col).alias("id_b"))
+    pairs_small = (
+        sa.join(sb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # chain + star over signature order: lexicographic sig sort puts
+    # near-identical members adjacent, so a true dup-group inside the
+    # bucket stays connected through its chain links; the star to the
+    # bucket head adds hub redundancy for the dominant group.
+    big = (
+        banded.join(big_keys, ["band", "bucket"])
+        .join(sigs.select(F.col(id_col), F.col("sig").alias("__sig")), id_col)
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("__sig", id_col)
+    ranked = big.select(
+        F.col(id_col).alias("__id"),
+        F.lead(id_col).over(w).alias("__next"),
+        F.first(id_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__head"),
+    )
+    chain = ranked.filter(F.col("__next").isNotNull()).select(
+        F.least("__id", "__next").alias("id_a"),
+        F.greatest("__id", "__next").alias("id_b"),
+    )
+    star = ranked.filter(F.col("__id") != F.col("__head")).select(
+        F.least("__id", "__head").alias("id_a"),
+        F.greatest("__id", "__head").alias("id_b"),
+    )
+    return (
+        pairs_small.unionByName(chain)
+        .unionByName(star)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays (DOUBLE). The
     single-element-array transform is a let-binding so the intersection
@@ -275,6 +379,7 @@ def minhash_near_dups(
     threshold: float = 0.5,
     cache: bool = True,
     intermediates: list | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for candidate pairs sharing an LSH band
     bucket AND exact shingle-Jaccard ≥ threshold. `intermediates`
@@ -283,7 +388,14 @@ def minhash_near_dups(
 
     Scale shape: explode to (band, bucket, doc) — shuffle keyed on the
     band bucket co-locates only colliding docs; the verify join carries
-    shingle arrays for candidates only. No O(n²) stage exists.
+    shingle arrays for candidates only. No O(n²) stage exists — except
+    a single pathological hot bucket (B boilerplate near-identical
+    docs in one (band, bucket)), which all-pairs into B²/2 candidates:
+    `max_bucket_size` caps that by chaining oversized buckets in
+    signature order (see `_banded_candidate_pairs`; pairs for those
+    buckets become a spanning subset — component-equivalent for
+    cluster/keep pipelines, measured in tools/scale_check.py
+    hot_bucket_check).
 
     `cache` persists the signature table before the self-join: both join
     sides read it, and without a persist each side re-shingles and
@@ -305,14 +417,9 @@ def minhash_near_dups(
     # keeping the shingle arrays out of it cuts the shuffled bytes to the
     # id width. Shingles re-attach later, to unique candidate pairs only.
     banded = _band_sigs(sigs, id_col, bands, rows)
-
-    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = _banded_candidate_pairs(
+        banded, id_col, max_bucket_size=max_bucket_size, sigs=sigs,
+        intermediates=intermediates,
     )
     # Exact-Jaccard verify: shingle SETS are materialized only for docs
     # that appear in a candidate pair (a handful), so the HOF cost and

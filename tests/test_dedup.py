@@ -815,3 +815,72 @@ def test_minhash_index_append_equals_rebuild_property(spark, tmp_path):
             for r in load_minhash_index(spark, wh, "s")[0].collect()
         )
         assert got == want, split
+
+
+def test_hot_bucket_cap_bounds_candidates_and_preserves_clusters(spark):
+    """A planted hot bucket (B identical boilerplate docs) all-pairs
+    into B(B-1)/2 candidates; max_bucket_size chains it to O(B) while
+    dedup_keep_canonical output stays identical (the spanning-set
+    component argument in _banded_candidate_pairs)."""
+    from leann_rs_spark.operators.dedup import (
+        _band_sigs,
+        _banded_candidate_pairs,
+        _minhash_signatures_bulk,
+        dedup_keep_canonical,
+        minhash_near_dups,
+    )
+
+    B = 300
+    boiler = "MIT license copyright notice permission hereby granted free of charge"
+    rows = [(i, boiler) for i in range(B)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river"),
+        (1001, "the quick brown fox jumps over the lazy dog near the shore"),
+        (2000, "an entirely unrelated singleton document about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = _minhash_signatures_bulk(docs, "doc_id", "text", 5, 16).persist()
+    sigs.count()
+    banded = _band_sigs(sigs, "doc_id", 4, 4)
+    n_uncapped = _banded_candidate_pairs(banded, "doc_id").count()
+    n_capped = _banded_candidate_pairs(
+        banded, "doc_id", max_bucket_size=50, sigs=sigs
+    ).count()
+    assert n_uncapped >= B * (B - 1) // 2          # quadratic without the cap
+    assert n_capped <= 2 * (B - 1) + 10            # chain + star + small pairs
+    sigs.unpersist()
+
+    def keep_set(pairs):
+        return {
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in dedup_keep_canonical(docs, pairs).collect()
+        }
+
+    capped = minhash_near_dups(docs, threshold=0.5, max_bucket_size=50)
+    uncapped = minhash_near_dups(docs, threshold=0.5)
+    assert keep_set(capped) == keep_set(uncapped)
+
+
+def test_hot_bucket_cap_noop_below_threshold(spark):
+    """Buckets at or under the cap take the exact all-pairs path —
+    capped output == uncapped output, pair for pair."""
+    from leann_rs_spark.operators.dedup import minhash_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappaX"),
+            (3, "unrelated words entirely different content over here xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_near_dups(docs, threshold=0.3).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_near_dups(docs, threshold=0.3, max_bucket_size=50).collect()
+    )
+    assert a == b and len(a) >= 1

@@ -257,6 +257,10 @@ def main() -> None:
     spark.catalog.clearCache()
     results["asof_skew"] = asof_skew_check(spark, args)
     spark.catalog.clearCache()
+    results["hot_bucket"] = hot_bucket_check(spark, args)
+    spark.catalog.clearCache()
+    results["salted_equi_skew"] = salted_equi_skew_check(spark, args)
+    spark.catalog.clearCache()
     results["ivf_codebook_balance"] = ivf_balance_check(spark, args)
     spark.catalog.clearCache()
     results["ivf_append_modes"] = ivf_append_modes_check(spark, args)
@@ -530,6 +534,125 @@ def audio_real_check(spark, args) -> dict:
             "resample_rows": nr,
         }
         print(f"# audio_real {label}: {out[label]}", file=sys.stderr)
+    return out
+
+
+def hot_bucket_check(spark, args) -> dict:
+    """Plant a hot LSH bucket (B=5000 identical boilerplate docs — a
+    license-header cluster) on top of the sf0.1 documents table and
+    measure the banded-join quadratic the max_bucket_size guard exists
+    to bound: candidate-pair rows and wall time with the guard off
+    (O(B²)) vs on (O(B)), plus keep-set equivalence of the capped and
+    uncapped pipelines on a 500-doc plant (collect-sized)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.dedup import (
+        _band_sigs,
+        _banded_candidate_pairs,
+        _minhash_signatures_bulk,
+        dedup_keep_canonical,
+        minhash_near_dups,
+    )
+
+    base = spark.read.parquet(f"{args.base}/documents.parquet")
+    boiler = (
+        "permission is hereby granted free of charge to any person "
+        "obtaining a copy of this software and associated documentation"
+    )
+    out: dict = {}
+    for B, label in ((5000, "B5000"), (500, "B500")):
+        plant = spark.range(B).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.lit(boiler).alias("text"),
+        )
+        docs = base.select("doc_id", "text").unionByName(plant)
+        sigs = _minhash_signatures_bulk(docs, "doc_id", "text", 5, 16).persist()
+        sigs.count()
+        banded = _band_sigs(sigs, "doc_id", 4, 4)
+        entry_: dict = {}
+        t0 = _time.perf_counter()
+        entry_["cand_uncapped"] = _banded_candidate_pairs(banded, "doc_id").count()
+        entry_["cand_uncapped_s"] = round(_time.perf_counter() - t0, 2)
+        t0 = _time.perf_counter()
+        entry_["cand_capped"] = _banded_candidate_pairs(
+            banded, "doc_id", max_bucket_size=200, sigs=sigs
+        ).count()
+        entry_["cand_capped_s"] = round(_time.perf_counter() - t0, 2)
+        sigs.unpersist()
+        t0 = _time.perf_counter()
+        entry_["full_capped_pairs"] = minhash_near_dups(
+            docs, threshold=0.5, max_bucket_size=200
+        ).count()
+        entry_["full_capped_s"] = round(_time.perf_counter() - t0, 2)
+        if B == 500:
+            t0 = _time.perf_counter()
+            entry_["full_uncapped_pairs"] = minhash_near_dups(
+                docs, threshold=0.5
+            ).count()
+            entry_["full_uncapped_s"] = round(_time.perf_counter() - t0, 2)
+
+            def keep_set(pairs):
+                return {
+                    (r["doc_id"], r["cluster_id"], r["keep"])
+                    for r in dedup_keep_canonical(
+                        docs, pairs, id_col="doc_id"
+                    ).collect()
+                }
+
+            entry_["keep_set_equal"] = keep_set(
+                minhash_near_dups(docs, threshold=0.5, max_bucket_size=200)
+            ) == keep_set(minhash_near_dups(docs, threshold=0.5))
+        out[label] = entry_
+        spark.catalog.clearCache()
+        print(f"# hot_bucket {label}: {entry_}", file=sys.stderr)
+    return out
+
+
+def salted_equi_skew_check(spark, args) -> dict:
+    """90 %-single-key skew for the salted EQUI join (x_salted_join's
+    operator), 1× and 10×: big side = skewed events, dim side = one row
+    per user. Records salted-vs-plain wall time and asserts result
+    equality at 1× — the number that justifies the salting path."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.joins import salted_join
+
+    out: dict[str, dict] = {}
+    for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        big = ev.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(
+                F.col("user_id")
+            ),
+        ).select("user_id", "event_id", "value")
+        dim = (
+            big.select("user_id").distinct()
+            .withColumn("tier", F.pmod(F.col("user_id"), F.lit(5)))
+        )
+        big.persist().count()
+        dim.persist().count()
+        entry_: dict = {}
+        t0 = time.perf_counter()
+        n_plain = big.join(dim, "user_id").count()
+        entry_["plain"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_salted = salted_join(big, dim, on=["user_id"], salt=32).count()
+        entry_["salted32"] = round(time.perf_counter() - t0, 2)
+        entry_["rows_equal"] = n_plain == n_salted
+        if label == "1x":
+            key = lambda df: sorted(
+                (r["event_id"], r["tier"]) for r in df.collect()
+            )
+            entry_["exact_match"] = key(big.join(dim, "user_id")) == key(
+                salted_join(big, dim, on=["user_id"], salt=32)
+            )
+        big.unpersist()
+        dim.unpersist()
+        out[label] = entry_
+        print(f"# {label:3} salted equi skew: {entry_}", file=sys.stderr)
     return out
 
 
