@@ -1260,6 +1260,7 @@ def build_minhash_index(
     text_col: str = "text",
     shingle_k: int = 5,
     num_hashes: int = 16,
+    bands: int = 4,
 ) -> IndexMeta:
     """Persist the corpus MinHash signature table as a catalog
     artifact — the promise `minhash_near_dups_incremental`'s docstring
@@ -1280,6 +1281,15 @@ def build_minhash_index(
     be near-dups — the bulk builder's documented drop)."""
     from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
 
+    # `bands` is the artifact's DEFAULT query-time banding (a serving
+    # config, recorded so the query path doesn't silently band over a
+    # truncated signature prefix); num_hashes must tile into it.
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not divisible by bands={bands} —"
+            " a banded query would silently use only"
+            f" {(num_hashes // bands) * bands} of the {num_hashes} hashes"
+        )
     base = _index_dir(warehouse, name)
     sigs = _minhash_signatures_bulk(
         docs, id_col=id_col, text_col=text_col,
@@ -1294,6 +1304,7 @@ def build_minhash_index(
     meta.extra["minhash_index"] = {
         "shingle_k": shingle_k,
         "num_hashes": num_hashes,
+        "bands": bands,
         "id_col": id_col,
         "rows": rows,
     }

@@ -459,12 +459,27 @@ def cmd_sigs(args) -> int:
                 )
                 return 2
             sigs, info = load_minhash_index(spark, args.warehouse, args.name)
+            # banding config: --bands override, else the artifact's
+            # recorded default (pre-`bands` artifacts fall back to 4);
+            # reject configs that would band a truncated sig prefix
+            bands = args.bands or info.get("bands", 4)
+            if info["num_hashes"] % bands != 0:
+                print(
+                    f"sigs: bands={bands} does not divide the artifact's"
+                    f" num_hashes={info['num_hashes']} — a banded query"
+                    " would silently use only"
+                    f" {(info['num_hashes'] // bands) * bands} hashes;"
+                    " pick a divisor via --bands",
+                    file=sys.stderr,
+                )
+                return 2
             pairs = minhash_near_dups_incremental(
                 spark.read.parquet(args.corpus),
                 spark.read.parquet(args.query),
                 id_col=info["id_col"],
                 shingle_k=info["shingle_k"],
                 num_hashes=info["num_hashes"],
+                bands=bands,
                 threshold=args.threshold,
                 corpus_sigs=sigs,
             ).orderBy("new_id", "corpus_id")
@@ -487,6 +502,7 @@ def cmd_sigs(args) -> int:
                 id_col=args.id_col,
                 num_hashes=args.num_hashes,
                 shingle_k=args.shingle_k,
+                bands=args.bands or 4,
             )
         info = meta.extra["minhash_index"]
         verb = "Appended to" if args.append else "Built"
@@ -525,6 +541,8 @@ def cmd_curate(args) -> int:
         minhash_threshold=args.minhash_threshold,
         span_n=args.cut_dup_spans,
         intermediates=cached,
+        sigs_warehouse=args.sigs_warehouse,
+        sigs_name=args.sigs_name,
     )
     out.write.mode("overwrite").parquet(args.output)
     for df in cached:  # the write materialized everything; free the cache
@@ -1276,6 +1294,10 @@ def build_parser() -> argparse.ArgumentParser:
     sg.add_argument("--id-col", default="doc_id")
     sg.add_argument("--num-hashes", type=int, default=16)
     sg.add_argument("--shingle-k", type=int, default=5)
+    sg.add_argument("--bands", type=int, default=None,
+                    help="LSH bands (build: recorded in meta as the"
+                         " artifact's default; query: overrides it;"
+                         " must divide num-hashes)")
     sg.add_argument("--threshold", type=float, default=0.5)
     sg.set_defaults(fn=cmd_sigs)
 
@@ -1304,6 +1326,15 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="N",
         help="also cut every token covered by a corpus-duplicated "
              "N-token gram from the surviving docs",
+    )
+    cu.add_argument(
+        "--sigs-warehouse", default=None, dest="sigs_warehouse",
+        help="serve the MinHash stage from a persisted signature "
+             "artifact (see `sigs`) instead of re-shingling",
+    )
+    cu.add_argument(
+        "--sigs-name", default="sigs", dest="sigs_name",
+        help="artifact name inside --sigs-warehouse",
     )
     cu.set_defaults(fn=cmd_curate)
 

@@ -40,8 +40,26 @@ def curate_corpus(
     span_n: int | None = None,
     intermediates: list | None = None,
     stage_timings: dict | None = None,
+    sigs_warehouse: str | None = None,
+    sigs_name: str = "sigs",
+    minhash_max_bucket: int | None = None,
 ) -> DataFrame:
     """→ the surviving rows of `docs` plus a `split` column.
+
+    `sigs_warehouse` (+ `sigs_name`): serve the MinHash stage from the
+    PERSISTED signature artifact (catalog.build_minhash_index) instead
+    of re-shingling the survivors — the pipeline a training-data team
+    re-runs daily stops paying the corpus-wide signature aggregate on
+    every invocation (its 100 TB dominant cost). Signatures are a
+    fixed derived-hash family, so the artifact-served run is
+    bit-identical to the inline run (the same consistency argument as
+    x_minhash_index_dedup); the artifact must cover `docs` and have
+    num_hashes ≥ 16 (prefix-sliced) — its shingle_k is adopted.
+
+    `minhash_max_bucket`: hot-bucket guard passthrough
+    (dedup.minhash_near_dups `max_bucket_size`) — bounds the banded
+    join's candidate blowup on boilerplate clusters; cluster/keep
+    output is component-equivalent (the spanning-set argument).
 
     `gopher_params` are keyword overrides for
     functions.textstats.gopher_keep (defaults = the published
@@ -104,9 +122,26 @@ def curate_corpus(
     )
     q2 = _persist(q.join(canon, id_col, "left_semi"))
     t0 = _mark("exact_dedup", q2, t0)
+    corpus_sigs, shingle_k = None, 5
+    if sigs_warehouse is not None:
+        from leann_rs_spark.catalog import load_minhash_index
+
+        corpus_sigs, info = load_minhash_index(
+            q2.sparkSession, sigs_warehouse, sigs_name
+        )
+        if info["num_hashes"] < 16:
+            raise ValueError(
+                f"signature artifact has num_hashes={info['num_hashes']}"
+                " < 16 — rebuild wider (max-width builds serve every"
+                " narrower config by prefix slicing, not vice versa)"
+            )
+        shingle_k = info["shingle_k"]
     pairs = minhash_near_dups(
         q2, id_col=id_col, text_col=text_col, threshold=minhash_threshold,
+        shingle_k=shingle_k,
         intermediates=intermediates,
+        max_bucket_size=minhash_max_bucket,
+        corpus_sigs=corpus_sigs,
     )
     kept = dedup_keep_canonical(q2, pairs, id_col=id_col).filter("keep")
     t0 = _mark("minhash_cluster_keep", kept, t0)

@@ -380,11 +380,22 @@ def minhash_near_dups(
     cache: bool = True,
     intermediates: list | None = None,
     max_bucket_size: int | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for candidate pairs sharing an LSH band
     bucket AND exact shingle-Jaccard ≥ threshold. `intermediates`
     receives any frame this call persisted (the signature table), so
     long-lived drivers can unpersist once results are materialized.
+
+    `corpus_sigs`: a persisted (id, sig) signature table
+    (catalog.build_minhash_index's layout) replacing the inline
+    signature aggregate — the whole-corpus shingle+hash pass drops out
+    of a repeat run's cost. The frame is semi-joined to `docs` (the
+    artifact may cover a superset) and its sig arrays prefix-sliced to
+    `num_hashes` (the max-width-build property). Signatures are a
+    fixed derived-hash family over content shingles, so artifact ≡
+    inline bit-for-bit; the caller must pass the artifact's
+    `shingle_k`.
 
     Scale shape: explode to (band, bucket, doc) — shuffle keyed on the
     band bucket co-locates only colliding docs; the verify join carries
@@ -403,7 +414,16 @@ def minhash_near_dups(
     signature table is written to Parquet once instead.
     """
     rows = num_hashes // bands
-    sigs = _minhash_signatures_bulk(docs, id_col, text_col, shingle_k, num_hashes)
+    if corpus_sigs is not None:
+        sigs = corpus_sigs.join(
+            docs.select(id_col), id_col, "left_semi"
+        ).select(
+            F.col(id_col), F.slice("sig", 1, num_hashes).alias("sig")
+        )
+    else:
+        sigs = _minhash_signatures_bulk(
+            docs, id_col, text_col, shingle_k, num_hashes
+        )
     if cache:
         # persist AND materialize: the banded self-join launches both
         # map stages concurrently, and an unmaterialized cache would be

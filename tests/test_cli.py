@@ -741,3 +741,55 @@ def test_cli_tune_li_probe_curve(spark, tmp_path_factory, capsys):
     capsys.readouterr()
     rc = main(["tune", "flat", "--warehouse", wh, "--li-query", "anything"])
     assert rc == 1
+
+
+def test_cli_curate_sigs_served_matches_inline(spark, tmp_path_factory, capsys):
+    """`curate --sigs-warehouse`: the MinHash stage served from the
+    persisted signature artifact produces the SAME curated output as
+    the inline run (fixed derived-hash family ⇒ bit-identical)."""
+    wh = str(tmp_path_factory.mktemp("curate_sigs_wh"))
+    corpus = f"{SF_SMOKE}/documents.parquet"
+    assert main(["sigs", "s", "--warehouse", wh, "--input", corpus]) == 0
+
+    out_inline = str(tmp_path_factory.mktemp("cur_inline") / "out")
+    out_sigs = str(tmp_path_factory.mktemp("cur_sigs") / "out")
+    base = ["curate", "--input", corpus,
+            "--min-words", "20", "--min-stopword-hits", "1"]
+    assert main(base + ["--output", out_inline]) == 0
+    assert main(base + ["--output", out_sigs,
+                        "--sigs-warehouse", wh, "--sigs-name", "s"]) == 0
+    key = lambda p: sorted(
+        (r["doc_id"], r["split"]) for r in spark.read.parquet(p).collect()
+    )
+    assert key(out_sigs) == key(out_inline)
+
+
+def test_cli_sigs_bands_config_validated(spark, tmp_path_factory, capsys):
+    """ADVICE r8: banding config is persisted and validated — a build
+    with num-hashes not divisible by bands is rejected, a query whose
+    bands don't divide the artifact's num_hashes is rejected, and a
+    non-default recorded bands value is honored on the query path."""
+    wh = str(tmp_path_factory.mktemp("sigs_bands_wh"))
+    corpus = f"{SF_SMOKE}/documents.parquet"
+    # build rejects non-tiling config (18 % 4 != 0)
+    assert main(["sigs", "s", "--warehouse", wh, "--input", corpus,
+                 "--num-hashes", "18"]) != 0
+    # build with an explicit tiling config records bands in meta
+    assert main(["sigs", "s", "--warehouse", wh, "--input", corpus,
+                 "--num-hashes", "18", "--bands", "6"]) == 0
+    from leann_rs_spark.catalog import load_minhash_index
+
+    _, info = load_minhash_index(spark, wh, "s")
+    assert info["bands"] == 6 and info["num_hashes"] == 18
+    # query: recorded bands=6 is used (runs clean); --bands 4 rejected
+    from pyspark.sql import functions as F
+
+    batch = str(tmp_path_factory.mktemp("sigs_bands_in") / "batch.parquet")
+    spark.read.parquet(corpus).filter("doc_id < 2").select(
+        (F.col("doc_id") + 91000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+    ).write.parquet(batch)
+    assert main(["sigs", "s", "--warehouse", wh, "--query", batch,
+                 "--corpus", corpus]) == 0
+    assert main(["sigs", "s", "--warehouse", wh, "--query", batch,
+                 "--corpus", corpus, "--bands", "4"]) == 2

@@ -261,6 +261,8 @@ def main() -> None:
     spark.catalog.clearCache()
     results["salted_equi_skew"] = salted_equi_skew_check(spark, args)
     spark.catalog.clearCache()
+    results["curation_sigs_rerun"] = curation_sigs_rerun_check(spark, args)
+    spark.catalog.clearCache()
     results["ivf_codebook_balance"] = ivf_balance_check(spark, args)
     spark.catalog.clearCache()
     results["ivf_append_modes"] = ivf_append_modes_check(spark, args)
@@ -607,6 +609,43 @@ def hot_bucket_check(spark, args) -> dict:
         out[label] = entry_
         spark.catalog.clearCache()
         print(f"# hot_bucket {label}: {entry_}", file=sys.stderr)
+    return out
+
+
+def curation_sigs_rerun_check(spark, args) -> dict:
+    """The daily-re-run economics of artifact-served curation: at 1×
+    and 10×, build the corpus signature artifact once (the amortized
+    write), then time curate_corpus inline (re-shingles every run) vs
+    sigs_warehouse-served (reads (id, sig) parquet). Row counts must
+    match — bit-equality is pinned by the x_curation_pipeline_sigs
+    oracle gate."""
+    import tempfile
+    import time as _time
+
+    from leann_rs_spark.catalog import build_minhash_index
+    from leann_rs_spark.operators.curation import curate_corpus
+
+    out: dict[str, dict] = {}
+    for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        wh = tempfile.mkdtemp(prefix="leann-scale-cursig-")
+        entry_: dict = {}
+        t0 = _time.perf_counter()
+        build_minhash_index(spark, wh, "sigs", docs)
+        entry_["artifact_build"] = round(_time.perf_counter() - t0, 2)
+        t0 = _time.perf_counter()
+        n_inline = curate_corpus(docs, minhash_threshold=0.5).count()
+        entry_["inline"] = round(_time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        t0 = _time.perf_counter()
+        n_sigs = curate_corpus(
+            docs, minhash_threshold=0.5, sigs_warehouse=wh
+        ).count()
+        entry_["sigs_served"] = round(_time.perf_counter() - t0, 2)
+        entry_["rows_equal"] = n_inline == n_sigs
+        spark.catalog.clearCache()
+        out[label] = entry_
+        print(f"# {label:3} curation sigs rerun: {entry_}", file=sys.stderr)
     return out
 
 
