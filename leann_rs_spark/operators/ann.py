@@ -71,6 +71,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     inline_max: int = IVF_INLINE_MAX_CENTROIDS,
     extra_cols: list[str] | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Assign each vector to its best (max inner product) centroid.
 
@@ -99,7 +100,25 @@ def ivf_assign(
     assignment. Every caller satisfies it (vec_id/idx are unique; the
     token-level path keys by the distinct (doc, token) pair). The
     inline path is a pure projection and preserves rows regardless.
+    A violation is SILENT corruption on the broadcast path (the r8
+    token-frame bug, commit a8c8c18) — `validate=True` turns it into
+    an error: one count-vs-distinct aggregate over the input (an extra
+    job, so default-off; fixtures and tests opt in).
     """
+    if validate:
+        key = [id_col, *(extra_cols or [])]
+        total, distinct = vectors.select(
+            F.count(F.lit(1)),
+            F.count_distinct(*[F.col(c) for c in key]),
+        ).first()
+        if total != distinct:
+            raise ValueError(
+                f"ivf_assign: ({', '.join(key)}) does not uniquely key the"
+                f" input ({total} rows, {distinct} distinct keys) — the"
+                " broadcast path would silently collapse duplicate-key"
+                " rows to one arbitrary assignment; pass the missing key"
+                " columns via extra_cols"
+            )
     cent_df = centroids.select("centroid_id", "centroid_vec")
     cents = sorted(
         cent_df.limit(inline_max + 1).collect(),

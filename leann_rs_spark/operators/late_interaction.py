@@ -762,9 +762,12 @@ def assign_token_cids(
         [(i, v) for i, v in enumerate(centroids)],
         "centroid_id int, centroid_vec array<double>",
     )
+    # validate: the r8 broadcast-path bug was exactly this call site
+    # keying by id_col alone — one extra count aggregate per (one-time)
+    # routing build buys an error instead of silent collapse
     assigned = ivf_assign(
         token_index, cent_df, id_col=id_col, vec_col="vec",
-        extra_cols=["token"],
+        extra_cols=["token"], validate=True,
     )
     return assigned.select(
         id_col, "token", "vec", F.col("cluster_id").alias("cid")

@@ -289,3 +289,35 @@ def test_ivf_assign_broadcast_path_keeps_duplicate_id_rows(spark):
     assert len(inline) == 4
     assert inline == bcast
     assert inline == [(1, "aa", 0), (1, "bb", 1), (2, "aa", 0), (2, "cc", 0)]
+
+
+def test_ivf_assign_validate_flags_duplicate_keys(spark):
+    """validate=True turns a silent duplicate-key collapse (the r8
+    broadcast-path bug class) into an error, and accepts a frame whose
+    (id_col, *extra_cols) key is genuinely unique."""
+    import pytest as _pytest
+
+    from leann_rs_spark.operators.ann import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [
+            (1, "aa", [1.0, 0.0]),
+            (1, "bb", [0.0, 1.0]),
+            (2, "aa", [1.0, 0.0]),
+        ],
+        "doc_id long, token string, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    # doc_id alone repeats -> raises, naming the key
+    with _pytest.raises(ValueError, match="uniquely key"):
+        ivf_assign(vecs, cents, id_col="doc_id", vec_col="vec", validate=True)
+    # the full (doc_id, token) key is unique -> passes both paths
+    for inline_max in (16, 1):
+        out = ivf_assign(
+            vecs, cents, id_col="doc_id", vec_col="vec",
+            extra_cols=["token"], validate=True, inline_max=inline_max,
+        )
+        assert out.count() == 3
