@@ -1122,6 +1122,42 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_HOTBUCKET_N = 40          # planted boilerplate cluster size
+_HOTBUCKET_CAP = 16        # real-corpus buckets stay under this
+_HOTBUCKET_OFF = 300_000   # clear of every sf's doc_id range
+_HOTBUCKET_TEXT = (
+    "permission is hereby granted free of charge to any person obtaining"
+    " a copy of this software and associated documentation files"
+)
+
+
+def x_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-GUARDED banded MinHash dedup (VERDICT r8 task 2),
+    full-value oracle-gated: a planted 40-doc boilerplate cluster
+    (license-header text, identical signatures → one hot (band,
+    bucket) per band) exceeds max_bucket_size=16, so the guard emits
+    its chain+star spanning set (O(B) pairs, here 2(B-1)=78) instead
+    of B(B-1)/2=780 all-pairs; every real-corpus bucket is under the
+    cap and keeps exact all-pairs semantics. The twin reproduces the
+    chain+star construction over the same (sig, id) lexicographic
+    window — capped semantics are deterministic, not test-only."""
+    from leann_rs_spark.operators.dedup import minhash_near_dups as _mnd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plant = spark.range(_HOTBUCKET_N).select(
+        (F.col("id") + _HOTBUCKET_OFF).alias("doc_id"),
+        F.lit(_HOTBUCKET_TEXT).alias("text"),
+    )
+    out = _mnd(
+        _fan(docs.unionByName(plant)),
+        threshold=0.5,
+        max_bucket_size=_HOTBUCKET_CAP,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+
+
 _PR_OFF_LIGHT = 100_000
 _PR_OFF_HEAVY = 200_000
 _PR_THRESHOLDS = (0.3, 0.5, 0.7)
@@ -4997,6 +5033,19 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_minhash_near_dups(threshold=0.5)})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.dedup import duckdb_minhash_near_dups_capped
+
+    _ORACLES["x_dedup_minhash_capped"] = f"""
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard_r
+        FROM ({duckdb_minhash_near_dups_capped(
+            threshold=0.5,
+            max_bucket_size=_HOTBUCKET_CAP,
+            plant_n=_HOTBUCKET_N,
+            plant_offset=_HOTBUCKET_OFF,
+            plant_text=_HOTBUCKET_TEXT,
+        )})
+        ORDER BY id_a, id_b
+    """
     from leann_rs_spark.operators.dedup import duckdb_editdist_near_dups
 
     _ORACLES["x_dedup_editdist"] = f"""
@@ -6491,6 +6540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
         "x_curation_pipeline_sigs": x_curation_pipeline_sigs,
+        "x_dedup_minhash_capped": x_dedup_minhash_capped,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,

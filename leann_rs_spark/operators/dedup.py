@@ -942,6 +942,106 @@ def duckdb_minhash_near_dups(
     """
 
 
+def duckdb_minhash_near_dups_capped(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 16,
+    plant_n: int = 0,
+    plant_offset: int = 300_000,
+    plant_text: str = "",
+) -> str:
+    """Twin of minhash_near_dups(max_bucket_size=…): buckets over the
+    cap emit chain+star pairs over (sig, id) lexicographic order —
+    the exact spanning-set semantics of _banded_candidate_pairs, so
+    the capped operator is full-value oracle-gateable, not test-only.
+    `plant_n` appends that many copies of `plant_text` at
+    `plant_offset` (the hot bucket the gate plants on the Spark side).
+    List comparison is element-wise lexicographic in both engines;
+    identical-sig members tie-break on id in both."""
+    rows = num_hashes // bands
+    sh = f"list_distinct({duckdb_char_shingles('t', shingle_k)})"
+    sig = (
+        f"list_transform(generate_series(0, {num_hashes - 1}),"
+        f" i -> list_min(list_transform(pairs,"
+        f" p -> {duckdb_derived_hash('p', 'i')})))"
+    )
+    bucket = duckdb_hash64(
+        f"array_to_string(list_transform("
+        f"list_slice(sig, b * {rows} + 1, (b + 1) * {rows}), x -> x::varchar), ',')"
+    )
+    plant = ""
+    if plant_n:
+        lit = plant_text.replace("'", "''")
+        plant = (
+            f" UNION ALL SELECT {plant_offset} + s.i AS id, '{lit}' AS t"
+            f" FROM unnest(generate_series(0, {plant_n - 1})) s(i)"
+        )
+    jac = (
+        "len(list_filter(sh_a, x -> list_contains(sh_b, x)))::double /"
+        " (len(sh_a) + len(sh_b)"
+        " - len(list_filter(sh_a, x -> list_contains(sh_b, x))))"
+    )
+    return f"""
+        WITH corpus AS (
+          SELECT {id_col} AS id, {text_col} AS t FROM {table}{plant}
+        ),
+        sigs AS (
+          SELECT id, shingles, {sig} AS sig
+          FROM (
+            SELECT id, shingles,
+                   list_transform(shingles, s -> {duckdb_hash_pair('s')}) AS pairs
+            FROM (SELECT id, {sh} AS shingles FROM corpus)
+            WHERE len(shingles) > 0
+          )
+        ),
+        banded AS (
+          SELECT id, sig, b, {bucket} AS bucket
+          FROM sigs, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        big AS (
+          SELECT b, bucket FROM banded
+          GROUP BY b, bucket HAVING count(*) > {max_bucket_size}
+        ),
+        small_cand AS (
+          SELECT a.id AS id_a, b2.id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bucket = b2.bucket AND a.id < b2.id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM big g WHERE g.b = a.b AND g.bucket = a.bucket
+          )
+        ),
+        ranked AS (
+          SELECT id, lead(id) OVER w AS nxt, first_value(id) OVER w AS head
+          FROM banded JOIN big USING (b, bucket)
+          WINDOW w AS (PARTITION BY b, bucket ORDER BY sig, id)
+        ),
+        cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM small_cand
+            UNION ALL
+            SELECT least(id, nxt), greatest(id, nxt) FROM ranked
+            WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT least(id, head), greatest(id, head) FROM ranked
+            WHERE id <> head
+          )
+        ),
+        verified AS (
+          SELECT c.id_a, c.id_b, sa.shingles AS sh_a, sb.shingles AS sh_b
+          FROM cand c
+          JOIN sigs sa ON sa.id = c.id_a
+          JOIN sigs sb ON sb.id = c.id_b
+        )
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM verified WHERE {jac} >= {threshold}
+    """
+
+
 BAND_SWEEP_CONFIGS = ((16, 4), (16, 8), (32, 16))
 
 
