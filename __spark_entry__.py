@@ -1591,6 +1591,55 @@ def x_minhash_sig_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
+_TRIAGE_HOT_N = 30        # planted corpus boilerplate cluster
+_TRIAGE_HOT_OFF = 400_000
+_TRIAGE_NEW_OFF = 500_000  # the one boilerplate doc in the ingest batch
+_TRIAGE_TOPK = 2
+
+
+def x_minhash_triage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side hot-bucket bound on the triage rung
+    (minhash_estimate_pairs(top_per_new=…)): a new doc that lands in a
+    corpus boilerplate bucket of B members otherwise surfaces all B
+    matches and the exact verify reads B texts FOR THAT ONE DOC — the
+    ingest mirror of the within-corpus hot-bucket quadratic. The
+    fixture plants a 30-copy license-header cluster in the corpus and
+    one matching doc in the batch; top_per_new=2 keeps the 2 best
+    matches per new doc by (est DESC, corpus_id ASC) — exact integer
+    estimator values, so the cut is deterministic and the twin
+    reproduces it with the same row_number window."""
+    from leann_rs_spark.operators.dedup import (
+        _minhash_signatures_bulk,
+        minhash_estimate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT).select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.range(_TRIAGE_HOT_N).select(
+            (F.col("id") + _TRIAGE_HOT_OFF).alias("doc_id"),
+            F.lit(_HOTBUCKET_TEXT).alias("text"),
+        )
+    )
+    new = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", "text"
+    ).unionByName(
+        spark.range(1).select(
+            (F.col("id") + _TRIAGE_NEW_OFF).alias("doc_id"),
+            F.lit(_HOTBUCKET_TEXT).alias("text"),
+        )
+    )
+    sigs = _minhash_signatures_bulk(_fan(corpus), "doc_id", "text", 5, 16)
+    out = minhash_estimate_pairs(
+        sigs, _fan(new), min_est=0.5, top_per_new=_TRIAGE_TOPK
+    )
+    return out.select(
+        "new_id", "corpus_id",
+        (F.col("est_jaccard") + F.lit(0.0)).alias("est_r"),
+    ).orderBy("new_id", "corpus_id")
+
+
 def x_dedup_triage_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The staged dedup serving ladder END-TO-END: signature-only
     triage (loose min_est=0.25 over the persisted artifact — zero
@@ -5134,6 +5183,20 @@ def _register_dedup_oracles() -> None:
         )})
         ORDER BY new_id, corpus_id
     """
+    _hot_lit = _HOTBUCKET_TEXT.replace("'", "''")
+    _ORACLES["x_minhash_triage_topk"] = f"""
+        SELECT new_id, corpus_id, est_jaccard + 0.0 AS est_r
+        FROM ({duckdb_minhash_estimate_pairs(
+            f"SELECT doc_id, text FROM documents WHERE doc_id < {_INCR_SPLIT}"
+            f" UNION ALL SELECT {_TRIAGE_HOT_OFF} + s.i, '{_hot_lit}'"
+            f" FROM unnest(generate_series(0, {_TRIAGE_HOT_N - 1})) s(i)",
+            f"SELECT doc_id, text FROM documents WHERE doc_id >= {_INCR_SPLIT}"
+            f" UNION ALL SELECT {_TRIAGE_NEW_OFF}, '{_hot_lit}'",
+            min_est=0.5,
+            top_per_new=_TRIAGE_TOPK,
+        )})
+        ORDER BY new_id, corpus_id
+    """
     # staged triage → exact-verify pipeline: estimator CTE (loose
     # 0.25) joined back to text for exact jaccard on survivors only
     _ch = "list_distinct(" + duckdb_char_shingles("text", 5) + ")"
@@ -6541,6 +6604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_curation_pipeline_sigs": x_curation_pipeline_sigs,
         "x_dedup_minhash_capped": x_dedup_minhash_capped,
+        "x_minhash_triage_topk": x_minhash_triage_topk,
         "x_ivf_append": x_ivf_append,
         "x_bm25_append": x_bm25_append,
         "x_stream_ivf_ingest": x_stream_ivf_ingest,

@@ -561,6 +561,7 @@ def minhash_estimate_pairs(
     min_est: float = 0.5,
     broadcast_new: bool = True,
     new_sigs: DataFrame | None = None,
+    top_per_new: int | None = None,
 ) -> DataFrame:
     """→ (new_id, corpus_id, est_jaccard): ingest-time near-dup TRIAGE
     with ZERO corpus text access — banded candidate pairs scored by
@@ -578,7 +579,17 @@ def minhash_estimate_pairs(
 
     The estimator is exact integer arithmetic (position equality
     counts over the fixed derived-hash family) — cross-engine
-    hash-stable, k/num_hashes values with no float accumulation."""
+    hash-stable, k/num_hashes values with no float accumulation.
+
+    `top_per_new`: ingest-side hot-bucket bound — a new doc landing in
+    a corpus boilerplate bucket of B members otherwise surfaces all B
+    matches, and the downstream exact verify reads B texts per such
+    doc. Keeps only the top-k corpus matches per new doc by
+    (est_jaccard DESC, corpus_id ASC) — for quarantine/keep-one-ingest
+    policies one verified match suffices, so the verify stage's text
+    reads drop from O(B) to O(k) per new doc. The banded join itself
+    stays O(B·batch) sig-width rows (linear in B, never quadratic);
+    only the expensive text stage is capped."""
     rows = num_hashes // bands
     if new_sigs is None:
         if new_docs is None:
@@ -614,13 +625,25 @@ def minhash_estimate_pairs(
         )
     )
     est = matches.cast("double") / F.lit(float(num_hashes))
-    return (
+    out = (
         pairs.join(sig_n, "new_id")
         .join(sig_c, "corpus_id")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est)
         .select("new_id", "corpus_id", "est_jaccard")
     )
+    if top_per_new is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("new_id").orderBy(
+            F.col("est_jaccard").desc(), F.col("corpus_id").asc()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= top_per_new)
+            .drop("__rk")
+        )
+    return out
 
 
 def duckdb_minhash_estimate_pairs(
@@ -632,10 +655,12 @@ def duckdb_minhash_estimate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     min_est: float = 0.5,
+    top_per_new: int | None = None,
 ) -> str:
     """Oracle twin of `minhash_estimate_pairs`: same signatures, same
     banding, the estimator as an index-wise position-match count —
-    integer arithmetic end to end."""
+    integer arithmetic end to end. `top_per_new` mirrors the ingest-
+    side hot-bucket bound (row_number over the same total order)."""
     rows = num_hashes // bands
     sh = f"list_distinct({duckdb_char_shingles(text_col, shingle_k)})"
     sig = (
@@ -668,6 +693,19 @@ def duckdb_minhash_estimate_pairs(
         f"len(list_filter(generate_series(1, {num_hashes}),"
         f" i -> sig_n[i] = sig_c[i]))"
     )
+    topk = ""
+    if top_per_new is not None:
+        topk = f"""
+        , ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY new_id ORDER BY est_jaccard DESC, corpus_id ASC
+          ) AS rk FROM est
+        )"""
+    final = (
+        f"SELECT new_id, corpus_id, est_jaccard FROM ranked WHERE rk <= {top_per_new}"
+        if top_per_new is not None
+        else "SELECT new_id, corpus_id, est_jaccard FROM est"
+    )
     return f"""
         WITH {side(corpus_sql, 'c')}, {side(new_sql, 'n')},
         cand AS (
@@ -675,11 +713,14 @@ def duckdb_minhash_estimate_pairs(
                  n.sig AS sig_n, c.sig AS sig_c
           FROM c_banded c JOIN n_banded n
             ON c.b = n.b AND c.bucket = n.bucket
-        )
-        SELECT new_id, corpus_id,
-               {matches}::double / {num_hashes} AS est_jaccard
-        FROM cand
-        WHERE {matches}::double / {num_hashes} >= {min_est}
+        ),
+        est AS (
+          SELECT new_id, corpus_id,
+                 {matches}::double / {num_hashes} AS est_jaccard
+          FROM cand
+          WHERE {matches}::double / {num_hashes} >= {min_est}
+        ){topk}
+        {final}
     """
 
 

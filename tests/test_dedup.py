@@ -884,3 +884,30 @@ def test_hot_bucket_cap_noop_below_threshold(spark):
         for r in minhash_near_dups(docs, threshold=0.3, max_bucket_size=50).collect()
     )
     assert a == b and len(a) >= 1
+
+
+def test_estimate_pairs_top_per_new_caps_hot_corpus_bucket(spark):
+    """A new doc matching a B-member corpus boilerplate cluster keeps
+    only top_per_new matches (est DESC, corpus_id ASC) — the ingest-
+    side hot-bucket bound on the triage rung."""
+    from leann_rs_spark.operators.dedup import (
+        _minhash_signatures_bulk,
+        minhash_estimate_pairs,
+    )
+
+    boiler = "permission is hereby granted free of charge to any person"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(20)]
+        + [(100, "some entirely unrelated corpus document text here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(500, boiler)], "doc_id long, text string")
+    sigs = _minhash_signatures_bulk(corpus, "doc_id", "text", 5, 16)
+    uncapped = minhash_estimate_pairs(sigs, new, min_est=0.5).collect()
+    capped = minhash_estimate_pairs(
+        sigs, new, min_est=0.5, top_per_new=3
+    ).collect()
+    assert len(uncapped) == 20
+    got = sorted((r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in capped)
+    # identical sigs -> est 1.0 everywhere; tie-break keeps smallest ids
+    assert got == [(500, 0, 1.0), (500, 1, 1.0), (500, 2, 1.0)]
