@@ -543,6 +543,7 @@ def cmd_curate(args) -> int:
         intermediates=cached,
         sigs_warehouse=args.sigs_warehouse,
         sigs_name=args.sigs_name,
+        minhash_max_bucket=args.minhash_max_bucket,
     )
     out.write.mode("overwrite").parquet(args.output)
     for df in cached:  # the write materialized everything; free the cache
@@ -1335,6 +1336,13 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument(
         "--sigs-name", default="sigs", dest="sigs_name",
         help="artifact name inside --sigs-warehouse",
+    )
+    cu.add_argument(
+        "--minhash-max-bucket", type=int, default=None,
+        dest="minhash_max_bucket", metavar="B",
+        help="hot-bucket guard: LSH buckets larger than B are chained"
+             " (O(B) spanning pairs) instead of all-paired (O(B^2));"
+             " cluster/keep output is component-equivalent",
     )
     cu.set_defaults(fn=cmd_curate)
 

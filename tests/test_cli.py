@@ -793,3 +793,21 @@ def test_cli_sigs_bands_config_validated(spark, tmp_path_factory, capsys):
                  "--corpus", corpus]) == 0
     assert main(["sigs", "s", "--warehouse", wh, "--query", batch,
                  "--corpus", corpus, "--bands", "4"]) == 2
+
+
+def test_cli_curate_max_bucket_matches_default_on_small_corpus(
+    spark, tmp_path_factory, capsys
+):
+    """--minhash-max-bucket with a cap above every real bucket size is
+    a pure no-op on the curated output."""
+    corpus = f"{SF_SMOKE}/documents.parquet"
+    out_a = str(tmp_path_factory.mktemp("cur_nocap") / "out")
+    out_b = str(tmp_path_factory.mktemp("cur_cap") / "out")
+    base = ["curate", "--input", corpus,
+            "--min-words", "20", "--min-stopword-hits", "1"]
+    assert main(base + ["--output", out_a]) == 0
+    assert main(base + ["--output", out_b, "--minhash-max-bucket", "64"]) == 0
+    key = lambda p: sorted(
+        (r["doc_id"], r["split"]) for r in spark.read.parquet(p).collect()
+    )
+    assert key(out_b) == key(out_a)
