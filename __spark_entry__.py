@@ -1678,6 +1678,7 @@ def x_dedup_triage_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REINGEST_N = 20  # re-crawled docs in the incremental-exact gate
+_REINGEST_OFF = 10_000_000  # re-ingest id offset: must clear EVERY sf's real id range (ADVICE r6; the r9 sf1.0 sweep caught +10_000 colliding)
 
 
 def x_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,7 +1692,7 @@ def x_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
     reingest = docs.filter(F.col("doc_id") < _REINGEST_N).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000)
+        "doc_id", F.col("doc_id") + F.lit(_REINGEST_OFF)
     )
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT).unionByName(reingest)
     out = exact_dedup_incremental(corpus, _fan(batch))
@@ -4195,7 +4196,7 @@ def x_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") < _INCR_SPLIT)
     reingest = docs.filter(F.col("doc_id") < _REINGEST_N).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000)
+        "doc_id", F.col("doc_id") + F.lit(_REINGEST_OFF)
     )
     batch = docs.filter(F.col("doc_id") >= _INCR_SPLIT).unionByName(reingest)
     out = bloom_dedup_incremental(corpus, _fan(batch))
@@ -5069,7 +5070,7 @@ def _register_dedup_oracles() -> None:
     _batch_sql = (
         f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT} "
         "UNION ALL "
-        "SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars "
+        f"SELECT doc_id + {_REINGEST_OFF} AS doc_id, text, lang, source, n_chars "
         f"FROM documents WHERE doc_id < {_REINGEST_N}"
     )
     _ORACLES["x_dedup_exact_incremental"] = f"""
@@ -6259,7 +6260,7 @@ def _register_r4c_oracles() -> None:
     batch_sql = f"""
         SELECT doc_id, text FROM documents WHERE doc_id >= {_INCR_SPLIT}
         UNION ALL
-        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        SELECT doc_id + {_REINGEST_OFF} AS doc_id, text FROM documents
         WHERE doc_id < {_REINGEST_N}
     """
     _ORACLES["x_bloom_dedup"] = f"""

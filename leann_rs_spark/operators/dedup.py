@@ -2170,12 +2170,18 @@ def bloom_dedup_incremental(
     verified = (
         probe.filter("maybe_dup")
         .join(corpus_h, "__h", "left_semi")
-        .select(F.col(id_col).alias("__vid"))
+        .select(F.col(id_col).alias("__vid"), F.col("__h").alias("__vh"))
     )
+    # re-attach by (id, text-hash) — the probe's own grain. Joining by
+    # id alone cross-contaminated true_dup when a batch carried two
+    # rows under one id with different texts (found by the r9 sf1.0
+    # parity sweep: the replicated corpus collided with the gate's
+    # re-ingest offset, and the verified flag of one text leaked onto
+    # the other).
     return (
         probe.join(
             broadcast(verified),
-            probe[id_col] == F.col("__vid"),
+            (probe[id_col] == F.col("__vid")) & (probe["__h"] == F.col("__vh")),
             "left",
         )
         .select(

@@ -911,3 +911,29 @@ def test_estimate_pairs_top_per_new_caps_hot_corpus_bucket(spark):
     got = sorted((r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in capped)
     # identical sigs -> est 1.0 everywhere; tie-break keeps smallest ids
     assert got == [(500, 0, 1.0), (500, 1, 1.0), (500, 2, 1.0)]
+
+
+def test_bloom_dedup_duplicate_id_rows_keep_independent_flags(spark):
+    """Two batch rows under ONE id with different texts must keep
+    independent (maybe_dup, true_dup) flags — the verified flag of one
+    text leaked onto the other before the (id, text-hash) re-attach
+    (found by the r9 sf1.0 parity sweep)."""
+    from leann_rs_spark.operators.dedup import bloom_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an unrelated corpus document")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (10, "a fresh never-seen text entirely")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["maybe_dup"], r["true_dup"])
+        for r in bloom_dedup_incremental(corpus, batch).collect()
+    )
+    assert len(rows) == 2
+    assert rows[1] == (True, True)       # the re-crawled duplicate
+    assert rows[0][1] is False           # the fresh text is NOT a dup

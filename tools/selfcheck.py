@@ -80,7 +80,15 @@ def main() -> int:
     import os
 
     cross_scale = os.path.realpath(sf_dir) != os.path.realpath(GOLDEN_SF_DIR)
-    for name, fn in qs.items():
+    # explicit names run in ARGUMENT order (so a deadline-bounded
+    # cross-scale sweep can front-load its highest-value gates);
+    # the full run keeps queries() rotation order
+    ordered = (
+        [(n, qs[n]) for n in sys.argv[2:] if n in qs]
+        if only
+        else list(qs.items())
+    )
+    for name, fn in ordered:
         if only and name not in only:
             continue
         if cross_scale and name in SF001_GOLDEN_GATES and name not in only:
