@@ -653,12 +653,20 @@ def salted_equi_skew_check(spark, args) -> dict:
     """90 %-single-key skew for the salted EQUI join (x_salted_join's
     operator), 1× and 10×: big side = skewed events, dim side = one row
     per user. Records salted-vs-plain wall time and asserts result
-    equality at 1× — the number that justifies the salting path."""
+    equality at 1× — the number that justifies the salting path.
+
+    Auto-broadcast is disabled for the duration: at local scale the
+    dim side fits the broadcast threshold and a BroadcastHashJoin has
+    no shuffle to skew — salting targets the big-big SortMergeJoin
+    regime (the 100 TB case where neither side broadcasts), so that is
+    the physical form pinned here."""
     from pyspark.sql import functions as F
 
     from leann_rs_spark.operators.joins import salted_join
 
     out: dict[str, dict] = {}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         big = ev.withColumn(
@@ -681,6 +689,39 @@ def salted_equi_skew_check(spark, args) -> dict:
         n_salted = salted_join(big, dim, on=["user_id"], salt=32).count()
         entry_["salted32"] = round(time.perf_counter() - t0, 2)
         entry_["rows_equal"] = n_plain == n_salted
+        # the regime manual salting actually exists for: AQE skew-join
+        # unavailable (older clusters, stateful/streaming plans, or the
+        # many engines without runtime re-plan). Record plain-vs-salted
+        # there too — with AQE on, the honest result is that AQE
+        # already flattens this and the salt is pure overhead.
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t0 = time.perf_counter()
+        big.join(dim, "user_id").count()
+        entry_["plain_noaqeskew"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        salted_join(big, dim, on=["user_id"], salt=32).count()
+        entry_["salted32_noaqeskew"] = round(time.perf_counter() - t0, 2)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the scale-invariant signal: the biggest reducer's row count.
+        # At local fixture scale the hot partition is sub-second of
+        # work, so wall time can't show the straggler — max-rows-per-
+        # join-key (plain) vs per-(key, salt) (salted) is the ratio
+        # that becomes hours-vs-minutes at 100 TB.
+        from pyspark.sql import functions as FF
+
+        entry_["max_task_rows_plain"] = (
+            big.groupBy("user_id").count().agg(FF.max("count")).first()[0]
+        )
+        entry_["max_task_rows_salted"] = (
+            big.withColumn(  # mirror salted_join's bucket expression
+                "__salt",
+                FF.pmod(FF.xxhash64(*[FF.col(c) for c in big.columns]), FF.lit(32)),
+            )
+            .groupBy("user_id", "__salt")
+            .count()
+            .agg(FF.max("count"))
+            .first()[0]
+        )
         if label == "1x":
             key = lambda df: sorted(
                 (r["event_id"], r["tier"]) for r in df.collect()
@@ -692,6 +733,7 @@ def salted_equi_skew_check(spark, args) -> dict:
         dim.unpersist()
         out[label] = entry_
         print(f"# {label:3} salted equi skew: {entry_}", file=sys.stderr)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
 
 
