@@ -6645,6 +6645,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_drift_recall": x_ivf_drift_recall,
         "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
+        "x_crawl_pipeline": x_crawl_pipeline,
+        "x_curation_pipeline": x_curation_pipeline,
+        "x_minhash_index_dedup": x_minhash_index_dedup,
+        "x_stream_sigs_ingest": x_stream_sigs_ingest,
+        "x_minhash_sig_estimate": x_minhash_sig_estimate,
+        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
+        "x_li_kmeans_pruned": x_li_kmeans_pruned,
+        "x_tfidf_keywords": x_tfidf_keywords,
+        "x_quality_ensemble": x_quality_ensemble,
+        "x_rolling_anomaly": x_rolling_anomaly,
+        "x_pmi_phrases": x_pmi_phrases,
+        "x_json_props": x_json_props,
+        "x_funnel": x_funnel,
+        "x_retention_cohorts": x_retention_cohorts,
+        "x_event_transitions": x_event_transitions,
+        "x_weighted_sample": x_weighted_sample,
+        "x_resample_ffill": x_resample_ffill,
+        "x_resample_interp": x_resample_interp,
+        "x_rolling_features": x_rolling_features,
+        "x_quality_classifier": x_quality_classifier,
+        "x_bloom_dedup": x_bloom_dedup,
+        "x_url_dedup": x_url_dedup,
+        "x_dedup_pr": x_dedup_pr,
+        "t5_hash_embed": t5_hash_embed,
+        "t6_prompt_embed": t6_prompt_embed,
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+        "x_dedup_simhash": x_dedup_simhash,
+        "x_dedup_incremental": x_dedup_incremental,
+        "x_dedup_exact_incremental": x_dedup_exact_incremental,
+        "x_dedup_clusters": x_dedup_clusters,
+        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_exact_substr": x_exact_substr,
+        "x_cluster_assign": x_cluster_assign,
+        "x_semantic_dedup": x_semantic_dedup,
+        "x_dedup_editdist": x_dedup_editdist,
+        "x_upsert": x_upsert,
+        "x_dup_source_matrix": x_dup_source_matrix,
+        "q1_ivf_topk": q1_ivf_topk,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6685,8 +6725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
         "r1_rag_batch": r1_rag_batch,
         "t1_chunk_passages": t1_chunk_passages,
-        "x_crawl_pipeline": x_crawl_pipeline,
-        "x_curation_pipeline": x_curation_pipeline,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,
         "x_text_quality": x_text_quality,
@@ -6725,48 +6763,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_rollup_stats": x_rollup_stats,
         "x_curriculum_blocks": x_curriculum_blocks,
-        "x_minhash_index_dedup": x_minhash_index_dedup,
-        "x_stream_sigs_ingest": x_stream_sigs_ingest,
-        "x_minhash_sig_estimate": x_minhash_sig_estimate,
-        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
-        "x_li_kmeans_pruned": x_li_kmeans_pruned,
-        "x_tfidf_keywords": x_tfidf_keywords,
-        "x_quality_ensemble": x_quality_ensemble,
-        "x_rolling_anomaly": x_rolling_anomaly,
-        "x_pmi_phrases": x_pmi_phrases,
-        "x_json_props": x_json_props,
-        "x_funnel": x_funnel,
-        "x_retention_cohorts": x_retention_cohorts,
-        "x_event_transitions": x_event_transitions,
-        "x_weighted_sample": x_weighted_sample,
-        "x_resample_ffill": x_resample_ffill,
-        "x_resample_interp": x_resample_interp,
-        "x_rolling_features": x_rolling_features,
-        "x_quality_classifier": x_quality_classifier,
-        "x_bloom_dedup": x_bloom_dedup,
-        "x_url_dedup": x_url_dedup,
         "x_media_audio_features": x_media_audio_features,
         "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
-        "x_dedup_pr": x_dedup_pr,
-        "t5_hash_embed": t5_hash_embed,
-        "t6_prompt_embed": t6_prompt_embed,
-        "x_dedup_exact": x_dedup_exact,
-        "x_dedup_minhash": x_dedup_minhash,
-        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
-        "x_dedup_simhash": x_dedup_simhash,
-        "x_dedup_incremental": x_dedup_incremental,
-        "x_dedup_exact_incremental": x_dedup_exact_incremental,
-        "x_dedup_clusters": x_dedup_clusters,
-        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
-        "x_exact_substr": x_exact_substr,
-        "x_cluster_assign": x_cluster_assign,
-        "x_semantic_dedup": x_semantic_dedup,
-        "x_dedup_editdist": x_dedup_editdist,
-        "x_upsert": x_upsert,
-        "x_dup_source_matrix": x_dup_source_matrix,
-        "q1_ivf_topk": q1_ivf_topk,
     }
 
 
