@@ -6603,56 +6603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        "x_curation_pipeline_sigs": x_curation_pipeline_sigs,
-        "x_dedup_minhash_capped": x_dedup_minhash_capped,
-        "x_minhash_triage_topk": x_minhash_triage_topk,
-        "x_ivf_append": x_ivf_append,
-        "x_bm25_append": x_bm25_append,
-        "x_stream_ivf_ingest": x_stream_ivf_ingest,
-        "x_ivf_compact": x_ivf_compact,
-        "x_token_cid_balance": x_token_cid_balance,
-        "x_stream_token_ingest": x_stream_token_ingest,
-        "x_li_bm25_hybrid": x_li_bm25_hybrid,
-        "x_table_diff": x_table_diff,
-        "x_salted_join": x_salted_join,
-        "x_table_stats": x_table_stats,
-        "x_token_index_compact": x_token_index_compact,
-        "x_li_probe_recall": x_li_probe_recall,
-        "x_leakage_safe_split": x_leakage_safe_split,
-        "x_zorder_layout": x_zorder_layout,
-        "x_late_interaction_pruned": x_late_interaction_pruned,
-        "x_video_near_dups": x_video_near_dups,
-        "x_late_interaction_batch": x_late_interaction_batch,
-        "x_token_index_append": x_token_index_append,
-        "x_late_interaction_pq": x_late_interaction_pq,
-        "x_late_interaction_refined": x_late_interaction_refined,
-        "x_dedup_pr_bands": x_dedup_pr_bands,
-        "x_append_consistency": x_append_consistency,
-        "x_ivfpq_topk": x_ivfpq_topk,
-        "x_ivfbq_topk": x_ivfbq_topk,
-        "x_ivfsq_topk": x_ivfsq_topk,
-        "x_media_phash_dups": x_media_phash_dups,
-        "x_domain_budget": x_domain_budget,
-        "x_stream_rolling": x_stream_rolling,
-        "x_lm_ref_score": x_lm_ref_score,
-        "x_decontaminate_spans": x_decontaminate_spans,
-        "x_budget_select": x_budget_select,
-        "x_retrieval_eval": x_retrieval_eval,
-        "x_ivf_recall": x_ivf_recall,
-        "x_pq_recall": x_pq_recall,
-        "x_ivfpq_batch": x_ivfpq_batch,
-        "x_bq_batch_topk": x_bq_batch_topk,
-        "x_ivf_drift_recall": x_ivf_drift_recall,
-        "q2_ivf_batch_topk": q2_ivf_batch_topk,
-        "q3_batch_topk": q3_batch_topk,
-        "x_crawl_pipeline": x_crawl_pipeline,
-        "x_curation_pipeline": x_curation_pipeline,
-        "x_minhash_index_dedup": x_minhash_index_dedup,
-        "x_stream_sigs_ingest": x_stream_sigs_ingest,
-        "x_minhash_sig_estimate": x_minhash_sig_estimate,
-        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
-        "x_li_kmeans_pruned": x_li_kmeans_pruned,
-        "x_tfidf_keywords": x_tfidf_keywords,
         "x_quality_ensemble": x_quality_ensemble,
         "x_rolling_anomaly": x_rolling_anomaly,
         "x_pmi_phrases": x_pmi_phrases,
@@ -6767,6 +6717,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
+        "x_curation_pipeline_sigs": x_curation_pipeline_sigs,
+        "x_dedup_minhash_capped": x_dedup_minhash_capped,
+        "x_minhash_triage_topk": x_minhash_triage_topk,
+        "x_ivf_append": x_ivf_append,
+        "x_bm25_append": x_bm25_append,
+        "x_stream_ivf_ingest": x_stream_ivf_ingest,
+        "x_ivf_compact": x_ivf_compact,
+        "x_token_cid_balance": x_token_cid_balance,
+        "x_stream_token_ingest": x_stream_token_ingest,
+        "x_li_bm25_hybrid": x_li_bm25_hybrid,
+        "x_table_diff": x_table_diff,
+        "x_salted_join": x_salted_join,
+        "x_table_stats": x_table_stats,
+        "x_token_index_compact": x_token_index_compact,
+        "x_li_probe_recall": x_li_probe_recall,
+        "x_leakage_safe_split": x_leakage_safe_split,
+        "x_zorder_layout": x_zorder_layout,
+        "x_late_interaction_pruned": x_late_interaction_pruned,
+        "x_video_near_dups": x_video_near_dups,
+        "x_late_interaction_batch": x_late_interaction_batch,
+        "x_token_index_append": x_token_index_append,
+        "x_late_interaction_pq": x_late_interaction_pq,
+        "x_late_interaction_refined": x_late_interaction_refined,
+        "x_dedup_pr_bands": x_dedup_pr_bands,
+        "x_append_consistency": x_append_consistency,
+        "x_ivfpq_topk": x_ivfpq_topk,
+        "x_ivfbq_topk": x_ivfbq_topk,
+        "x_ivfsq_topk": x_ivfsq_topk,
+        "x_media_phash_dups": x_media_phash_dups,
+        "x_domain_budget": x_domain_budget,
+        "x_stream_rolling": x_stream_rolling,
+        "x_lm_ref_score": x_lm_ref_score,
+        "x_decontaminate_spans": x_decontaminate_spans,
+        "x_budget_select": x_budget_select,
+        "x_retrieval_eval": x_retrieval_eval,
+        "x_ivf_recall": x_ivf_recall,
+        "x_pq_recall": x_pq_recall,
+        "x_ivfpq_batch": x_ivfpq_batch,
+        "x_bq_batch_topk": x_bq_batch_topk,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
+        "q3_batch_topk": q3_batch_topk,
+        "x_crawl_pipeline": x_crawl_pipeline,
+        "x_curation_pipeline": x_curation_pipeline,
+        "x_minhash_index_dedup": x_minhash_index_dedup,
+        "x_stream_sigs_ingest": x_stream_sigs_ingest,
+        "x_minhash_sig_estimate": x_minhash_sig_estimate,
+        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
+        "x_li_kmeans_pruned": x_li_kmeans_pruned,
+        "x_tfidf_keywords": x_tfidf_keywords,
     }
 
 

@@ -178,6 +178,15 @@ def _local_imports(fsrc: str) -> dict[str, str]:
     return out
 
 
+# Registry/dispatch functions are NOT gate implementation: their
+# bodies name every gate (queries() returns the full dict), so letting
+# reachability walk into them fuses all closures into one — any gate
+# edit or a rotation rewrite would re-flag every gate that merely uses
+# a local variable shadowing one of these names (e.g. `queries = ...`
+# in the batch-topk gates, the r10 finding).
+_REGISTRY_FUNCS = frozenset({"entry", "queries", "oracle_sql"})
+
+
 def gate_closure(src: str) -> dict[str, tuple[str, set[str]]]:
     """For every gate key in queries(): (sha of the gate's entry-file
     code — its function, every reachable helper function, and its
@@ -217,7 +226,11 @@ def gate_closure(src: str) -> dict[str, tuple[str, set[str]]]:
             for name in names_in.get(f, ()):
                 if name in mine:
                     mods.add(mine[name])
-                elif name in funcs and name not in seen_f:
+                elif (
+                    name in funcs
+                    and name not in seen_f
+                    and name not in _REGISTRY_FUNCS
+                ):
                     stack.append(name)
                 elif name in imports:
                     mods.add(imports[name])
