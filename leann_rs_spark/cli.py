@@ -1342,7 +1342,9 @@ def build_parser() -> argparse.ArgumentParser:
         dest="minhash_max_bucket", metavar="B",
         help="hot-bucket guard: LSH buckets larger than B are chained"
              " (O(B) spanning pairs) instead of all-paired (O(B^2));"
-             " cluster/keep output is component-equivalent",
+             " cluster/keep output is component-equivalent for"
+             " near-identical clusters (verifying members contiguous in"
+             " signature order), a spanning approximation otherwise",
     )
     cu.set_defaults(fn=cmd_curate)
 

@@ -58,8 +58,12 @@ def curate_corpus(
 
     `minhash_max_bucket`: hot-bucket guard passthrough
     (dedup.minhash_near_dups `max_bucket_size`) — bounds the banded
-    join's candidate blowup on boilerplate clusters; cluster/keep
-    output is component-equivalent (the spanning-set argument).
+    join's candidate blowup on boilerplate clusters. Cluster/keep
+    output is component-equivalent for near-identical clusters (the
+    spanning-set argument holds when verifying members form contiguous
+    runs in signature order — trivially true for boilerplate); for a
+    hot bucket mixing distinct groups it is a spanning approximation
+    (a dropped cross-group pair can split a component).
 
     `gopher_params` are keyword overrides for
     functions.textstats.gopher_keep (defaults = the published

@@ -381,11 +381,15 @@ def minhash_near_dups(
     intermediates: list | None = None,
     max_bucket_size: int | None = None,
     corpus_sigs: DataFrame | None = None,
+    validate_sigs: bool = True,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for candidate pairs sharing an LSH band
     bucket AND exact shingle-Jaccard ≥ threshold. `intermediates`
-    receives any frame this call persisted (the signature table), so
-    long-lived drivers can unpersist once results are materialized.
+    receives any frame this call persisted (the signature table, and
+    the banded frame when `max_bucket_size` is set), so long-lived
+    drivers can unpersist once results are materialized; with the
+    default `intermediates=None` those cached frames stay resident
+    until storage eviction (same contract as curate_corpus).
 
     `corpus_sigs`: a persisted (id, sig) signature table
     (catalog.build_minhash_index's layout) replacing the inline
@@ -396,6 +400,22 @@ def minhash_near_dups(
     fixed derived-hash family over content shingles, so artifact ≡
     inline bit-for-bit; the caller must pass the artifact's
     `shingle_k`.
+
+    `validate_sigs` (artifact path only) guards the two silent failure
+    modes of a stale/mismatched artifact: (a) COVERAGE — a doc absent
+    from the artifact would vanish from the semi-join, never become a
+    candidate, and always be kept (silent under-deduplication; the
+    expected failure after corpus growth without an index refresh), so
+    docs eligible to shingle (length ≥ shingle_k) are anti-joined
+    against the artifact and any uncovered ids raise; (b) WIDTH — a
+    sig array narrower than `num_hashes` would silently prefix-slice
+    short, and the trailing bands would hash empty slices, colliding
+    EVERY doc into one bucket per band (a quadratic candidate blowup;
+    verify keeps output correct but the plan degenerates), so the
+    artifact's observed width is checked on one row. Costs one
+    id-column anti-join + one limit-1 scan; disable only when the
+    caller has already proven coverage (e.g. the artifact was built
+    from this exact frame in the same job).
 
     Scale shape: explode to (band, bucket, doc) — shuffle keyed on the
     band bucket co-locates only colliding docs; the verify join carries
@@ -415,6 +435,31 @@ def minhash_near_dups(
     """
     rows = num_hashes // bands
     if corpus_sigs is not None:
+        if validate_sigs:
+            head = corpus_sigs.select(F.size("sig").alias("__w")).limit(1).first()
+            if head is not None and head["__w"] < num_hashes:
+                raise ValueError(
+                    f"signature artifact is {head['__w']} hashes wide but"
+                    f" num_hashes={num_hashes} was requested — prefix"
+                    " slicing would hash EMPTY trailing bands (every doc"
+                    " collides into one bucket per such band); rebuild the"
+                    " artifact at least num_hashes wide"
+                )
+            uncovered = (
+                docs.filter(F.length(F.col(text_col)) >= shingle_k)
+                .select(id_col)
+                .join(corpus_sigs.select(id_col), id_col, "left_anti")
+                .count()
+            )
+            if uncovered:
+                raise ValueError(
+                    f"signature artifact does not cover {uncovered}"
+                    " shingle-eligible doc(s) — uncovered docs would"
+                    " silently never become candidates (under-"
+                    "deduplication); rebuild or append the artifact"
+                    " (catalog.append_to_minhash_index) to cover the corpus,"
+                    " or pass validate_sigs=False if coverage is proven"
+                )
         sigs = corpus_sigs.join(
             docs.select(id_col), id_col, "left_semi"
         ).select(
@@ -487,7 +532,13 @@ def minhash_near_dups_incremental(
     candidate pairs only. At 100 TB the corpus signature table is a
     persisted artifact: pass it as `corpus_sigs` (the
     `_minhash_signatures_bulk` shape, (id, sig)) and even the
-    signature aggregate disappears from the per-batch cost.
+    signature aggregate disappears from the per-batch cost. The
+    artifact must cover the corpus and its sig arrays must be at least
+    `num_hashes` wide — an uncovered doc silently never becomes a
+    candidate, and a narrower sig would band over empty slices (this
+    per-batch hot path does not re-validate; run the batch form's
+    `validate_sigs` check, or catalog meta's num_hashes, at artifact
+    load time instead of per microbatch).
     """
     rows = num_hashes // bands
     sigs_c = (

@@ -267,6 +267,57 @@ def test_incremental_minhash_matches_cross_split_pairs(spark):
     assert pre == inc
 
 
+def test_minhash_corpus_sigs_validates_coverage_and_width(spark):
+    """A stale artifact (missing docs) or a too-narrow artifact must
+    raise instead of silently under-deduplicating / degenerating the
+    banded plan (ADVICE r9)."""
+    import pytest
+
+    from leann_rs_spark.operators.dedup import (
+        _minhash_signatures_bulk,
+        minhash_near_dups,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 200)
+
+    # full-coverage artifact: passes validation, matches inline output
+    sigs = _minhash_signatures_bulk(docs).persist()
+    sigs.count()
+    inline = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    served = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_near_dups(
+            docs, threshold=0.5, corpus_sigs=sigs
+        ).collect()
+    }
+    assert served == inline
+
+    # artifact missing shingle-eligible docs → coverage error naming
+    # the uncovered count
+    stale = sigs.filter(F.col("doc_id") < 100)
+    with pytest.raises(ValueError, match="does not cover"):
+        minhash_near_dups(docs, threshold=0.5, corpus_sigs=stale)
+    # validate_sigs=False restores the (documented-unsafe) old behavior
+    assert (
+        minhash_near_dups(
+            docs, threshold=0.5, corpus_sigs=stale, validate_sigs=False
+        ).count()
+        >= 0
+    )
+
+    # artifact narrower than num_hashes → width error (empty trailing
+    # bands would collide every doc)
+    narrow = sigs.select("doc_id", F.slice("sig", 1, 8).alias("sig"))
+    with pytest.raises(ValueError, match="hashes wide"):
+        minhash_near_dups(docs, threshold=0.5, corpus_sigs=narrow)
+    sigs.unpersist()
+
+
 def test_incremental_minhash_broadcasts_new_side(spark):
     from leann_rs_spark.operators.dedup import minhash_near_dups_incremental
 

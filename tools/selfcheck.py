@@ -81,10 +81,11 @@ def main() -> int:
 
     cross_scale = os.path.realpath(sf_dir) != os.path.realpath(GOLDEN_SF_DIR)
     # explicit names run in ARGUMENT order (so a deadline-bounded
-    # cross-scale sweep can front-load its highest-value gates);
+    # cross-scale sweep can front-load its highest-value gates),
+    # deduped so a repeated name runs (and is counted) once;
     # the full run keeps queries() rotation order
     ordered = (
-        [(n, qs[n]) for n in sys.argv[2:] if n in qs]
+        [(n, qs[n]) for n in dict.fromkeys(sys.argv[2:]) if n in qs]
         if only
         else list(qs.items())
     )
