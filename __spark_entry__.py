@@ -1705,6 +1705,32 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-GUARDED banded SimHash dedup (VERDICT r9 task 2 —
+    the same quadratic the MinHash family capped in r9): a planted
+    40-doc boilerplate cluster shares its full sketch, so every band's
+    bucket holds all 40 docs and uncapped all-pairs would emit
+    B(B-1)/2 = 780 candidates per band; with max_bucket_size=16 the
+    guard emits the chain+star spanning set over (packed-sketch, id)
+    order instead (2(B-1) = 78 pairs), while every under-cap
+    real-corpus bucket keeps exact all-pairs semantics. The twin
+    reproduces the identical window (same packed-value fold, same
+    tie-break), so capped semantics are full-value oracle-gated."""
+    from leann_rs_spark.operators.dedup import simhash_near_dups as _snd
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plant = spark.range(_HOTBUCKET_N).select(
+        (F.col("id") + _HOTBUCKET_OFF).alias("doc_id"),
+        F.lit(_HOTBUCKET_TEXT).alias("text"),
+    )
+    out = _snd(
+        _fan(docs.unionByName(plant)),
+        max_hamming=3,
+        max_bucket_size=_HOTBUCKET_CAP,
+    )
+    return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed → exact cosine near-dup pairs: the planted text near-dups
     re-surface as cos ≥ 0.97 embedding pairs. Block-matmul physical
@@ -4082,6 +4108,40 @@ def x_ann_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def x_ann_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-GUARDED hyperplane-LSH near-dup (VERDICT r9 task 2):
+    40 planted copies of doc 0's embedding share the full sign-bit
+    sketch, landing whole in one bucket per band — the kernel path's
+    in-bucket pair work (and the expression path's candidate rows)
+    would be quadratic in the cluster. With max_bucket_size=16 the
+    oversized buckets emit the chain+star spanning set over
+    (full-sketch, id) order, verified with the exact dot; under-cap
+    buckets keep exact all-pairs kernel semantics. Twin reproduces
+    the identical window (bb0‖bb1‖… IS the Spark concat_ws sketch)."""
+    from leann_rs_spark.operators.ann import lsh_near_dups as _lnd
+
+    emb = embed_documents(
+        _fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id"
+    ).select("doc_id", "embedding")
+    src = emb.filter(F.col("doc_id") == 0).select("embedding")
+    plant = spark.range(_HOTBUCKET_N).crossJoin(F.broadcast(src)).select(
+        (F.col("id") + _HOTBUCKET_OFF).alias("doc_id"), "embedding"
+    )
+    out = _lnd(
+        emb.unionByName(plant),
+        dims=_EMBED_DIMS,
+        id_col="doc_id",
+        threshold=_EMBCOS_TAU,
+        planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        assume_normalized=True,
+        max_bucket_size=_HOTBUCKET_CAP,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_r")
+    ).orderBy("id_a", "id_b")
+
+
 def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics for pipeline monitoring: per-language doc
     counts, distinct sources, token totals, length moments — the
@@ -5248,6 +5308,19 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_simhash_near_dups(max_hamming=3)})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.dedup import duckdb_simhash_near_dups_capped
+
+    _ORACLES["x_dedup_simhash_capped"] = f"""
+        SELECT id_a, id_b, hamming
+        FROM ({duckdb_simhash_near_dups_capped(
+            max_hamming=3,
+            max_bucket_size=_HOTBUCKET_CAP,
+            plant_n=_HOTBUCKET_N,
+            plant_offset=_HOTBUCKET_OFF,
+            plant_text=_HOTBUCKET_TEXT,
+        )})
+        ORDER BY id_a, id_b
+    """
     # embed_documents output is L2-normalized → cosine == dot; both the
     # Spark side (assume_normalized=True) and the oracle score with the
     # plain dot product, so the rounded values agree bit-for-bit.
@@ -5628,6 +5701,25 @@ def _register_lsh_corpus_oracles() -> None:
     )
     _ORACLES["x_ann_lsh_near_dups"] = f"""
         SELECT id_a, id_b, round(cos, 6) AS cos_r FROM ({lsh})
+        ORDER BY id_a, id_b
+    """
+    from leann_rs_spark.operators.ann import duckdb_lsh_near_dups_capped
+
+    lsh_capped = duckdb_lsh_near_dups_capped(
+        emb_tbl,
+        dims=_EMBED_DIMS,
+        id_col="doc_id",
+        threshold=_EMBCOS_TAU,
+        planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        assume_normalized=True,
+        max_bucket_size=_HOTBUCKET_CAP,
+        plant_n=_HOTBUCKET_N,
+        plant_offset=_HOTBUCKET_OFF,
+        plant_src_id=0,
+    )
+    _ORACLES["x_ann_lsh_capped"] = f"""
+        SELECT id_a, id_b, round(cos, 6) AS cos_r FROM ({lsh_capped})
         ORDER BY id_a, id_b
     """
     from leann_rs_spark.operators.embedder import duckdb_tfidf_embed_table
@@ -6603,6 +6695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_dedup_simhash_capped": x_dedup_simhash_capped,
+        "x_ann_lsh_capped": x_ann_lsh_capped,
         "x_quality_ensemble": x_quality_ensemble,
         "x_rolling_anomaly": x_rolling_anomaly,
         "x_pmi_phrases": x_pmi_phrases,

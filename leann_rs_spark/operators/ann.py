@@ -291,9 +291,25 @@ def lsh_near_dups(
     assume_normalized: bool = False,
     cache: bool = True,
     bucket_block: int = 1024,
+    max_bucket_size: int | None = None,
+    intermediates: list | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, cos): cosine-near-dup pairs via random-hyperplane
     LSH bucketing + exact verification.
+
+    `max_bucket_size`: hot-bucket guard — a B-vector duplicate cluster
+    (identical embeddings → identical sign bits) lands whole in one
+    bucket per band and costs B²/2 pair work before verify (expression
+    path: B²/2 candidate rows; kernel path: B²/2 in-kernel scores).
+    Buckets over the cap are CHAINED in (full-sketch, id) order
+    instead of all-paired (dedup._chain_star_pairs — ≤ 2(B-1)
+    spanning pairs, verified exactly; identical-sketch members sort
+    adjacent so verified components are unchanged for contiguous-run
+    clusters); buckets at or under the cap keep exact all-pairs
+    semantics on both verify paths. `intermediates` receives the
+    frames this call persisted (the sketch table, and the banded frame
+    when the cap is set); with the default None they stay cached until
+    storage eviction.
 
     Sign-bit sketch: bit p = [<v, h_p> > 0] for `planes` fixed
     hyperplanes — a projection, no shuffle. Banded like MinHash-LSH:
@@ -349,6 +365,8 @@ def lsh_near_dups(
     if cache:
         sk = sk.persist()
         sk.count()  # materialize before the banded self-join races
+        if intermediates is not None:
+            intermediates.append(sk)
     # banded carries ONLY (id, band, bucket-bits): vectors re-attach to
     # the DEDUPED candidate pairs, so the (band, bb) shuffle moves id
     # width — not `bands` copies of every vector — and each surviving
@@ -371,6 +389,37 @@ def lsh_near_dups(
             )
         ).alias("e"),
     ).select(id_col, F.col("e.band"), F.col("e.bb"))
+    spanning = None
+    if max_bucket_size is not None:
+        from leann_rs_spark.operators.dedup import _chain_star_pairs
+
+        # three consumers (size aggregate, big join, small anti-join):
+        # persist AND materialize per the measured multi-consumer rule.
+        banded = banded.persist()
+        banded.count()
+        if intermediates is not None:
+            intermediates.append(banded)
+        big_keys = F.broadcast(
+            banded.groupBy("band", "bb")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bb")
+        )
+        # order key = the FULL sign-bit sketch (not just the bucket's
+        # band): identical vectors share the whole sketch, so a true
+        # dup-group inside a hot bucket sorts contiguous and stays
+        # connected through its chain links.
+        sk_str = sk.select(
+            F.col(id_col),
+            F.concat_ws(
+                "", F.transform(F.col("__bits"), lambda x: x.cast("string"))
+            ).alias("__sk"),
+        )
+        big = banded.join(big_keys, ["band", "bb"]).join(sk_str, id_col)
+        spanning = _chain_star_pairs(
+            big, ["band", "bb"], ["__sk", id_col], id_col
+        )
+        banded = banded.join(big_keys, ["band", "bb"], "left_anti")
     if assume_normalized:
         # bucket-kernel verify: each (band, bits) bucket's rows flow as
         # a grouped-map (applyInPandas) group — streamed to the worker
@@ -438,11 +487,25 @@ def lsh_near_dups(
                 return empty
             return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
-        return (
-            rows.groupBy("band", "bb")
-            .applyInPandas(kernel, f"id_a {id_dt}, id_b {id_dt}, cos double")
-            .dropDuplicates(["id_a", "id_b"])
+        kernel_out = rows.groupBy("band", "bb").applyInPandas(
+            kernel, f"id_a {id_dt}, id_b {id_dt}, cos double"
         )
+        if spanning is not None:
+            # O(B) spanning pairs verify through the expression dot
+            # (identical fold order to the kernel), then union with the
+            # small-bucket kernel output; a pair surviving both paths
+            # scores identically, so the dedup keeps either copy.
+            va = sk.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+            vb = sk.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+            big_scored = (
+                spanning.join(va, "id_a")
+                .join(vb, "id_b")
+                .withColumn("cos", dot(F.col("va"), F.col("vb")))
+                .filter(F.col("cos") >= threshold)
+                .select("id_a", "id_b", "cos")
+            )
+            kernel_out = kernel_out.unionByName(big_scored)
+        return kernel_out.dropDuplicates(["id_a", "id_b"])
 
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"))
     b = banded.select("band", "bb", F.col(id_col).alias("id_b"))
@@ -450,11 +513,17 @@ def lsh_near_dups(
         a.join(b, ["band", "bb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if spanning is not None:
+        pairs = pairs.unionByName(spanning)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     va = sk.select(F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
     vb = sk.select(F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
-    score = cosine(F.col("va"), F.col("vb"))
+    score = (
+        dot(F.col("va"), F.col("vb"))
+        if assume_normalized
+        else cosine(F.col("va"), F.col("vb"))
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -560,6 +629,106 @@ def duckdb_lsh_near_dups(
         WHERE a.id < b.id AND {cos} >= {threshold}
     """
 
+
+def duckdb_lsh_near_dups_capped(
+    emb_sql: str,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    assume_normalized: bool = False,
+    max_bucket_size: int = 16,
+    plant_n: int = 0,
+    plant_offset: int = 300_000,
+    plant_src_id: int = 0,
+) -> str:
+    """Twin of lsh_near_dups(max_bucket_size=…): buckets over the cap
+    emit chain+star pairs ordered by the FULL sign-bit sketch string
+    (bb0‖bb1‖…, which is the planes in order — exactly the Spark
+    side's concat_ws over __bits) then id; small buckets keep exact
+    all-pairs. `plant_n` appends copies of row `plant_src_id`'s vector
+    at ids `plant_offset`+i — the identical-embedding hot cluster the
+    gate plants on the Spark side."""
+    hp = _hyperplanes(planes, dims)
+    width = planes // bands
+
+    def bit(p: int) -> str:
+        lit = "[" + ", ".join(f"{x!r}::double" for x in hp[p]) + "]"
+        return f"(case when {duckdb_dot('v', lit)} > 0 then '1' else '0' end)"
+
+    band_cols = ", ".join(
+        "(" + " || ".join(bit(b * width + w) for w in range(width)) + f") AS bb{b}"
+        for b in range(bands)
+    )
+    band_case = (
+        "case t.band "
+        + " ".join(f"when {b} then bb{b}" for b in range(bands))
+        + " end"
+    )
+    sk_full = " || ".join(f"bb{b}" for b in range(bands))
+    from leann_rs_spark.functions.vector import duckdb_cosine
+
+    cos = (
+        duckdb_dot("va.v", "vb.v")
+        if assume_normalized
+        else duckdb_cosine("va.v", "vb.v")
+    )
+    plant = ""
+    if plant_n:
+        plant = (
+            f" UNION ALL SELECT {plant_offset} + s.i AS {id_col},"
+            f" e.{vec_col} FROM ({emb_sql}) e,"
+            f" unnest(generate_series(0, {plant_n - 1})) s(i)"
+            f" WHERE e.{id_col} = {plant_src_id}"
+        )
+    bb_list = ", ".join(f"bb{b}" for b in range(bands))
+    return f"""
+        WITH emb AS (SELECT * FROM ({emb_sql}){plant}),
+        skb AS (
+            SELECT id, v, {band_cols}
+            FROM (SELECT {id_col} AS id, {vec_col} AS v FROM emb) _e
+        ),
+        sk AS (SELECT id, v, {sk_full} AS skf, {bb_list} FROM skb),
+        banded AS (
+            SELECT id, skf, t.band, {band_case} AS bb
+            FROM sk, unnest(generate_series(0, {bands - 1})) t(band)
+        ),
+        big AS (
+            SELECT band, bb FROM banded
+            GROUP BY band, bb HAVING count(*) > {max_bucket_size}
+        ),
+        small_cand AS (
+            SELECT a.id AS id_a, b2.id AS id_b
+            FROM banded a JOIN banded b2
+              ON a.band = b2.band AND a.bb = b2.bb AND a.id < b2.id
+            WHERE NOT EXISTS (
+              SELECT 1 FROM big g WHERE g.band = a.band AND g.bb = a.bb
+            )
+        ),
+        ranked AS (
+            SELECT id, lead(id) OVER w AS nxt, first_value(id) OVER w AS head
+            FROM banded JOIN big USING (band, bb)
+            WINDOW w AS (PARTITION BY band, bb ORDER BY skf, id)
+        ),
+        cand AS (
+            SELECT DISTINCT id_a, id_b FROM (
+              SELECT id_a, id_b FROM small_cand
+              UNION ALL
+              SELECT least(id, nxt), greatest(id, nxt) FROM ranked
+              WHERE nxt IS NOT NULL
+              UNION ALL
+              SELECT least(id, head), greatest(id, head) FROM ranked
+              WHERE id <> head
+            )
+        )
+        SELECT c.id_a, c.id_b, {cos} AS cos
+        FROM cand c
+        JOIN sk va ON va.id = c.id_a
+        JOIN sk vb ON vb.id = c.id_b
+        WHERE {cos} >= {threshold}
+    """
 
 
 def probe_ranks(

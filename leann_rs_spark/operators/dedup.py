@@ -305,8 +305,6 @@ def _banded_candidate_pairs(
         )
     if sigs is None:
         raise ValueError("max_bucket_size requires the (id, sig) frame")
-    from pyspark.sql import Window
-
     # three consumers of banded below (size aggregate, small anti-join,
     # big inner join) — persist AND materialize per the measured
     # multi-consumer rule, or each branch re-explodes the band hash.
@@ -336,8 +334,36 @@ def _banded_candidate_pairs(
         banded.join(big_keys, ["band", "bucket"])
         .join(sigs.select(F.col(id_col), F.col("sig").alias("__sig")), id_col)
     )
-    w = Window.partitionBy("band", "bucket").orderBy("__sig", id_col)
-    ranked = big.select(
+    spanning = _chain_star_pairs(
+        big, ["band", "bucket"], ["__sig", id_col], id_col
+    )
+    return (
+        pairs_small.unionByName(spanning)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _chain_star_pairs(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Hot-bucket spanning set: per `part_cols` group, each member
+    pairs with (a) its successor in `order_cols` order (chain) and
+    (b) the group's first member (star) → (id_a, id_b) with
+    id_a < id_b, ≤ 2(B-1) pairs for a B-member group. Shared by the
+    MinHash / SimHash / hyperplane-LSH max_bucket_size guards — the
+    order key is the operator's full sketch, so near-identical members
+    sort adjacent and true dup-groups stay connected through chain
+    links; downstream connected components are unchanged whenever
+    verifying members form contiguous runs in that order (trivially
+    the boilerplate case). One window over the group — never quadratic
+    in the group size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    ranked = df.select(
         F.col(id_col).alias("__id"),
         F.lead(id_col).over(w).alias("__next"),
         F.first(id_col).over(
@@ -352,11 +378,7 @@ def _banded_candidate_pairs(
         F.least("__id", "__head").alias("id_a"),
         F.greatest("__id", "__head").alias("id_b"),
     )
-    return (
-        pairs_small.unionByName(chain)
-        .unionByName(star)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return chain.unionByName(star)
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -1447,6 +1469,8 @@ def simhash_near_dups(
     bands: int = 4,
     max_hamming: int = 3,
     cache: bool = True,
+    max_bucket_size: int | None = None,
+    intermediates: list | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) with hamming ≤ max_hamming.
 
@@ -1454,6 +1478,19 @@ def simhash_near_dups(
     any pair within the hamming budget agrees on at least one whole
     band → equi-join on (band, band_bits) finds all of them; exact
     hamming verifies. Same no-O(n²) shape as MinHash-LSH.
+
+    `max_bucket_size`: hot-bucket guard — the same hazard the MinHash
+    family caps: a B-doc boilerplate cluster shares its full sketch,
+    so every band's bucket holds all B docs and the self-join emits
+    B(B-1)/2 candidates per band before verify. Buckets over the cap
+    are CHAINED in (packed-sketch, id) order instead of all-paired
+    (`_chain_star_pairs`, ≤ 2(B-1) spanning pairs; near-identical
+    sketches sort adjacent, so verified components are unchanged for
+    contiguous-run clusters — the boilerplate case); buckets at or
+    under the cap keep exact all-pairs semantics. `intermediates`
+    receives the frames this call persisted (the sketch table, and
+    the banded frame when the cap is set) for caller-side unpersist;
+    with the default None they stay cached until storage eviction.
     """
     assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
     assert bits <= 63, "packed-long carry needs bits <= 63"
@@ -1479,6 +1516,8 @@ def simhash_near_dups(
         # materialize, or the racing join map stages hash twice.
         sh = sh.persist()
         sh.count()
+        if intermediates is not None:
+            intermediates.append(sh)
     mask = (1 << width) - 1
     banded = sh.select(
         F.col(id_col),
@@ -1498,6 +1537,55 @@ def simhash_near_dups(
         ).alias("e"),
     ).select(id_col, "sh", F.col("e.band"), F.col("e.bb"))
 
+    if max_bucket_size is not None:
+        # three consumers (size aggregate, small anti-join, big join):
+        # persist AND materialize per the measured multi-consumer rule.
+        banded = banded.persist()
+        banded.count()
+        if intermediates is not None:
+            intermediates.append(banded)
+        big_keys = F.broadcast(
+            banded.groupBy("band", "bb")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bb")
+        )
+        small = banded.join(big_keys, ["band", "bb"], "left_anti")
+        sa = small.select(
+            "band", "bb", F.col(id_col).alias("id_a"), F.col("sh").alias("sha")
+        )
+        sb = small.select(
+            "band", "bb", F.col(id_col).alias("id_b"), F.col("sh").alias("shb")
+        )
+        pairs_small = (
+            sa.join(sb, ["band", "bb"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+        # oversized buckets: chain+star over the PACKED sketch order
+        # (`sh` already rides the banded frame — no sigs re-join).
+        # Spanning pairs re-attach sketches for exact hamming verify;
+        # the pair count is O(B), so the two joins are trivial.
+        big = banded.join(big_keys, ["band", "bb"])
+        spanning = _chain_star_pairs(big, ["band", "bb"], ["sh", id_col], id_col)
+        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+        sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+        pairs_big = (
+            spanning.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn(
+                "hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+        return pairs_small.unionByName(pairs_big).dropDuplicates(
+            ["id_a", "id_b"]
+        )
     a = banded.select("band", "bb", F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     b = banded.select("band", "bb", F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
     # Verify hamming BEFORE dropDuplicates: bit_count is map-side
@@ -1554,6 +1642,101 @@ def duckdb_simhash_near_dups(
                 list_transform(generate_series(1, {bits}),
                   i -> abs(sha[i] - shb[i]))), (acc, x) -> acc + x)
               <= {max_hamming}
+    """
+
+
+def duckdb_simhash_near_dups_capped(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 16,
+    plant_n: int = 0,
+    plant_offset: int = 300_000,
+    plant_text: str = "",
+) -> str:
+    """Twin of simhash_near_dups(max_bucket_size=…): buckets over the
+    cap emit chain+star pairs ordered by the PACKED sketch value then
+    id — the Spark side packs bit array element j as 2^j (aggregate
+    over reverse(bits) with acc*2+x), reproduced here with the same
+    fold over list_reverse, so the window order matches exactly.
+    Band LABELS differ between engines (Spark slices the packed long
+    MSB-first, this twin slices the array front-first) but the bucket
+    SETS are the same contiguous bit blocks, so (band, bucket)
+    grouping — all that banding semantics use — is identical.
+    `plant_n` appends copies of `plant_text` at `plant_offset` (the
+    hot bucket the gate plants on the Spark side)."""
+    width = bits // bands
+    plant = ""
+    if plant_n:
+        lit = plant_text.replace("'", "''")
+        plant = (
+            f" UNION ALL SELECT {plant_offset} + s.i AS id, '{lit}' AS t"
+            f" FROM unnest(generate_series(0, {plant_n - 1})) s(i)"
+        )
+    packed = (
+        "list_reduce(list_prepend(0::bigint,"
+        " list_transform(list_reverse(sh), x -> x::bigint)),"
+        " (acc, x) -> acc * 2 + x)"
+    )
+    ham = (
+        f"list_reduce(list_prepend(0,"
+        f" list_transform(generate_series(1, {bits}),"
+        f" i -> abs(sha[i] - shb[i]))), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH corpus AS (
+          SELECT {id_col} AS id, {text_col} AS t FROM {table}{plant}
+        ),
+        sh AS (
+          SELECT id, {duckdb_simhash_bits('t', bits)} AS sh FROM corpus
+        ),
+        pk AS (SELECT id, sh, {packed} AS pk FROM sh),
+        banded AS (
+          SELECT id, sh, pk, b,
+                 array_to_string(list_transform(
+                   list_slice(sh, b * {width} + 1, (b + 1) * {width}),
+                   x -> x::varchar), '') AS bb
+          FROM pk, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        big AS (
+          SELECT b, bb FROM banded
+          GROUP BY b, bb HAVING count(*) > {max_bucket_size}
+        ),
+        small_cand AS (
+          SELECT a.id AS id_a, b2.id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.b = b2.b AND a.bb = b2.bb AND a.id < b2.id
+          WHERE NOT EXISTS (
+            SELECT 1 FROM big g WHERE g.b = a.b AND g.bb = a.bb
+          )
+        ),
+        ranked AS (
+          SELECT id, lead(id) OVER w AS nxt, first_value(id) OVER w AS head
+          FROM banded JOIN big USING (b, bb)
+          WINDOW w AS (PARTITION BY b, bb ORDER BY pk, id)
+        ),
+        cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM small_cand
+            UNION ALL
+            SELECT least(id, nxt), greatest(id, nxt) FROM ranked
+            WHERE nxt IS NOT NULL
+            UNION ALL
+            SELECT least(id, head), greatest(id, head) FROM ranked
+            WHERE id <> head
+          )
+        ),
+        verified AS (
+          SELECT c.id_a, c.id_b, sa.sh AS sha, sb.sh AS shb
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b
+        )
+        SELECT id_a, id_b, {ham} AS hamming
+        FROM verified WHERE {ham} <= {max_hamming}
     """
 
 

@@ -110,6 +110,86 @@ def test_lsh_near_dups_subset_and_recall(spark):
     assert len(approx) / len(exact) >= 0.8
 
 
+def test_lsh_hot_bucket_cap_bounds_pairs_both_paths(spark):
+    """B identical embeddings share the full sign-bit sketch → one hot
+    bucket per band; max_bucket_size chains it to O(B) output pairs on
+    BOTH verify paths (kernel and expression), with scores identical
+    to the uncapped path and under-cap pairs unchanged."""
+    from leann_rs_spark.operators.ann import lsh_near_dups
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    dims, tau, B = 32, 0.97, 300
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    de = embed_documents(docs, dims=dims).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    src = de.filter(F.col("vec_id") == 0).select("embedding")
+    plant = (
+        spark.range(B)
+        .crossJoin(F.broadcast(src))
+        .select((F.col("id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    emb = de.unionByName(plant)
+
+    from leann_rs_spark.operators.dedup import dedup_keep_canonical
+
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    for normalized in (True, False):
+        capped = lsh_near_dups(
+            emb, dims=dims, threshold=tau,
+            assume_normalized=normalized, max_bucket_size=50,
+        )
+        planted_pairs = [
+            (r["id_a"], r["id_b"])
+            for r in capped.collect()
+            if r["id_a"] >= 1_000_000 or r["id_b"] >= 1_000_000
+        ]
+        # identical vectors: spanning set ≤ 2·B pairs (chain+star over
+        # the (B+1)-member cluster incl. source vec 0), not B²/2
+        assert 0 < len(planted_pairs) <= 2 * B + 10, (
+            normalized, len(planted_pairs)
+        )
+        # the deliverable guarantee (hedged per the helper's contract):
+        # the NEAR-IDENTICAL cluster — identical sketches, contiguous
+        # in the window order — keeps its component and keep decisions
+        # exactly. Real docs that merely share one band with the hot
+        # bucket are the documented spanning-approximation case (their
+        # cross pairs may drop if found in no other band), so the
+        # equality is asserted on the planted cluster + its source.
+        uncapped = lsh_near_dups(
+            emb, dims=dims, threshold=tau, assume_normalized=normalized
+        )
+
+        def keep_set(pairs, member_min):
+            return {
+                (r["doc_id"], r["cluster_id"], r["keep"])
+                for r in dedup_keep_canonical(ids, pairs).collect()
+                if r["doc_id"] >= member_min or r["doc_id"] == 0
+            }
+
+        assert keep_set(capped, 1_000_000) == keep_set(
+            uncapped, 1_000_000
+        ), normalized
+        # with a cap no bucket reaches, the guarded path is a no-op:
+        # capped ≡ uncapped pair-for-pair, scores included (the sf0.001
+        # corpus itself holds natural >50 buckets — its texts contain
+        # planted near-dups — so the no-op cap must clear corpus size)
+        a = sorted(
+            (r["id_a"], r["id_b"], round(r["cos"], 9))
+            for r in lsh_near_dups(
+                de, dims=dims, threshold=tau,
+                assume_normalized=normalized, max_bucket_size=100_000,
+            ).collect()
+        )
+        b = sorted(
+            (r["id_a"], r["id_b"], round(r["cos"], 9))
+            for r in lsh_near_dups(
+                de, dims=dims, threshold=tau, assume_normalized=normalized
+            ).collect()
+        )
+        assert a == b and len(a) >= 1, normalized
+
+
 def test_predicate_pushdown_into_probe(emb, assigned):
     qv = _qv(emb, 5)
     cents = take_centroids(emb, N_CENT)

@@ -937,6 +937,70 @@ def test_hot_bucket_cap_noop_below_threshold(spark):
     assert a == b and len(a) >= 1
 
 
+def test_simhash_hot_bucket_cap_bounds_candidates(spark):
+    """B identical docs share the full SimHash sketch → one hot bucket
+    per band; max_bucket_size chains it to O(B) pairs (all hamming 0,
+    so every spanning pair survives verify) while components — and
+    pairs on under-cap buckets — are unchanged."""
+    from leann_rs_spark.operators.dedup import (
+        dedup_keep_canonical,
+        simhash_near_dups,
+    )
+
+    B = 300
+    boiler = "MIT license copyright notice permission hereby granted free of charge"
+    rows = [(i, boiler) for i in range(B)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river"),
+        (1001, "the quick brown fox jumps over the lazy dog near the shore"),
+        (2000, "an entirely unrelated singleton document about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = simhash_near_dups(docs, max_hamming=3, max_bucket_size=50)
+    n_capped = capped.count()
+    # identical sketches: chain+star emits ≤ 2(B-1) verified pairs for
+    # the hot cluster (+ a handful from the small near-dup pair)
+    assert n_capped <= 2 * (B - 1) + 10
+    uncapped_planted = (
+        simhash_near_dups(docs, max_hamming=3)
+        .filter((F.col("id_a") < B) & (F.col("id_b") < B))
+        .count()
+    )
+    assert uncapped_planted == B * (B - 1) // 2  # the quadratic the cap removes
+
+    def keep_set(pairs):
+        return {
+            (r["doc_id"], r["cluster_id"], r["keep"])
+            for r in dedup_keep_canonical(docs, pairs).collect()
+        }
+
+    assert keep_set(capped) == keep_set(simhash_near_dups(docs, max_hamming=3))
+
+    # under-cap corpus: capped ≡ uncapped pair-for-pair (identical
+    # texts guarantee at least one hamming-0 pair under the default
+    # pigeonhole budget)
+    small = spark.createDataFrame(
+        [
+            (1000, "the quick brown fox jumps over the lazy dog near the river"),
+            (1001, "the quick brown fox jumps over the lazy dog near the river"),
+            (2000, "an entirely unrelated singleton document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(small, max_hamming=3).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(
+            small, max_hamming=3, max_bucket_size=50
+        ).collect()
+    )
+    assert a == b and len(a) >= 1
+
+
 def test_estimate_pairs_top_per_new_caps_hot_corpus_bucket(spark):
     """A new doc matching a B-member corpus boilerplate cluster keeps
     only top_per_new matches (est DESC, corpus_id ASC) — the ingest-

@@ -259,6 +259,10 @@ def main() -> None:
     spark.catalog.clearCache()
     results["hot_bucket"] = hot_bucket_check(spark, args)
     spark.catalog.clearCache()
+    results["simhash_hot_bucket"] = simhash_hot_bucket_check(spark, args)
+    spark.catalog.clearCache()
+    results["lsh_hot_bucket"] = lsh_hot_bucket_check(spark, args)
+    spark.catalog.clearCache()
     results["salted_equi_skew"] = salted_equi_skew_check(spark, args)
     spark.catalog.clearCache()
     results["curation_sigs_rerun"] = curation_sigs_rerun_check(spark, args)
@@ -609,6 +613,119 @@ def hot_bucket_check(spark, args) -> dict:
         out[label] = entry_
         spark.catalog.clearCache()
         print(f"# hot_bucket {label}: {entry_}", file=sys.stderr)
+    return out
+
+
+def simhash_hot_bucket_check(spark, args) -> dict:
+    """The r10 guard port: plant B identical boilerplate docs (shared
+    full SimHash sketch → one hot bucket per band) on sf0.1 and record
+    output-pair rows + wall with the cap off (O(B²) per band) vs on
+    (O(B) chain+star), plus keep-set equivalence at collect scale."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.dedup import (
+        dedup_keep_canonical,
+        simhash_near_dups,
+    )
+
+    base = spark.read.parquet(f"{args.base}/documents.parquet")
+    boiler = (
+        "permission is hereby granted free of charge to any person "
+        "obtaining a copy of this software and associated documentation"
+    )
+    out: dict = {}
+    for B, label in ((5000, "B5000"), (500, "B500")):
+        plant = spark.range(B).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.lit(boiler).alias("text"),
+        )
+        docs = base.select("doc_id", "text").unionByName(plant)
+        entry_: dict = {}
+        t0 = _time.perf_counter()
+        entry_["pairs_capped"] = simhash_near_dups(
+            docs, max_bucket_size=200
+        ).count()
+        entry_["pairs_capped_s"] = round(_time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        # uncapped = the B²/2 quadratic the guard removes (12.5M output
+        # pairs at B=5000) — measured at both scales as the honest
+        # baseline, like hot_bucket's cand_uncapped
+        t0 = _time.perf_counter()
+        entry_["pairs_uncapped"] = simhash_near_dups(docs).count()
+        entry_["pairs_uncapped_s"] = round(_time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+        if B == 500:
+
+            def keep_set(pairs):
+                return {
+                    (r["doc_id"], r["cluster_id"], r["keep"])
+                    for r in dedup_keep_canonical(
+                        docs, pairs, id_col="doc_id"
+                    ).collect()
+                }
+
+            cs = keep_set(simhash_near_dups(docs, max_bucket_size=200))
+            us = keep_set(simhash_near_dups(docs))
+            # honest split: the near-identical PLANTED cluster must be
+            # component-exact (the guard's contract); real docs whose
+            # sketch merely shares a band with the boilerplate are the
+            # documented mixed-bucket spanning approximation — record
+            # how many keep/cluster rows differ rather than a bare bool
+            plant_lo = 20_000_000
+            entry_["keep_set_equal"] = cs == us
+            entry_["planted_keep_equal"] = {
+                t for t in cs if t[0] >= plant_lo
+            } == {t for t in us if t[0] >= plant_lo}
+            entry_["keep_diff_rows"] = len(cs ^ us)
+        out[label] = entry_
+        spark.catalog.clearCache()
+        print(f"# simhash_hot_bucket {label}: {entry_}", file=sys.stderr)
+    return out
+
+
+def lsh_hot_bucket_check(spark, args) -> dict:
+    """Hyperplane-LSH guard port: plant B copies of one embedding on
+    sf0.1 embeddings (identical sign bits → one hot bucket per band);
+    record output pairs + wall capped vs uncapped on both verify
+    paths. The kernel path's uncapped cost is in-kernel pair WORK, so
+    the uncapped timing is the honest quadratic measure there."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.ann import lsh_near_dups
+
+    emb = spark.read.parquet(f"{args.base}/embeddings.parquet")
+    dims = len(emb.head()["embedding"])
+    src = emb.filter(F.col("vec_id") == 0).select("embedding")
+    out: dict = {}
+    for B, label in ((5000, "B5000"), (500, "B500")):
+        plant = spark.range(B).crossJoin(F.broadcast(src)).select(
+            (F.col("id") + 20_000_000).alias("vec_id"), "embedding"
+        )
+        vecs = emb.select("vec_id", "embedding").unionByName(plant)
+        entry_: dict = {}
+        for normalized, tag in ((True, "kernel"), (False, "expr")):
+            t0 = _time.perf_counter()
+            entry_[f"pairs_capped_{tag}"] = lsh_near_dups(
+                vecs, dims=dims, threshold=0.99,
+                assume_normalized=normalized, max_bucket_size=200,
+            ).count()
+            entry_[f"capped_{tag}_s"] = round(_time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
+            t0 = _time.perf_counter()
+            entry_[f"pairs_uncapped_{tag}"] = lsh_near_dups(
+                vecs, dims=dims, threshold=0.99,
+                assume_normalized=normalized,
+            ).count()
+            entry_[f"uncapped_{tag}_s"] = round(
+                _time.perf_counter() - t0, 2
+            )
+            spark.catalog.clearCache()
+        out[label] = entry_
+        print(f"# lsh_hot_bucket {label}: {entry_}", file=sys.stderr)
     return out
 
 
