@@ -1731,6 +1731,24 @@ def x_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
 
+def x_dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SimHash near-dup (the batch's banded sketch
+    broadcasts; the corpus is never shuffled — the SimHash mirror of
+    x_dedup_incremental, VERDICT r9 task 6). The sf planted near-dup
+    pairs straddle the id split, so the gate output is nonempty."""
+    from leann_rs_spark.operators.dedup import simhash_near_dups_incremental
+
+    docs = _fan(_docs(spark, sf_dir))
+    out = simhash_near_dups_incremental(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT),
+        docs.filter(F.col("doc_id") >= _INCR_SPLIT),
+        max_hamming=3,
+    )
+    return out.select("new_id", "corpus_id", "hamming").orderBy(
+        "new_id", "corpus_id"
+    )
+
+
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embed → exact cosine near-dup pairs: the planted text near-dups
     re-surface as cos ≥ 0.97 embedding pairs. Block-matmul physical
@@ -5308,6 +5326,19 @@ def _register_dedup_oracles() -> None:
         FROM ({duckdb_simhash_near_dups(max_hamming=3)})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.dedup import (
+        duckdb_simhash_near_dups_incremental,
+    )
+
+    _ORACLES["x_dedup_simhash_incremental"] = f"""
+        SELECT new_id, corpus_id, hamming
+        FROM ({duckdb_simhash_near_dups_incremental(
+            f"SELECT * FROM documents WHERE doc_id < {_INCR_SPLIT}",
+            f"SELECT * FROM documents WHERE doc_id >= {_INCR_SPLIT}",
+            max_hamming=3,
+        )})
+        ORDER BY new_id, corpus_id
+    """
     from leann_rs_spark.operators.dedup import duckdb_simhash_near_dups_capped
 
     _ORACLES["x_dedup_simhash_capped"] = f"""
@@ -6697,6 +6728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x_dedup_simhash_capped": x_dedup_simhash_capped,
         "x_ann_lsh_capped": x_ann_lsh_capped,
+        "x_dedup_simhash_incremental": x_dedup_simhash_incremental,
         "x_quality_ensemble": x_quality_ensemble,
         "x_rolling_anomaly": x_rolling_anomaly,
         "x_pmi_phrases": x_pmi_phrases,

@@ -1461,6 +1461,55 @@ def duckdb_simhash_bits(text: str, bits: int = 32) -> str:
     )
 
 
+def _simhash_packed(
+    docs: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """(id, sh): the SimHash bit array packed into ONE long — array
+    element j contributes 2^j (aggregate over reverse(bits) with
+    acc·2+x). The sketch the joins shuffle is then 8 bytes instead of
+    a bits-element int array, band extraction is shift+mask, and
+    hamming is a single codegen'd bit_count(a XOR b) instead of an
+    O(bits) interpreted HOF fold per collision. (This fixed the r1→r2
+    x_dedup_simhash regression: the fold + wide-array shuffle carry
+    dominated once verify moved before dropDuplicates.)"""
+    return docs.select(
+        F.col(id_col),
+        F.aggregate(
+            F.reverse(simhash_bits(F.col(text_col), bits)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2 + x,
+        ).alias("sh"),
+    )
+
+
+def _simhash_banded(
+    sh: DataFrame, id_col: str, bits: int, bands: int
+) -> DataFrame:
+    """(id, sh) → (id, sh, band, bb): band b is bit block
+    [bits−(b+1)·width, bits−b·width) of the packed long — the same
+    contiguous array blocks the DuckDB twins slice (labels reversed
+    between engines; only bucket SETS matter to banding semantics)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), bits - (b + 1) * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "sh", F.col("e.band"), F.col("e.bb"))
+
+
 def simhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1494,23 +1543,7 @@ def simhash_near_dups(
     """
     assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
     assert bits <= 63, "packed-long carry needs bits <= 63"
-    width = bits // bands
-    # Pack the 0/1 bit array into ONE long (array index 0 = MSB of the
-    # packed value): the sketch the self-join shuffles is then 8 bytes
-    # instead of a bits-element int array, band extraction is
-    # shift+mask instead of slice+concat string building, and hamming
-    # is a single codegen'd bit_count(a XOR b) instead of an O(bits)
-    # interpreted HOF fold per band collision.  (This fixed the r1→r2
-    # x_dedup_simhash regression: the fold + wide-array shuffle carry
-    # dominated once verify moved before dropDuplicates.)
-    sh = docs.select(
-        F.col(id_col),
-        F.aggregate(
-            F.reverse(simhash_bits(F.col(text_col), bits)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc * 2 + x,
-        ).alias("sh"),
-    )
+    sh = _simhash_packed(docs, id_col, text_col, bits)
     if cache:
         # both self-join sides read the sketch table; persist AND
         # materialize, or the racing join map stages hash twice.
@@ -1518,24 +1551,7 @@ def simhash_near_dups(
         sh.count()
         if intermediates is not None:
             intermediates.append(sh)
-    mask = (1 << width) - 1
-    banded = sh.select(
-        F.col(id_col),
-        F.col("sh"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sh"), bits - (b + 1) * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bb"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("e"),
-    ).select(id_col, "sh", F.col("e.band"), F.col("e.bb"))
+    banded = _simhash_banded(sh, id_col, bits, bands)
 
     if max_bucket_size is not None:
         # three consumers (size aggregate, small anti-join, big join):
@@ -1737,6 +1753,108 @@ def duckdb_simhash_near_dups_capped(
         )
         SELECT id_a, id_b, {ham} AS hamming
         FROM verified WHERE {ham} <= {max_hamming}
+    """
+
+
+def simhash_near_dups_incremental(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    broadcast_new: bool = True,
+    corpus_sketches: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time SimHash near-dup: each NEW doc vs the EXISTING
+    corpus → (new_id, corpus_id, hamming ≤ max_hamming). New-vs-new
+    pairs are not reported (run `simhash_near_dups` on the batch);
+    ids may overlap across inputs — output columns are labeled by
+    side. The SimHash mirror of `minhash_near_dups_incremental`.
+
+    Scale shape: the batch's banded sketch BROADCASTS
+    (`broadcast_new`) — the corpus is never shuffled; the plan is
+    corpus-scan → sketch projection → band explode →
+    broadcast-hash-join → map-side bit_count verify. Verify runs
+    BEFORE the dedup shuffle (hamming is pure per-pair arithmetic),
+    so only true near-dup pairs reach the exchange. At 100 TB pass
+    `corpus_sketches` = a persisted (id, sh) packed-long table
+    (`_simhash_packed`'s shape, at least `bits` wide — this hot path
+    does not re-validate per batch, the same contract as the MinHash
+    incremental's `corpus_sigs`) and the per-batch cost drops to a
+    sketch-table scan.
+    """
+    assert bands >= max_hamming + 1, "pigeonhole needs bands > max_hamming"
+    assert bits <= 63, "packed-long carry needs bits <= 63"
+    sh_c = (
+        corpus_sketches
+        if corpus_sketches is not None
+        else _simhash_packed(corpus, id_col, text_col, bits)
+    )
+    sh_n = _simhash_packed(new_docs, id_col, text_col, bits)
+    banded_c = _simhash_banded(sh_c, id_col, bits, bands).select(
+        "band", "bb", F.col(id_col).alias("corpus_id"), F.col("sh").alias("shc")
+    )
+    banded_n = _simhash_banded(sh_n, id_col, bits, bands).select(
+        "band", "bb", F.col(id_col).alias("new_id"), F.col("sh").alias("shn")
+    )
+    if broadcast_new:
+        banded_n = F.broadcast(banded_n)
+    return (
+        banded_c.join(banded_n, ["band", "bb"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("shc").bitwiseXOR(F.col("shn")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", "hamming")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+
+
+def duckdb_simhash_near_dups_incremental(
+    corpus_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """Twin of simhash_near_dups_incremental: band both sides over the
+    same contiguous bit blocks (array-front labels vs the Spark side's
+    packed-MSB labels — bucket sets identical), join, exact hamming."""
+    width = bits // bands
+    bb = (
+        f"array_to_string(list_transform("
+        f"list_slice(sh, b * {width} + 1, (b + 1) * {width}),"
+        f" x -> x::varchar), '')"
+    )
+    ham = (
+        f"list_reduce(list_prepend(0,"
+        f" list_transform(generate_series(1, {bits}),"
+        f" i -> abs(bc.sh[i] - bn.sh[i]))), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH c AS (
+          SELECT {id_col} AS id, {duckdb_simhash_bits(text_col, bits)} AS sh
+          FROM ({corpus_sql})
+        ),
+        n AS (
+          SELECT {id_col} AS id, {duckdb_simhash_bits(text_col, bits)} AS sh
+          FROM ({new_sql})
+        ),
+        bc AS (
+          SELECT id, sh, b, {bb} AS bb
+          FROM c, unnest(generate_series(0, {bands - 1})) t(b)
+        ),
+        bn AS (
+          SELECT id, sh, b, {bb} AS bb
+          FROM n, unnest(generate_series(0, {bands - 1})) t(b)
+        )
+        SELECT DISTINCT bn.id AS new_id, bc.id AS corpus_id, {ham} AS hamming
+        FROM bc JOIN bn ON bc.b = bn.b AND bc.bb = bn.bb
+        WHERE {ham} <= {max_hamming}
     """
 
 

@@ -335,6 +335,52 @@ def test_incremental_minhash_broadcasts_new_side(spark):
     assert "BroadcastHashJoin" in buf.getvalue()
 
 
+def test_incremental_simhash_matches_cross_split_pairs(spark):
+    """Incremental (new vs corpus) must return exactly the symmetric
+    operator's cross-split pairs with the same hamming; the
+    precomputed-sketch path must agree; the new side broadcasts."""
+    from leann_rs_spark.operators.dedup import (
+        _simhash_packed,
+        simhash_near_dups,
+        simhash_near_dups_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = 400
+    corpus = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    sym = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+        if (r["id_a"] >= split) != (r["id_b"] >= split)
+    }
+    inc_df = simhash_near_dups_incremental(corpus, new, max_hamming=3)
+    inc = {
+        (r["new_id"], r["corpus_id"]): r["hamming"] for r in inc_df.collect()
+    }
+    assert inc == sym and inc
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc_df.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+    sk = _simhash_packed(corpus, "doc_id", "text", 32).persist()
+    sk.count()
+    pre = {
+        (r["new_id"], r["corpus_id"]): r["hamming"]
+        for r in simhash_near_dups_incremental(
+            corpus, new, max_hamming=3, corpus_sketches=sk
+        ).collect()
+    }
+    assert pre == inc
+    sk.unpersist()
+
+
 def test_dedup_clusters_hand_graph(spark):
     """Chain 1-2-3-4 and pair (10,11) must collapse to min-id labels;
     convergence needs diameter rounds, pinned under max_iter."""
