@@ -2321,6 +2321,42 @@ def x_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
 
 
+_IVFREF_C = 12
+
+
+def x_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental codebook refresh — the middle rung between O(batch)
+    frozen-codebook append and O(corpus) rebuild (VERDICT r9 task 5):
+    after the even-half build + odd-half frozen append, the codebook
+    is re-derived over the CURRENT corpus (resized 8 → 12, the
+    corpus-grew maintenance case) and ONLY partitions whose membership
+    changed are rewritten; unchanged partitions carry by hardlink.
+    Probe-search over the refreshed layout must equal the from-scratch
+    rebuild at C=12 — the oracle is x_ivf_append's rebuild twin with
+    the resized codebook, so refresh ≡ rebuild is full-value gated.
+    Refresh runs once per process on a ladder copy (see `_fx`)."""
+    from leann_rs_spark.catalog import refresh_ivf_index, search_ivf_index
+
+    def build() -> str:
+        wh = _fx_copy(_fx_ivf_appended(spark, sf_dir), "leann-fx-ivfref-")
+        stats = refresh_ivf_index(spark, wh, "g", n_centroids=_IVFREF_C)
+        if stats["moved_rows"] == 0:  # explicit raise: survives python -O
+            raise RuntimeError(
+                "refresh moved no rows — the gate no longer exercises"
+                " the selective-rewrite path"
+            )
+        return wh
+
+    wh = _fx(("ivf_refreshed", sf_dir), build)
+    out = search_ivf_index(
+        spark, wh, "g", _APPEND_QUERY, k=_IVFAPP_K, nprobe=_IVFAPP_NPROBE
+    )
+    return out.select(
+        "idx", "doc_id", "source", "text",
+        (F.round("score", 6) + F.lit(0.0)).alias("score_r"),
+    ).orderBy(F.col("score_r").desc(), F.col("idx").asc())
+
+
 def x_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO over plain parquet (sources/warehouse.upsert_parquet):
     re-crawled docs (doc_id % 4 == 0, '[v2] ' texts) replace their base
@@ -6729,6 +6765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_simhash_capped": x_dedup_simhash_capped,
         "x_ann_lsh_capped": x_ann_lsh_capped,
         "x_dedup_simhash_incremental": x_dedup_simhash_incremental,
+        "x_ivf_refresh": x_ivf_refresh,
         "x_quality_ensemble": x_quality_ensemble,
         "x_rolling_anomaly": x_rolling_anomaly,
         "x_pmi_phrases": x_pmi_phrases,
@@ -6955,10 +6992,14 @@ def _register_chunker_golden_oracles() -> None:
         # row_number over (parity, doc_id, chunk_index)); centroids =
         # first C ids (take policy, append-invariant), then the same
         # assignment / probe / top-k SQL as ann.duckdb_ivf_search.
+        # Parameterized by C so the refresh gate (codebook resized to
+        # _IVFREF_C) shares the identical rebuild twin.
         _d_ec = duckdb_dot("e.v", "c.centroid_vec")
         _d_cq = duckdb_dot("c.centroid_vec", "q.qv")
         _d_aq = duckdb_dot("a.v", "q.qv")
-        _ORACLES["x_ivf_append"] = f"""
+
+        def _ivf_rebuild_oracle(n_cent: int) -> str:
+            return f"""
             WITH p AS (
                 SELECT doc_id, text,
                        row_number() OVER (
@@ -6972,7 +7013,7 @@ def _register_chunker_golden_oracles() -> None:
             ),
             cent AS (
                 SELECT cid AS centroid_id, v AS centroid_vec FROM emb
-                WHERE cid < {_IVFAPP_C}
+                WHERE cid < {n_cent}
             ),
             assigned AS (
                 SELECT cid, doc_id, text, v, centroid_id AS cluster_id
@@ -7007,12 +7048,19 @@ def _register_chunker_golden_oracles() -> None:
             FROM hits h JOIN documents d USING (doc_id)
             ORDER BY score_r DESC, idx ASC
         """
+
+        _ORACLES["x_ivf_append"] = _ivf_rebuild_oracle(_IVFAPP_C)
         # stream-ingest ≡ batch-append ≡ rebuild: single-batch
         # AvailableNow preserves the dense-id numbering, so the
         # streaming gate shares the oracle verbatim
         _ORACLES["x_stream_ivf_ingest"] = _ORACLES["x_ivf_append"]
         # compaction must be invisible to results — same oracle again
         _ORACLES["x_ivf_compact"] = _ORACLES["x_ivf_append"]
+        # refresh ≡ rebuild at the refreshed codebook size: the twin is
+        # the same from-scratch SQL with C = _IVFREF_C (take centroids
+        # over the full corpus = first C dense ids, exactly what
+        # refresh_ivf_index re-derives)
+        _ORACLES["x_ivf_refresh"] = _ivf_rebuild_oracle(_IVFREF_C)
 
         # x_bm25_append oracle = from-scratch BM25 over the golden
         # chunk table with the same append dense-id numbering

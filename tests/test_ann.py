@@ -190,6 +190,76 @@ def test_lsh_hot_bucket_cap_bounds_pairs_both_paths(spark):
         assert a == b and len(a) >= 1, normalized
 
 
+def test_lloyd_refine_preserves_labels_and_reduces_error(spark):
+    """Warm-start refinement must keep centroid ids (label k out = the
+    refined version of k in), keep empty-cluster vectors, return unit
+    norms, and not worsen the spherical quantization objective
+    (mean best-dot over the corpus)."""
+    import math
+
+    from leann_rs_spark.operators.ann import (
+        ivf_assign,
+        lloyd_refine_centroids,
+    )
+
+    # controlled geometry: two tight direction groups around e0 and
+    # e1; centroids start PERTURBED off the group means, plus a dead
+    # centroid along -e0 that every vector scores strictly below its
+    # own group's centroid (no member ever, under inner product)
+    import random
+
+    rng = random.Random(7)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for i in range(40):
+        axis = i % 2
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[2] = rng.uniform(-0.1, 0.1)
+        rows.append((i, unit(v)))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).persist()
+    emb.count()
+    cents0 = spark.createDataFrame(
+        [
+            (0, unit([1.0, 0.3, 0.0, 0.0])),   # perturbed e0
+            (1, unit([0.3, 1.0, 0.0, 0.0])),   # perturbed e1
+            (99, [-1.0, 0.0, 0.0, 0.0]),       # unreachable under IP
+        ],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    refined = lloyd_refine_centroids(emb, cents0, iters=2)
+    got = {r["centroid_id"]: r["centroid_vec"] for r in refined.collect()}
+    assert set(got) == {0, 1, 99}
+    for v in got.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-9
+    assert got[99] == [-1.0, 0.0, 0.0, 0.0]  # empty cluster carried
+    # labels persisted toward the true group means: refined 0 points
+    # at e0's group, refined 1 at e1's
+    assert got[0][0] > 0.9 and got[1][1] > 0.9
+
+    def objective(cents):
+        scored = ivf_assign(emb, cents)
+        from leann_rs_spark.functions.vector import dot as _dot
+
+        joined = scored.join(
+            cents.select(
+                F.col("centroid_id").alias("cluster_id"), "centroid_vec"
+            ),
+            "cluster_id",
+        )
+        return joined.agg(
+            F.avg(_dot(F.col("embedding"), F.col("centroid_vec")))
+        ).head()[0]
+
+    assert objective(refined) >= objective(cents0) - 1e-9
+
+
 def test_predicate_pushdown_into_probe(emb, assigned):
     qv = _qv(emb, 5)
     cents = take_centroids(emb, N_CENT)

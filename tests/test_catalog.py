@@ -704,6 +704,105 @@ def test_compact_refuses_non_ivf(spark, docs, warehouse, built):
         catalog.compact_ivf_index(spark, warehouse, "main")
 
 
+def test_ivf_refresh_equals_rebuild_and_links_unmoved(spark, docs, warehouse):
+    """refresh_ivf_index(n_centroids=…) must reproduce a from-scratch
+    rebuild at the new codebook size row for row (assignments + pq
+    codes), report a sane moved-rows stat, and carry partitions with
+    no membership change by HARDLINK (inode equality — write bytes
+    ∝ moved mass, not corpus size)."""
+    import os
+
+    # (20 docs built + 10 appended, C 6→7) probed to leave at least one
+    # cluster's membership untouched, so the hardlink carry is exercised
+    first = docs.filter(F.col("doc_id") < 20)
+    more = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    for name in ("rfr", "rfb"):
+        catalog.build_index(
+            spark, warehouse, name, first, chunk_size=16,
+            chunk_overlap=4, dims=32, with_bm25=False,
+        )
+        catalog.build_ivf_index(
+            spark, warehouse, name, n_centroids=6, centroids="take",
+            pq_m=8, pq_k=4,
+        )
+        catalog.append_to_index(
+            spark, warehouse, name, more, ivf_append="incremental"
+        )
+    ivf_dir = f"{warehouse}/rfr/ivf"
+    inode_before = {
+        d: {
+            f: os.stat(f"{ivf_dir}/{d}/{f}").st_ino
+            for f in os.listdir(f"{ivf_dir}/{d}")
+        }
+        for d in os.listdir(ivf_dir)
+        if d.startswith("cluster_id=")
+    }
+    stats = catalog.refresh_ivf_index(spark, warehouse, "rfr", n_centroids=7)
+    assert stats["moved_rows"] > 0 and stats["affected_clusters"] > 0
+    assert stats["moved_rows"] <= stats["total_rows"]
+    # rebuild twin at the same (policy, C)
+    catalog.build_ivf_index(
+        spark, warehouse, "rfb", n_centroids=7, centroids="take",
+        pq_m=8, pq_k=4,
+    )
+    cols = ["idx", "cluster_id", "code"]
+    ref = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{warehouse}/rfr/ivf").select(cols).collect()
+    )
+    reb = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{warehouse}/rfb/ivf").select(cols).collect()
+    )
+    assert ref == reb and len(ref) > 0
+    # meta coherent: resized codebook recorded, centroids table matches
+    meta = catalog.load_meta(warehouse, "rfr")
+    assert meta.extra["ivf_centroids"] == 7
+    assert (
+        spark.read.parquet(f"{warehouse}/rfr/ivf_centroids").count() == 7
+    )
+    # unmoved partitions carried by hardlink: at least one cluster kept
+    # its exact membership, and every such cluster's files kept their
+    # inodes (metadata-only carry)
+    moved_members = {
+        d for d in os.listdir(ivf_dir) if d.startswith("cluster_id=")
+    }
+    unchanged = [
+        d for d in moved_members
+        if d in inode_before
+        and {
+            f: os.stat(f"{ivf_dir}/{d}/{f}").st_ino
+            for f in os.listdir(f"{ivf_dir}/{d}")
+        }
+        == inode_before[d]
+    ]
+    assert stats["affected_clusters"] + len(unchanged) >= len(moved_members)
+    assert unchanged, "no partition was carried by hardlink"
+    # searches agree end-to-end
+    a = catalog.search_ivf_index(
+        spark, warehouse, "rfr", "alpha beta", k=5, nprobe=3
+    ).collect()
+    b = catalog.search_ivf_index(
+        spark, warehouse, "rfb", "alpha beta", k=5, nprobe=3
+    ).collect()
+    assert [(r["idx"], r["score"]) for r in a] == [
+        (r["idx"], r["score"]) for r in b
+    ]
+    # no-op refresh at the same C moves nothing and changes nothing
+    stats2 = catalog.refresh_ivf_index(spark, warehouse, "rfr", n_centroids=7)
+    assert stats2["moved_rows"] == 0 and stats2["affected_clusters"] == 0
+    ref2 = sorted(
+        tuple(r) for r in
+        spark.read.parquet(f"{warehouse}/rfr/ivf").select(cols).collect()
+    )
+    assert ref2 == ref
+
+
+def test_ivf_refresh_refuses_non_ivf(spark, docs, warehouse, built):
+    with pytest.raises(ValueError, match="no IVF layout"):
+        catalog.refresh_ivf_index(spark, warehouse, "main")
+
+
 def test_ivf_drift_report(spark, docs, warehouse):
     """After an incremental append, the drift report splits occupancy
     into built vs appended mass; shares sum to 1 within each era and
