@@ -150,10 +150,17 @@ def stream_windowed_event_stats(
     ),
     window_duration: str = "10 minutes",
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ):
     """File-source stream → windowed stats → parquet (append on
-    watermark close)."""
-    events = spark.readStream.schema(schema).parquet(input_path)
+    watermark close). `max_files_per_trigger` bounds each micro-batch
+    to that many input files (AvailableNow still drains the backlog —
+    in several batches — so multi-batch state/watermark behavior is
+    testable deterministically)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(input_path)
     out = windowed_event_stats(events, window_duration, watermark)
     return (
         out.writeStream.format("parquet")
@@ -176,10 +183,14 @@ def stream_dedup_events(
         "value double, props string"
     ),
     watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming exact dedup on event_id with watermark-bounded state —
     the streaming twin of operators/dedup.exact_dedup."""
-    events = spark.readStream.schema(schema).parquet(input_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(input_path)
     deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

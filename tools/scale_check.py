@@ -275,6 +275,8 @@ def main() -> None:
     spark.catalog.clearCache()
     results["ivf_refresh"] = ivf_refresh_check(spark, args)
     spark.catalog.clearCache()
+    results["streaming_economics"] = streaming_economics_check(spark, args)
+    spark.catalog.clearCache()
     results["upsert_pruning"] = upsert_prune_check(spark, args)
     spark.catalog.clearCache()
     results["audio_real"] = audio_real_check(spark, args)
@@ -925,6 +927,129 @@ def ivf_drift_recall_check(spark, args) -> dict:
         },
     }
     print(f"# ivf drift recall: {out}", file=sys.stderr)
+    return out
+
+
+def streaming_economics_check(spark, args) -> dict:
+    """Streaming ECONOMICS, not just equivalence (VERDICT r9 task 4):
+    drive the stateful streaming operators through ≥3 chronological
+    micro-batches (maxFilesPerTrigger=1 over time-sliced input files)
+    at 1× and 10× and record, per batch, input rows, wall, and
+    stateOperators.numRowsTotal — pinning the `ingest.py` design claim
+    that state is O(keys in watermark horizon), not O(stream): the
+    final state-store row count must stay flat as total input grows
+    10× (the 10× corpus extends the TIME RANGE at similar density, so
+    the horizon holds a similar key count while cumulative input is
+    10×)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.streaming.ingest import (
+        stream_dedup_events,
+        stream_windowed_event_stats,
+    )
+
+    out: dict = {}
+    span_1x = None
+    for sf_dir, label in ((args.base, "1x"), (args.scratch, "10x")):
+        ev = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+        span = hi - lo
+        root = tempfile.mkdtemp(prefix="leann-stream-econ-")
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        # chronological slice FILES, each its own micro-batch. The
+        # per-batch EVENT-TIME span is held constant across scales
+        # (the 10× corpus extends the time range ~10×, so it gets ~10×
+        # the slices): windowed-agg state during a batch holds that
+        # batch's un-closed windows, so a fair flat-state comparison
+        # fixes the horizon per batch and grows the NUMBER of batches —
+        # state must stay flat while cumulative input grows 10×.
+        if span_1x is None:
+            span_1x = span
+            n_slices = 3
+        else:
+            n_slices = max(3, round(3 * (span / span_1x)))
+        for i in range(n_slices):
+            t0 = lo + span * i / n_slices
+            t1 = hi if i == n_slices - 1 else lo + span * (i + 1) / n_slices
+            sl = ev.filter(
+                (F.col("ts") >= F.lit(t0))
+                & (F.col("ts") <= F.lit(t1) if i == n_slices - 1
+                   else F.col("ts") < F.lit(t1))
+            )
+            stage = os.path.join(root, f"stage{i}")
+            sl.coalesce(1).write.parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(in_dir, f"slice{i}.parquet"))
+            # mtime order drives file-source batch order
+            _time.sleep(0.05)
+        entry_: dict = {}
+        for kind, starter in (
+            ("windowed_agg", stream_windowed_event_stats),
+            ("dedup", stream_dedup_events),
+        ):
+            outp = os.path.join(root, f"out_{kind}")
+            ckpt = os.path.join(root, f"ckpt_{kind}")
+            t0 = _time.perf_counter()
+            q = starter(
+                spark, in_dir, outp, ckpt, max_files_per_trigger=1
+            )
+            q.awaitTermination()
+            wall = _time.perf_counter() - t0
+            import json as _json
+
+            progress = [
+                _json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            batches = [
+                {
+                    "input_rows": p["numInputRows"],
+                    "batch_s": round(
+                        p["durationMs"]["triggerExecution"] / 1000, 2
+                    ),
+                    "state_rows": (
+                        p["stateOperators"][0]["numRowsTotal"]
+                        if p.get("stateOperators")
+                        else None
+                    ),
+                }
+                for p in progress
+                if p["numInputRows"] > 0
+            ]
+            total_rows = sum(b["input_rows"] for b in batches)
+            states = [
+                b["state_rows"] for b in batches
+                if b["state_rows"] is not None
+            ]
+            entry_[kind] = {
+                "n_batches": len(batches),
+                "batches": batches[:5],
+                "total_input_rows": total_rows,
+                "wall_s": round(wall, 2),
+                "rows_per_sec": round(total_rows / max(wall, 1e-9)),
+                "max_state_rows": max(states) if states else None,
+                "final_state_rows": states[-1] if states else None,
+            }
+        out[label] = entry_
+        shutil.rmtree(root, ignore_errors=True)
+        print(f"# streaming_econ {label}: {entry_}", file=sys.stderr)
+    # the design claim in one number: max in-flight state at 10× the
+    # cumulative input, same per-batch horizon — must stay ~flat (≈1),
+    # NOT track the 10× input growth
+    a = out.get("1x", {}).get("windowed_agg", {}).get("max_state_rows")
+    b = out.get("10x", {}).get("windowed_agg", {}).get("max_state_rows")
+    if a and b:
+        out["state_flat_ratio_10x_vs_1x"] = round(b / a, 3)
     return out
 
 
