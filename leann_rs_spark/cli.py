@@ -431,6 +431,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_refresh(args) -> int:
+    from leann_rs_spark.catalog import refresh_ivf_index
+
+    spark = _spark(args)
+    try:
+        stats = refresh_ivf_index(
+            spark, args.warehouse, args.name,
+            n_centroids=args.centroids,
+        )
+    except ValueError as exc:
+        print(f"refresh: {exc}", file=sys.stderr)
+        return 1
+    print(
+        f"Refreshed IVF codebook of '{args.name}': "
+        f"{stats['moved_rows']}/{stats['total_rows']} rows moved "
+        f"({stats['moved_fraction']:.1%}), "
+        f"{stats['affected_clusters']} partitions rewritten, "
+        f"C={stats['n_centroids']}"
+    )
+    return 0
+
+
 def cmd_sigs(args) -> int:
     """Persisted MinHash signature artifact lifecycle: build it over a
     corpus parquet, append an ingest batch (O(batch), append ≡ rebuild
@@ -1277,6 +1299,22 @@ def build_parser() -> argparse.ArgumentParser:
              " signature table",
     )
     cpx.set_defaults(fn=cmd_compact)
+
+    rf = sub.add_parser(
+        "refresh",
+        help="Refresh the IVF codebook against the current corpus "
+             "(re-learn/refine centroids; rewrite only partitions whose "
+             "membership changed — the drift-recovery middle rung "
+             "between incremental update and a full rebuild)",
+    )
+    common(rf)
+    rf.add_argument(
+        "--centroids", type=int, default=None, metavar="C",
+        help="resize the codebook to C (default: keep the built size; "
+             "same-size kmeans indexes warm-start from the existing "
+             "centroids)",
+    )
+    rf.set_defaults(fn=cmd_refresh)
 
     sg = sub.add_parser(
         "sigs",

@@ -73,8 +73,11 @@ def test_cli_list_update_prune_remove(warehouse, capsys):
                  "--docs", f"{SF_SMOKE}/documents.parquet"]) == 0
     assert "passages" in capsys.readouterr().out
 
-    # compact refuses on a non-IVF index (error surfaced, not a crash)
+    # compact / refresh refuse on a non-IVF index (error surfaced,
+    # not a crash)
     assert main(["compact", "idx", "--warehouse", warehouse]) != 0
+    capsys.readouterr()
+    assert main(["refresh", "idx", "--warehouse", warehouse]) != 0
     capsys.readouterr()
 
     assert main(["prune", "idx", "--warehouse", warehouse]) == 0
@@ -122,6 +125,23 @@ def test_cli_ivf_backend_build_and_search(spark, tmp_path_factory, capsys):
     assert rc == 0
     exact_rows = json.loads(capsys.readouterr().out)
     assert [(r["idx"], r["score"]) for r in ivf_rows] == [
+        (r["idx"], r["score"]) for r in exact_rows
+    ]
+
+    # refresh: resize the codebook against the current corpus; search
+    # at full probe width still equals exact (results are codebook-
+    # independent at nprobe == C)
+    assert main(["refresh", "ivfx", "--warehouse", wh,
+                 "--centroids", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "Refreshed IVF codebook" in out and "C=6" in out
+    rc = main([
+        "search", "ivfx", "some document text fragment", "--warehouse", wh,
+        "--top-k", "3", "--json", "--nprobe", "6",
+    ])
+    assert rc == 0
+    refreshed_rows = json.loads(capsys.readouterr().out)
+    assert [(r["idx"], r["score"]) for r in refreshed_rows] == [
         (r["idx"], r["score"]) for r in exact_rows
     ]
 
