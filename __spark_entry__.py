@@ -6798,6 +6798,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_upsert": x_upsert,
         "x_dup_source_matrix": x_dup_source_matrix,
         "q1_ivf_topk": q1_ivf_topk,
+        "t2_code_chunks": t2_code_chunks,
+        "t1_chunk_passages": t1_chunk_passages,
+        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
+        "x_corpus_stats": x_corpus_stats,
+        "x_stream_window_stats": x_stream_window_stats,
+        "x_stream_dedup": x_stream_dedup,
+        "x_lm_score": x_lm_score,
+        "x_tfidf_embed": x_tfidf_embed,
+        "x_tfidf_topk": x_tfidf_topk,
+        "x_bucketed_join": x_bucketed_join,
+        "x_stream_enrich": x_stream_enrich,
+        "x_stream_stream_join": x_stream_stream_join,
+        "q15_expanded_search": q15_expanded_search,
+        "x_ccnet_buckets": x_ccnet_buckets,
+        "x_rollup_stats": x_rollup_stats,
+        "x_curriculum_blocks": x_curriculum_blocks,
+        "x_curation_pipeline_sigs": x_curation_pipeline_sigs,
+        "x_dedup_minhash_capped": x_dedup_minhash_capped,
+        "x_minhash_triage_topk": x_minhash_triage_topk,
+        "x_ivf_append": x_ivf_append,
+        "x_bm25_append": x_bm25_append,
+        "x_stream_ivf_ingest": x_stream_ivf_ingest,
+        "x_ivf_compact": x_ivf_compact,
+        "x_leakage_safe_split": x_leakage_safe_split,
+        "x_append_consistency": x_append_consistency,
+        "x_crawl_pipeline": x_crawl_pipeline,
+        "x_curation_pipeline": x_curation_pipeline,
+        "x_minhash_index_dedup": x_minhash_index_dedup,
+        "x_stream_sigs_ingest": x_stream_sigs_ingest,
+        "x_minhash_sig_estimate": x_minhash_sig_estimate,
+        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6834,10 +6865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_filtered_topk": q3_filtered_topk,
         "q5_filter_dsl_json": q5_filter_dsl_json,
         "q7_search_read_path": q7_search_read_path,
-        "t2_code_chunks": t2_code_chunks,
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
         "r1_rag_batch": r1_rag_batch,
-        "t1_chunk_passages": t1_chunk_passages,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,
         "x_text_quality": x_text_quality,
@@ -6845,8 +6874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_fingerprint": x_text_fingerprint,
         "x_text_repetition": x_text_repetition,
         "x_quality_gopher": x_quality_gopher,
-        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
-        "x_corpus_stats": x_corpus_stats,
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
         "x_hopping_stats": x_hopping_stats,
@@ -6860,33 +6887,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_redact": x_text_redact,
         "x_decontaminate": x_decontaminate,
         "x_stream_sessionize": x_stream_sessionize,
-        "x_stream_window_stats": x_stream_window_stats,
-        "x_stream_dedup": x_stream_dedup,
-        "x_lm_score": x_lm_score,
-        "x_tfidf_embed": x_tfidf_embed,
-        "x_tfidf_topk": x_tfidf_topk,
         "x_pq_topk": x_pq_topk,
         "x_sq8_topk": x_sq8_topk,
-        "x_bucketed_join": x_bucketed_join,
-        "x_stream_enrich": x_stream_enrich,
         "x_bq_topk": x_bq_topk,
-        "x_stream_stream_join": x_stream_stream_join,
         "x_sq8_refined": x_sq8_refined,
-        "q15_expanded_search": q15_expanded_search,
-        "x_ccnet_buckets": x_ccnet_buckets,
-        "x_rollup_stats": x_rollup_stats,
-        "x_curriculum_blocks": x_curriculum_blocks,
         "x_media_audio_features": x_media_audio_features,
         "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
-        "x_curation_pipeline_sigs": x_curation_pipeline_sigs,
-        "x_dedup_minhash_capped": x_dedup_minhash_capped,
-        "x_minhash_triage_topk": x_minhash_triage_topk,
-        "x_ivf_append": x_ivf_append,
-        "x_bm25_append": x_bm25_append,
-        "x_stream_ivf_ingest": x_stream_ivf_ingest,
-        "x_ivf_compact": x_ivf_compact,
         "x_token_cid_balance": x_token_cid_balance,
         "x_stream_token_ingest": x_stream_token_ingest,
         "x_li_bm25_hybrid": x_li_bm25_hybrid,
@@ -6895,7 +6903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_table_stats": x_table_stats,
         "x_token_index_compact": x_token_index_compact,
         "x_li_probe_recall": x_li_probe_recall,
-        "x_leakage_safe_split": x_leakage_safe_split,
         "x_zorder_layout": x_zorder_layout,
         "x_late_interaction_pruned": x_late_interaction_pruned,
         "x_video_near_dups": x_video_near_dups,
@@ -6904,7 +6911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_late_interaction_pq": x_late_interaction_pq,
         "x_late_interaction_refined": x_late_interaction_refined,
         "x_dedup_pr_bands": x_dedup_pr_bands,
-        "x_append_consistency": x_append_consistency,
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_ivfbq_topk": x_ivfbq_topk,
         "x_ivfsq_topk": x_ivfsq_topk,
@@ -6922,12 +6928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_drift_recall": x_ivf_drift_recall,
         "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
-        "x_crawl_pipeline": x_crawl_pipeline,
-        "x_curation_pipeline": x_curation_pipeline,
-        "x_minhash_index_dedup": x_minhash_index_dedup,
-        "x_stream_sigs_ingest": x_stream_sigs_ingest,
-        "x_minhash_sig_estimate": x_minhash_sig_estimate,
-        "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
         "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_tfidf_keywords": x_tfidf_keywords,
     }
