@@ -1082,7 +1082,7 @@ def ivf_refresh_check(spark, args) -> dict:
             chunk_size=64, chunk_overlap=8, dims=32, with_bm25=False,
         )
         catalog.build_ivf_index(
-            spark, wh, "g", n_centroids=32, centroids="kmeans"
+            spark, wh, "g", n_centroids=64, centroids="kmeans"
         )
         catalog.append_to_index(
             spark, wh, "g", docs.filter(F.col("doc_id") % 2 == 1),
@@ -1093,8 +1093,8 @@ def ivf_refresh_check(spark, args) -> dict:
         emb.count()
         queries = [
             r["text"]
-            for r in docs.filter(F.col("doc_id") % 1000 == 7)
-            .select("text").limit(5).collect()
+            for r in docs.filter(F.col("doc_id") % 211 == 7)
+            .select("text").limit(20).collect()
         ]
 
         def recall_at_10() -> float:
@@ -1144,7 +1144,7 @@ def ivf_refresh_check(spark, args) -> dict:
         out["recall_refreshed"] = recall_at_10()
         t0 = _time.perf_counter()
         catalog.build_ivf_index(
-            spark, wh, "g", n_centroids=32, centroids="kmeans"
+            spark, wh, "g", n_centroids=64, centroids="kmeans"
         )
         out["rebuild_s"] = round(_time.perf_counter() - t0, 2)
         out["recall_rebuilt"] = recall_at_10()
