@@ -4196,6 +4196,33 @@ def x_ann_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def x_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time embedding near-dup: the new batch's banded sign-bit
+    sketch broadcasts against the corpus scan (corpus never shuffled)
+    — the embedding-space member of the incremental family, completing
+    the (batch, incremental) × (MinHash, SimHash, LSH) matrix. The
+    planted text near-dups straddle the id split, so the gate output
+    is nonempty at cos ≥ 0.97."""
+    from leann_rs_spark.operators.ann import lsh_near_dups_incremental
+
+    emb = embed_documents(
+        _fan(_docs(spark, sf_dir)), dims=_EMBED_DIMS, id_col="doc_id"
+    ).select("doc_id", "embedding")
+    out = lsh_near_dups_incremental(
+        emb.filter(F.col("doc_id") < _INCR_SPLIT),
+        emb.filter(F.col("doc_id") >= _INCR_SPLIT),
+        dims=_EMBED_DIMS,
+        id_col="doc_id",
+        threshold=_EMBCOS_TAU,
+        planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        assume_normalized=True,
+    )
+    return out.select(
+        "new_id", "corpus_id", F.round("cos", 6).alias("cos_r")
+    ).orderBy("new_id", "corpus_id")
+
+
 def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics for pipeline monitoring: per-language doc
     counts, distinct sources, token totals, length moments — the
@@ -5789,6 +5816,22 @@ def _register_lsh_corpus_oracles() -> None:
         SELECT id_a, id_b, round(cos, 6) AS cos_r FROM ({lsh_capped})
         ORDER BY id_a, id_b
     """
+    from leann_rs_spark.operators.ann import duckdb_lsh_near_dups_incremental
+
+    lsh_inc = duckdb_lsh_near_dups_incremental(
+        f"SELECT * FROM ({emb_tbl}) WHERE doc_id < {_INCR_SPLIT}",
+        f"SELECT * FROM ({emb_tbl}) WHERE doc_id >= {_INCR_SPLIT}",
+        dims=_EMBED_DIMS,
+        id_col="doc_id",
+        threshold=_EMBCOS_TAU,
+        planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        assume_normalized=True,
+    )
+    _ORACLES["x_ann_lsh_incremental"] = f"""
+        SELECT new_id, corpus_id, round(cos, 6) AS cos_r FROM ({lsh_inc})
+        ORDER BY new_id, corpus_id
+    """
     from leann_rs_spark.operators.embedder import duckdb_tfidf_embed_table
 
     tfidf_tbl = duckdb_tfidf_embed_table(dims=_EMBED_DIMS)
@@ -6762,6 +6805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
+        "x_ann_lsh_incremental": x_ann_lsh_incremental,
         "x_dedup_simhash_capped": x_dedup_simhash_capped,
         "x_ann_lsh_capped": x_ann_lsh_capped,
         "x_dedup_simhash_incremental": x_dedup_simhash_incremental,

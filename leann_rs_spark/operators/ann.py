@@ -717,6 +717,187 @@ def duckdb_lsh_near_dups(
     """
 
 
+def lsh_sketch_table(
+    emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+) -> DataFrame:
+    """(id, bits ARRAY<INT>): the hyperplane sign-bit sketch as a
+    persistable table. The hyperplane family is the deterministic md5
+    derivation (`_hyperplanes`), so a persisted sketch table is
+    bit-identical to an inline recomputation — the artifact property
+    every incremental form relies on."""
+    hp = _hyperplanes(planes, dims)
+    hp_lit = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pid"),
+                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
+            )
+            for p in range(planes)
+        ]
+    )
+    vec = F.col(vec_col)
+    bits = F.transform(
+        hp_lit,
+        lambda h: F.when(dot(vec, h["hv"]) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return emb.select(F.col(id_col), bits.alias("bits"))
+
+
+def lsh_near_dups_incremental(
+    corpus: DataFrame,
+    new_emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    assume_normalized: bool = False,
+    broadcast_new: bool = True,
+    corpus_sketches: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time embedding near-dup: each NEW vector vs the EXISTING
+    corpus → (new_id, corpus_id, cos ≥ threshold). New-vs-new pairs
+    are not reported (run `lsh_near_dups` on the batch); ids may
+    overlap across inputs — output columns are labeled by side. The
+    embedding-space member of the incremental family
+    (minhash_near_dups_incremental / simhash_near_dups_incremental).
+
+    Scale shape: the batch's banded sign-bit sketch BROADCASTS
+    (`broadcast_new`) — the corpus is never shuffled; candidates from
+    the (band, band-bits) broadcast join, exact dot/cosine verify on
+    candidate pairs only (vectors re-attach to the DEDUPED pairs, so
+    the join moves id-width rows). At 100 TB pass `corpus_sketches` =
+    a persisted (id, bits) table (`lsh_sketch_table`'s shape — same
+    planes) and the per-batch cost drops to a sketch-table scan; the
+    deterministic hyperplane family makes artifact ≡ inline exact.
+    """
+    from leann_rs_spark.functions.vector import cosine
+
+    width = planes // bands
+    sk_c = (
+        corpus_sketches.select(F.col(id_col), F.col("bits"))
+        if corpus_sketches is not None
+        else lsh_sketch_table(corpus, dims, id_col, vec_col, planes)
+    )
+    sk_n = lsh_sketch_table(new_emb, dims, id_col, vec_col, planes)
+
+    def banded(sk: DataFrame, out_id: str) -> DataFrame:
+        return sk.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat_ws(
+                            "",
+                            F.transform(
+                                F.slice(F.col("bits"), b * width + 1, width),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bb"),
+                    ),
+                )
+            ).alias("e"),
+        ).select(out_id, F.col("e.band"), F.col("e.bb"))
+
+    banded_c = banded(sk_c, "corpus_id")
+    banded_n = banded(sk_n, "new_id")
+    if broadcast_new:
+        banded_n = F.broadcast(banded_n)
+    pairs = (
+        banded_c.join(banded_n, ["band", "bb"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    vc = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vc")
+    )
+    vn = new_emb.select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("vn")
+    )
+    score = (
+        dot(F.col("vn"), F.col("vc"))
+        if assume_normalized
+        else cosine(F.col("vn"), F.col("vc"))
+    )
+    return (
+        pairs.join(vn, "new_id")
+        .join(vc, "corpus_id")
+        .withColumn("cos", score)
+        .filter(F.col("cos") >= threshold)
+        .select("new_id", "corpus_id", "cos")
+    )
+
+
+def duckdb_lsh_near_dups_incremental(
+    corpus_sql: str,
+    new_sql: str,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    assume_normalized: bool = False,
+) -> str:
+    """Twin of lsh_near_dups_incremental: identical hyperplane family,
+    band both sides, join, exact verify."""
+    hp = _hyperplanes(planes, dims)
+    width = planes // bands
+
+    def bit(p: int) -> str:
+        lit = "[" + ", ".join(f"{x!r}::double" for x in hp[p]) + "]"
+        return f"(case when {duckdb_dot('v', lit)} > 0 then '1' else '0' end)"
+
+    band_cols = ", ".join(
+        "(" + " || ".join(bit(b * width + w) for w in range(width)) + f") AS bb{b}"
+        for b in range(bands)
+    )
+    band_case = (
+        "case t.band "
+        + " ".join(f"when {b} then bb{b}" for b in range(bands))
+        + " end"
+    )
+    from leann_rs_spark.functions.vector import duckdb_cosine
+
+    cos = (
+        duckdb_dot("vn.v", "vc.v")
+        if assume_normalized
+        else duckdb_cosine("vn.v", "vc.v")
+    )
+
+    def side(src: str, name: str) -> str:
+        return f"""
+        {name}_sk AS (
+            SELECT id, v, {band_cols}
+            FROM (SELECT {id_col} AS id, {vec_col} AS v FROM ({src})) _e
+        ),
+        {name}_banded AS (
+            SELECT id, t.band, {band_case} AS bb
+            FROM {name}_sk, unnest(generate_series(0, {bands - 1})) t(band)
+        )"""
+
+    return f"""
+        WITH {side(corpus_sql, 'c')}, {side(new_sql, 'n')},
+        cand AS (
+            SELECT DISTINCT bn.id AS new_id, bc.id AS corpus_id
+            FROM c_banded bc JOIN n_banded bn
+              ON bc.band = bn.band AND bc.bb = bn.bb
+        )
+        SELECT cand.new_id, cand.corpus_id, {cos} AS cos
+        FROM cand
+        JOIN n_sk vn ON vn.id = cand.new_id
+        JOIN c_sk vc ON vc.id = cand.corpus_id
+        WHERE {cos} >= {threshold}
+    """
+
+
 def duckdb_lsh_near_dups_capped(
     emb_sql: str,
     dims: int,

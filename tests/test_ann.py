@@ -190,6 +190,64 @@ def test_lsh_hot_bucket_cap_bounds_pairs_both_paths(spark):
         assert a == b and len(a) >= 1, normalized
 
 
+def test_lsh_incremental_matches_cross_split_pairs(spark):
+    """Incremental (new vs corpus) must return exactly the symmetric
+    operator's cross-split pairs with the same cos; the persisted-
+    sketch path must agree; the new side broadcasts."""
+    from leann_rs_spark.operators.ann import (
+        lsh_near_dups,
+        lsh_near_dups_incremental,
+        lsh_sketch_table,
+    )
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    dims, tau, split = 32, 0.97, 400
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    de = embed_documents(docs, dims=dims).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    ).persist()
+    de.count()
+    corpus = de.filter(F.col("vec_id") < split)
+    new = de.filter(F.col("vec_id") >= split)
+
+    sym = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): round(r["cos"], 9)
+        for r in lsh_near_dups(
+            de, dims=dims, threshold=tau, assume_normalized=True
+        ).collect()
+        if (r["id_a"] >= split) != (r["id_b"] >= split)
+    }
+    inc_df = lsh_near_dups_incremental(
+        corpus, new, dims=dims, threshold=tau, assume_normalized=True
+    )
+    inc = {
+        (r["new_id"], r["corpus_id"]): round(r["cos"], 9)
+        for r in inc_df.collect()
+    }
+    assert inc == sym and inc
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inc_df.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+    sk = lsh_sketch_table(corpus, dims).persist()
+    sk.count()
+    pre = {
+        (r["new_id"], r["corpus_id"]): round(r["cos"], 9)
+        for r in lsh_near_dups_incremental(
+            corpus, new, dims=dims, threshold=tau,
+            assume_normalized=True, corpus_sketches=sk,
+        ).collect()
+    }
+    assert pre == inc
+    sk.unpersist()
+    de.unpersist()
+
+
 def test_lloyd_refine_preserves_labels_and_reduces_error(spark):
     """Warm-start refinement must keep centroid ids (label k out = the
     refined version of k in), keep empty-cluster vectors, return unit
