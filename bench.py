@@ -141,8 +141,13 @@ def main() -> None:
     }
     if failures:
         detail["failures"] = failures
+    # Subset runs (explicit query args) are ad-hoc probes: writing the
+    # committed bench_detail.json from one would clobber the full-suite
+    # record with a 3-entry dict (bit us in round 10) — park their
+    # detail in a sibling file instead.
+    detail_name = "bench_detail.json" if not only else "bench_detail_subset.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
