@@ -132,12 +132,30 @@ def late_interaction_topk(
             for i, t in enumerate(toks)
         ]
     )
+    # Vocabulary-level score precompute (the batch form's round-10
+    # optimization applied to the single-query shape): dots depend
+    # only on the TOKEN (vec = hash_embedding(token)), so they are
+    # computed once per distinct token on a vocab-sized frame — the
+    # interpreted HOF folds drop from N·|q| to |vocab|·|q| and the
+    # main side carries (id, token) instead of the 64-double vec.
+    # Same aggregate, same values, bit-identical output.
+    vocab = dt.select("token").distinct().select(
+        "token", hash_embedding(F.col("token"), dims).alias("__vv")
+    )
+    scores = vocab.crossJoin(F.broadcast(qdf)).select(
+        "token",
+        *[
+            dot(F.col("__vv"), F.col(f"q{i}")).alias(f"s{i}")
+            for i in range(len(toks))
+        ],
+    )
     scored = (
-        dt.crossJoin(F.broadcast(qdf))
+        dt.select(id_col, "token")
+        .join(F.broadcast(scores), "token")
         .groupBy(id_col)
         .agg(
             *[
-                F.max(dot(F.col("vec"), F.col(f"q{i}"))).alias(f"m{i}")
+                F.max(F.col(f"s{i}")).alias(f"m{i}")
                 for i in range(len(toks))
             ]
         )
@@ -303,9 +321,21 @@ def late_interaction_topk_batch(
         "query_id", "ord",
         hash_embedding(F.col("token"), dims).alias("qvec"),
     )
+    # Vocabulary-level score precompute (round-10 optimization): the
+    # dot of a token row against a query token depends only on the
+    # TOKEN (vec = hash_embedding(token)), so the interpreted HOF fold
+    # runs |vocab|·Σ|q| times instead of N·Σ|q|, the expansion join is
+    # a BroadcastHashJoin on `token`, and the index scan drops `vec`
+    # (measured 4.6 → 1.6 s at sf0.1; output bit-identical — see
+    # _vocab_qtoken_scores). Everything downstream (ordinal pivot, ONE
+    # wide exchange on (query_id, doc), fixed-order sum, top-k window)
+    # is unchanged.
+    scores = _vocab_qtoken_scores(token_index, qv, dims)
     scored = _pivot_scores(
-        token_index.crossJoin(F.broadcast(qv)),
-        dot(F.col("vec"), F.col("qvec")),
+        token_index.select(id_col, "token").join(
+            F.broadcast(scores), "token"
+        ),
+        F.col("__s"),
         width,
         id_col,
     )
@@ -490,8 +520,25 @@ def late_interaction_topk_batch_pq(
             F.element_at(F.col("code"), mi + F.lit(1)) + F.lit(1),
         ),
     )
+    # Distinct-code ADC precompute (round-10 optimization, the
+    # _vocab_qtoken_scores idea on the quantized rung): a token row's
+    # ADC sum depends only on its CODE (code = f(vec) = f(token)), so
+    # the interpreted m-subspace lookup fold runs once per (distinct
+    # code, query token) — ≤ |vocab|·Σ|q| evaluations — and the
+    # expansion join is a BroadcastHashJoin on the M-int code array
+    # instead of a crossJoin evaluating the fold N·Σ|q| times. Same
+    # joined-row multiset, same doubles, bit-identical output.
+    code_scores = (
+        codes.select("code")
+        .distinct()
+        .crossJoin(F.broadcast(qv))
+        .select("code", "query_id", "ord", adc.alias("__s"))
+    )
     scored = _pivot_scores(
-        codes.crossJoin(F.broadcast(qv)), adc, width, id_col
+        codes.join(F.broadcast(code_scores), "code"),
+        F.col("__s"),
+        width,
+        id_col,
     )
     return _topk_tail(scored, k, id_col)
 
@@ -615,6 +662,41 @@ def duckdb_late_interaction_topk_batch_pq(
     """
 
 
+def _vocab_qtoken_scores(
+    token_index: DataFrame, qv: DataFrame, dims: int
+) -> DataFrame:
+    """→ (token, query_id, ord, __s): the MaxSim dot of every DISTINCT
+    corpus token against every query token — computed once per
+    (vocabulary token, query token) instead of once per (corpus token
+    ROW, query token).
+
+    Why this is safe: the token index's `vec` is the hash embedding of
+    `token` by construction (catalog.build_token_index →
+    token_embeddings joins a vocabulary-sized embedding table), so
+    recomputing `hash_embedding(token, dims)` over the distinct token
+    set yields bit-identical dots — callers MUST pass the index's own
+    `dims` (gates pass meta's `info["dims"]`).
+
+    Why it is fast (guide §4.1/§2.3): `dot` is a higher-order-function
+    fold — CodegenFallback, interpreted per row — so evaluating it on
+    the N·Σ|q| joined rows dominated the batch MaxSim stage; this
+    frame needs |vocab|·Σ|q| evaluations, and the main scan no longer
+    needs the 64-double `vec` column at all (ReadSchema shrinks to
+    (id, token); measured 4.6 → 1.6 s on the sf0.1 batch gate, output
+    bit-identical). The scored frame is |vocab|·Σ|q| rows — bounded by
+    the embedding model's vocabulary (the ColBERT regime: a fixed
+    wordpiece vocab), so it broadcasts; the expansion join becomes a
+    BroadcastHashJoin on `token` instead of a crossJoin carrying
+    vectors."""
+    vocab = token_index.select("token").distinct().select(
+        "token", hash_embedding(F.col("token"), dims).alias("__vv")
+    )
+    return vocab.crossJoin(F.broadcast(qv)).select(
+        "token", "query_id", "ord",
+        dot(F.col("__vv"), F.col("qvec")).alias("__s"),
+    )
+
+
 def _tok_lists(queries: list[tuple[int, str]]) -> list[tuple[int, list[str]]]:
     """Tokenize a query batch driver-side, raising on empty queries —
     the shared validation of every batch form."""
@@ -664,6 +746,14 @@ def _exact_maxsim_scores(
         pair_side = F.broadcast(pairs)
     else:
         pair_side = pairs
+    # NOTE (round-10 optimization): this rescore deliberately KEEPS the
+    # per-row dot instead of the _vocab_qtoken_scores precompute the
+    # full-scan forms use — the pair frame bounds the candidate rows by
+    # construction, so the interpreted folds here are already few, and
+    # the precompute's extra serial broadcast-build jobs (vocab
+    # distinct + scored crossJoin) measured as a net REGRESSION on the
+    # pruned/probe gates (x_late_interaction_pruned 2.2 → 2.8 s,
+    # x_li_probe_recall 4.4 → 5.6 s) while saving nothing material.
     pruned = token_index.join(pair_side, id_col)
     return _pivot_scores(
         pruned.join(F.broadcast(qv), "query_id"),
