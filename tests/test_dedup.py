@@ -56,6 +56,29 @@ def test_minhash_signature_shape(spark):
         assert all(s >= 0 for s in r["sig"])
 
 
+def test_minhash_bulk_matches_scalar(spark):
+    """_minhash_signatures_bulk (scalar HOF over NON-distinct shingles,
+    zero-shuffle projection) must be bit-identical to minhash_signatures
+    (distinct shingles): min over a multiset equals min over its
+    distinct set. Pins the round-10 rewrite from the exploded
+    groupBy(id) form."""
+    from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
+
+    docs = _docs(spark).select("doc_id", "text").limit(50)
+    short = spark.createDataFrame([(10_000, "ab")], ["doc_id", "text"])
+    docs = docs.unionByName(short)
+    bulk = {
+        r["doc_id"]: r["sig"]
+        for r in _minhash_signatures_bulk(docs, num_hashes=16).collect()
+    }
+    ref = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert bulk == ref
+    assert 10_000 not in bulk  # sub-shingle_k docs dropped by both forms
+
+
 def test_ngram_jaccard_exact_small(spark):
     df = spark.createDataFrame(
         [
