@@ -195,31 +195,51 @@ def _minhash_signatures_bulk(
     num_hashes: int = 16,
 ) -> DataFrame:
     """→ (id_col, sig) — same values as `minhash_signatures` (min over a
-    multiset equals min over its distinct set), as ONE per-row scalar
-    projection: shingle the text, md5 each shingle once into (a, b),
-    and take the `num_hashes` array-minima of the derived hashes — the
-    `_minhash_sig` HOF expression over NON-distinct shingles.
+    multiset equals min over its distinct set, so no dedup pass is
+    needed), computed through exploded shingle ROWS with the
+    `num_hashes` derived hashes unrolled into codegen'd `min`
+    aggregates: whole-stage codegen end to end, one shuffle on `id_col`
+    with map-side partial aggregation, no interpreted HOF lambdas.
+    Docs shorter than `shingle_k` are dropped (cannot be near-dups).
 
-    History (keep with the measurement): rounds 2-9 computed this
-    through exploded shingle ROWS with the derived hashes unrolled
-    into codegen'd `min` aggregates (explode → 16 hash columns →
-    groupBy(id) with map-side partial agg). Round 10 re-measured both
-    forms at the curation-pipeline scale (3.3k docs × ~360 chars,
-    sf0.1, warm): scalar 0.91 s vs exploded 1.47 s — the same
-    reversal `embed_documents` measured after the hash-v2 integer
-    rework (its docstring), because the exploded form pays a
-    corpus×L row explode plus a shuffle that the projection simply
-    doesn't have. The scalar form is also the better 100 TB shape:
-    embarrassingly parallel, zero shuffle (the exploded form's
-    groupBy(id) exchange grows with the corpus). Values are
-    bit-identical (integer min over the same derived-hash multiset;
-    pinned by test_minhash_bulk_matches_scalar).
-
-    Docs shorter than `shingle_k` are dropped (cannot be near-dups)."""
+    Round 10 tried the zero-shuffle alternative — one scalar
+    `_minhash_sig` HOF projection per row (values bit-identical;
+    pinned by test_minhash_bulk_matches_scalar). An ad-hoc warm
+    session measured it 1.6x FASTER (0.91 s vs 1.47 s), but the bench
+    harness (suite warmup at sf0.001, min-of-reps, exclusive box)
+    measured the whole minhash gate family 2.4-3.5x SLOWER
+    (x_crawl_pipeline 6.3→21.6 s, x_dedup_minhash 1.7→5.1 s): the
+    interpreted HOF fold over ~300 array elements x 16 hashes loses
+    badly to the codegen'd min-aggregate pipeline, and ad-hoc sessions
+    mis-rank codegen-heavy variants exactly as SURVEY §9 warns. Keep
+    the exploded form; its one groupBy(id) exchange is map-side
+    combined so the shuffle is O(corpus ids), not O(shingles)."""
     text = F.col(text_col)
-    sh = char_shingles(text, shingle_k)
-    return docs.filter(F.length(text) >= shingle_k).select(
-        F.col(id_col), _minhash_sig(sh, num_hashes).alias("sig")
+    sh_rows = (
+        docs.filter(F.length(text) >= shingle_k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length(text) - F.lit(shingle_k - 1))
+            ).alias("_i"),
+            text.alias("_t"),
+        )
+        .select(id_col, F.substring(F.col("_t"), F.col("_i"), F.lit(shingle_k)).alias("_sh"))
+    )
+    pair = hash_pair(F.col("_sh"))
+    sh_rows = sh_rows.withColumn("_a", pair["a"]).withColumn("_b", pair["b"])
+    from leann_rs_spark.functions.text import HASH_P
+
+    hs = [
+        ((F.col("_a") + F.lit(i + 1) * F.col("_b")) % F.lit(HASH_P)).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sh_rows = sh_rows.select(id_col, *hs)
+    agg = sh_rows.groupBy(id_col).agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 

@@ -57,11 +57,13 @@ def test_minhash_signature_shape(spark):
 
 
 def test_minhash_bulk_matches_scalar(spark):
-    """_minhash_signatures_bulk (scalar HOF over NON-distinct shingles,
-    zero-shuffle projection) must be bit-identical to minhash_signatures
-    (distinct shingles): min over a multiset equals min over its
-    distinct set. Pins the round-10 rewrite from the exploded
-    groupBy(id) form."""
+    """_minhash_signatures_bulk (exploded shingle rows, codegen'd min
+    aggregates over NON-distinct shingles) must be bit-identical to
+    minhash_signatures (scalar HOF over distinct shingles): min over a
+    multiset equals min over its distinct set. Pins the two forms
+    together regardless of which physical shape each uses (the round-10
+    scalar rewrite of the bulk form was reverted on bench evidence —
+    see _minhash_signatures_bulk's docstring)."""
     from leann_rs_spark.operators.dedup import _minhash_signatures_bulk
 
     docs = _docs(spark).select("doc_id", "text").limit(50)
