@@ -471,29 +471,45 @@ def minhash_near_dups(
     rows = num_hashes // bands
     if corpus_sigs is not None:
         if validate_sigs:
-            head = corpus_sigs.select(F.size("sig").alias("__w")).limit(1).first()
-            if head is not None and head["__w"] < num_hashes:
-                raise ValueError(
-                    f"signature artifact is {head['__w']} hashes wide but"
-                    f" num_hashes={num_hashes} was requested — prefix"
-                    " slicing would hash EMPTY trailing bands (every doc"
-                    " collides into one bucket per such band); rebuild the"
-                    " artifact at least num_hashes wide"
-                )
-            uncovered = (
+            # ONE job checks both failure modes: eligible docs
+            # left-join the artifact's (id, width) projection; a NULL
+            # width is an uncovered doc, and min(width) over covered
+            # rows is the narrowest sig the slice would read (stronger
+            # than the old limit-1 probe, which sampled one arbitrary
+            # row — and one job instead of two on the repeat-run hot
+            # path this artifact serves).
+            chk = (
                 docs.filter(F.length(F.col(text_col)) >= shingle_k)
                 .select(id_col)
-                .join(corpus_sigs.select(id_col), id_col, "left_anti")
-                .count()
+                .join(
+                    corpus_sigs.select(
+                        F.col(id_col), F.size("sig").alias("__w")
+                    ),
+                    id_col,
+                    "left",
+                )
+                .agg(
+                    F.count(F.when(F.col("__w").isNull(), 1)).alias("unc"),
+                    F.min("__w").alias("w"),
+                )
+                .first()
             )
-            if uncovered:
+            if chk["unc"]:
                 raise ValueError(
-                    f"signature artifact does not cover {uncovered}"
+                    f"signature artifact does not cover {chk['unc']}"
                     " shingle-eligible doc(s) — uncovered docs would"
                     " silently never become candidates (under-"
                     "deduplication); rebuild or append the artifact"
                     " (catalog.append_to_minhash_index) to cover the corpus,"
                     " or pass validate_sigs=False if coverage is proven"
+                )
+            if chk["w"] is not None and chk["w"] < num_hashes:
+                raise ValueError(
+                    f"signature artifact is {chk['w']} hashes wide but"
+                    f" num_hashes={num_hashes} was requested — prefix"
+                    " slicing would hash EMPTY trailing bands (every doc"
+                    " collides into one bucket per such band); rebuild the"
+                    " artifact at least num_hashes wide"
                 )
         sigs = corpus_sigs.join(
             docs.select(id_col), id_col, "left_semi"
@@ -521,9 +537,16 @@ def minhash_near_dups(
         banded, id_col, max_bucket_size=max_bucket_size, sigs=sigs,
         intermediates=intermediates,
     )
-    # Exact-Jaccard verify: shingle SETS are materialized only for docs
-    # that appear in a candidate pair (a handful), so the HOF cost and
-    # the array bytes never touch the corpus-wide shuffle.
+    # Exact-Jaccard verify: the shingle projection sits on the BUILD
+    # side of each attach join, so it IS evaluated (and broadcast) for
+    # the whole corpus — O(corpus) HOF work where O(candidate docs)
+    # would suffice. Round 10 measured the candidate-prune alternative
+    # (persist+materialize `pairs`, semi-join docs on its ids before
+    # shingling): net SLOWER at bench scale (+0.5-2.0 s/gate — the
+    # extra materialization job and exchanges cost more than 5k docs'
+    # shingles save), so the single-plan form stays; at a corpus where
+    # the verify projection dominates, that prune is the §8-shaped fix
+    # and verify_pairs_exact's docstring records the recipe.
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias(
@@ -617,8 +640,19 @@ def verify_pairs_exact(
     a (new_id, corpus_id) candidate-pair frame — the shared tail of
     the incremental near-dup form and the staged triage pipeline
     (cheap candidate generation first, text reads bounded by the
-    surviving pairs). Candidate docs' text is read through the pair
-    joins only — never a full cross of the inputs."""
+    surviving pairs).
+
+    Candidate docs' text is read through the pair joins only — never a
+    full cross of the inputs. Note the shingle projections DO evaluate
+    for every input row (they sit on the build side of the attach
+    joins): round 10 measured the candidate-prune alternative
+    (persist+materialize `pairs`, semi-join both doc sides on its ids
+    before shingling) as net slower at bench scale — the extra
+    materialization job outweighs the saved shingle work. At a corpus
+    scale where the verify projection dominates, apply that prune:
+    pairs.persist(); ids = pairs.select(explode(array(new_id,
+    corpus_id))).distinct(); side.join(broadcast(ids), left_semi)
+    before the projection."""
     sh_c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias("sh_c"),
