@@ -349,6 +349,40 @@ def ivf_search(
 # dedup.embedding_near_dups (whose exact all-pairs form is quadratic).
 # ---------------------------------------------------------------------------
 
+def _signbit_sketch(vec: Column, hp: list[list[float]]) -> Column:
+    """Sign-bit sketch: bit p = [<v, h_p> > 0] via `transform` over an
+    array-of-struct hyperplane literal with the sequential dot fold —
+    the one shared implementation behind lsh_near_dups /
+    lsh_sketch_table / lsh_near_dups_incremental.
+
+    Round 10 measured two "codegen-friendlier" rewrites of this
+    expression under the bench protocol (min-of-reps after suite
+    warmup, equal load) and BOTH lost to this HOF form:
+      * dots fully unrolled into literal multiply-add chains (1024
+        expression nodes at 32 planes x 32 dims): 5x faster in a warm
+        ad-hoc noop loop but 2.7x SLOWER benched (x_ann_lsh_capped
+        4.6 s -> 12.7 s) — the giant generated method blows past JIT
+        limits, exactly SURVEY §9's "ad-hoc sessions mis-rank
+        codegen-heavy variants" trap;
+      * only the plane loop unrolled (32 explicit aggregate(zip_with)
+        folds): ~20% slower benched (4.6 s -> 5.8 s).
+    Bit-equivalence of the unrolled variant is pinned by test_ann's
+    sketch-equality test so a future re-attempt stays safe."""
+    hp_lit = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pid"),
+                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
+            )
+            for p in range(len(hp))
+        ]
+    )
+    return F.transform(
+        hp_lit,
+        lambda h: F.when(dot(vec, h["hv"]) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
 def _hyperplanes(planes: int, dims: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is an
     md5-derived weight in [-1, 1] (same universal-hash family as the
@@ -435,19 +469,8 @@ def lsh_near_dups(
 
     hp = _hyperplanes(planes, dims)
     width = planes // bands
-    hp_lit = F.array(
-        *[
-            F.struct(
-                F.lit(p).alias("pid"),
-                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
-            )
-            for p in range(planes)
-        ]
-    )
     vec = F.col(vec_col)
-    bits = F.transform(
-        hp_lit, lambda h: F.when(dot(vec, h["hv"]) > 0, F.lit(1)).otherwise(F.lit(0))
-    )
+    bits = _signbit_sketch(vec, hp)
     sk = emb.select(F.col(id_col), vec.alias("__v"), bits.alias("__bits"))
     if cache:
         sk = sk.persist()
@@ -730,20 +753,8 @@ def lsh_sketch_table(
     bit-identical to an inline recomputation — the artifact property
     every incremental form relies on."""
     hp = _hyperplanes(planes, dims)
-    hp_lit = F.array(
-        *[
-            F.struct(
-                F.lit(p).alias("pid"),
-                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
-            )
-            for p in range(planes)
-        ]
-    )
     vec = F.col(vec_col)
-    bits = F.transform(
-        hp_lit,
-        lambda h: F.when(dot(vec, h["hv"]) > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
+    bits = _signbit_sketch(vec, hp)
     return emb.select(F.col(id_col), bits.alias("bits"))
 
 
@@ -789,20 +800,8 @@ def lsh_near_dups_incremental(
 
     width = planes // bands
     hp = _hyperplanes(planes, dims)
-    hp_lit = F.array(
-        *[
-            F.struct(
-                F.lit(p).alias("pid"),
-                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
-            )
-            for p in range(planes)
-        ]
-    )
     vec = F.col(vec_col)
-    bits = F.transform(
-        hp_lit,
-        lambda h: F.when(dot(vec, h["hv"]) > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
+    bits = _signbit_sketch(vec, hp)
 
     def sketch(df: DataFrame) -> DataFrame:
         out = df.select(F.col(id_col), vec.alias("__v"), bits.alias("bits"))

@@ -417,6 +417,38 @@ def test_lsh_bucket_splitting_is_result_identical(spark):
     assert split == base
 
 
+def test_signbit_sketch_matches_unrolled_fold(spark):
+    """_signbit_sketch (the HOF transform+dot form all LSH operators
+    share) must be bit-identical to the fully-unrolled left-associated
+    literal multiply-add form — the round-10 bench kept the HOF form
+    (the unroll's giant generated method mis-ranks; see the helper's
+    docstring), and this equality keeps any future swap between the
+    two physical shapes safe: same accumulation order, same bits, same
+    LSH bucket sets."""
+    from leann_rs_spark.operators.ann import _hyperplanes, _signbit_sketch
+    from leann_rs_spark.operators.embedder import embed_documents
+
+    planes, dims = 32, 32
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    de = embed_documents(docs, dims=dims).select("doc_id", "embedding")
+    hp = _hyperplanes(planes, dims)
+    vec = F.col("embedding")
+
+    def plane(hv):
+        s = vec[0] * F.lit(hv[0])
+        for d in range(1, len(hv)):
+            s = s + vec[d] * F.lit(hv[d])
+        return F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+
+    unrolled = F.array(*[plane(hv) for hv in hp])
+    mismatched = (
+        de.select(unrolled.alias("a"), _signbit_sketch(vec, hp).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mismatched == 0
+
+
 def test_batch_full_probe_equals_exact_batch(spark, emb, assigned):
     from leann_rs_spark.operators.ann import ivf_search_batch
     from leann_rs_spark.operators.search import batch_search
