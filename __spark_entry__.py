@@ -6873,6 +6873,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sigs_ingest": x_stream_sigs_ingest,
         "x_minhash_sig_estimate": x_minhash_sig_estimate,
         "x_dedup_triage_pipeline": x_dedup_triage_pipeline,
+        "x_late_interaction": x_late_interaction,
+        "x_stream_token_ingest": x_stream_token_ingest,
+        "x_li_bm25_hybrid": x_li_bm25_hybrid,
+        "x_token_index_compact": x_token_index_compact,
+        "x_li_probe_recall": x_li_probe_recall,
+        "x_late_interaction_pruned": x_late_interaction_pruned,
+        "x_late_interaction_batch": x_late_interaction_batch,
+        "x_token_index_append": x_token_index_append,
+        "x_late_interaction_pq": x_late_interaction_pq,
+        "x_late_interaction_refined": x_late_interaction_refined,
+        "x_dedup_pr_bands": x_dedup_pr_bands,
+        "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6936,25 +6948,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bq_topk": x_bq_topk,
         "x_sq8_refined": x_sq8_refined,
         "x_media_audio_features": x_media_audio_features,
-        "x_late_interaction": x_late_interaction,
         "x_token_kl": x_token_kl,
         "x_embedding_drift": x_embedding_drift,
         "x_token_cid_balance": x_token_cid_balance,
-        "x_stream_token_ingest": x_stream_token_ingest,
-        "x_li_bm25_hybrid": x_li_bm25_hybrid,
         "x_table_diff": x_table_diff,
         "x_salted_join": x_salted_join,
         "x_table_stats": x_table_stats,
-        "x_token_index_compact": x_token_index_compact,
-        "x_li_probe_recall": x_li_probe_recall,
         "x_zorder_layout": x_zorder_layout,
-        "x_late_interaction_pruned": x_late_interaction_pruned,
         "x_video_near_dups": x_video_near_dups,
-        "x_late_interaction_batch": x_late_interaction_batch,
-        "x_token_index_append": x_token_index_append,
-        "x_late_interaction_pq": x_late_interaction_pq,
-        "x_late_interaction_refined": x_late_interaction_refined,
-        "x_dedup_pr_bands": x_dedup_pr_bands,
         "x_ivfpq_topk": x_ivfpq_topk,
         "x_ivfbq_topk": x_ivfbq_topk,
         "x_ivfsq_topk": x_ivfsq_topk,
@@ -6972,7 +6973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivf_drift_recall": x_ivf_drift_recall,
         "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
-        "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_tfidf_keywords": x_tfidf_keywords,
     }
 
