@@ -32,6 +32,23 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _cpu_ticks() -> dict[str, int] | None:
+    """Aggregate cpu ticks from /proc/stat — the steal column is the
+    only direct evidence of host co-tenant interference on this shared
+    box. Round 10 traced a wandering 3-5x per-gate spike (26 s on a
+    4.7 s gate, both reps) to steal bursts; recording the delta beside
+    the timings makes such runs attributable instead of mis-read as
+    plan regressions (SURVEY §9/§10's load rule, sharpened)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        keys = ("user", "nice", "system", "idle", "iowait", "irq",
+                "softirq", "steal")
+        return {k: int(v) for k, v in zip(keys, parts[1:9])}
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])
@@ -81,6 +98,7 @@ def main() -> None:
     # execution — plan, scan, shuffle, top-k — and the min filters the
     # multi-second noise spikes a shared host injects at random.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    ticks0 = _cpu_ticks()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in entry_mod.queries().items():
@@ -121,10 +139,21 @@ def main() -> None:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
+    ticks1 = _cpu_ticks()
+    steal_pct = None
+    if ticks0 and ticks1:
+        d = {k: ticks1[k] - ticks0[k] for k in ticks0}
+        tot = sum(d.values())
+        if tot > 0:
+            steal_pct = round(100.0 * d["steal"] / tot, 2)
     detail = {
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "load_avg_1_5_15": load,
+        # % of this VM's cpu ticks stolen by the host during the timed
+        # region — ≥2-3% means multi-second per-gate spikes are likely
+        # co-tenant bursts, not plan changes (see _cpu_ticks).
+        "steal_pct": steal_pct,
         "ncpus": os.cpu_count(),
         # Measurement conditions, so results are comparable across
         # rounds: each query is min-of-`reps` full cold executions
@@ -162,6 +191,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failures": len(failures),
         "load_avg_1_5_15": load,
+        "steal_pct": steal_pct,
         "reps": reps,
         "aggregation": "min_of_reps",
         "write_gates": "read-path-timed",

@@ -553,6 +553,25 @@ def minhash_near_dups(
             "shingles"
         ),
     )
+    # `sh` feeds BOTH attach joins and Catalyst does not CSE across
+    # join branches, so the corpus is shingled and broadcast twice per
+    # action. Round 10 measured the persist+materialize fix (the
+    # multi-consumer rule) on both paths at equal steal%:
+    #   * INLINE: net REGRESSION (x_curation_pipeline 5.9→8.7 s,
+    #     x_crawl_pipeline 6.8→9.0 s, x_dedup_minhash 2.3→2.8 s) —
+    #     the duplicate subtrees are independent broadcast builds that
+    #     overlap with the signature pipeline, while the persist
+    #     inserts a serial count barrier on the critical path;
+    #   * ARTIFACT-SERVED: net WIN (x_curation_pipeline_sigs
+    #     9.5→7.9 s) — with the signature aggregate gone, the double
+    #     shingle pass IS the dominant per-action cost, and the
+    #     barrier replaces real recomputation, not overlapped work.
+    # So the persist is applied exactly where it measured ahead.
+    if corpus_sigs is not None:
+        sh = sh.persist()
+        sh.count()
+        if intermediates is not None:
+            intermediates.append(sh)
     with_sh = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"),
                              F.col("shingles").alias("sh_a")), "id_a")

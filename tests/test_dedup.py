@@ -292,6 +292,48 @@ def test_incremental_minhash_matches_cross_split_pairs(spark):
     assert pre == inc
 
 
+def test_minhash_corpus_sigs_persists_verify_shingles(spark):
+    """The artifact-served path persists the verify-shingle frame (it
+    feeds BOTH attach joins; with the signature aggregate gone the
+    double shingle pass is the dominant per-action cost — measured
+    x_curation_pipeline_sigs 9.5→7.2 s at sf0.1, r10) and registers
+    it in `intermediates` so long-lived drivers can unpersist it. The
+    inline path deliberately does NOT (the persist barrier measured as
+    a net regression there — see the minhash_near_dups comment)."""
+    from pyspark.sql import functions as F
+
+    from leann_rs_spark.operators.dedup import (
+        _minhash_signatures_bulk,
+        minhash_near_dups,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 120)
+    sigs = _minhash_signatures_bulk(docs).persist()
+    sigs.count()
+
+    inter_inline: list = []
+    minhash_near_dups(
+        docs, threshold=0.5, intermediates=inter_inline
+    ).count()
+    inter_served: list = []
+    minhash_near_dups(
+        docs, threshold=0.5, corpus_sigs=sigs, intermediates=inter_served
+    ).count()
+    # served = [sliced sigs persist, verify-shingle persist];
+    # inline = [sig-table persist] only.
+    assert len(inter_served) == len(inter_inline) + 1
+    shingle_frames = [
+        f for f in inter_served if "shingles" in f.columns
+    ]
+    assert len(shingle_frames) == 1
+    assert shingle_frames[0].storageLevel.useMemory
+    for f in inter_inline + inter_served:
+        f.unpersist()
+    sigs.unpersist()
+
+
 def test_minhash_corpus_sigs_validates_coverage_and_width(spark):
     """A stale artifact (missing docs) or a too-narrow artifact must
     raise instead of silently under-deduplicating / degenerating the
