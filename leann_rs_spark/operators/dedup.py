@@ -916,13 +916,23 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Round 0 folded into label init (r10): a node's first propagated
+    # label is min(own id, neighbor ids), which needs no prior label
+    # table — one groupBy over sym instead of a distinct-init
+    # checkpoint PLUS a full join round PLUS an always-true change
+    # check (any edge a<b changes b's label, so round 0's check never
+    # exits). Saves two driver-blocking jobs per call; labels after
+    # this init are exactly the old round-0 output.
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
+        sym.select(F.col("src").alias("id"), F.col("src").alias("lab"))
+        .unionByName(
+            sym.select(F.col("dst").alias("id"), F.col("src").alias("lab"))
+        )
+        .groupBy("id")
+        .agg(F.min("lab").alias("lab"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         # neighbor minimum: push each node's label to its neighbors,
         # take the min of (own label, incoming labels). The old label
         # rides along as a flagged union row (max of the single own
