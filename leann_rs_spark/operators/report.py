@@ -64,14 +64,43 @@ def corpus_report(
         # rule; this was the one consumer that hid the fusion).
         base.count()
         pcts = ", ".join(str(p) for p in _PCTS)
-        stats = base.agg(
-            F.count("*").alias("n"),
-            F.expr(f"percentile(__len, array({pcts}))").alias("lp"),
-            F.expr(f"percentile(__toks, array({pcts}))").alias("tp"),
-            F.sum("__toks").alias("total_tokens"),
-            F.avg(F.col("__keep").cast("double")).alias("keep_rate"),
-            F.count_distinct("__h").alias("uniq"),
-        ).first()
+        # The three result jobs (global stats, language mix, heavy-
+        # hitter n-grams) are INDEPENDENT — two read the cached base,
+        # one re-scans docs. Submitted from a small thread pool so the
+        # later jobs back-fill executors freed by the earlier jobs'
+        # stragglers instead of serializing three scheduling tails
+        # (the overlap-independent-jobs rule; job descriptions are
+        # thread-local so the UI stays attributable). Each job's
+        # result is a deterministic collect, so output is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _stats():
+            return base.agg(
+                F.count("*").alias("n"),
+                F.expr(f"percentile(__len, array({pcts}))").alias("lp"),
+                F.expr(f"percentile(__toks, array({pcts}))").alias("tp"),
+                F.sum("__toks").alias("total_tokens"),
+                F.avg(F.col("__keep").cast("double")).alias("keep_rate"),
+                F.count_distinct("__h").alias("uniq"),
+            ).first()
+
+        def _langs():
+            return (
+                base.groupBy("__lang").agg(F.count("*").alias("c")).collect()
+            )
+
+        def _ngrams():
+            return top_ngrams(
+                docs, n=ngram_n, k=ngram_k, id_col=id_col, text_col=text_col
+            ).collect()
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(_stats)
+            f_langs = pool.submit(_langs)
+            f_ngrams = pool.submit(_ngrams)
+            stats = f_stats.result()
+            lang_rows = f_langs.result()
+            ngram_rows = f_ngrams.result()
         rows: list[tuple[str, float]] = [("n_docs", float(stats["n"]))]
         if stats["n"]:
             rows += [
@@ -85,17 +114,11 @@ def corpus_report(
                     for p, v in zip(_PCTS, arr)
                 ]
             rows += [
-                (f"lang:{r['__lang']}", float(r["c"]))
-                for r in base.groupBy("__lang")
-                .agg(F.count("*").alias("c"))
-                .collect()
+                (f"lang:{r['__lang']}", float(r["c"])) for r in lang_rows
             ]
             rows += [
                 (f"ngram:{r['ngram']}", float(r["n_occurrences"]))
-                for r in top_ngrams(
-                    docs, n=ngram_n, k=ngram_k,
-                    id_col=id_col, text_col=text_col,
-                ).collect()
+                for r in ngram_rows
             ]
     finally:
         base.unpersist()
