@@ -4547,9 +4547,15 @@ def x_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_classifier_logit,
     )
 
-    docs = _docs(spark, sf_dir)
-    flags = _fan(docs).select(
+    # r10: the two flag projections ride lm_buckets' doc-keyed restore
+    # join (keep_cols) instead of joining a second corpus-sized
+    # projection to its output — one corpus pass and no corpus⋈corpus
+    # exchange (plan: SortMergeJoin of two 5k-doc projections → the
+    # flags evaluate inside the existing left join's stream side).
+    # Same flags, same join multiset, identical output.
+    flagged = _fan(_docs(spark, sf_dir)).select(
         "doc_id",
+        "text",
         gopher_keep("text", **_CURATION_GOPHER).alias("gopher_ok"),
         F.coalesce(
             F.round(quality_classifier_logit("text") * F.lit(1e6))
@@ -4558,10 +4564,12 @@ def x_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("clf_ok"),
     )
-    lm = lm_buckets(_fan(docs)).select(
-        "doc_id", F.col("bucket").isin("head", "middle").alias("lm_ok")
+    out = lm_buckets(flagged, keep_cols=["gopher_ok", "clf_ok"]).select(
+        "doc_id",
+        "gopher_ok",
+        "clf_ok",
+        F.col("bucket").isin("head", "middle").alias("lm_ok"),
     )
-    out = flags.join(lm, "doc_id")
     return out.select(
         "doc_id",
         "gopher_ok",

@@ -705,6 +705,7 @@ def lm_score(
     text_col: str = "text",
     k: float = 0.1,
     intermediates: list | None = None,
+    keep_cols: list[str] | None = None,
 ):
     """Per-document cross-entropy under a bigram LM trained on the
     corpus ITSELF (add-k smoothing) — the perplexity-style quality
@@ -771,11 +772,18 @@ def lm_score(
         F.count("*").alias("n_bigrams"),
         (F.sum("__nll") / F.count("*")).alias("xent"),
     )
+    # `keep_cols`: docs columns (or column expressions via a prior
+    # withColumn) carried through the doc-keyed restore join — lets a
+    # composed gate compute per-doc flags in THIS scan instead of
+    # joining a second corpus-sized projection to the output (removes
+    # a corpus⋈corpus exchange; the r10 x_quality_ensemble shape).
+    keep_cols = keep_cols or []
     return (
-        docs.select(id_col)
+        docs.select(id_col, *keep_cols)
         .join(per_doc, F.col(id_col) == F.col("__id"), "left")
         .select(
             id_col,
+            *keep_cols,
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "xent",
         )
@@ -996,6 +1004,7 @@ def lm_buckets(
     text_col: str = "text",
     k: float = 0.1,
     intermediates: list | None = None,
+    keep_cols: list[str] | None = None,
 ):
     """CCNet head/middle/tail bucketing (arXiv:1911.00359 §4.3): rank
     documents by their LM cross-entropy (lm_score) and cut the corpus
@@ -1021,13 +1030,14 @@ def lm_buckets(
         raise ValueError(f"need 0 < f1 < f2 < 1, got {fractions!r}")
     scored = lm_score(
         docs, id_col=id_col, text_col=text_col, k=k,
-        intermediates=intermediates,
+        intermediates=intermediates, keep_cols=keep_cols,
     ).withColumn("__xr", F.round(F.col("xent"), 6))
     thr = scored.filter(F.col("__xr").isNotNull()).agg(
         F.expr(f"percentile(__xr, array({f1!r}, {f2!r}))").alias("__t")
     )
     return scored.crossJoin(F.broadcast(thr)).select(
         id_col,
+        *(keep_cols or []),
         "n_bigrams",
         (F.col("__xr") + F.lit(0.0)).alias("xent_r"),
         F.when(F.col("__xr").isNull(), F.lit("short"))
