@@ -672,12 +672,15 @@ def x_curriculum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fan(_docs(spark, sf_dir))
     inter: list = []
-    keep = (
-        lm_buckets(docs, intermediates=inter)
+    # r10: carry `text` through lm_buckets' doc-keyed restore join
+    # (keep_cols) so the survivor set feeds concat_chunk directly —
+    # the old docs⋈keep corpus join (one more corpus exchange + a
+    # second docs scan) drops out; same survivor rows, same blocks.
+    survivors = (
+        lm_buckets(docs, intermediates=inter, keep_cols=["text"])
         .filter(F.col("bucket").isin("head", "middle"))
-        .select("doc_id")
+        .select("doc_id", "text")
     )
-    survivors = docs.join(keep, "doc_id")
     out = concat_chunk(
         survivors, _CHUNK_BLOCK, shard_width=1000, intermediates=inter
     )
