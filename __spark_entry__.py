@@ -6896,6 +6896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_late_interaction_refined": x_late_interaction_refined,
         "x_dedup_pr_bands": x_dedup_pr_bands,
         "x_li_kmeans_pruned": x_li_kmeans_pruned,
+        "x_analyze_report": x_analyze_report,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6926,7 +6927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_hybrid_search": q13_hybrid_search,
         "q14_expansion_terms": q14_expansion_terms,
         "x_c4_clean": x_c4_clean,
-        "x_analyze_report": x_analyze_report,
         "q3_exact_topk_ip": q3_exact_topk_ip,
         "q3_exact_topk_cosine": q3_exact_topk_cosine,
         "q3_filtered_topk": q3_filtered_topk,
