@@ -504,32 +504,47 @@ def lsh_near_dups(
         from leann_rs_spark.operators.dedup import _chain_star_pairs
 
         # three consumers (size aggregate, big join, small anti-join):
-        # persist AND materialize per the measured multi-consumer rule.
+        # persist per the measured multi-consumer rule; the oversized-
+        # key aggregate IS the materializing action, and its (tiny,
+        # broadcast-bound anyway) result comes back as driver rows so
+        # the final action broadcasts a literal instead of re-running
+        # the aggregate over the cache (one job, not two — r10 fold,
+        # same as the MinHash/SimHash guards).
         banded = banded.persist()
-        banded.count()
-        if intermediates is not None:
-            intermediates.append(banded)
-        big_keys = F.broadcast(
+        key_schema = banded.select("band", "bb").schema
+        hot = (
             banded.groupBy("band", "bb")
             .agg(F.count("*").alias("__bsz"))
             .filter(F.col("__bsz") > max_bucket_size)
             .select("band", "bb")
+            .collect()
         )
-        # order key = the FULL sign-bit sketch (not just the bucket's
-        # band): identical vectors share the whole sketch, so a true
-        # dup-group inside a hot bucket sorts contiguous and stays
-        # connected through its chain links.
-        sk_str = sk.select(
-            F.col(id_col),
-            F.concat_ws(
-                "", F.transform(F.col("__bits"), lambda x: x.cast("string"))
-            ).alias("__sk"),
-        )
-        big = banded.join(big_keys, ["band", "bb"]).join(sk_str, id_col)
-        spanning = _chain_star_pairs(
-            big, ["band", "bb"], ["__sk", id_col], id_col
-        )
-        banded = banded.join(big_keys, ["band", "bb"], "left_anti")
+        if intermediates is not None:
+            intermediates.append(banded)
+        if hot:
+            from leann_rs_spark.operators.dedup import _local_keys_frame
+
+            big_keys = F.broadcast(
+                _local_keys_frame(emb.sparkSession, hot, key_schema)
+            )
+            # order key = the FULL sign-bit sketch (not just the
+            # bucket's band): identical vectors share the whole
+            # sketch, so a true dup-group inside a hot bucket sorts
+            # contiguous and stays connected through its chain links.
+            sk_str = sk.select(
+                F.col(id_col),
+                F.concat_ws(
+                    "",
+                    F.transform(F.col("__bits"), lambda x: x.cast("string")),
+                ).alias("__sk"),
+            )
+            big = banded.join(big_keys, ["band", "bb"]).join(sk_str, id_col)
+            spanning = _chain_star_pairs(
+                big, ["band", "bb"], ["__sk", id_col], id_col
+            )
+            banded = banded.join(big_keys, ["band", "bb"], "left_anti")
+        # with no bucket over the cap the guard is the identity: keep
+        # the cached banded frame and the exact all-pairs verify below.
     if assume_normalized:
         # bucket-kernel verify: each (band, bits) bucket's rows flow as
         # a grouped-map (applyInPandas) group — streamed to the worker

@@ -318,19 +318,41 @@ def _banded_candidate_pairs(
         )
     if sigs is None:
         raise ValueError("max_bucket_size requires the (id, sig) frame")
-    # three consumers of banded below (size aggregate, small anti-join,
-    # big inner join) — persist AND materialize per the measured
+    # three consumers of banded below (small anti-join, big inner join,
+    # and the oversized-key aggregate) — persist per the measured
     # multi-consumer rule, or each branch re-explodes the band hash.
+    # The aggregate doubles as the materializing action (it computes
+    # every cached partition), and its result — the oversized keys,
+    # already bounded by the broadcast the old plan shipped them in —
+    # comes back as driver rows, so the final action broadcasts a
+    # literal LocalTableScan instead of re-running the aggregate over
+    # the cache: one driver-blocking job where the
+    # count-then-broadcast-subtree form paid the count job PLUS an
+    # in-action aggregate (r10 fold).
     banded = banded.persist()
-    banded.count()
-    if intermediates is not None:
-        intermediates.append(banded)
-    big_keys = F.broadcast(
+    key_schema = banded.select("band", "bucket").schema
+    hot = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("__bsz"))
         .filter(F.col("__bsz") > max_bucket_size)
         .select("band", "bucket")
+        .collect()
     )
+    if intermediates is not None:
+        intermediates.append(banded)
+    if not hot:
+        # no bucket exceeds the cap — the guarded plan degenerates to
+        # the exact all-pairs form (anti-join with an empty key set is
+        # the identity; the spanning branch is empty), so skip both.
+        a2 = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+        b2 = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+        return (
+            a2.join(b2, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    big_keys = F.broadcast(_local_keys_frame(banded.sparkSession, hot, key_schema))
     small = banded.join(big_keys, ["band", "bucket"], "left_anti")
     sa = small.select("band", "bucket", F.col(id_col).alias("id_a"))
     sb = small.select("band", "bucket", F.col(id_col).alias("id_b"))
@@ -354,6 +376,22 @@ def _banded_candidate_pairs(
         pairs_small.unionByName(spanning)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _local_keys_frame(spark, rows: list, schema) -> DataFrame:
+    """Collected hot-bucket keys → a JVM LocalRelation frame (via
+    Arrow/pandas). A plain createDataFrame(rows) is parallelize-backed
+    ('Scan ExistingRDD'): every BroadcastExchange over it re-evaluates
+    the pickled partitions through a Python worker — the guard plans
+    broadcast the key set into several joins, so that roundtrip is
+    paid repeatedly per action. The Arrow path ships the handful of
+    rows once, JVM-side."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=[f.name for f in schema.fields]
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def _chain_star_pairs(
@@ -923,6 +961,11 @@ def dedup_clusters(
     # check (any edge a<b changes b's label, so round 0's check never
     # exits). Saves two driver-blocking jobs per call; labels after
     # this init are exactly the old round-0 output.
+    # NOT checkpointed (r10): round 1 references this agg twice (own +
+    # incoming), but both references are the identical groupBy subtree
+    # over the checkpointed `sym` scan, so ReuseExchange computes it
+    # once inside round 1's single job — cheaper than a separate
+    # driver-blocking init-checkpoint job before the loop.
     labels = (
         sym.select(F.col("src").alias("id"), F.col("src").alias("lab"))
         .unionByName(
@@ -930,7 +973,6 @@ def dedup_clusters(
         )
         .groupBy("id")
         .agg(F.min("lab").alias("lab"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter - 1):
         # neighbor minimum: push each node's label to its neighbors,
@@ -945,13 +987,19 @@ def dedup_clusters(
                 F.lit(None).cast("long").alias("own"),
             )
         )
+        # LAZY checkpoint + full-count change check: the count is a
+        # complete action (every partition computed), so it doubles as
+        # the checkpoint materialization — one driver-blocking job per
+        # round where the eager-checkpoint-then-limit(1)-count form
+        # paid two (r10 fold; limit(1) could not materialize a lazy
+        # checkpoint, a partial action computes only some partitions).
         merged = (
             own.unionByName(incoming)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"), F.max("own").alias("old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = merged.filter(F.col("lab") != F.col("old")).limit(1).count()
+        changed = merged.filter(F.col("lab") != F.col("old")).count()
         labels = merged.select("id", "lab")
         if changed == 0:
             break
@@ -1631,16 +1679,47 @@ def simhash_near_dups(
 
     if max_bucket_size is not None:
         # three consumers (size aggregate, small anti-join, big join):
-        # persist AND materialize per the measured multi-consumer rule.
+        # persist per the measured multi-consumer rule; the oversized-
+        # key aggregate IS the materializing action and its (tiny,
+        # broadcast-bound anyway) result comes back as driver rows, so
+        # the final action broadcasts a literal instead of re-running
+        # the aggregate (one job, not two — r10 fold, same as the
+        # MinHash guard).
         banded = banded.persist()
-        banded.count()
-        if intermediates is not None:
-            intermediates.append(banded)
-        big_keys = F.broadcast(
+        key_schema = banded.select("band", "bb").schema
+        hot = (
             banded.groupBy("band", "bb")
             .agg(F.count("*").alias("__bsz"))
             .filter(F.col("__bsz") > max_bucket_size)
             .select("band", "bb")
+            .collect()
+        )
+        if intermediates is not None:
+            intermediates.append(banded)
+        if not hot:
+            # no bucket over the cap: the guard degenerates to the
+            # exact all-pairs form below — fall through to it.
+            a = banded.select(
+                "band", "bb", F.col(id_col).alias("id_a"),
+                F.col("sh").alias("sha"),
+            )
+            b = banded.select(
+                "band", "bb", F.col(id_col).alias("id_b"),
+                F.col("sh").alias("shb"),
+            )
+            return (
+                a.join(b, ["band", "bb"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn(
+                    "hamming",
+                    F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))),
+                )
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+        big_keys = F.broadcast(
+            _local_keys_frame(banded.sparkSession, hot, key_schema)
         )
         small = banded.join(big_keys, ["band", "bb"], "left_anti")
         sa = small.select(

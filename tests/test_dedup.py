@@ -448,6 +448,23 @@ def test_incremental_simhash_matches_cross_split_pairs(spark):
     sk.unpersist()
 
 
+def test_dedup_clusters_deep_chain_converges(spark):
+    """A diameter-8 chain ordered AGAINST the propagation direction
+    (min id at the far end) forces several label-propagation rounds —
+    pins the r10 fused round (lazy localCheckpoint materialized by the
+    change-check count, init agg not checkpointed) through the
+    multi-round path, not just the 1-2-round graphs the bench data
+    produces."""
+    from leann_rs_spark.operators.dedup import dedup_clusters
+
+    # chain 9-8-7-...-1: label 1 must walk 8 hops
+    pairs = spark.createDataFrame(
+        [(i, i - 1) for i in range(9, 1, -1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 10)}
+
+
 def test_dedup_clusters_hand_graph(spark):
     """Chain 1-2-3-4 and pair (10,11) must collapse to min-id labels;
     convergence needs diameter rounds, pinned under max_iter."""
