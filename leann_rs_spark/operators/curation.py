@@ -117,6 +117,13 @@ def curate_corpus(
     proj = _persist(
         docs.withColumn("__keep", gopher_keep(text_col, **(gopher_params or {})))
     )
+    # materialize BEFORE q2: q2's plan holds proj in two branches (the
+    # survivors and exact_dedup's canon subtree), and racing map stages
+    # of one action each re-run the gopher projection when the cache is
+    # still cold (r10 job profile: three concurrent ~1.1 s duplicate
+    # jobs on the artifact-served gate). The count is the projection
+    # run ONCE — the multi-consumer persist-AND-materialize rule.
+    proj.count()
     q = proj.filter("__keep").drop("__keep")
     t0 = _mark("quality_gate", q, t0)
     canon = (
@@ -125,6 +132,10 @@ def curate_corpus(
         .select(id_col)
     )
     q2 = _persist(q.join(canon, id_col, "left_semi"))
+    # same rule: q2 feeds the signature aggregate, the artifact
+    # validation action, both verify-shingle attaches, the keep join
+    # and the split — the first of those would race the rest otherwise.
+    q2.count()
     t0 = _mark("exact_dedup", q2, t0)
     corpus_sigs, shingle_k = None, 5
     if sigs_warehouse is not None:
