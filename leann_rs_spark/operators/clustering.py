@@ -67,8 +67,15 @@ def cluster_assign(
     vec_col: str = "embedding",
     inline_max: int = IVF_INLINE_MAX_CENTROIDS,
     metric: str = "cosine",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """→ (id_col, vec_col, cluster_id, cos): nearest centroid by cosine.
+    """→ (id_col, vec_col, *extra_cols, cluster_id, cos): nearest
+    centroid by cosine.
+
+    `extra_cols` are carried through unchanged (the ivf_assign
+    contract): on the broadcast path they join id_col as the re-collapse
+    grouping key, so (id_col, *extra_cols) MUST uniquely identify input
+    rows — same rule ivf_assign(validate=True) enforces.
 
     Physical shape mirrors operators/ann.py:ivf_assign (same
     inline-vs-broadcast switch, same MAX(struct(score, -centroid_id))
@@ -122,19 +129,21 @@ def cluster_assign(
         return vectors.withColumn("__b", best).select(
             id_col,
             vec_col,
+            *(extra_cols or []),
             (-F.col("__b.neg_id")).alias("cluster_id"),
             F.col("__b.s").alias("cos"),
         )
     scored = vectors.crossJoin(F.broadcast(cent_df)).select(
         F.col(id_col),
         vec,
+        *(F.col(c) for c in (extra_cols or [])),
         F.struct(
             score(vec, F.col("centroid_vec")).alias("s"),
             (-F.col("centroid_id")).alias("neg_id"),
         ).alias("__cand"),
     )
     return (
-        scored.groupBy(id_col)
+        scored.groupBy(id_col, *(extra_cols or []))
         .agg(
             F.any_value(F.col(vec_col)).alias(vec_col),
             F.max("__cand").alias("__best"),
@@ -142,6 +151,7 @@ def cluster_assign(
         .select(
             id_col,
             vec_col,
+            *(extra_cols or []),
             (-F.col("__best.neg_id")).alias("cluster_id"),
             F.col("__best.s").alias("cos"),
         )
@@ -513,41 +523,52 @@ def embedding_drift(
     clusters finite; every configured cluster emits a row (a cluster
     the new batch abandons or floods is exactly the signal).
 
-    Shape: two nearest-centroid map passes (inline codebook — no join,
-    no shuffle below IVF_INLINE_MAX_CENTROIDS), two C-row histogram
-    aggregations joined on the centroid grid, one broadcast totals
-    row. Per-cluster KL terms are emitted as rows (no cross-row float
-    sum, so no ordering hazard); the scalar divergence is the exact
-    integer-free sum of the already-rounded terms, the caller's one
-    line."""
-    spark = ref.sparkSession
+    Shape: ONE nearest-centroid map pass over the side-tagged union of
+    both slices (inline codebook — no join, no shuffle below
+    IVF_INLINE_MAX_CENTROIDS), one C-row two-column histogram
+    aggregation joined on the centroid grid, totals and the cluster
+    count C via an unpartitioned window over that C-row frame. Round
+    10 fused the original two assign passes / two aggregations /
+    persist barrier / broadcast-totals crossJoin into this form —
+    values are bit-identical (the long-typed histogram operands and the
+    division order are unchanged), but the job count drops from ~6
+    driver-blocking jobs to the codebook collect plus the one result
+    job, and the vectors are scanned once instead of twice (guide
+    §1.2 job count, §2.4 shared exchange). Per-cluster KL terms are
+    emitted as rows (no cross-row float sum, so no ordering hazard);
+    the scalar divergence is the exact integer-free sum of the
+    already-rounded terms, the caller's one line."""
+    from pyspark.sql import Window
+
     grid = centroids.select(F.col("centroid_id").alias("cluster_id"))
-    n_c = centroids.count()
-
-    def hist(df: DataFrame, name: str) -> DataFrame:
-        return (
-            cluster_assign(df, centroids, id_col, vec_col, metric=metric)
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias(name))
-        )
-
-    j = (
-        grid.join(hist(ref, "n_ref"), "cluster_id", "left")
-        .join(hist(new, "n_new"), "cluster_id", "left")
-        .select(
-            "cluster_id",
-            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
-        )
+    tagged = ref.select(
+        F.col(id_col), F.col(vec_col), F.lit(0).alias("__side")
+    ).unionByName(
+        new.select(F.col(id_col), F.col(vec_col), F.lit(1).alias("__side"))
     )
-    j = j.persist()  # two consumers (totals + terms) of two assign passes
-    j.count()
-    tot = j.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_new").alias("t_new")
+    assigned = cluster_assign(
+        tagged, centroids, id_col, vec_col, metric=metric,
+        extra_cols=["__side"],
     )
-    p_ref = (F.col("n_ref") + F.lit(1)) / (F.col("t_ref") + F.lit(n_c))
-    p_new = (F.col("n_new") + F.lit(1)) / (F.col("t_new") + F.lit(n_c))
-    return j.crossJoin(F.broadcast(tot)).select(
+    hist = assigned.groupBy("cluster_id").agg(
+        F.count(F.when(F.col("__side") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("__side") == 1, 1)).alias("n_new"),
+    )
+    j = grid.join(hist, "cluster_id", "left").select(
+        "cluster_id",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    # totals + C over the C-row frame: a single-partition window over
+    # (at most) the codebook size replaces the persist/count barrier,
+    # the totals aggregate job and the broadcast crossJoin
+    w = Window.partitionBy()
+    t_ref = F.sum("n_ref").over(w)
+    t_new = F.sum("n_new").over(w)
+    n_c = F.count("*").over(w)
+    p_ref = (F.col("n_ref") + F.lit(1)) / (t_ref + n_c)
+    p_new = (F.col("n_new") + F.lit(1)) / (t_new + n_c)
+    return j.select(
         "cluster_id",
         "n_ref",
         "n_new",
