@@ -36,7 +36,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from leann_rs_spark.functions.vector import duckdb_dot, dot
+from leann_rs_spark.functions.vector import (
+    duckdb_dot, dot, lit_vec, lit_vec_sql,
+)
 
 
 def take_centroids(
@@ -126,14 +128,16 @@ def ivf_assign(
     )
     vec = F.col(vec_col)
     if len(cents) <= inline_max:
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["centroid_id"])).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]).alias("cv"),
-                )
+        # one SQL-parse call instead of ~C*(dims+3) py4j calls
+        # (functions/vector.lit_vec): same Literal tree, bit-identical
+        cent_lit = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('cid',{int(r['centroid_id'])}"
+                f",'cv',{lit_vec_sql(r['centroid_vec'])})"
                 for r in cents
-            ]
+            )
+            + ")"
         )
         best = F.array_max(
             F.transform(
@@ -324,7 +328,7 @@ def ivf_search(
     `assigned` is written partitionBy("cluster_id"), that's static
     partition pruning at the file level.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     probe_rows = (
         centroids.select(
             "centroid_id", dot(F.col("centroid_vec"), q).alias("__qs")
@@ -368,14 +372,14 @@ def _signbit_sketch(vec: Column, hp: list[list[float]]) -> Column:
         folds): ~20% slower benched (4.6 s -> 5.8 s).
     Bit-equivalence of the unrolled variant is pinned by test_ann's
     sketch-equality test so a future re-attempt stays safe."""
-    hp_lit = F.array(
-        *[
-            F.struct(
-                F.lit(p).alias("pid"),
-                F.array(*[F.lit(x) for x in hp[p]]).alias("hv"),
-            )
+    # one SQL-parse call for the planes x dims literal (lit_vec note)
+    hp_lit = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('pid',{p},'hv',{lit_vec_sql(hp[p])})"
             for p in range(len(hp))
-        ]
+        )
+        + ")"
     )
     return F.transform(
         hp_lit,

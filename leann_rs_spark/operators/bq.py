@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from leann_rs_spark.functions.vector import dot, duckdb_dot
+from leann_rs_spark.functions.vector import dot, duckdb_dot, lit_vec
 
 _WORD_BITS = 63  # DuckDB `1::BIGINT << 63` overflows; 63 bits/word both engines
 
@@ -141,7 +141,7 @@ def bq_search(
         return ranked.limit(k)
     if vectors is None:
         raise ValueError("refine > 0 needs the full-vector table")
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     shortlist = ranked.limit(refine * k).select(id_col)
     return (
         vectors.join(F.broadcast(shortlist), id_col, "left_semi")
@@ -239,7 +239,7 @@ def ivfbq_search(
     partition pruning at the file level)."""
     from leann_rs_spark.functions.vector import dot as _dot
 
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     probe_rows = (
         centroids.select(
             "centroid_id", _dot(F.col("centroid_vec"), q).alias("__qs")

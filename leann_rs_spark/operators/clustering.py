@@ -48,6 +48,8 @@ from leann_rs_spark.functions.vector import (
     dot,
     duckdb_cosine,
     duckdb_dot,
+    lit_vec,
+    lit_vec_sql,
 )
 from leann_rs_spark.operators.ann import IVF_INLINE_MAX_CENTROIDS
 
@@ -107,16 +109,17 @@ def cluster_assign(
         raise ValueError("cluster_assign: centroids is empty")
     vec = F.col(vec_col)
     if len(cents) <= inline_max:
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(r["centroid_id"])).alias("cid"),
-                    F.array(*[F.lit(float(x)) for x in r["centroid_vec"]]).alias(
-                        "cv"
-                    ),
-                )
+        # one SQL-parse call instead of ~C*(dims+3) py4j calls
+        # (functions/vector.lit_vec): a C=16 x d=64 codebook cost ~1.3s
+        # of pure driver time in the per-element form, zero job time
+        cent_lit = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('cid',{int(r['centroid_id'])}"
+                f",'cv',{lit_vec_sql(r['centroid_vec'])})"
                 for r in cents
-            ]
+            )
+            + ")"
         )
         best = F.array_max(
             F.transform(
@@ -412,7 +415,7 @@ def kcenter_sample(
         )
 
     def _lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
+        return lit_vec(v)
 
     def _d2(vec, center):
         c = _lit_vec(center)

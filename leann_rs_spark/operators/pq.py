@@ -46,7 +46,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from leann_rs_spark.functions.vector import dot, duckdb_dot
+from leann_rs_spark.functions.vector import (
+    dot, duckdb_dot, lit_vec, lit_vec_sql, sql_double,
+)
 
 PQ_DEFAULT_M = 8
 PQ_DEFAULT_K = 16
@@ -117,14 +119,15 @@ def kmeans_subcodebooks(
 
 
 def _sub_cb_lit(sub_cb: list[list[float]]) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
+    # one SQL-parse call instead of ~K*(d+3) py4j calls (functions/
+    # vector.lit_vec rationale): same Literal tree, bit-identical values
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('cid',{j},'cv',{lit_vec_sql(cv)})"
             for j, cv in enumerate(sub_cb)
-        ]
+        )
+        + ")"
     )
 
 
@@ -317,11 +320,15 @@ def pq_reconstruct_col(code: Column, codebook: Codebook) -> Column:
     array<double> literal lookup per row. ADC scoring is
     dot(query, decode(code)); evaluating it through the shared dot()
     fold keeps Spark and the DuckDB oracle bit-identical."""
-    cb_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in sub_cb])
+    # one SQL-parse call for the M x K x d nested literal (~1k
+    # elements): the per-element py4j form cost ~0.8s of driver time
+    cb_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(lit_vec_sql(cv) for cv in sub_cb) + ")"
             for sub_cb in codebook
-        ]
+        )
+        + ")"
     )
     return F.flatten(
         F.zip_with(
@@ -342,7 +349,7 @@ def pq_search(
     """ADC top-k over the code table alone: (id, score). The scan reads
     M bytes per row instead of the full vector; the plan is
     Scan → Project → TakeOrderedAndProject, no shuffle of the corpus."""
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     return (
         codes.select(
             id_col,
@@ -367,7 +374,7 @@ def pq_search_refined(
     the shortlist ids BROADCAST into the full-vector join, so the
     expensive table contributes refine·k point reads (on an id-sorted
     or bucketed table, a pruned scan), never a full pass."""
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     shortlist = (
         codes.select(
             id_col,
@@ -410,7 +417,7 @@ def ivf_pq_search(
     (test-pinned). Per-query scan bytes: (nprobe/C) · N · M — the two
     knobs multiply.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     probe_rows = (
         centroids.select(
             "centroid_id", dot(F.col("centroid_vec"), q).alias("__qs")

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from leann_rs_spark.functions.vector import cosine, dot
+from leann_rs_spark.functions.vector import cosine, dot, lit_vec
 
 
 def _score(metric: str, vec_col: Column, query_col: Column) -> Column:
@@ -55,7 +55,7 @@ def exact_search(
     the Parquet scan.
     Returns (id_col, score) with score DOUBLE, ordered score DESC, id ASC.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     df = vectors
     if predicate is not None:
         df = df.filter(predicate)
@@ -162,14 +162,14 @@ def mrl_search(
     prefix scores are only comparable normalized. All float math
     stays in the verified dot/l2 folds — deterministic cross-engine.
     """
-    qd = F.array(*[F.lit(float(x)) for x in query_vector[:d]])
+    qd = lit_vec(query_vector[:d])
     pref = F.slice(F.col(vec_col), 1, d)
     ranked = vectors.select(
         id_col, cosine(pref, qd).alias("score")
     ).orderBy(F.col("score").desc(), F.col(id_col).asc())
     if refine <= 0:
         return ranked.limit(k)
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     shortlist = ranked.limit(refine * k).select(id_col)
     return (
         vectors.join(F.broadcast(shortlist), id_col, "left_semi")
@@ -240,7 +240,7 @@ def mmr_search(
     → (rank, id_col, rel DOUBLE) — rank 1..k in pick order; rel is the
     candidate's original relevance score.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     cand = (
         vectors.select(
             id_col, vec_col, _score(metric, F.col(vec_col), q).alias("score")
@@ -258,10 +258,7 @@ def mmr_search(
                 ~F.col(id_col).isin([s[0] for s in sel])
             )
             dots = [
-                dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in vec]),
-                )
+                dot(F.col(vec_col), lit_vec(vec))
                 for _, vec, _ in sel
             ]
             sim = dots[0] if len(dots) == 1 else F.greatest(*dots)

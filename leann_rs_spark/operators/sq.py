@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from leann_rs_spark.functions.vector import dot, duckdb_dot
+from leann_rs_spark.functions.vector import dot, duckdb_dot, lit_vec
 
 
 def sq8_train(
@@ -49,7 +49,7 @@ def sq8_train(
 
 
 def _lit_arr(xs: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in xs])
+    return lit_vec(xs)
 
 
 def sq8_encode_col(vec: Column, mins: list[float], rngs: list[float]) -> Column:
@@ -119,7 +119,7 @@ def sq8_search(
     """Top-k by dot(query, dequant(code)) over the byte codes — a 4×
     scan-bytes cut at ~0.2 % score error; refine > 0 exact-rescores
     the top refine·k via a broadcast shortlist (the PQ refine shape)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     scored = codes.select(
         id_col,
         dot(q, sq8_reconstruct_col(F.col("qcode"), mins, rngs)).alias("score"),
@@ -239,7 +239,7 @@ def ivfsq_search(
     assignment projection; no join)."""
     from leann_rs_spark.functions.vector import dot as _dot
 
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_vec(query_vector)
     probe_rows = (
         centroids.select(
             "centroid_id", _dot(F.col("centroid_vec"), q).alias("__qs")
