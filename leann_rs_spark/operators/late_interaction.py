@@ -1093,11 +1093,11 @@ def li_probe_recall_curve(
     riding along, then every sweep point is a filter + one window over
     the same frame. Ground truth is one exact batch run.
 
-    `intermediates`: the two persisted Q×N frames (candidates, sweep)
-    are appended so a long-lived session can unpersist them after
-    materializing the curve (the ivf_recall_curve ruling). When it is
-    None the curve is materialized INTERNALLY (collect of a
-    sweep-sized frame) and both persisted frames are unpersisted
+    `intermediates`: the three persisted frames (candidates, sweep,
+    exact truth) are appended so a long-lived session can unpersist
+    them after materializing the curve (the ivf_recall_curve ruling).
+    When it is None the curve is materialized INTERNALLY (collect of a
+    sweep-sized frame) and the persisted frames are unpersisted
     before returning a local DataFrame — library callers must not
     leak session-lifetime cache entries (ADVICE r7)."""
     nprobes = sorted(nprobes or [1, 2, 4])
@@ -1124,35 +1124,50 @@ def li_probe_recall_curve(
     # multi-consumer boundary (pairs input + rank join); the measured
     # count also drives the broadcast size-guard on BOTH candidate
     # joins below — an unpruning codebook makes cand Q×corpus-sized
-    n_pairs = cand.count()
-    if intermediates is not None:
-        intermediates.append(cand)
-    scored = _exact_maxsim_scores(
-        plain, cand.select("query_id", id_col), queries, dims, id_col,
-        pair_rows=n_pairs,
-    )
-    cand_side = (
-        F.broadcast(cand) if n_pairs <= PAIR_BROADCAST_ROW_LIMIT else cand
-    )
-    sw = (
-        scored.join(cand_side, ["query_id", id_col])
-        .withColumn(
-            "nprobe", F.explode(F.array(*[F.lit(p) for p in nprobes]))
+    # exact ground truth shares no lineage with the candidate/sweep
+    # frames, so its materialization runs on a background thread
+    # (guide §2.6 overlap): the vocab-score and batch-MaxSim jobs
+    # back-fill executors idled by the two persist barriers below
+    # (FIFO scheduling). The count is the mandatory materialize-before-
+    # consumers step; `matched` blocks on the future before reading.
+    from concurrent.futures import ThreadPoolExecutor
+
+    truth = (
+        late_interaction_topk_batch(
+            plain, queries, k=k, dims=dims, id_col=id_col
         )
-        .filter(F.col("cand_rn") <= F.col("nprobe"))
+        .select("query_id", id_col)
         .persist()
     )
-    sw.count()  # consumed by the ranked top-k AND the candidate count
-    if intermediates is not None:
-        intermediates.append(sw)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        truth_fut = pool.submit(truth.count)
+        n_pairs = cand.count()
+        if intermediates is not None:
+            intermediates.append(cand)
+        scored = _exact_maxsim_scores(
+            plain, cand.select("query_id", id_col), queries, dims, id_col,
+            pair_rows=n_pairs,
+        )
+        cand_side = (
+            F.broadcast(cand) if n_pairs <= PAIR_BROADCAST_ROW_LIMIT else cand
+        )
+        sw = (
+            scored.join(cand_side, ["query_id", id_col])
+            .withColumn(
+                "nprobe", F.explode(F.array(*[F.lit(p) for p in nprobes]))
+            )
+            .filter(F.col("cand_rn") <= F.col("nprobe"))
+            .persist()
+        )
+        sw.count()  # consumed by the ranked top-k AND the candidate count
+        if intermediates is not None:
+            intermediates.extend([sw, truth])
+        truth_fut.result()
     from pyspark.sql import Window
 
     w = Window.partitionBy("nprobe", "query_id").orderBy(
         F.desc("score_r"), F.asc(id_col)
     )
-    truth = late_interaction_topk_batch(
-        plain, queries, k=k, dims=dims, id_col=id_col
-    ).select("query_id", id_col)
     matched = (
         sw.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -1179,6 +1194,7 @@ def li_probe_recall_curve(
         rows = curve.collect()
         cand.unpersist()
         sw.unpersist()
+        truth.unpersist()
         return spark.createDataFrame(rows, curve.schema)
     return curve
 
