@@ -558,33 +558,17 @@ def minhash_near_dups(
         sigs = _minhash_signatures_bulk(
             docs, id_col, text_col, shingle_k, num_hashes
         )
-    if cache:
-        # persist AND materialize: the banded self-join launches both
-        # map stages concurrently, and an unmaterialized cache would be
-        # computed twice (the stages race before blocks exist).
-        sigs = sigs.persist()
-        sigs.count()
-        if intermediates is not None:
-            intermediates.append(sigs)
-    # banded carries ONLY (id, band, bucket): the band explode duplicates
-    # every row `bands`×, and the (band, bucket) shuffle moves each copy —
-    # keeping the shingle arrays out of it cuts the shuffled bytes to the
-    # id width. Shingles re-attach later, to unique candidate pairs only.
-    banded = _band_sigs(sigs, id_col, bands, rows)
-    pairs = _banded_candidate_pairs(
-        banded, id_col, max_bucket_size=max_bucket_size, sigs=sigs,
-        intermediates=intermediates,
-    )
-    # Exact-Jaccard verify: the shingle projection sits on the BUILD
-    # side of each attach join, so it IS evaluated (and broadcast) for
-    # the whole corpus — O(corpus) HOF work where O(candidate docs)
-    # would suffice. Round 10 measured the candidate-prune alternative
-    # (persist+materialize `pairs`, semi-join docs on its ids before
-    # shingling): net SLOWER at bench scale (+0.5-2.0 s/gate — the
-    # extra materialization job and exchanges cost more than 5k docs'
-    # shingles save), so the single-plan form stays; at a corpus where
-    # the verify projection dominates, that prune is the §8-shaped fix
-    # and verify_pairs_exact's docstring records the recipe.
+    # Exact-Jaccard verify input: the shingle projection sits on the
+    # BUILD side of each attach join, so it IS evaluated (and
+    # broadcast) for the whole corpus — O(corpus) HOF work where
+    # O(candidate docs) would suffice. Round 10 measured the
+    # candidate-prune alternative (persist+materialize `pairs`,
+    # semi-join docs on its ids before shingling): net SLOWER at bench
+    # scale (+0.5-2.0 s/gate — the extra materialization job and
+    # exchanges cost more than 5k docs' shingles save), so the
+    # single-plan form stays; at a corpus where the verify projection
+    # dominates, that prune is the §8-shaped fix and
+    # verify_pairs_exact's docstring records the recipe.
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(char_shingles(F.col(text_col), shingle_k)).alias(
@@ -592,24 +576,56 @@ def minhash_near_dups(
         ),
     )
     # `sh` feeds BOTH attach joins and Catalyst does not CSE across
-    # join branches, so the corpus is shingled and broadcast twice per
-    # action. Round 10 measured the persist+materialize fix (the
-    # multi-consumer rule) on both paths at equal steal%:
-    #   * INLINE: net REGRESSION (x_curation_pipeline 5.9→8.7 s,
-    #     x_crawl_pipeline 6.8→9.0 s, x_dedup_minhash 2.3→2.8 s) —
-    #     the duplicate subtrees are independent broadcast builds that
-    #     overlap with the signature pipeline, while the persist
-    #     inserts a serial count barrier on the critical path;
+    # join branches, so without a persist the corpus is shingled and
+    # broadcast twice per action. Round 10 measured the
+    # persist+materialize fix (the multi-consumer rule) at equal
+    # steal%, twice:
+    #   * INLINE: net REGRESSION both as a serial barrier
+    #     (x_curation_pipeline 5.9→8.7 s) AND as a background-thread
+    #     materialization overlapping the signature barrier
+    #     (5.5→6.8 s, x_leakage_safe_split 1.8→3.1 s, min-of-3 at
+    #     ~0.1% steal) — caching the wide shingle arrays costs more
+    #     than the duplicate broadcast builds it saves, independent of
+    #     where the barrier sits;
     #   * ARTIFACT-SERVED: net WIN (x_curation_pipeline_sigs
-    #     9.5→7.9 s) — with the signature aggregate gone, the double
-    #     shingle pass IS the dominant per-action cost, and the
-    #     barrier replaces real recomputation, not overlapped work.
-    # So the persist is applied exactly where it measured ahead.
-    if corpus_sigs is not None:
-        sh = sh.persist()
-        sh.count()
-        if intermediates is not None:
-            intermediates.append(sh)
+    #     9.5→7.9 s serial; →6.6 s with the count submitted from a
+    #     one-thread pool overlapping the signature semi-join barrier,
+    #     guide §2.6 back-fill) — with the signature aggregate gone,
+    #     the double shingle pass IS the dominant per-action cost.
+    # So the persist stays exactly where it measured ahead, and its
+    # materialization overlaps the artifact path's other jobs; the
+    # future is awaited before the attach joins are returned
+    # (materialize-before-consumers).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sh_fut = None
+        if corpus_sigs is not None:
+            sh = sh.persist()
+            sh_fut = pool.submit(sh.count)
+            if intermediates is not None:
+                intermediates.append(sh)
+        if cache:
+            # persist AND materialize: the banded self-join launches
+            # both map stages concurrently, and an unmaterialized cache
+            # would be computed twice (the stages race before blocks
+            # exist).
+            sigs = sigs.persist()
+            sigs.count()
+            if intermediates is not None:
+                intermediates.append(sigs)
+        # banded carries ONLY (id, band, bucket): the band explode
+        # duplicates every row `bands`×, and the (band, bucket) shuffle
+        # moves each copy — keeping the shingle arrays out of it cuts
+        # the shuffled bytes to the id width. Shingles re-attach later,
+        # to unique candidate pairs only.
+        banded = _band_sigs(sigs, id_col, bands, rows)
+        pairs = _banded_candidate_pairs(
+            banded, id_col, max_bucket_size=max_bucket_size, sigs=sigs,
+            intermediates=intermediates,
+        )
+        if sh_fut is not None:
+            sh_fut.result()
     with_sh = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"),
                              F.col("shingles").alias("sh_a")), "id_a")
