@@ -88,13 +88,25 @@ def dsir_log_ratio(
     if raw_buckets is None:
         raw_buckets = _doc_buckets(raw, id_col, text_col, buckets)
     cr = raw_buckets.groupBy("bucket").agg(F.count("*").alias("__cr"))
-    nt = ct.agg(F.sum("__ct").alias("__nt"))
-    nr = cr.agg(F.sum("__cr").alias("__nr"))
+    # corpus totals via an unpartitioned window over the ≤`buckets`-row
+    # joined frame: the separate nt/nr aggregates + broadcast crossJoins
+    # re-evaluated the UNPERSISTED ct subtree (the whole target
+    # tokenize+explode+count) a second time per action — a duplicated
+    # ~1s job in the x_dsir_select profile. Null-side rows of the full
+    # outer join contribute nothing to either sum (SUM ignores NULLs),
+    # so the totals are value-identical to the old per-table aggregates.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    nt_col = F.sum("__ct").over(w)
+    nr_col = F.sum("__cr").over(w)
     ab = float(alpha) * buckets
     return (
         ct.join(cr, "bucket", "full_outer")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket", "__ct", "__cr",
+            nt_col.alias("__nt"), nr_col.alias("__nr"),
+        )
         .select(
             "bucket",
             (
