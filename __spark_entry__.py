@@ -6897,6 +6897,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dedup_pr_bands": x_dedup_pr_bands,
         "x_li_kmeans_pruned": x_li_kmeans_pruned,
         "x_analyze_report": x_analyze_report,
+        "x_dsir_select": x_dsir_select,
+        "x_select_pack": x_select_pack,
+        "x_rrf_hybrid": x_rrf_hybrid,
+        "x_mrl_topk": x_mrl_topk,
+        "x_mmr_rerank": x_mmr_rerank,
+        "x_kcenter_sample": x_kcenter_sample,
+        "q13_hybrid_search": q13_hybrid_search,
+        "q3_exact_topk_ip": q3_exact_topk_ip,
+        "q3_exact_topk_cosine": q3_exact_topk_cosine,
+        "q3_filtered_topk": q3_filtered_topk,
+        "q7_search_read_path": q7_search_read_path,
+        "x_domain_mix": x_domain_mix,
+        "x_pq_topk": x_pq_topk,
+        "x_sq8_topk": x_sq8_topk,
+        "x_bq_topk": x_bq_topk,
+        "x_sq8_refined": x_sq8_refined,
+        "x_embedding_drift": x_embedding_drift,
+        "x_token_cid_balance": x_token_cid_balance,
+        "x_ivfpq_topk": x_ivfpq_topk,
+        "x_ivfbq_topk": x_ivfbq_topk,
+        "x_ivfsq_topk": x_ivfsq_topk,
+        "x_ivf_recall": x_ivf_recall,
+        "x_pq_recall": x_pq_recall,
+        "x_ivfpq_batch": x_ivfpq_batch,
+        "x_ivf_drift_recall": x_ivf_drift_recall,
+        "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6907,31 +6933,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_asof_join_salted": x_asof_join_salted,
         "x_asof_nearest": x_asof_nearest,
         "x_paragraph_dedup": x_paragraph_dedup,
-        "x_dsir_select": x_dsir_select,
         "x_top_ngrams": x_top_ngrams,
-        "x_select_pack": x_select_pack,
-        "x_rrf_hybrid": x_rrf_hybrid,
         "x_concat_chunk": x_concat_chunk,
         "x_hard_negatives": x_hard_negatives,
         "x_temperature_mix": x_temperature_mix,
-        "x_mrl_topk": x_mrl_topk,
-        "x_mmr_rerank": x_mmr_rerank,
         "x_bpe_merges": x_bpe_merges,
         "x_bpe_encode": x_bpe_encode,
         "x_length_batches": x_length_batches,
-        "x_kcenter_sample": x_kcenter_sample,
         "x_html_strip": x_html_strip,
         "x_text_nfc": x_text_nfc,
         "q8_bm25_scored": q8_bm25_scored,
         "q11_bm25_topk": q11_bm25_topk,
-        "q13_hybrid_search": q13_hybrid_search,
         "q14_expansion_terms": q14_expansion_terms,
         "x_c4_clean": x_c4_clean,
-        "q3_exact_topk_ip": q3_exact_topk_ip,
-        "q3_exact_topk_cosine": q3_exact_topk_cosine,
-        "q3_filtered_topk": q3_filtered_topk,
         "q5_filter_dsl_json": q5_filter_dsl_json,
-        "q7_search_read_path": q7_search_read_path,
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
         "r1_rag_batch": r1_rag_batch,
         "x_multimodal_features": x_multimodal_features,
@@ -6944,7 +6959,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_frame_sample": x_media_frame_sample,
         "x_media_resize": x_media_resize,
         "x_hopping_stats": x_hopping_stats,
-        "x_domain_mix": x_domain_mix,
         "x_sessionize": x_sessionize,
         "x_window_stats": x_window_stats,
         "x_asof_join": x_asof_join,
@@ -6954,22 +6968,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_text_redact": x_text_redact,
         "x_decontaminate": x_decontaminate,
         "x_stream_sessionize": x_stream_sessionize,
-        "x_pq_topk": x_pq_topk,
-        "x_sq8_topk": x_sq8_topk,
-        "x_bq_topk": x_bq_topk,
-        "x_sq8_refined": x_sq8_refined,
         "x_media_audio_features": x_media_audio_features,
         "x_token_kl": x_token_kl,
-        "x_embedding_drift": x_embedding_drift,
-        "x_token_cid_balance": x_token_cid_balance,
         "x_table_diff": x_table_diff,
         "x_salted_join": x_salted_join,
         "x_table_stats": x_table_stats,
         "x_zorder_layout": x_zorder_layout,
         "x_video_near_dups": x_video_near_dups,
-        "x_ivfpq_topk": x_ivfpq_topk,
-        "x_ivfbq_topk": x_ivfbq_topk,
-        "x_ivfsq_topk": x_ivfsq_topk,
         "x_media_phash_dups": x_media_phash_dups,
         "x_domain_budget": x_domain_budget,
         "x_stream_rolling": x_stream_rolling,
@@ -6977,12 +6982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_decontaminate_spans": x_decontaminate_spans,
         "x_budget_select": x_budget_select,
         "x_retrieval_eval": x_retrieval_eval,
-        "x_ivf_recall": x_ivf_recall,
-        "x_pq_recall": x_pq_recall,
-        "x_ivfpq_batch": x_ivfpq_batch,
         "x_bq_batch_topk": x_bq_batch_topk,
-        "x_ivf_drift_recall": x_ivf_drift_recall,
-        "q2_ivf_batch_topk": q2_ivf_batch_topk,
         "q3_batch_topk": q3_batch_topk,
         "x_tfidf_keywords": x_tfidf_keywords,
     }
