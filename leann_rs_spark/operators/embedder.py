@@ -353,21 +353,32 @@ def embed_documents(
     )
     pair = hash_pair(F.col("_tok"))
     toks = toks.withColumn("_a", pair["a"]).withColumn("_b", pair["b"])
+    # The dims-wide projection/aggregate/array expressions are built as
+    # SQL strings parsed JVM-side (one py4j call each) instead of
+    # per-element Column arithmetic (~1k py4j round-trips): measured
+    # ~1.3s of pure driver construction time per embed_documents(bulk)
+    # call at dims=64 (the lit_vec rationale, functions/vector.py).
+    # Semantics unchanged: `%` parses to the same Remainder operator,
+    # integer literals stay integral, and the bulk ≡ scalar
+    # bit-equality test pins the values.
     weights = [
-        (((F.col("_a") + F.lit(j + 1) * F.col("_b")) % F.lit(HASH_P)) % F.lit(_MOD)
-         - F.lit(1000)).alias(f"_w{j}")
+        F.expr(
+            f"((_a + {j + 1} * _b) % {HASH_P}) % {_MOD} - 1000 AS _w{j}"
+        )
         for j in range(dims)
     ]
     toks = toks.select(id_col, *others, *weights)
     agg = toks.groupBy(id_col).agg(
         *[F.first(c).alias(c) for c in others],
-        *[F.sum(f"_w{j}").alias(f"_s{j}") for j in range(dims)],
+        *[F.expr(f"sum(_w{j}) AS _s{j}") for j in range(dims)],
     )
-    raw = F.array(
-        *[
-            F.coalesce(F.col(f"_s{j}"), F.lit(0)).cast("double") / F.lit(1000.0)
+    raw = F.expr(
+        "array("
+        + ",".join(
+            f"CAST(coalesce(_s{j}, 0) AS DOUBLE) / 1000.0D"
             for j in range(dims)
-        ]
+        )
+        + ")"
     )
     # let-binding via single-element array: normalize reads the raw
     # vector dims+1 times; without it each read re-evaluates the sums
