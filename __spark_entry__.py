@@ -6816,56 +6816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50 gates last driver-checked in r03, then the 50 checked in r04.
     # Regenerate with tools/rotate_gates.py after each round's artifact lands.
     return {
-        "x_ann_lsh_incremental": x_ann_lsh_incremental,
-        "x_dedup_simhash_capped": x_dedup_simhash_capped,
-        "x_ann_lsh_capped": x_ann_lsh_capped,
-        "x_dedup_simhash_incremental": x_dedup_simhash_incremental,
-        "x_ivf_refresh": x_ivf_refresh,
-        "x_quality_ensemble": x_quality_ensemble,
-        "x_rolling_anomaly": x_rolling_anomaly,
-        "x_pmi_phrases": x_pmi_phrases,
-        "x_json_props": x_json_props,
-        "x_funnel": x_funnel,
-        "x_retention_cohorts": x_retention_cohorts,
-        "x_event_transitions": x_event_transitions,
-        "x_weighted_sample": x_weighted_sample,
-        "x_resample_ffill": x_resample_ffill,
-        "x_resample_interp": x_resample_interp,
-        "x_rolling_features": x_rolling_features,
-        "x_quality_classifier": x_quality_classifier,
-        "x_bloom_dedup": x_bloom_dedup,
-        "x_url_dedup": x_url_dedup,
-        "x_dedup_pr": x_dedup_pr,
-        "t5_hash_embed": t5_hash_embed,
-        "t6_prompt_embed": t6_prompt_embed,
-        "x_dedup_exact": x_dedup_exact,
-        "x_dedup_minhash": x_dedup_minhash,
-        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
-        "x_dedup_simhash": x_dedup_simhash,
-        "x_dedup_incremental": x_dedup_incremental,
-        "x_dedup_exact_incremental": x_dedup_exact_incremental,
-        "x_dedup_clusters": x_dedup_clusters,
-        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
-        "x_exact_substr": x_exact_substr,
-        "x_cluster_assign": x_cluster_assign,
-        "x_semantic_dedup": x_semantic_dedup,
-        "x_dedup_editdist": x_dedup_editdist,
-        "x_upsert": x_upsert,
-        "x_dup_source_matrix": x_dup_source_matrix,
-        "q1_ivf_topk": q1_ivf_topk,
-        "t2_code_chunks": t2_code_chunks,
-        "t1_chunk_passages": t1_chunk_passages,
-        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
-        "x_corpus_stats": x_corpus_stats,
-        "x_stream_window_stats": x_stream_window_stats,
-        "x_stream_dedup": x_stream_dedup,
-        "x_lm_score": x_lm_score,
-        "x_tfidf_embed": x_tfidf_embed,
-        "x_tfidf_topk": x_tfidf_topk,
-        "x_bucketed_join": x_bucketed_join,
-        "x_stream_enrich": x_stream_enrich,
-        "x_stream_stream_join": x_stream_stream_join,
-        "q15_expanded_search": q15_expanded_search,
         "x_ccnet_buckets": x_ccnet_buckets,
         "x_rollup_stats": x_rollup_stats,
         "x_curriculum_blocks": x_curriculum_blocks,
@@ -6923,6 +6873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ivfpq_batch": x_ivfpq_batch,
         "x_ivf_drift_recall": x_ivf_drift_recall,
         "q2_ivf_batch_topk": q2_ivf_batch_topk,
+        "r1_rag_batch": r1_rag_batch,
         "x_length_percentiles": x_length_percentiles,
         "x_stratified_sample": x_stratified_sample,
         "x_upsample": x_upsample,
@@ -6948,7 +6899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_clean": x_c4_clean,
         "q5_filter_dsl_json": q5_filter_dsl_json,
         "q5_filter_dsl_columns": q5_filter_dsl_columns,
-        "r1_rag_batch": r1_rag_batch,
         "x_multimodal_features": x_multimodal_features,
         "x_text_stats": x_text_stats,
         "x_text_quality": x_text_quality,
@@ -6985,6 +6935,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_bq_batch_topk": x_bq_batch_topk,
         "q3_batch_topk": q3_batch_topk,
         "x_tfidf_keywords": x_tfidf_keywords,
+        "x_ann_lsh_incremental": x_ann_lsh_incremental,
+        "x_dedup_simhash_capped": x_dedup_simhash_capped,
+        "x_ann_lsh_capped": x_ann_lsh_capped,
+        "x_dedup_simhash_incremental": x_dedup_simhash_incremental,
+        "x_ivf_refresh": x_ivf_refresh,
+        "x_quality_ensemble": x_quality_ensemble,
+        "x_rolling_anomaly": x_rolling_anomaly,
+        "x_pmi_phrases": x_pmi_phrases,
+        "x_json_props": x_json_props,
+        "x_funnel": x_funnel,
+        "x_retention_cohorts": x_retention_cohorts,
+        "x_event_transitions": x_event_transitions,
+        "x_weighted_sample": x_weighted_sample,
+        "x_resample_ffill": x_resample_ffill,
+        "x_resample_interp": x_resample_interp,
+        "x_rolling_features": x_rolling_features,
+        "x_quality_classifier": x_quality_classifier,
+        "x_bloom_dedup": x_bloom_dedup,
+        "x_url_dedup": x_url_dedup,
+        "x_dedup_pr": x_dedup_pr,
+        "t5_hash_embed": t5_hash_embed,
+        "t6_prompt_embed": t6_prompt_embed,
+        "x_dedup_exact": x_dedup_exact,
+        "x_dedup_minhash": x_dedup_minhash,
+        "x_dedup_ngram_jaccard": x_dedup_ngram_jaccard,
+        "x_dedup_simhash": x_dedup_simhash,
+        "x_dedup_incremental": x_dedup_incremental,
+        "x_dedup_exact_incremental": x_dedup_exact_incremental,
+        "x_dedup_clusters": x_dedup_clusters,
+        "x_dedup_embedding_cosine": x_dedup_embedding_cosine,
+        "x_exact_substr": x_exact_substr,
+        "x_cluster_assign": x_cluster_assign,
+        "x_semantic_dedup": x_semantic_dedup,
+        "x_dedup_editdist": x_dedup_editdist,
+        "x_upsert": x_upsert,
+        "x_dup_source_matrix": x_dup_source_matrix,
+        "q1_ivf_topk": q1_ivf_topk,
+        "t2_code_chunks": t2_code_chunks,
+        "t1_chunk_passages": t1_chunk_passages,
+        "x_ann_lsh_near_dups": x_ann_lsh_near_dups,
+        "x_corpus_stats": x_corpus_stats,
+        "x_stream_window_stats": x_stream_window_stats,
+        "x_stream_dedup": x_stream_dedup,
+        "x_lm_score": x_lm_score,
+        "x_tfidf_embed": x_tfidf_embed,
+        "x_tfidf_topk": x_tfidf_topk,
+        "x_bucketed_join": x_bucketed_join,
+        "x_stream_enrich": x_stream_enrich,
+        "x_stream_stream_join": x_stream_stream_join,
+        "q15_expanded_search": q15_expanded_search,
     }
 
 
