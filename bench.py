@@ -154,7 +154,11 @@ def main() -> None:
         # region — ≥2-3% means multi-second per-gate spikes are likely
         # co-tenant bursts, not plan changes (see _cpu_ticks).
         "steal_pct": steal_pct,
-        "ncpus": os.cpu_count(),
+        # Effective core count: what the session actually ran with
+        # (local[SPARK_GRAFT_CPUS]), not os.cpu_count() — the driver's
+        # low-core scaling run was previously mislabeled as 32 cores
+        # (round-10 verdict item 5).
+        "ncpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
         # Measurement conditions, so results are comparable across
         # rounds: each query is min-of-`reps` full cold executions
         # (cache cleared + explicit GC between reps), after one

@@ -1438,7 +1438,12 @@ def token_kl_by_group(
         F.explode(tokenize(text_col)).alias("t"),
     )
     gt = tok.groupBy("g", "t").agg(F.count("*").alias("c_gt"))
-    gt = gt.persist()  # three consumers of the one token-count shuffle
+    gt = gt.persist()
+    # Materialize before fan-out: four consumers (corpus/totals/all_n/
+    # contrib) otherwise race on first action and each re-runs the
+    # explode+count shuffle before the cache fills (the repo's
+    # materialize-before-consumers rule; round-10 verdict item 5).
+    gt.count()
     corpus = gt.groupBy("t").agg(F.sum("c_gt").alias("c_t"))
     totals = gt.groupBy("g").agg(F.sum("c_gt").alias("c_g"))
     all_n = gt.agg(F.sum("c_gt").alias("n_all"))
