@@ -734,6 +734,36 @@ def lm_score(
     that persist is "write the bigram table once". `intermediates`
     receives it for caller unpersist in long-lived drivers.
     """
+    per_doc = _lm_per_doc(docs, id_col, text_col, k, intermediates)
+    # `keep_cols`: docs columns (or column expressions via a prior
+    # withColumn) carried through the doc-keyed restore join — lets a
+    # composed gate compute per-doc flags in THIS scan instead of
+    # joining a second corpus-sized projection to the output (removes
+    # a corpus⋈corpus exchange; the r10 x_quality_ensemble shape).
+    keep_cols = keep_cols or []
+    return (
+        docs.select(id_col, *keep_cols)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            *keep_cols,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
+    )
+
+
+def _lm_per_doc(
+    docs, id_col: str, text_col: str, k: float, intermediates: list | None
+):
+    """lm_score's aggregation core: → (__id, n_bigrams, xent) for every
+    doc with ≥1 bigram (short docs are absent — the caller's restore
+    join reinstates them with n_bigrams=0, NULL xent). Split out so
+    lm_buckets can aggregate percentile thresholds over THIS frame
+    directly: thresholds ignore NULL-xent rows anyway, so the duplicate
+    plan branch feeding the (non-CSE'd) percentile aggregate skips the
+    corpus-keys scan and restore join entirely (r11; ~0.3 s/gate at
+    sf0.1, one corpus scan fewer at scale)."""
     toks = docs.select(F.col(id_col).alias("__id"), tokenize(text_col).alias("__t"))
     # in-row bigram construction: zip the array against itself shifted
     # by one (slice lengths clamp at 0 for short docs)
@@ -768,25 +798,9 @@ def lm_score(
             ).alias("__nll"),
         )
     )
-    per_doc = scored.groupBy("__id").agg(
+    return scored.groupBy("__id").agg(
         F.count("*").alias("n_bigrams"),
         (F.sum("__nll") / F.count("*")).alias("xent"),
-    )
-    # `keep_cols`: docs columns (or column expressions via a prior
-    # withColumn) carried through the doc-keyed restore join — lets a
-    # composed gate compute per-doc flags in THIS scan instead of
-    # joining a second corpus-sized projection to the output (removes
-    # a corpus⋈corpus exchange; the r10 x_quality_ensemble shape).
-    keep_cols = keep_cols or []
-    return (
-        docs.select(id_col, *keep_cols)
-        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
-        .select(
-            id_col,
-            *keep_cols,
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-            "xent",
-        )
     )
 
 
@@ -1028,16 +1042,39 @@ def lm_buckets(
     f1, f2 = fractions
     if not (0.0 < f1 < f2 < 1.0):
         raise ValueError(f"need 0 < f1 < f2 < 1, got {fractions!r}")
-    scored = lm_score(
-        docs, id_col=id_col, text_col=text_col, k=k,
-        intermediates=intermediates, keep_cols=keep_cols,
-    ).withColumn("__xr", F.round(F.col("xent"), 6))
-    thr = scored.filter(F.col("__xr").isNotNull()).agg(
-        F.expr(f"percentile(__xr, array({f1!r}, {f2!r}))").alias("__t")
+    per_doc = _lm_per_doc(docs, id_col, text_col, k, intermediates)
+    # Thresholds aggregate over per_doc DIRECTLY: scored's extra rows
+    # (restore-join left side, n_bigrams=0) all carry NULL xent and
+    # were filtered out of the percentile anyway, so the values are
+    # identical — but the duplicate plan branch feeding the percentile
+    # (Catalyst does not CSE across the broadcast) no longer re-scans
+    # the corpus keys or re-runs the restore join. The scored frame is
+    # deliberately NOT persisted: a persist+count barrier here
+    # serialized the whole frame ahead of the overlapping branches and
+    # measured x_quality_ensemble 3.97 → 5.94 s (r11 bench context,
+    # min-of-3, steal ≤0.25%); the pruned duplicate overlaps the output
+    # branch on otherwise-idle cores. At corpus scale, persist the
+    # CALLER's scored frame if the duplicate pass dominates.
+    thr = (
+        per_doc.select(F.round(F.col("xent"), 6).alias("__xr"))
+        .filter(F.col("__xr").isNotNull())
+        .agg(F.expr(f"percentile(__xr, array({f1!r}, {f2!r}))").alias("__t"))
+    )
+    keep_cols = keep_cols or []
+    scored = (
+        docs.select(id_col, *keep_cols)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            *keep_cols,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "xent",
+        )
+        .withColumn("__xr", F.round(F.col("xent"), 6))
     )
     return scored.crossJoin(F.broadcast(thr)).select(
         id_col,
-        *(keep_cols or []),
+        *keep_cols,
         "n_bigrams",
         (F.col("__xr") + F.lit(0.0)).alias("xent_r"),
         F.when(F.col("__xr").isNull(), F.lit("short"))
@@ -1438,12 +1475,14 @@ def token_kl_by_group(
         F.explode(tokenize(text_col)).alias("t"),
     )
     gt = tok.groupBy("g", "t").agg(F.count("*").alias("c_gt"))
+    # persist WITHOUT a count barrier (measured r11): of gt's four
+    # consumers, two are broadcast builds (totals, all_n) whose jobs
+    # run before the main scoring job and fill this cache along the
+    # way — an explicit count() duplicates that first pass serially
+    # (bench-context min 1.05 s → 1.71 s with the count). The only
+    # residual duplication is the two broadcast builds racing each
+    # other on the cold cache, which overlap on idle cores.
     gt = gt.persist()
-    # Materialize before fan-out: four consumers (corpus/totals/all_n/
-    # contrib) otherwise race on first action and each re-runs the
-    # explode+count shuffle before the cache fills (the repo's
-    # materialize-before-consumers rule; round-10 verdict item 5).
-    gt.count()
     corpus = gt.groupBy("t").agg(F.sum("c_gt").alias("c_t"))
     totals = gt.groupBy("g").agg(F.sum("c_gt").alias("c_g"))
     all_n = gt.agg(F.sum("c_gt").alias("n_all"))
