@@ -117,13 +117,6 @@ def curate_corpus(
     proj = _persist(
         docs.withColumn("__keep", gopher_keep(text_col, **(gopher_params or {})))
     )
-    # materialize BEFORE q2: q2's plan holds proj in two branches (the
-    # survivors and exact_dedup's canon subtree), and racing map stages
-    # of one action each re-run the gopher projection when the cache is
-    # still cold (r10 job profile: three concurrent ~1.1 s duplicate
-    # jobs on the artifact-served gate). The count is the projection
-    # run ONCE — the multi-consumer persist-AND-materialize rule.
-    proj.count()
     q = proj.filter("__keep").drop("__keep")
     t0 = _mark("quality_gate", q, t0)
     canon = (
@@ -132,10 +125,21 @@ def curate_corpus(
         .select(id_col)
     )
     q2 = _persist(q.join(canon, id_col, "left_semi"))
-    # same rule: q2 feeds the signature aggregate, the artifact
-    # validation action, both verify-shingle attaches, the keep join
-    # and the split — the first of those would race the rest otherwise.
-    q2.count()
+    # proj/q2 are persisted WITHOUT count() barriers (r11 measurement —
+    # reverts the r10 "materialize before consumers race" change): the
+    # first downstream action (the signature aggregate's sigs.count
+    # inside minhash_near_dups) is a SINGLE job whose branches fill
+    # both caches along the way; the only duplicated work is q2's two
+    # proj branches racing on the cold cache, which overlap on
+    # otherwise-idle cores. The two serial count barriers re-ran the
+    # gopher projection and the dedup shuffle as dedicated jobs AHEAD
+    # of everything and regressed every pipeline gate (bench-context
+    # min-of-3, steal ≤0.1%: x_crawl_pipeline 5.96→7.06 s,
+    # x_curation_pipeline 5.60→6.52, x_curation_pipeline_sigs
+    # 6.48→7.18; the r10 full runs showed the same +1.1-1.7 s, verdict
+    # item 3). At corpus scale the overlapped duplicate is one extra
+    # proj pass on cores the barrier would leave idle — a wash, and a
+    # caller that wants strict single-evaluation passes stage_timings.
     t0 = _mark("exact_dedup", q2, t0)
     corpus_sigs, shingle_k = None, 5
     if sigs_warehouse is not None:
